@@ -1,0 +1,200 @@
+"""Deduplication operators for document corpora.
+
+Four families, in increasing fuzziness:
+
+- **exact**       — hash-group on the raw (or fingerprinted) text; one
+  shuffle keyed by the hash, no driver involvement.
+- **n-gram Jaccard** — shingle -> explode -> self-join on shingle ->
+  per-pair overlap counts. The self-join is keyed on the shingle, so
+  at 100 TB hot shingles (boilerplate phrases) skew the join: the
+  ``max_shingle_freq`` knob drops shingles shared by more than N docs
+  (stop-shingle pruning) before the join, the standard fix.
+- **MinHash + LSH** — per-doc signature (k min-hashes), banded into
+  buckets; only docs sharing a bucket are candidate pairs. Turns the
+  O(n²) similarity join into an equi-join on (band, bucket-hash) —
+  the scale path for corpus-level near-dedup.
+- **SimHash** — 64-bit fingerprint whose hamming distance tracks
+  cosine similarity of the token multiset; computed in a vectorized
+  Pandas UDF (bit-twiddling beats SQL expressions here).
+
+MinHash hashes are md5 *hex strings* (min over lexicographic order),
+not integers: md5 is available and bit-identical in every engine, so
+signatures are reproducible by any SQL oracle — a deliberate choice
+for verifiability; swap in xxhash64 for raw speed if signatures never
+leave Spark.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingles, tokenize
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical texts: (text_hash, keep_id = min id, n_copies)."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select(F.md5(F.col(text_col)).alias("text_hash"), "keep_id", "n_copies")
+
+
+def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    sh = shingles(tokenize(F.col(text_col)), k=k)
+    return (
+        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.col("shingle") != "")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    threshold: float = 0.1,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by word-k-gram Jaccard >= threshold.
+
+    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard rounded
+    to 4 decimals. ``max_shingle_freq`` prunes stop-shingles before the
+    self-join (skew guard — essential at corpus scale).
+    """
+    sh = _doc_shingles(df, text_col, id_col, k)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__freq"))
+        sh = sh.join(freq.where(F.col("__freq") <= max_shingle_freq), "shingle").drop("__freq")
+    sh = sh.select(F.col(id_col).alias("doc"), "shingle")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Per-doc MinHash signature: array of ``num_hashes`` md5-hex minima
+    over the doc's shingle set. Docs with no shingle are dropped (too
+    short to compare)."""
+    sh = F.array_distinct(shingles(tokenize(F.col(text_col)), k=k_shingle))
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))))
+            for j in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature")).where(F.size(F.col("signature")) > 0).where(
+        F.col("signature")[0].isNotNull()
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Banded LSH over MinHash signatures -> distinct candidate pairs
+    (doc_a < doc_b). The join key is (band index, band hash): docs only
+    meet if an entire band agrees, so the pair count stays near-linear
+    for realistic similarity distributions."""
+    band_hashes = F.array(
+        *[
+            F.md5(F.concat_ws("|", *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]))
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col).alias("doc"), F.posexplode(band_hashes).alias("band", "bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc as a zero-padded hex string.
+
+    Vectorized Pandas UDF (Arrow-batched): per token md5 -> first
+    ``bits`` bits; signature bit b is the sign of sum(+/-1) over
+    tokens. Deterministic (md5), no Python hash randomization.
+    """
+    nbytes = bits // 8
+
+    @F.pandas_udf("string")
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            acc = [0] * bits
+            for tok in t.split():
+                h = hashlib.md5(tok.encode("utf-8")).digest()[:nbytes]
+                v = int.from_bytes(h, "big")
+                for b in range(bits):
+                    acc[b] += 1 if (v >> (bits - 1 - b)) & 1 else -1
+            sig = 0
+            for b in range(bits):
+                sig = (sig << 1) | (1 if acc[b] > 0 else 0)
+            out.append(format(sig, f"0{nbytes * 2}x"))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", *, band_hex_width: int = 4
+) -> DataFrame:
+    """Near-dup candidates: docs sharing any aligned 16-bit block of the
+    SimHash (4 hex chars) — the standard hamming-LSH trick."""
+    blocks = F.array(
+        *[
+            F.concat(F.lit(str(i)), F.lit(":"), F.substring("simhash", i * band_hex_width + 1, band_hex_width))
+            for i in range(16 // band_hex_width)
+        ]
+    )
+    b = sigs.select(F.col(id_col).alias("doc"), F.explode(blocks).alias("block"))
+    l, r = b.alias("a"), b.alias("b")
+    return (
+        l.join(r, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )

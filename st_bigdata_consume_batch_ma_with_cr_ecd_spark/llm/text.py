@@ -1,0 +1,104 @@
+"""Text-analysis column builders — pure Spark expressions, no UDFs.
+
+Everything here stays inside whole-stage codegen (higher-order array
+functions run JVM-side), so these scale linearly with input bytes and
+never cross the Python boundary.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+
+
+def tokenize(text: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), WHITESPACE)
+
+
+def shingles(tokens: Column, k: int = 3, sep: str = " ") -> Column:
+    """Word k-gram shingles as an array<string>; empty array when the
+    document has fewer than k tokens (guards Spark's descending
+    ``sequence`` when start > stop)."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, F.lit(k)), sep))
+    return F.when(n >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the lower-cased, whitespace-collapsed
+    text. Identical normalization on any engine -> joinable dedup key."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), WHITESPACE, " "))
+
+
+def text_stats(text: Column | str) -> dict[str, Column]:
+    """Quality-scoring columns: char/token counts, average token length,
+    type-token ratio. Ratios rounded to 4 decimals (stable across
+    engines)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    sum_len = F.aggregate(F.transform(toks, F.length), F.lit(0), lambda acc, x: acc + x)
+    return {
+        "n_chars": F.length(c),
+        "n_tokens": n_tokens,
+        "n_uniq_tokens": n_uniq,
+        "avg_token_len": F.round(sum_len * F.lit(1.0) / n_tokens, 4),
+        "type_token_ratio": F.round(n_uniq * F.lit(1.0) / n_tokens, 4),
+    }
+
+
+DEFAULT_LANG_MARKERS: Mapping[str, Sequence[str]] = {
+    "en": ("the", "a", "and"),
+    "de": ("der", "die", "und"),
+    "es": ("el", "que", "los"),
+    "fr": ("le", "et", "les"),
+    "zh": ("的", "是"),
+}
+
+
+def lang_scores(
+    text: Column | str, markers: Mapping[str, Sequence[str]] = DEFAULT_LANG_MARKERS
+) -> dict[str, Column]:
+    """n-gram-heuristic language ID: per-language stopword-token counts
+    plus a ``pred_lang`` argmax (priority order breaks ties; 'unknown'
+    when every score is zero)."""
+    toks = tokenize(text)
+
+    def any_of(t: Column, words: Sequence[str]) -> Column:
+        # OR-chain instead of Column.isin: isin is not supported on
+        # lambda variables inside higher-order functions
+        cond = t == F.lit(words[0])
+        for w in words[1:]:
+            cond = cond | (t == F.lit(w))
+        return cond
+
+    def marker_pred(words: Sequence[str]):
+        # single-arg closure: a 2-arg lambda would be treated by Spark as
+        # the (element, index) form, binding the index Column to `words`
+        return lambda t: any_of(t, words)
+
+    scores = {
+        lang: F.size(F.filter(toks, marker_pred(words)))
+        for lang, words in markers.items()
+    }
+    langs = list(scores)
+    pred = F.lit("unknown")
+    # build from lowest priority up so earlier langs win ties
+    for lang in reversed(langs):
+        others = [scores[o] for o in langs if o != lang]
+        ge_all = F.lit(True)
+        for o in others:
+            ge_all = ge_all & (scores[lang] >= o)
+        pred = F.when((scores[lang] > 0) & ge_all, F.lit(lang)).otherwise(pred)
+    out = {f"score_{lang}": c for lang, c in scores.items()}
+    out["pred_lang"] = pred
+    return out

@@ -1,0 +1,120 @@
+"""As-of (backfill) join (SURVEY.md §2.5, J1).
+
+The reference's merge-delete query backfills every Delete event's
+attributes from the latest *earlier* non-delete row of the same key
+(reference ``script/static_files/queries/0-merge_delete_query.sql:24-40``):
+equi-join on the key, range residual ``left.ts >= right.ts``, then
+``row_number() OVER (PARTITION BY left key+ts ORDER BY right.ts DESC) = 1``.
+
+Spark has no native as-of join, so we keep that composition — it is
+a single sort-merge join plus one window:
+
+- The equi-join shuffles both sides once on the key; the range
+  predicate stays a cheap post-join residual.
+- The window re-uses the join's hash partitioning on the key (the
+  window partition key is a superset: key + left ts), so no second
+  shuffle of the big side in the common plan.
+- Skew: a hot key (one listing with millions of updates) inflates the
+  join; at 100 TB enable AQE skew-join (on in our session factory) or
+  pre-bucket both sides by the key.
+
+Alternative for extreme cardinality: ``applyInPandas`` +
+``pd.merge_asof`` per key-group — kept out of the default path because
+built-in join+window stays fully JVM-side/codegen'd.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import top_n_per_group
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    *,
+    direction: str = "backward",
+    strict: bool = False,
+    tiebreak: str | None = None,
+    how: str = "inner",
+    left_id: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the closest right row at-or-before
+    (``backward``) / at-or-after (``forward``) its timestamp.
+
+    Right columns that collide with left column names are suffixed
+    ``_right``. ``tiebreak`` (a right column) makes the pick total when
+    right timestamps tie. ``left_id`` (a unique left column) keeps left
+    rows with duplicate (key, ts) distinct in the candidate ranking —
+    pass it whenever the left grain is finer than (on, left_ts).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    l = left.alias("l")
+    r = right.alias("r")
+    cond: Column = F.lit(True)
+    for k in on:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    lts, rts = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    if direction == "backward":
+        cond = cond & (lts > rts if strict else lts >= rts)
+        order = [F.col(f"r.{right_ts}").desc()]
+    else:
+        cond = cond & (lts < rts if strict else lts <= rts)
+        order = [F.col(f"r.{right_ts}").asc()]
+    if tiebreak:
+        order.append(F.col(f"r.{tiebreak}").desc())
+
+    joined = l.join(r, cond, how)
+    left_cols = set(left.columns)
+    proj = [F.col(f"l.{c}") for c in left.columns]
+    for c in right.columns:
+        if c in on:
+            continue
+        out_name = f"{c}_right" if c in left_cols else c
+        proj.append(F.col(f"r.{c}").alias(out_name))
+
+    part = [F.col(f"l.{k}") for k in on] + [F.col(f"l.{left_ts}")]
+    if left_id is not None:
+        part.append(F.col(f"l.{left_id}"))
+    return top_n_per_group(joined, part, order, n=1).select(*proj)
+
+
+def asof_backfill(
+    broken: DataFrame,
+    donors: DataFrame,
+    on: Sequence[str],
+    ts: str,
+    fill_cols: Sequence[str],
+    *,
+    donor_tiebreak: str | None = None,
+    broken_id: str | None = None,
+) -> DataFrame:
+    """J1 as used by the merge-delete stage: overwrite ``fill_cols`` of
+    each ``broken`` row (Delete events with NULL payload) with the values
+    from the latest donor at-or-before the same timestamp and key.
+
+    Returns ``broken``'s schema. Rows with no donor keep their NULLs
+    (left as-of join).
+    """
+    donor_proj = donors.select(*on, ts, *fill_cols)
+    joined = asof_join(
+        broken.drop(*[c for c in fill_cols if c in broken.columns]),
+        donor_proj,
+        on=on,
+        left_ts=ts,
+        right_ts=ts,
+        tiebreak=donor_tiebreak,
+        how="left",
+        left_id=broken_id,
+    )
+    # asof_join suffixes the donor ts as `<ts>_right`; drop it, keep fills.
+    return joined.drop(f"{ts}_right")

@@ -1,0 +1,73 @@
+"""Sink operators (SURVEY.md §2.2, K1-K4).
+
+Open-Spark replacements for the reference's three outputs
+(``script/main.py:377-416``):
+
+- K1 nested gzip JSON            -> ``write_json_gzip``
+- K2 flat gzip CSV, single file  -> ``write_csv_gzip``
+- K3 purge_table + catalog append -> ``overwrite_partitions``
+  (dynamic partition overwrite: only touched partitions are replaced,
+  atomically per partition — the Glue purge/append pair collapsed into
+  one idempotent write)
+
+Scale note on "one output file": the reference uses ``coalesce(1)``
+(``script/main.py:389``), which caps the *entire final stage* at one
+task — the #1 scalability hazard in the reference. We keep the intent
+behind an explicit ``files=`` knob but implement it as a post-shuffle
+``repartition(n)``, so upstream stages keep full parallelism and only
+the write itself is narrow.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def _shape_output(df: DataFrame, files: int | None) -> DataFrame:
+    if files is None:
+        return df
+    if files < 1:
+        raise ValueError("files must be >= 1")
+    # repartition (round-robin shuffle) NOT coalesce: coalesce(1) would
+    # collapse upstream computation onto one task.
+    return df.repartition(files)
+
+
+def write_json_gzip(df: DataFrame, path: str, *, files: int | None = None, mode: str = "overwrite") -> None:
+    _shape_output(df, files).write.mode(mode).option("compression", "gzip").json(path)
+
+
+def write_csv_gzip(
+    df: DataFrame, path: str, *, files: int | None = None, header: bool = True, mode: str = "overwrite"
+) -> None:
+    (
+        _shape_output(df, files)
+        .write.mode(mode)
+        .option("compression", "gzip")
+        .option("header", str(header).lower())
+        .csv(path)
+    )
+
+
+def overwrite_partitions(
+    df: DataFrame,
+    path_or_table: str,
+    partition_by: Sequence[str],
+    *,
+    format: str = "parquet",
+    as_table: bool = False,
+) -> None:
+    """K3: replace exactly the partitions present in ``df``.
+
+    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set
+    by our session factory) — Spark then deletes only the partitions it
+    is about to rewrite, the open equivalent of Glue ``purge_table`` +
+    append (reference ``script/main.py:395-416``).
+    """
+    writer = df.write.mode("overwrite").format(format).partitionBy(*partition_by)
+    if as_table:
+        writer.saveAsTable(path_or_table)
+    else:
+        writer.save(path_or_table)

@@ -1,0 +1,108 @@
+"""Source operators (SURVEY.md §2.1, S1-S4).
+
+Spark-native replacements for the reference's Glue
+``create_dynamic_frame.from_options/from_catalog`` reads
+(reference: ``script/main.py:250-298``):
+
+- S1 recursive parquet scan    -> ``read_parquet``
+- S2 catalog scan + partition pushdown -> ``read_table_pruned``
+  (a plain ``.where`` on the partition column; Catalyst's static
+  partition pruning replaces Glue's ``push_down_predicate``)
+- S4 CSV scan with header      -> ``read_csv_lookup``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet(
+    spark: SparkSession, path: str, *, recursive: bool = True, columns: list[str] | None = None
+) -> DataFrame:
+    """S1: parquet tree scan (reference ``script/main.py:250-258``).
+
+    ``columns`` prunes the read schema explicitly; Catalyst also prunes
+    automatically from downstream selects, but an explicit projection
+    documents the contract and survives ``cache()`` boundaries.
+    """
+    reader = spark.read.option("recursiveFileLookup", str(recursive).lower())
+    df = reader.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def read_table_pruned(
+    spark: SparkSession,
+    table: str,
+    partition_col: str | None = None,
+    lo: str | None = None,
+    hi: str | None = None,
+) -> DataFrame:
+    """S2/S3: catalog read with optional partition-range pruning
+    (reference ``script/main.py:263-298`` used Glue ``push_down_predicate``;
+    a WHERE on the partition column gets the same pruning from Catalyst —
+    verify via ``explain``: the scan node shows the partition filters).
+    """
+    df = spark.read.table(table)
+    if partition_col is not None:
+        if lo is not None:
+            df = df.where(F.col(partition_col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(partition_col) < F.lit(hi))
+    return df
+
+
+def read_csv_lookup(
+    spark: SparkSession, path: str, *, schema: str | None = None, infer: bool = True
+) -> DataFrame:
+    """S4: header CSV lookup table (reference ``script/main.py:129-134``).
+
+    Prefer an explicit ``schema`` string in production — ``inferSchema``
+    triggers an extra pass over the file (fine for 500-row dims, wrong
+    for anything big).
+    """
+    reader = spark.read.option("header", "true")
+    if schema:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+_TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one driver-provided synthetic table (TESTDATA.md).
+
+    ``events.ts`` is written as parquet INT64 TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects outright — we read it via the
+    nanos-as-long escape hatch and rebuild a (microsecond) timestamp.
+    The testdata's nanos are microsecond-clean, so this is lossless.
+    """
+    if table not in _TESTDATA_TABLES:
+        raise ValueError(f"unknown testdata table {table!r}; expected one of {_TESTDATA_TABLES}")
+    path = f"{sf_dir}/{table}.parquet"
+    if table == "events":
+        return load_nanos_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def load_nanos_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame:
+    """Read a parquet file whose ``ts_col`` is TIMESTAMP(NANOS): nanos
+    come in as long, go out as a proper timestamp column."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # integer `div`, NOT `/`: epoch-nanos (~1.7e18) overflow double precision
+    return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))

@@ -1,0 +1,27 @@
+"""Templated SQL loading (SURVEY.md §2.1 S6 / §2.9 X10).
+
+The reference keeps its 4 pipeline queries as ``.sql`` files with
+``str.format`` placeholders (reference ``script/helper.py:64-72``).
+We reproduce that as a tiny, safe loader: literal braces in SQL text
+(e.g. map literals) must be escaped by the template author as ``{{``.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+_PLACEHOLDER = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def render_sql(template: str, **params: object) -> str:
+    """Substitute ``{name}`` placeholders; raise on unknown/missing names."""
+    needed = set(_PLACEHOLDER.findall(template))
+    missing = needed - params.keys()
+    if missing:
+        raise KeyError(f"missing SQL template parameters: {sorted(missing)}")
+    return template.format(**params)
+
+
+def load_sql_template(path: str | Path, **params: object) -> str:
+    return render_sql(Path(path).read_text(), **params)

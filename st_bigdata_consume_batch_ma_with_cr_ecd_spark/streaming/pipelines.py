@@ -1,0 +1,89 @@
+"""Structured Streaming equivalents (SURVEY.md §2.11 notes the reference
+is batch-only despite kafka/kinesis table names — these are the stream
+counterparts a real consume layer needs).
+
+Local testing pattern: a parquet directory drives the stream
+(``readStream`` + ``availableNow``/``processAllAvailable``) into a
+memory sink, which makes streaming results comparable against a batch
+SQL oracle. In production swap the source for Kafka and the sink for a
+partitioned parquet/foreachBatch writer — the transformation graph is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Tumbling-window counts + sums with late-data watermark.
+
+    Works on both a streaming and a batch DataFrame (the watermark is a
+    no-op in batch) — the same graph serves both runtimes.
+    """
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    # decimal sum -> order-independent total (see operators.aggregates.exact_sum)
+    exact_total = F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+    return (
+        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(exact_total, 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), key_col, "n_events", "total_value")
+    )
+
+
+def streaming_dedup(events: DataFrame, *, ts_col: str = "ts", id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
+    """Stateful exactly-once-per-id dedup within the watermark horizon
+    (``dropDuplicates`` keeps per-key state until the watermark passes)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.dropDuplicates([id_col])
+
+
+def run_stream_to_memory(
+    spark: SparkSession,
+    parquet_path: str,
+    transform,
+    *,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drive ``transform(stream_df)`` over a parquet directory to
+    completion via a memory sink; returns the materialized result.
+
+    ``complete`` mode emits every window (no watermark withholding) —
+    right for bounded smoke runs; real deployments use ``append`` +
+    checkpointing.
+    """
+    schema = spark.read.parquet(parquet_path).schema
+    if os.path.isfile(parquet_path):
+        # FileStreamSource requires a directory source (basePath must be a
+        # directory); expose a single-file table through a symlink dir.
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(parquet_path, os.path.join(d, os.path.basename(parquet_path)))
+        parquet_path = d
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        transform(stream)
+        .writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name)

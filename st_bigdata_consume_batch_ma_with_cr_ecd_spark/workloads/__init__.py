@@ -1,0 +1,8 @@
+"""The query battery behind ``__spark_entry__``.
+
+Importing this package registers every workload module's queries into
+``registry.REGISTRY``.
+"""
+
+from . import llm, relational, streaming  # noqa: F401
+from .registry import REGISTRY, QuerySpec, oracle_sql_map, queries_map  # noqa: F401

@@ -1,0 +1,306 @@
+"""LLM-data-pipeline query battery over ``documents`` / ``embeddings``.
+
+Design for verifiability: the fuzzy-dedup operators are built on
+engine-independent primitives (md5 hex strings, explicit double
+arithmetic, rounded ratios) so even MinHash-LSH has an exact DuckDB
+oracle. Only SimHash (Pandas-UDF bit-twiddling) and the seeded
+hyperplane LSH are rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_candidate_pairs,
+    simhash_signatures,
+)
+from ..llm.multimodal import attach_binary_payload, extract_image_features
+from ..llm.similarity import brute_force_topk, cosine_pairs, lsh_bucketed_topk
+from ..llm.text import fingerprint, lang_scores, text_stats
+from ..sources.readers import read_testdata
+from .registry import register
+
+# DuckDB equivalents of the engine's text primitives (llm/text.py):
+# whitespace tokens of the trimmed text, and word-3-gram shingles.
+_DUCK_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_DUCK_SHINGLES = (
+    "CASE WHEN len(tokens) >= 3 THEN "
+    "list_distinct(list_transform(range(1, len(tokens) - 1), "
+    "i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+_NUM_HASHES = 16
+_BANDS, _ROWS_PER_BAND = 4, 4
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS h{j}" for j in range(_NUM_HASHES)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    sh_t AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tok),
+    sig AS (
+        SELECT doc_id,
+           {sig_exprs}
+        FROM sh_t WHERE len(sh) > 0
+    ),
+    buckets AS (
+    {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, "embeddings")
+
+
+# --------------------------------------------------------------------------
+# Dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    doc="Exact dedup: hash-group identical texts, keep min id.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    sh AS (SELECT doc_id AS doc, unnest({_DUCK_SHINGLES}) AS shingle FROM tok),
+    shared AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc)
+    SELECT doc_a, doc_b, round(shared / (x.n + y.n - shared), 4) AS jaccard
+    FROM shared JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+    WHERE round(shared / (x.n + y.n - shared), 4) >= 0.1
+    """,
+    doc="Near-dedup: word-3-gram Jaccard >= 0.1 via shingle self-join (stop-shingle pruning knob for scale).",
+    tags=("bench",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    doc="MinHash(16 md5-hex perms) + LSH(4 bands x 4 rows) candidate pairs — the O(n^2)-free near-dedup scale path.",
+    tags=("bench",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), k_shingle=3, num_hashes=_NUM_HASHES)
+    return lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # Pandas-UDF bit-twiddling — no SQL twin; rows-only check
+    doc="SimHash-64 signatures + 16-bit-block candidate pairs (vectorized Pandas UDF).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash_signatures(_docs(spark, sf_dir))
+    return simhash_candidate_pairs(sigs)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.4
+    """,
+    doc="Embedding near-dup pairs: cosine >= 0.4 over array<float> (JVM-side zip_with/aggregate arithmetic).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Exact cosine top-5 per query vector (queries broadcast against the corpus).",
+    tags=("bench",),
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    return brute_force_topk(embs, queries, k=5)
+
+
+@register(
+    "ann_topk_lsh",
+    oracle=None,  # seeded random hyperplanes — deterministic but not SQL-expressible
+    doc="Approximate cosine top-5 via random-hyperplane LSH buckets (the 100-TB ANN path).",
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(embs, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, text, {_DUCK_TOKENS} AS tokens FROM documents)
+    SELECT doc_id,
+           length(text)                                   AS n_chars,
+           len(tokens)                                    AS n_tokens,
+           len(list_distinct(tokens))                     AS n_uniq_tokens,
+           round(list_sum(list_transform(tokens, t -> length(t))) * 1.0 / len(tokens), 4)
+                                                          AS avg_token_len,
+           round(len(list_distinct(tokens)) * 1.0 / len(tokens), 4)
+                                                          AS type_token_ratio
+    FROM tok
+    """,
+    doc="Quality scoring: char/token counts, avg token length, type-token ratio — pure codegen'd array exprs.",
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = text_stats("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        stats["n_chars"].cast("long").alias("n_chars"),
+        stats["n_tokens"].cast("long").alias("n_tokens"),
+        stats["n_uniq_tokens"].cast("long").alias("n_uniq_tokens"),
+        stats["avg_token_len"].alias("avg_token_len"),
+        stats["type_token_ratio"].alias("type_token_ratio"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(tokens, t -> t IN ('the', 'a', 'and')))  AS score_en,
+               len(list_filter(tokens, t -> t IN ('der', 'die', 'und'))) AS score_de,
+               len(list_filter(tokens, t -> t IN ('el', 'que', 'los')))  AS score_es,
+               len(list_filter(tokens, t -> t IN ('le', 'et', 'les')))   AS score_fr,
+               len(list_filter(tokens, t -> t IN ('的', '是')))          AS score_zh
+        FROM tok
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+           CASE
+             WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es
+                  AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+             WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_es
+                  AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+             WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de
+                  AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+             WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_de
+                  AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+             WHEN score_zh > 0 AND score_zh >= score_en AND score_zh >= score_de
+                  AND score_zh >= score_es AND score_zh >= score_fr THEN 'zh'
+             ELSE 'unknown'
+           END AS pred_lang
+    FROM s
+    """,
+    doc="Language-ID heuristic: per-language stopword counts + priority-ordered argmax.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = lang_scores("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        *[cols[f"score_{lang}"].cast("long").alias(f"score_{lang}") for lang in ("en", "de", "es", "fr", "zh")],
+        cols["pred_lang"].alias("pred_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    doc="Document fingerprint: md5 of lower-cased whitespace-collapsed text.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))            AS n_bytes,
+           (ascii(substr(text, 1, 1)) % 64) + 1  AS width,
+           (ascii(substr(text, 2, 1)) % 64) + 1  AS height
+    FROM documents
+    """,
+    doc="Binary-column feature extraction via Arrow-batched mapInPandas (decode step stubbed deterministically).",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with_payload = attach_binary_payload(_docs(spark, sf_dir))
+    return extract_image_features(with_payload, fake_decode=True)

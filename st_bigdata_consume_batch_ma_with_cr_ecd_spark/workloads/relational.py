@@ -1,0 +1,621 @@
+"""Relational query battery (SURVEY.md §2.1-2.9) over the driver's
+TPC-H-ish testdata tables.
+
+Every reference operator row gets a query here whose semantics a DuckDB
+oracle reproduces exactly (FIXTURES.md §9 maps the reference's tables
+onto the synthetic star schema: lineitem/orders play the CDC change-log,
+events plays the daily counters, nation/region play the geo lookups).
+
+Determinism rules applied throughout (SURVEY.md §4):
+- every window order ends in a unique tiebreak column;
+- every float aggregate is ROUNDed identically in Spark and oracle SQL
+  (double accumulation order differs between engines);
+- per-row float arithmetic is NOT rounded (IEEE ops are bit-identical).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.columns import bulk_rename
+from ..functions.nesting import flatten_structs, nest_columns
+from ..functions.whenchain import when_chain
+from ..operators.aggregates import exact_sum, rounded_sum
+from ..operators.asof import asof_backfill
+from ..operators.dedup import top_n_per_group
+from ..operators.joins import broadcast_lookup_join, join_preaggregated, not_in_anti_join
+from ..operators.setops import union_slices
+from ..sources.readers import read_csv_lookup, read_testdata
+from .registry import register
+
+_STATIC_DIR = Path(__file__).resolve().parent.parent / "static_data"
+GEO_LOOKUP_CSV = str(_STATIC_DIR / "geo_lookup.csv")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship aggregations (A1-A3 at scale; TPC-H Q1/Q3 shapes)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE)      AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE)
+                                                                                 AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))), 2) AS DOUBLE)
+                                                                                 AS sum_charge,
+           round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_price,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4)      AS avg_disc,
+           count(*)                                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan -> filter -> 8-agg group-by (whole-stage codegen'd, partial agg map-side).",
+    tags=("bench",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rounded_sum("l_quantity", 2).alias("sum_qty"),
+            rounded_sum("l_extendedprice", 2).alias("sum_base_price"),
+            rounded_sum(disc_price, 2).alias("sum_disc_price"),
+            rounded_sum(charge, 2).alias("sum_charge"),
+            F.round(exact_sum("l_quantity") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(exact_sum("l_extendedprice") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(exact_sum("l_discount") / F.count(F.lit(1)), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE)
+             AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    """,
+    doc="TPC-H Q3 shape: 3-way equi join + group-by; dim filters push below the joins.",
+    tags=("bench",),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rounded_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sources (S1, S4)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "s1_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    doc="S1: parquet scan with column pruning + pushed filter (ReadSchema/PushedFilters visible in explain).",
+)
+def s1_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_linenumber") == 1)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+@register(
+    "s4_csv_lookup_scan",
+    oracle=f"""
+    SELECT geoid, zone, tier FROM read_csv('{GEO_LOOKUP_CSV}', header=true)
+    WHERE tier <= 2
+    """,
+    doc="S4: header CSV lookup scan (reference bundeslaender.csv analog, script/main.py:129-134).",
+)
+def s4_csv_lookup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = read_csv_lookup(spark, GEO_LOOKUP_CSV, schema="geoid INT, zone STRING, tier INT")
+    return dim.where(F.col("tier") <= 2).select("geoid", "zone", "tier")
+
+
+# --------------------------------------------------------------------------
+# Filters (F1, F2, F6)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "f1_isin_filter",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    GROUP BY l_returnflag
+    """,
+    doc="F1: IN-list filter (reference distributionType/estateType isin, script/main.py:79-88).",
+)
+def f1_isin_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), rounded_sum("l_quantity", 2).alias("sum_qty"))
+    )
+
+
+@register(
+    "f2_prefix_like",
+    oracle="SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'small%'",
+    doc="F2: prefix LIKE (pushed to the scan as StringStartsWith; reference geoid prefix filter).",
+)
+def f2_prefix_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "part").where(F.col("p_name").startswith("small")).select("p_partkey", "p_name")
+
+
+@register(
+    "f6_date_range",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    """,
+    doc="F6: date-range predicate (partition-pruning shape; reference push_down_predicate windows).",
+)
+def f6_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lo, hi = F.lit("1998-01-01").cast("timestamp"), F.lit("1999-01-01").cast("timestamp")
+    return (
+        _t(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (J2-J7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "j2_left_join_enrich",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="J2: 1:1 left equi join enrichment (reference listing<->texts join).",
+)
+def j2_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey, "left").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "j3_inner_join_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    JOIN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+      ON l_orderkey = o.o_orderkey
+    """,
+    doc="J3: inner join as existence filter, multiplicity-preserving (reference visibility semi-join; SURVEY §4 gotcha 6).",
+)
+def j3_inner_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return li.join(urgent, li.l_orderkey == urgent.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+@register(
+    "j4_left_join_preagg",
+    oracle="""
+    SELECT c_custkey, c_name,
+           coalesce(n_open_orders, 0)     AS n_open_orders,
+           coalesce(open_value, 0.0)      AS open_value
+    FROM customer
+    LEFT JOIN (
+        SELECT o_custkey,
+               count(*)                                                          AS n_open_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS open_value
+        FROM orders WHERE o_orderstatus = 'P'
+        GROUP BY o_custkey
+    ) s ON c_custkey = s.o_custkey
+    """,
+    doc="J4: left join to pre-aggregated subquery with COALESCE defaults (reference contact/visit counters).",
+    tags=("bench",),
+)
+def j4_left_join_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    pend = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    out = join_preaggregated(
+        cust,
+        pend,
+        keys=["o_custkey"],
+        aggs={
+            "n_open_orders": F.count(F.lit(1)),
+            "open_value": rounded_sum("o_totalprice", 2),
+        },
+        fill={"n_open_orders": 0, "open_value": 0.0},
+    )
+    return out.select(F.col("o_custkey").alias("c_custkey"), "c_name", "n_open_orders", "open_value")
+
+
+@register(
+    "j5_stale_id_detection",
+    oracle="""
+    SELECT f.o_custkey AS custkey, f.last_f_date, a.last_any_date
+    FROM (SELECT o_custkey, max(o_orderdate) AS last_f_date
+          FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey) f
+    LEFT JOIN (SELECT o_custkey, max(o_orderdate) AS last_any_date
+               FROM orders GROUP BY o_custkey) a
+      ON f.o_custkey = a.o_custkey
+    WHERE f.last_f_date < a.last_any_date
+    """,
+    doc="J5: stale-id detection — filtered-universe max vs all-universe max, null-rejecting post-join filter (3-basedata_df_final_query.sql:22-29).",
+)
+def j5_stale_id_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f_max = (
+        orders.where(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_f_date"))
+    )
+    a_max = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("last_any_date"))
+    return (
+        f_max.join(a_max, "o_custkey", "left")
+        .where(F.col("last_f_date") < F.col("last_any_date"))
+        .select(F.col("o_custkey").alias("custkey"), "last_f_date", "last_any_date")
+    )
+
+
+@register(
+    "j6_not_in_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+    doc="J6/F8: null-aware NOT IN anti join (3-basedata_df_final_query.sql:36-39; SURVEY §4 null trap).",
+)
+def j6_not_in_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    pend = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return not_in_anti_join(cust, pend, "c_custkey", "o_custkey").select("c_custkey", "c_name")
+
+
+@register(
+    "j7_broadcast_expr_join",
+    oracle="""
+    SELECT p_partkey, p_brand, n_name
+    FROM part LEFT JOIN nation ON CAST(substr(p_brand, 7) AS INTEGER) = n_nationkey
+    """,
+    doc="J7: broadcast left join on a computed key with implicit string->int cast (reference geo-prefix joins, script/main.py:136-150).",
+)
+def j7_broadcast_expr_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    key = F.expr("CAST(substring(p_brand, 7) AS INT)")
+    out = broadcast_lookup_join(part, nation, key, "n_nationkey", dim_cols=["n_nationkey", "n_name"])
+    return out.select("p_partkey", "p_brand", "n_name")
+
+
+# --------------------------------------------------------------------------
+# Aggregations (A1-A3)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "a1_grouped_max",
+    oracle="""
+    SELECT o_custkey, max(o_orderdate) AS last_order_date, count(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="A1: group-by max (reference last-changeDate-per-id, 2-basedata_df_query.sql:19-25).",
+)
+def a1_grouped_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_order_date"), F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "a2_max_by_argmax",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderstatus, o_orderkey) AS latest_status,
+           max(o_orderkey)                   AS max_orderkey
+    FROM orders GROUP BY o_custkey
+    """,
+    doc="A2: max_by argmax over a unique ordering column (reference fraud-level max_by, 2-basedata_df_query.sql:22).",
+)
+def a2_max_by_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderstatus", "o_orderkey").alias("latest_status"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+@register(
+    "a3_sum_coalesce",
+    oracle="""
+    SELECT user_id,
+           CAST(round(sum(CAST(coalesce(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0)
+                               AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value,
+           count(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    doc="A3: SUM(COALESCE(x, 0)) over a nullable measure (reference daily counters, 2-basedata_df_query.sql:27-45).",
+)
+def a3_sum_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    nullable_value = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    filled = F.coalesce(nullable_value, F.lit(0)).cast("decimal(30,8)")
+    return ev.groupBy("user_id").agg(
+        F.round(F.sum(filled), 2).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows (W1-W4) + composite price history
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w1_latest_per_group",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM (
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_shipdate DESC, l_linenumber DESC, l_quantity DESC) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+    doc="W1: top-1-per-group dedup — latest row per key with total order (1-basedata_first_query.sql:4-19).",
+    tags=("bench",),
+)
+def w1_latest_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return top_n_per_group(
+        li,
+        ["l_orderkey"],
+        [F.col("l_shipdate").desc(), F.col("l_linenumber").desc(), F.col("l_quantity").desc()],
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+
+
+@register(
+    "price_change_history",
+    oracle="""
+    WITH current_window AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice AS price,
+               row_number() OVER (PARTITION BY o_custkey, o_totalprice
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    ),
+    previous AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice AS price,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate, price, 'price_change' AS change_type
+    FROM current_window WHERE rn = 1
+    UNION ALL
+    SELECT o_custkey, o_orderkey, o_orderdate, price, 'previous_price' AS change_type
+    FROM previous WHERE rn = 1
+    """,
+    doc="W3+W4+U1 composite: per-(key, price) latest in the current window UNION the last pre-window row (3-basedata_df_final_query.sql:45-72).",
+    tags=("bench",),
+)
+def price_change_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    order = [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    current = top_n_per_group(
+        orders.where(F.col("o_orderdate") >= cutoff), ["o_custkey", "o_totalprice"], order
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").alias("price"),
+        F.lit("price_change").alias("change_type"),
+    )
+    previous = top_n_per_group(
+        orders.where(F.col("o_orderdate") < cutoff), ["o_custkey"], order
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").alias("price"),
+        F.lit("previous_price").alias("change_type"),
+    )
+    return union_slices([current, previous], "ALL")
+
+
+@register(
+    "merge_delete_backfill",
+    oracle="""
+    WITH broken AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ),
+    donors AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type <> 'error'
+    ),
+    ranked AS (
+        SELECT b.event_id, b.user_id, b.ts, d.value,
+               row_number() OVER (PARTITION BY b.event_id
+                                  ORDER BY d.ts DESC, d.event_id DESC) AS rn
+        FROM broken b LEFT JOIN donors d
+          ON b.user_id = d.user_id AND b.ts >= d.ts
+    )
+    SELECT event_id, user_id, ts, value, 'backfilled' AS origin FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT event_id, user_id, ts, value, 'original' AS origin
+    FROM events WHERE event_type <> 'error'
+    """,
+    doc="J1+U1: as-of backfill join — repair broken events from the latest earlier donor of the same key, union with the healthy stream (0-merge_delete_query.sql).",
+    tags=("bench",),
+)
+def merge_delete_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    broken = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    donors = ev.where(F.col("event_type") != "error").select("event_id", "user_id", "ts", "value")
+    repaired = asof_backfill(
+        broken,
+        donors.drop("event_id"),
+        on=["user_id"],
+        ts="ts",
+        fill_cols=["value"],
+        broken_id="event_id",
+    ).withColumn("origin", F.lit("backfilled"))
+    healthy = donors.withColumn("origin", F.lit("original"))
+    return union_slices(
+        [repaired.select("event_id", "user_id", "ts", "value", "origin"), healthy], "ALL"
+    )
+
+
+# --------------------------------------------------------------------------
+# Set ops (U1, U2)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_all_slices",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, 'finished' AS slice
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'open' AS slice
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="U1/U2: UNION ALL slice accumulation (reference country/distribution loop, script/main.py:360-368).",
+)
+def u1_union_all_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+
+    def slice_of(status: str, tag: str) -> DataFrame:
+        return orders.where(F.col("o_orderstatus") == status).select(
+            "o_orderkey", "o_custkey", "o_totalprice", F.lit(tag).alias("slice")
+        )
+
+    return union_slices([slice_of("F", "finished"), slice_of("O", "open")], "ALL")
+
+
+@register(
+    "u2_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="U2: UNION DISTINCT variant of the reference's sparkUnion helper (script/main.py:42-53).",
+)
+def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    return union_slices([a, b], "DISTINCT")
+
+
+# --------------------------------------------------------------------------
+# Scalar suite (X1-X12) + column machinery (P4, P7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "x_scalar_suite",
+    oracle="""
+    SELECT p_partkey,
+           CAST(round(p_retailprice) AS INTEGER)        AS price_rounded,
+           substr(p_type, 1, 3)                         AS type_prefix,
+           regexp_replace(p_name, ' ', '_', 'g')        AS name_underscored,
+           lower(p_brand)                               AS brand_lc,
+           coalesce(nullif(p_size, 5), -1)              AS size_or_default,
+           CASE WHEN p_type = 'PROMO'   THEN 'deal'
+                WHEN p_type = 'ECONOMY' THEN 'cheap'
+                ELSE 'NOT_APPLICABLE' END               AS type_class
+    FROM part
+    """,
+    doc="X1-X7: round+cast, substring, regexp_replace, lower, coalesce/nullif, programmatic when-chain (script/main.py:166-172, helper.py:74-96).",
+)
+def x_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    type_class = when_chain(
+        [
+            (F.col("p_type") == "PROMO", "deal"),
+            (F.col("p_type") == "ECONOMY", "cheap"),
+        ],
+        otherwise="NOT_APPLICABLE",
+    )
+    return part.select(
+        "p_partkey",
+        F.round("p_retailprice").cast("int").alias("price_rounded"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.regexp_replace("p_name", " ", "_").alias("name_underscored"),
+        F.lower("p_brand").alias("brand_lc"),
+        F.coalesce(F.nullif(F.col("p_size"), F.lit(5)), F.lit(-1)).alias("size_or_default"),
+        type_class.alias("type_class"),
+    )
+
+
+@register(
+    "p7_nest_flatten_roundtrip",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+    doc="P7: nest flat a_b columns into structs and flatten back — lossless round trip (helper.py:19-51).",
+)
+def p7_nest_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nested = nest_columns(cust, sep="_")  # -> struct c { custkey, name, ... }
+    flat = flatten_structs(nested, sep="_")
+    return flat.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "p4_bulk_rename_prefix",
+    oracle="""
+    SELECT o_orderkey AS orderkey, o_custkey AS custkey, o_orderstatus AS orderstatus
+    FROM orders
+    """,
+    doc="P4: bulk prefix-strip rename as a single projection (script/main.py:175-178).",
+)
+def p4_bulk_rename_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    return bulk_rename(orders, {c: c[2:] for c in orders.columns})
