@@ -1,0 +1,57 @@
+"""Headline benchmark: run the bench-tagged queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing counts full execution of each query (plan + shuffle + collect-to-
+count), after one untimed warm-up of the smallest query to amortize JVM /
+codegen startup. `value` is the wall-clock sum of all per-query times.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.session import get_spark
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY, bench_specs
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else 0.1
+    spark = get_spark("bench")
+
+    # warm-up: JVM classloading + codegen on a trivial plan, untimed
+    REGISTRY["s1_scan_project"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for spec in bench_specs():
+        t0 = time.perf_counter()
+        n = spec.fn(spark, sf_dir).count()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+        print(f"# {spec.name}: {timings[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

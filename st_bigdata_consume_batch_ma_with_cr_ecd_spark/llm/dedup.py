@@ -101,16 +101,32 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: array of ``num_hashes`` md5-hex minima
     over the doc's shingle set. Docs with no shingle are dropped (too
-    short to compare)."""
+    short to compare).
+
+    Shape: explode the shingle set once, compute the ``num_hashes``
+    md5s per (doc, shingle) row, then take per-doc minima in a single
+    hash aggregate (partial min map-side, so shuffle volume is one
+    signature row per doc per mapper). The tempting one-expression
+    alternative — ``array_min(transform(shingles, md5)) x num_hashes``
+    — embeds the whole tokenize->shingle pipeline once per hash
+    function in the expression tree and measured ~100x slower at
+    sf0.1.
+    """
     sh = F.array_distinct(shingles(tokenize(F.col(text_col)), k=k_shingle))
-    sig = F.array(
+    exploded = df.select(F.col(id_col), F.explode(sh).alias("__shingle"))
+    hashed = exploded.select(
+        id_col,
         *[
-            F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))))
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("__shingle"))).alias(f"__h{j}")
             for j in range(num_hashes)
-        ]
+        ],
     )
-    return df.select(F.col(id_col), sig.alias("signature")).where(F.size(F.col("signature")) > 0).where(
-        F.col("signature")[0].isNotNull()
+    agg = hashed.groupBy(id_col).agg(
+        *[F.min(f"__h{j}").alias(f"__h{j}") for j in range(num_hashes)]
+    )
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"__h{j}") for j in range(num_hashes)]).alias("signature"),
     )
 
 

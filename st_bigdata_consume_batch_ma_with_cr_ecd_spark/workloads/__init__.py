@@ -5,4 +5,10 @@ Importing this package registers every workload module's queries into
 """
 
 from . import llm, relational, streaming  # noqa: F401
-from .registry import REGISTRY, QuerySpec, oracle_sql_map, queries_map  # noqa: F401
+from .registry import (  # noqa: F401
+    REGISTRY,
+    QuerySpec,
+    bench_specs,
+    oracle_sql_map,
+    queries_map,
+)
