@@ -1,0 +1,80 @@
+"""Source and sink behavior: testdata loading (incl. the nanos-timestamp
+escape hatch), gzip writers, bounded file counts, dynamic partition
+overwrite replacing the reference's purge_table+append."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.writers import (
+    overwrite_partitions,
+    write_csv_gzip,
+    write_json_gzip,
+)
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+    read_csv_lookup,
+    read_testdata,
+)
+
+from .conftest import rows_set
+
+
+def test_read_testdata_events_ts_is_timestamp(spark, sf_dir):
+    ev = read_testdata(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    assert ev.count() > 0
+
+
+def test_read_testdata_unknown_table_raises(spark, sf_dir):
+    with pytest.raises(ValueError):
+        read_testdata(spark, sf_dir, "not_a_table")
+
+
+def test_read_csv_lookup_with_schema(spark, tmp_path):
+    p = tmp_path / "dim.csv"
+    p.write_text("geoid,zone\n108,de\n103,at\n")
+    df = read_csv_lookup(spark, str(p), schema="geoid INT, zone STRING")
+    assert df.schema["geoid"].dataType.simpleString() == "int"
+    assert rows_set(df) == {(108, "de"), (103, "at")}
+
+
+def test_write_csv_gzip_single_file(spark, tmp_path):
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "csv_out")
+    write_csv_gzip(df, out, files=1)
+    parts = list(Path(out).glob("part-*.csv.gz"))
+    assert len(parts) == 1
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == 100
+
+
+def test_write_json_gzip_roundtrip_nested(spark, tmp_path):
+    df = spark.createDataFrame([(1, ("x", 2))], "id int, s struct<a:string,b:int>")
+    out = str(tmp_path / "json_out")
+    write_json_gzip(df, out, files=1)
+    assert list(Path(out).glob("part-*.json.gz"))
+    back = spark.read.json(out)
+    row = back.collect()[0]
+    assert row.id == 1 and row.s.a == "x" and row.s.b == 2
+
+
+def test_write_files_must_be_positive(spark, tmp_path):
+    with pytest.raises(ValueError):
+        write_csv_gzip(spark.range(1), str(tmp_path / "x"), files=0)
+
+
+def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
+    out = str(tmp_path / "part_table")
+    base = spark.createDataFrame(
+        [("2024-01", 1), ("2024-02", 2)], "partition_month string, v int"
+    )
+    overwrite_partitions(base, out, ["partition_month"])
+    # rewrite ONLY 2024-02; 2024-01 must survive (dynamic overwrite)
+    patch = spark.createDataFrame([("2024-02", 99)], "partition_month string, v int")
+    overwrite_partitions(patch, out, ["partition_month"])
+    back = spark.read.parquet(out)
+    assert rows_set(back.select("partition_month", "v")) == {("2024-01", 1), ("2024-02", 99)}

@@ -1,0 +1,162 @@
+"""LLM-pipeline operator tests: dedup determinism, similarity math,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
+    attach_binary_payload,
+    extract_image_features,
+)
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+)
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.text import fingerprint, lang_scores
+
+from .conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different text about spark engines here"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+            (5, "hi"),  # too short for 3-shingles
+        ],
+        "doc_id long, text string",
+    )
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = exact_dedup_groups(docs)
+    by_copies = {r.keep_id: r.n_copies for r in out.collect()}
+    assert by_copies[1] == 2  # docs 1 and 4 collapse, min id kept
+    assert by_copies[2] == 1 and by_copies[3] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs).collect()}
+    assert pairs[(1, 4)] == 1.0  # identical shingle sets
+    assert (1, 2) in pairs and 0 < pairs[(1, 2)] < 1
+    assert all(a < b for a, b in pairs)  # canonical pair orientation
+    assert not any(3 in p for p in pairs)  # unrelated doc stays out
+
+
+def test_ngram_jaccard_stop_shingle_pruning(spark, docs):
+    # freq cap 1 removes every shingle shared by 2+ docs -> no overlaps remain
+    out = ngram_jaccard_pairs(docs, max_shingle_freq=1)
+    assert out.count() == 0
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=8)
+    rows = {r.doc_id: tuple(r.signature) for r in sigs.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # doc 5 (< 3 tokens) dropped
+    assert all(len(s) == 8 for s in rows.values())
+    assert rows[1] == rows[4]  # identical docs -> identical signatures
+    # deterministic: first hash = min over md5('0:'||shingle), reproducible in python
+    toks = "the quick brown fox jumps over the lazy dog".split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    expected_h0 = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in shingles)
+    assert rows[1][0] == expected_h0
+
+
+def test_lsh_candidates_include_exact_dup_pair(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=16)
+    pairs = rows_set(lsh_candidate_pairs(sigs, bands=4, rows_per_band=4))
+    assert (1, 4) in pairs  # identical signature -> every band matches
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_known_value_and_near_dup_distance(spark, docs):
+    out = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert out[1] == out[4]
+    assert len(out[1]) == 16 and int(out[1], 16) >= 0
+    # near-dups differ in few bits; unrelated docs in many
+    def hamming(a, b):
+        return bin(int(a, 16) ^ int(b, 16)).count("1")
+
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+# ---------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    return spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),  # close to 0
+            (2, [0.0, 1.0, 0.0]),  # orthogonal to 0
+            (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_cosine_pairs_threshold(spark, vecs):
+    got = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs(vecs, threshold=0.9).collect()}
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] == pytest.approx(0.993884, abs=1e-6)
+
+
+def test_brute_force_topk_ranks_by_cosine(spark, vecs):
+    out = brute_force_topk(vecs, vecs.where(F.col("vec_id") == 0), k=2)
+    got = [(r.neighbor_id, r.cosine) for r in out.orderBy(F.desc("cosine")).collect()]
+    assert [n for n, _ in got] == [1, 2]  # nearest first; opposite vector excluded by k=2
+
+
+# ---------------------------------------------------------------- text
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame([("  Hello   World ",), ("hello world",)], "text string")
+    fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_lang_scores_pred(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog",), ("der hund und die katze",), ("zzz qqq",)], "text string"
+    )
+    cols = lang_scores("text")
+    out = [r.pred for r in df.select(cols["pred_lang"].alias("pred")).collect()]
+    assert out == ["en", "de", "unknown"]
+
+
+# ---------------------------------------------------------------- multimodal
+
+
+def test_multimodal_fake_decode_features(spark):
+    df = spark.createDataFrame([(7, "AB rest of payload")], "doc_id long, text string")
+    out = extract_image_features(attach_binary_payload(df)).collect()[0]
+    assert out.doc_id == 7
+    assert out.n_bytes == len("AB rest of payload")
+    assert out.width == (ord("A") % 64) + 1
+    assert out.height == (ord("B") % 64) + 1
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    df = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
+    pipeline = extract_image_features(attach_binary_payload(df), fake_decode=False)
+    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+        pipeline.collect()

@@ -1,0 +1,199 @@
+"""Operator-level semantics tests on tiny in-memory frames — the edge
+cases (null handling, ties, empty sides) the sf-scale oracle harness
+can't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.aggregates import (
+    exact_sum,
+    rounded_sum,
+)
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.asof import (
+    asof_backfill,
+    asof_join,
+)
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.dedup import top_n_per_group
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.joins import (
+    join_preaggregated,
+    not_in_anti_join,
+)
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.setops import union_slices
+
+from .conftest import rows_set
+
+
+# ---------------------------------------------------------------- windows
+
+
+def test_top_n_per_group_top1(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 3, "y"), ("a", 2, "z"), ("b", 9, "w")], "k string, v int, tag string"
+    )
+    out = top_n_per_group(df, ["k"], [F.col("v").desc()])
+    assert rows_set(out) == {("a", 3, "y"), ("b", 9, "w")}
+
+
+def test_top_n_per_group_n2_and_keep_rank(spark):
+    df = spark.createDataFrame([("a", i) for i in range(5)], "k string, v int")
+    out = top_n_per_group(df, ["k"], [F.col("v").desc()], n=2, keep_rank=True)
+    assert rows_set(out) == {("a", 4, 1), ("a", 3, 2)}
+    assert "__rank" in out.columns
+
+
+def test_top_n_per_group_needs_total_order_for_determinism(spark):
+    # with a total order the same input always yields the same winner
+    df = spark.createDataFrame([("a", 1, 10), ("a", 1, 20)], "k string, v int, u int")
+    out = top_n_per_group(df, ["k"], [F.col("v").desc(), F.col("u").desc()])
+    assert rows_set(out) == {("a", 1, 20)}
+
+
+# ---------------------------------------------------------------- as-of join
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("X", 1, 100.0),
+            ("X", 5, 105.0),
+            ("X", 9, 109.0),
+            ("Y", 4, 40.0),
+        ],
+        "sym string, t int, px double",
+    )
+
+
+def test_asof_backward(spark, quotes):
+    trades = spark.createDataFrame([("X", 6), ("X", 1), ("Y", 3), ("Z", 7)], "sym string, t int")
+    out = asof_join(trades, quotes, on=["sym"], left_ts="t", right_ts="t", how="left")
+    got = {(r.sym, r.t, r.px) for r in out.collect()}
+    assert got == {
+        ("X", 6, 105.0),  # latest quote at-or-before t=6
+        ("X", 1, 100.0),  # exact-match allowed when strict=False
+        ("Y", 3, None),  # Y's only quote is later
+        ("Z", 7, None),  # no such key
+    }
+
+
+def test_asof_backward_strict_excludes_equal_ts(spark, quotes):
+    trades = spark.createDataFrame([("X", 5)], "sym string, t int")
+    out = asof_join(trades, quotes, on=["sym"], left_ts="t", right_ts="t", strict=True, how="left")
+    assert [r.px for r in out.collect()] == [100.0]
+
+
+def test_asof_forward(spark, quotes):
+    trades = spark.createDataFrame([("X", 6)], "sym string, t int")
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t", direction="forward", how="left"
+    )
+    assert [r.px for r in out.collect()] == [109.0]
+
+
+def test_asof_bad_direction_raises(spark, quotes):
+    with pytest.raises(ValueError):
+        asof_join(quotes, quotes, on=["sym"], left_ts="t", right_ts="t", direction="sideways")
+
+
+def test_asof_duplicate_left_rows_need_left_id(spark, quotes):
+    # two distinct trades at the same (sym, t) must each survive
+    trades = spark.createDataFrame(
+        [(1, "X", 6), (2, "X", 6)], "trade_id int, sym string, t int"
+    )
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t", right_ts="t", how="left", left_id="trade_id"
+    )
+    assert {(r.trade_id, r.px) for r in out.collect()} == {(1, 105.0), (2, 105.0)}
+
+
+def test_asof_backfill_fills_and_preserves_nulls(spark):
+    broken = spark.createDataFrame(
+        [(10, "u1", 5), (11, "u2", 5)], "event_id int, user_id string, ts int"
+    )
+    donors = spark.createDataFrame(
+        [("u1", 1, 1.5), ("u1", 4, 4.5), ("u1", 9, 9.5)], "user_id string, ts int, value double"
+    )
+    out = asof_backfill(broken, donors, on=["user_id"], ts="ts", fill_cols=["value"], broken_id="event_id")
+    got = {(r.event_id, r.value) for r in out.collect()}
+    assert got == {(10, 4.5), (11, None)}
+    assert set(out.columns) == {"event_id", "user_id", "ts", "value"}
+
+
+# ---------------------------------------------------------------- joins
+
+
+def test_join_preaggregated_fills_defaults(spark):
+    fact = spark.createDataFrame([("a",), ("b",)], "k string")
+    detail = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
+    out = join_preaggregated(
+        fact, detail, keys=["k"], aggs={"n": F.count(F.lit(1)), "s": F.sum("v")}, fill={"n": 0, "s": 0}
+    )
+    assert rows_set(out) == {("a", 2, 3), ("b", 0, 0)}
+
+
+def test_not_in_basic(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    right = spark.createDataFrame([(2,)], "k int")
+    out = not_in_anti_join(left, right, "k")
+    assert rows_set(out) == {(1,), (3,)}
+
+
+def test_not_in_null_in_subquery_empties_result(spark):
+    # SQL three-valued logic: `x NOT IN (2, NULL)` is never TRUE
+    left = spark.createDataFrame([(1,), (3,)], "k int")
+    right = spark.createDataFrame([(2,), (None,)], "k int")
+    assert not_in_anti_join(left, right, "k").count() == 0
+
+
+def test_not_in_null_left_key_never_matches(spark):
+    left = spark.createDataFrame([(1,), (None,)], "k int")
+    right = spark.createDataFrame([(2,)], "k int")
+    assert rows_set(not_in_anti_join(left, right, "k")) == {(1,)}
+
+
+def test_not_in_empty_subquery_keeps_everything(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([], "k int")
+    assert rows_set(not_in_anti_join(left, right, "k")) == {(1,), (2,)}
+
+
+# ---------------------------------------------------------------- set ops
+
+
+def test_union_slices_all_is_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], "id int, tag string")
+    b = spark.createDataFrame([("y", 2)], "tag string, id int")  # reordered columns
+    out = union_slices([a, b], "ALL")
+    assert rows_set(out) == {(1, "x"), (2, "y")}
+
+
+def test_union_slices_distinct(spark):
+    a = spark.createDataFrame([(1,), (2,)], "id int")
+    b = spark.createDataFrame([(2,), (3,)], "id int")
+    assert rows_set(union_slices([a, b], "DISTINCT")) == {(1,), (2,), (3,)}
+
+
+def test_union_slices_bad_how(spark):
+    a = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError):
+        union_slices([a, a], "SOMETIMES")
+
+
+# ---------------------------------------------------------------- aggregates
+
+
+def test_exact_sum_matches_decimal_arithmetic(spark):
+    df = spark.createDataFrame([(0.1,), (0.2,), (0.3,)], "v double")
+    got = df.agg(exact_sum("v").alias("s")).collect()[0].s
+    assert got == 0.6  # decimal path: no 0.6000000000000001
+
+
+def test_rounded_sum_rounds_in_decimal(spark):
+    # 0.005 + 0.01 = 0.015 -> HALF_UP in decimal = 0.02 (double rounding
+    # of the binary value would give 0.01)
+    df = spark.createDataFrame([(0.005,), (0.01,)], "v double")
+    got = df.agg(rounded_sum("v", 2).alias("s")).collect()[0].s
+    assert got == 0.02

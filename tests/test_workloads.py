@@ -1,0 +1,53 @@
+"""Registry-level gate: every driver-facing query stays runnable at
+sf0.001 with a stable non-empty schema, and the driver contract module
+exposes matching queries()/oracle_sql() key sets.
+
+(Value-level correctness against DuckDB lives in
+tools/check_correctness.py — this file guards the contract shape.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+
+import __spark_entry__ as entrymod
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_runs_at_smoke_scale(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.columns, f"{name} returned no columns"
+    assert df.count() >= 0
+
+
+def test_streaming_matches_batch_semantics(spark, sf_dir):
+    # the streaming pipeline's windowed counts must equal the same graph
+    # run in batch — same transformation, two runtimes
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.pipelines import (
+        windowed_event_counts,
+    )
+
+    batch = windowed_event_counts(read_testdata(spark, sf_dir, "events"))
+    stream = REGISTRY["streaming_hourly_counts"].fn(spark, sf_dir)
+    assert {tuple(r) for r in stream.collect()} == {tuple(r) for r in batch.collect()}
+
+
+def test_driver_contract_shape():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert set(o) <= set(q), "oracle keys must be a subset of query keys"
+    assert len(q) == len(REGISTRY)
+    # every oracle-less query is a deliberate rows-only check
+    rows_only = set(q) - set(o)
+    assert rows_only == {name for name, s in REGISTRY.items() if s.oracle is None}
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
