@@ -48,6 +48,20 @@ def drop_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return df.drop(*present) if present else df
 
 
+def changelog_columns(
+    df: DataFrame, run_id: str, *, at: str | None = None, prefix: str = "changelog_"
+) -> DataFrame:
+    """X8/X9: the reference's changelog metadata block
+    (``script/helper.py:166-172``) with an injectable clock.
+
+    ``at`` (ISO timestamp string) pins ``<prefix>timestamp`` for
+    reproducible output; ``at=None`` uses ``current_timestamp()`` —
+    the production behaviour, deliberately non-deterministic.
+    """
+    ts = F.current_timestamp() if at is None else F.lit(at).cast("timestamp")
+    return df.withColumn(f"{prefix}timestamp", ts).withColumn(f"{prefix}run_id", F.lit(run_id))
+
+
 def add_literal_columns(df: DataFrame, values: Mapping[str, object], types: Mapping[str, str] | None = None) -> DataFrame:
     """P5: add constant columns; ``values[name] is None`` + a ``types``
     entry gives a typed NULL (the reference's null placeholder columns,

@@ -34,11 +34,12 @@ def windowed_event_counts(
     no-op in batch) — the same graph serves both runtimes.
     """
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
-    # decimal sum -> order-independent total (see operators.aggregates.exact_sum)
-    exact_total = F.sum(F.col("value").cast("decimal(30,8)")).cast("double")
+    # decimal sum, rounded while still decimal -> order- and engine-
+    # independent total (see operators.aggregates.rounded_sum)
+    total = F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2).cast("double")
     return (
         src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(exact_total, 2).alias("total_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), total.alias("total_value"))
         .select(F.col("w.start").alias("window_start"), key_col, "n_events", "total_value")
     )
 

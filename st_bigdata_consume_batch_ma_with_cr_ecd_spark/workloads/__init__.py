@@ -4,7 +4,7 @@ Importing this package registers every workload module's queries into
 ``registry.REGISTRY``.
 """
 
-from . import llm, relational, streaming  # noqa: F401
+from . import llm, pipeline, relational, streaming  # noqa: F401
 from .registry import (  # noqa: F401
     REGISTRY,
     QuerySpec,

@@ -273,6 +273,31 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_ish,
+           len(regexp_extract_all(text, '[A-Za-z]+'))                        AS n_words,
+           len(regexp_extract_all(text, '[0-9]+'))                           AS n_numbers,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))                   AS n_punct
+    FROM documents
+    """,
+    doc="Token counting: whitespace-free BPE-ish regex classes (words / number runs / punctuation) — the pre-tokenizer split rule of byte-pair encoders, JVM-side regexp_extract_all.",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def n_matches(pattern: str) -> F.Column:
+        return F.size(F.expr(f"regexp_extract_all(text, '{pattern}', 0)")).cast("long")
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_matches(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]").alias("n_bpe_ish"),
+        n_matches(r"[A-Za-z]+").alias("n_words"),
+        n_matches(r"[0-9]+").alias("n_numbers"),
+        n_matches(r"[^A-Za-z0-9\\s]").alias("n_punct"),
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

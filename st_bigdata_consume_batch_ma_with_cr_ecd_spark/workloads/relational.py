@@ -20,7 +20,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.columns import bulk_rename
+from ..functions.columns import add_literal_columns, bulk_rename, changelog_columns, prefix_select
 from ..functions.nesting import flatten_structs, nest_columns
 from ..functions.whenchain import when_chain
 from ..operators.aggregates import exact_sum, rounded_sum
@@ -198,6 +198,73 @@ def f6_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
         .select("o_orderkey", "o_custkey", "o_orderdate")
     )
+
+
+@register(
+    "f3_null_predicate",
+    oracle="""
+    SELECT event_id, user_id,
+           (nullif(event_type, 'error') IS NULL) AS is_broken
+    FROM events
+    WHERE nullif(event_type, 'error') IS NULL OR value <= 1.0
+    """,
+    doc="F3: IS NULL / IS NOT NULL predicates (reference delete-row detection, 0-merge_delete_query.sql:11,21).",
+)
+def f3_null_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    broken = F.nullif(F.col("event_type"), F.lit("error")).isNull()
+    return ev.where(broken | (F.col("value") <= 1.0)).select(
+        "event_id", "user_id", broken.alias("is_broken")
+    )
+
+
+@register(
+    "f4_enum_equality",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events WHERE event_type <> 'error' GROUP BY event_type
+    """,
+    doc="F4: equality/inequality on an enum column (reference operation = / != 'Delete').",
+)
+def f4_enum_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "f5_numeric_threshold",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem WHERE l_quantity <= 3
+    """,
+    doc="F5: numeric threshold filter (reference cleanupdataproblems <= 3, fraudLevelId <= 0).",
+)
+def f5_numeric_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") <= 3)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "s2_catalog_pruned_scan",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+    """,
+    doc="S2: catalog-table read with partition-range pruning via read_table_pruned (reference push_down_predicate, script/main.py:263-298).",
+)
+def s2_catalog_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_table_pruned
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_catalog")
+    df = read_table_pruned(spark, "orders_catalog", "o_orderdate", "1997-01-01", "1997-07-01")
+    return df.select("o_orderkey", "o_orderdate", "o_totalprice")
 
 
 # --------------------------------------------------------------------------
@@ -606,6 +673,93 @@ def p7_nest_flatten_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested = nest_columns(cust, sep="_")  # -> struct c { custkey, name, ... }
     flat = flatten_structs(nested, sep="_")
     return flat.select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+
+@register(
+    "p2_computed_projection",
+    oracle="""
+    SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE)  AS first_dim,
+           CAST(embedding[64] AS DOUBLE) AS last_dim,
+           label * 10                    AS label_x10
+    FROM embeddings
+    """,
+    doc="P2/X12: computed projection with array-index access (reference efficiencyClass[0] expr, config.json:104). Spark arrays are 0-based, the DuckDB oracle's 1-based.",
+)
+def p2_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").getItem(0).cast("double").alias("first_dim"),
+        F.col("embedding").getItem(63).cast("double").alias("last_dim"),
+        (F.col("label") * 10).alias("label_x10"),
+    )
+
+
+@register(
+    "p5_p6_dynamic_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           'de'                   AS country,
+           CAST(NULL AS DOUBLE)   AS geo_score
+    FROM lineitem
+    """,
+    doc="P5+P6: prefix-driven dynamic column selection plus literal/typed-null columns (reference validPrefixes + null placeholders, script/main.py:96-110,183-191).",
+)
+def p5_p6_dynamic_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    picked = prefix_select(li, ["l_orderkey", "l_linen"])
+    out = add_literal_columns(
+        li.select(*picked), {"country": "de", "geo_score": None}, types={"geo_score": "double"}
+    )
+    return out
+
+
+@register(
+    "p8_map_construction",
+    oracle="""
+    SELECT doc_id, lower(lang) AS map_key,
+           coalesce(nullif(source, 'web'), 'NOT_APPLICABLE') AS map_value
+    FROM documents
+    """,
+    doc="P8: map<string,string> construction with lower-cased key and NOT_APPLICABLE fallback (reference subTypes map, helper.py:53-62), exploded back to columns for oracle comparison.",
+)
+def p8_map_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.maps import keyed_map_column
+
+    docs = _t(spark, sf_dir, "documents")
+    m = keyed_map_column(F.col("lang"), F.nullif(F.col("source"), F.lit("web")))
+    return docs.select("doc_id", F.explode(m).alias("map_key", "map_value"))
+
+
+@register(
+    "x8_changelog_metadata",
+    oracle="""
+    SELECT o_orderkey,
+           TIMESTAMP '2026-01-01 00:00:00' AS changelog_timestamp,
+           'run-42'                        AS changelog_run_id
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    doc="X8/X9: changelog metadata columns with an injectable clock (reference helper.py:166-172; frozen timestamp for determinism per SURVEY §4).",
+)
+def x8_changelog_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return changelog_columns(orders.select("o_orderkey"), "run-42", at="2026-01-01 00:00:00")
+
+
+@register(
+    "x_json_extraction",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) >= 50
+    """,
+    doc="JSON scalar extraction from a string column (beyond the reference surface — SURVEY §2.11 notes it absent; standard consume-layer need).",
+)
+def x_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select("event_id", k.alias("prop_k")).where(F.col("prop_k") >= 50)
 
 
 @register(
