@@ -115,6 +115,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_jaccard_pruned",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    sh_all AS (SELECT doc_id AS doc, unnest({_DUCK_SHINGLES}) AS shingle FROM tok),
+    keep AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 50),
+    sh AS (SELECT doc, sh_all.shingle FROM sh_all JOIN keep ON sh_all.shingle = keep.shingle),
+    shared AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc)
+    SELECT doc_a, doc_b, round(shared / (x.n + y.n - shared), 4) AS jaccard
+    FROM shared JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+    WHERE round(shared / (x.n + y.n - shared), 4) >= 0.1
+    """,
+    doc="Jaccard near-dedup with stop-shingle pruning (freq cap 50): the skew guard that makes the shingle self-join survive corpus scale — hot boilerplate shingles are exactly the keys that blow up a 100-TB join.",
+    tags=("bench",),
+)
+def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1, max_shingle_freq=50)
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=_minhash_oracle(),
     doc="MinHash(16 md5-hex perms) + LSH(4 bands x 4 rows) candidate pairs — the O(n^2)-free near-dedup scale path.",

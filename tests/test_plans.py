@@ -1,0 +1,55 @@
+"""Physical-plan contracts: the optimizations we rely on at scale must
+actually appear in the plan (SURVEY.md §4; catches silent regressions
+like a filter that stops pushing down or a window that loses its
+partial top-1)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_projection_pushes_filter_and_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "s1_scan_project")
+    assert "EqualTo(l_linenumber,1)" in plan  # filter reached the parquet scan
+    assert "l_comment" not in plan  # untouched columns pruned from ReadSchema
+
+
+def test_top1_window_has_partial_group_limit(spark, sf_dir):
+    # WindowGroupLimit below the Exchange = per-mapper top-1 before the
+    # shuffle; without it the full table shuffles (100-TB hazard)
+    plan = plan_of(spark, sf_dir, "w1_latest_per_group")
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit") < plan.rindex("Exchange")
+
+
+def test_expression_key_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "j7_broadcast_expr_join")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_by_aggregates_partially_before_shuffle(spark, sf_dir):
+    # partial + final HashAggregate pair around one Exchange
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+    first_agg = plan.index("HashAggregate")
+    assert "Exchange" in plan[first_agg:]
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "j4_left_join_preagg"])
+def test_dim_filters_push_below_joins(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "PushedFilters: [" in plan
