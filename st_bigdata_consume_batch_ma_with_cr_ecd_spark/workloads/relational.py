@@ -579,6 +579,54 @@ def merge_delete_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, o_orderstatus
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    doc="Salted equi join (hot-key skew guard): big side salted, small side replicated — result-identical to the plain join, verified by the plain-join oracle.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    return salted_join(li, orders, ["l_orderkey"], buckets=8)
+
+
+@register(
+    "skew_salted_aggregate",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total,
+           max(user_id) AS max_user
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation for a giant group (5 event types over all rows): partial agg on (key, salt), merge on key — equals the direct groupBy.",
+)
+def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        ["event_type"],
+        {
+            "n": (F.lit(1), "count"),
+            "total": (F.col("value").cast("decimal(30,8)"), "sum"),
+            "max_user": (F.col("user_id"), "max"),
+        },
+        buckets=8,
+    )
+    return out.select(
+        "event_type", "n", F.round(F.col("total"), 2).cast("double").alias("total"), "max_user"
+    )
+
+
 # --------------------------------------------------------------------------
 # Set ops (U1, U2)
 # --------------------------------------------------------------------------

@@ -197,3 +197,54 @@ def test_rounded_sum_rounds_in_decimal(spark):
     df = spark.createDataFrame([(0.005,), (0.01,)], "v double")
     got = df.agg(rounded_sum("v", 2).alias("s")).collect()[0].s
     assert got == 0.02
+
+
+# ---------------------------------------------------------------- skew
+
+
+def test_salted_join_equals_plain_join(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(k, i) for k in ("hot", "cold") for i in range(50)], "k string, i int")
+    small = spark.createDataFrame([("hot", 1), ("cold", 2), ("unused", 3)], "k string, tag int")
+    plain = big.join(small, ["k"], "inner")
+    salted = salted_join(big, small, ["k"], buckets=4)
+    assert rows_set(salted) == rows_set(plain)
+
+
+def test_salted_join_left_preserves_unmatched(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("a", 1), ("orphan", 2)], "k string, i int")
+    small = spark.createDataFrame([("a", 10)], "k string, tag int")
+    out = salted_join(big, small, ["k"], buckets=3, how="left")
+    assert rows_set(out) == {("a", 1, 10), ("orphan", 2, None)}
+
+
+def test_salted_join_rejects_right_how(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([("a", 1)], "k string, i int")
+    with pytest.raises(ValueError):
+        salted_join(df, df, ["k"], how="right")
+
+
+def test_salted_aggregate_equals_direct_groupby(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([("g", i, i * 1.0) for i in range(100)], "k string, i int, v double")
+    out = salted_aggregate(
+        df,
+        ["k"],
+        {"n": (F.lit(1), "count"), "s": (F.col("i"), "sum"), "mx": (F.col("v"), "max"), "mn": (F.col("v"), "min")},
+        buckets=5,
+    )
+    assert rows_set(out) == {("g", 100, 4950, 99.0, 0.0)}
+
+
+def test_salted_aggregate_rejects_nonreassociable(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame([("g", 1)], "k string, v int")
+    with pytest.raises(ValueError):
+        salted_aggregate(df, ["k"], {"a": (F.col("v"), "avg")})
