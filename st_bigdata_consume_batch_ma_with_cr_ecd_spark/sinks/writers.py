@@ -51,6 +51,33 @@ def write_csv_gzip(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    *,
+    sort_cols: Sequence[str] | None = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by join key.
+
+    Two tables bucketed by the same key with the same bucket count join
+    with NO exchange on either side — the shuffle is paid once at write
+    time and amortized over every subsequent join/aggregation on that
+    key (verified by plan in ``tests/test_plans.py``). The 100-TB answer
+    for repeatedly-joined fact tables, where the reference re-shuffles
+    per run.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    writer = df.write.mode(mode).format(format).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def overwrite_partitions(
     df: DataFrame,
     path_or_table: str,

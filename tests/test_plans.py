@@ -53,3 +53,45 @@ def test_group_by_aggregates_partially_before_shuffle(spark, sf_dir):
 def test_dim_filters_push_below_joins(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "PushedFilters: [" in plan
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir):
+    # the point of bucketing: pay the shuffle at write time, join free after
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.writers import write_bucketed_table
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    lineitem = read_testdata(spark, sf_dir, "lineitem")
+    write_bucketed_table(orders, "orders_bkt", ["o_orderkey"], 4, sort_cols=["o_orderkey"])
+    write_bucketed_table(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_bkt",
+        ["o_orderkey"],
+        4,
+        sort_cols=["o_orderkey"],
+    )
+    try:
+        joined = (
+            spark.table("orders_bkt")
+            .hint("merge")  # force SMJ so the exchange (or its absence) is visible
+            .join(spark.table("lineitem_bkt"), "o_orderkey")
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides read pre-bucketed
+        n = joined.count()
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert n == plain
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
