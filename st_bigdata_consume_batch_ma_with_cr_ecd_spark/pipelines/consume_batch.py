@@ -1,0 +1,436 @@
+"""The reference's consume-batch pipeline, re-expressed Spark-first.
+
+This is the faithful counterpart of the reference job (a user of
+`axel-springer-kugawana/ST_bigdata_consume_batch_ma_with_cr_ecd` can run
+the same nightly computation here): the 3-stage SQL chain plus the
+DataFrame transforms, on reference-shaped inputs (FIXTURES.md §1-§7),
+built from this package's operator library instead of Glue/SQL text.
+
+Stage map (reference citations):
+
+- ``filter_changelog``   — script/main.py:74-89 (F1/F2 filters)
+- ``merge_delete``       — script/static_files/queries/0-merge_delete_query.sql
+  (delete-event attribute backfill: as-of inner join + top-1 + union)
+- ``basedata_first``     — 1-basedata_first_query.sql (per-day latest
+  version + text join), parameterized by (geoid prefix, distribution)
+- ``basedata_enrich``    — 2-basedata_df_query.sql (visibility inner
+  join + fraud argmax + counter sums, 3 left joins)
+- ``basedata_final``     — 3-basedata_df_final_query.sql (stale-id NOT
+  IN elimination, fraud filter, price-change history union)
+- ``modify_data``        — script/main.py:157-193 (rooms rounding, city
+  regexp, prefix strip, conditional geo broadcast joins, partition cols)
+- ``shape_json_output``  — script/helper.py:99-186 (subTypes map,
+  distribution price projection, renames/drops, changelog metadata,
+  flat->nested struct schema)
+- ``consume_batch``      — the 4-slice country/distribution loop with
+  UNION ALL accumulation (script/main.py:300-368)
+
+Semantics preserved on purpose (SURVEY.md §4): the visibility join is
+multiplicity-preserving INNER (not semi); stale-id elimination is
+null-aware NOT IN; ``partitionChangeDate`` compares as ISO *string* in
+stage 3 but via ``to_date`` in stage 0; delete rows without a donor are
+dropped (inner as-of join); ``fraudLevelId <= 0`` drops null-fraud rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, timedelta
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.columns import prefix_select, strip_prefix
+from ..functions.maps import keyed_map_column
+from ..functions.nesting import nest_columns
+from ..functions.whenchain import when_chain
+from ..operators.asof import asof_join
+from ..operators.dedup import top_n_per_group
+from ..operators.joins import broadcast_lookup_join, join_preaggregated, not_in_anti_join
+from ..operators.setops import union_slices
+
+#: script/config.json:141-147 — the payload-column namespace.
+VALID_PREFIXES = ("classified_", "cleaned_", "cleanup", "extracted_", "grenzwert_")
+
+#: script/main.py:74-89 — hard filters on the raw change-log.
+DISTRIBUTIONS = ("RENT", "BUY")
+ESTATE_TYPES = ("HOUSE", "APARTMENT")
+GEO_PREFIXES = ("108", "103")
+
+#: script/config.json:156-160
+GEO_DROP_COLUMNS = (
+    "geoid",
+    "classified_geo_userDefined_immoWelt_geoid",
+    "classified_geo_countrySpecific_de_iwtLegacyGeoID",
+)
+
+_CORE = ("id", "partitionChangeDate", "changeDate", "globalObjectKey", "operation")
+
+
+@dataclass(frozen=True)
+class JobDates:
+    """script/main.py:196-217 — the incremental window parameters."""
+
+    partition_date: str  # ISO YYYY-MM-DD
+    first_day_current_month: str
+    first_day_past: str
+    partition_month: str
+
+    @classmethod
+    def resolve(cls, partition_date: date, days_ago: int | str = 10) -> "JobDates":
+        first = partition_date.replace(day=1)
+        if days_ago == "full_refresh":
+            past = "2024-05-20"  # data epoch (script/main.py:203-204)
+        else:
+            past = (first - timedelta(days=int(days_ago))).strftime("%Y-%m-%d")
+        return cls(
+            partition_date=partition_date.strftime("%Y-%m-%d"),
+            first_day_current_month=first.strftime("%Y-%m-%d"),
+            first_day_past=past,
+            partition_month=partition_date.strftime("%Y-%m"),
+        )
+
+
+@dataclass(frozen=True)
+class SliceSpec:
+    """One row of the country/distribution matrix
+    (script/config.json:161-186 + helper.py:189-201 column binding)."""
+
+    geoid: int  # 108 Germany / 103 Austria
+    distribution_type: str  # 'BUY' | 'RENT'
+
+    @property
+    def price_amount_column(self) -> str:
+        if self.distribution_type == "BUY":
+            return "cleaned_classified_prices_buy_price_amount"
+        return "cleaned_classified_prices_rent_baseRent_amount"
+
+    @property
+    def operating_cost_column(self) -> str:
+        if self.distribution_type == "BUY":
+            return "cleaned_classified_prices_buy_operatingCosts_amount"
+        return "cleaned_classified_prices_rent_operatingCosts_amount"
+
+
+DEFAULT_SLICES = tuple(
+    SliceSpec(geoid, dist) for geoid in (108, 103) for dist in ("BUY", "RENT")
+)
+
+
+def payload_columns(df: DataFrame) -> list[str]:
+    """script/main.py:96-110 — dynamic prefix-driven payload selection."""
+    return prefix_select(df, list(VALID_PREFIXES))
+
+
+def filter_changelog(df: DataFrame) -> DataFrame:
+    """script/main.py:74-89."""
+    geo = F.col("classified_geo_countrySpecific_de_iwtLegacyGeoID")
+    return df.where(
+        F.col("cleaned_classified_distributionType").isin(*DISTRIBUTIONS)
+        & (geo.startswith(GEO_PREFIXES[0]) | geo.startswith(GEO_PREFIXES[1]))
+        & F.col("classified_estateType").isin(*ESTATE_TYPES)
+    )
+
+
+def merge_delete(filtered: DataFrame, first_day_past: str) -> DataFrame:
+    """0-merge_delete_query.sql — repair Delete events (NULL payload) by
+    copying the payload of the latest earlier non-delete row of the same
+    ``globalObjectKey``; deletes with no donor are dropped (inner as-of
+    join, reference line 24-40); union with the non-deleted stream."""
+    payload = payload_columns(filtered)
+    date_ok = F.col("partitionChangeDate") >= F.to_date(F.lit(first_day_past))
+
+    deleted = filtered.where(
+        (F.col("operation") == "Delete")
+        & F.col("classified_metaData_classifiedId").isNull()
+        & date_ok
+    ).select(*_CORE)
+    non_deleted = filtered.where(
+        (F.col("operation") != "Delete") & F.col("classified_metaData_classifiedId").isNotNull()
+    )
+
+    donors = non_deleted.select("globalObjectKey", F.col("changeDate"), *payload)
+    backfilled = asof_join(
+        deleted,
+        donors,
+        on=["globalObjectKey"],
+        left_ts="changeDate",
+        right_ts="changeDate",
+        how="inner",
+        left_id="id",
+        tiebreak="id" if "id" in donors.columns else None,
+    ).drop("changeDate_right")
+
+    healthy = non_deleted.where(date_ok).select(*_CORE, *payload)
+    return union_slices([backfilled.select(*_CORE, *payload), healthy], "ALL")
+
+
+def basedata_first(
+    merged: DataFrame, texts: DataFrame, geoid: int, distribution_type: str
+) -> DataFrame:
+    """1-basedata_first_query.sql — slice filters, latest version per
+    (classifiedId, change-day), 8-column text enrichment."""
+    sliced = merged.where(
+        F.col("classified_geo_countrySpecific_de_iwtLegacyGeoID").startswith(str(geoid))
+        & (F.col("cleanupdataproblems") <= 3)
+        & (F.col("cleaned_classified_distributionType") == distribution_type)
+    )
+    latest = top_n_per_group(
+        sliced,
+        [F.col("classified_metaData_classifiedId"), F.to_date(F.col("classified_metaData_changeDate"))],
+        [
+            F.col("classified_metaData_changeDate").desc(),
+            F.col("partitionChangeDate").desc(),
+            F.col("id").desc(),  # determinism tiebreak beyond the reference (SURVEY §4 #1)
+        ],
+        rank_col="baseRank",
+    )
+    text_cols = [c for c in texts.columns if c.startswith("classified_texts_")]
+    return latest.join(texts.select("id", *text_cols), "id", "left")
+
+
+def basedata_enrich(
+    first: DataFrame,
+    visibility: DataFrame,
+    fraud_events: DataFrame,
+    contacts: DataFrame,
+    visits: DataFrame,
+    dates: JobDates,
+) -> DataFrame:
+    """2-basedata_df_query.sql — active-visibility inner join (kept
+    multiplicity-preserving), latest fraud level argmax, contact/visit
+    counter sums, three left joins."""
+    cid = "classified_metaData_classifiedId"
+
+    active = visibility.where(
+        (F.col("aktivbis") >= F.to_date(F.lit(dates.first_day_current_month)))
+        & (F.col("aktivab") < F.to_date(F.lit(dates.partition_date)))
+    ).select("classifiedId")
+    oc = first.join(active, first[cid] == active.classifiedId).drop("classifiedId")
+
+    fraud = (
+        fraud_events.where(F.col("operation") != "Delete")
+        .groupBy("globalObjectKey")
+        .agg(F.max_by(F.col("controlData.FraudLevelId"), F.col("changeDate")).alias("fraudLevelId"))
+    )
+    out = oc.join(fraud, oc[cid] == fraud.globalObjectKey, "left").drop(fraud.globalObjectKey)
+
+    out = join_preaggregated(
+        out.withColumn("classifiedId", F.col(cid)),
+        contacts.select(
+            "classifiedId",
+            F.col("emailContactRequest").alias("c1"),
+            F.col("emailContactRequestIW").alias("c2"),
+            F.col("emailContactRequestIN").alias("c3"),
+        ),
+        keys=["classifiedId"],
+        aggs={
+            "userDefined_immoWelt_contact_requests": F.sum(F.coalesce("c1", F.lit(0))),
+            "userDefined_immoWelt_iw_contact_requests": F.sum(F.coalesce("c2", F.lit(0))),
+            "userDefined_immoWelt_in_contact_requests": F.sum(F.coalesce("c3", F.lit(0))),
+        },
+        fill={
+            "userDefined_immoWelt_contact_requests": 0,
+            "userDefined_immoWelt_iw_contact_requests": 0,
+            "userDefined_immoWelt_in_contact_requests": 0,
+        },
+    )
+    out = join_preaggregated(
+        out,
+        visits.select(
+            "classifiedId",
+            F.col("exposeVisits").alias("v1"),
+            F.col("exposeVisitsIW").alias("v2"),
+            F.col("exposeVisitsIN").alias("v3"),
+        ),
+        keys=["classifiedId"],
+        aggs={
+            "userDefined_immoWelt_expose_visits": F.sum(F.coalesce("v1", F.lit(0))),
+            "userDefined_immoWelt_iw_expose_visits": F.sum(F.coalesce("v2", F.lit(0))),
+            "userDefined_immoWelt_in_expose_visits": F.sum(F.coalesce("v3", F.lit(0))),
+        },
+        fill={
+            "userDefined_immoWelt_expose_visits": 0,
+            "userDefined_immoWelt_iw_expose_visits": 0,
+            "userDefined_immoWelt_in_expose_visits": 0,
+        },
+    )
+    return out.drop("classifiedId")
+
+
+def basedata_final(
+    base: DataFrame, first: DataFrame, dates: JobDates, price_amount_column: str
+) -> DataFrame:
+    """3-basedata_df_final_query.sql — stale-id NOT IN elimination,
+    fraud filter, per-(id, price) current-month latest UNION last
+    pre-month record. ``partitionChangeDate`` compares as ISO string
+    here (reference lines 54/65), unlike stage 0's ``to_date``."""
+    cid = "classified_metaData_classifiedId"
+    ts = "classified_metaData_changeDate"
+
+    base_max = base.groupBy(cid).agg(F.max(ts).alias("m"))
+    all_max = (
+        first.where(F.col(ts) < dates.first_day_current_month)
+        .groupBy(cid)
+        .agg(F.max(ts).alias("m_all"))
+    )
+    invalid = (
+        base_max.join(all_max, cid, "left")
+        .where(F.col("m") < F.col("m_all"))
+        .select(F.col(cid).alias("invalid_id"))
+    )
+    final = not_in_anti_join(base, invalid, cid, "invalid_id").where(
+        F.col("fraudLevelId") <= 0
+    )
+
+    order = [F.col(ts).desc(), F.col("partitionChangeDate").desc(), F.col("id").desc()]
+    current = top_n_per_group(
+        final.where(F.col("partitionChangeDate") >= dates.first_day_current_month),
+        [F.col(cid), F.col(price_amount_column)],
+        order,
+        rank_col="row_num",
+    )
+    previous = top_n_per_group(
+        final.where(F.col("partitionChangeDate") < dates.first_day_current_month),
+        [F.col(cid)],
+        order,
+        rank_col="row_num",
+    )
+    return union_slices([current, previous], "ALL")
+
+
+def modify_data(
+    final: DataFrame,
+    geoid: int,
+    partition_month: str,
+    bundeslaender: DataFrame,
+    stadtlandkreise: DataFrame,
+) -> DataFrame:
+    """script/main.py:157-193 — numeric/text cleanup, cleaned_ prefix
+    strip (single projection, not N renames), geo enrichment for Germany
+    only, drop list, partition columns."""
+    df = final.withColumn(
+        "cleaned_classified_structure_rooms_numberofrooms",
+        F.round(F.col("cleaned_classified_structure_rooms_numberofrooms")).cast("int"),
+    ).withColumn(
+        "classified_geo_city", F.regexp_replace(F.col("classified_geo_city"), r"\\\\", "")
+    )
+    df = strip_prefix(df, "cleaned_")
+
+    if geoid == 108:
+        geo_key = F.substring(F.col("classified_geo_countrySpecific_de_iwtLegacyGeoID"), 1, 5)
+        df = broadcast_lookup_join(
+            df, bundeslaender, geo_key.cast("int"), "geoid", dim_cols=["geoid", "bundesland"]
+        )
+        geo_key8 = F.substring(F.col("classified_geo_countrySpecific_de_iwtLegacyGeoID"), 1, 8)
+        df = broadcast_lookup_join(
+            df, stadtlandkreise, geo_key8.cast("int"), "geoid", dim_cols=["geoid", "landkreis"]
+        )
+        df = df.withColumnRenamed("bundesland", "geo_state").withColumnRenamed(
+            "landkreis", "geo_userDefined_immoWelt_county"
+        )
+    else:
+        df = df.withColumn("geo_state", F.lit(None).cast("string")).withColumn(
+            "geo_userDefined_immoWelt_county", F.lit(None).cast("string")
+        )
+
+    df = df.drop(*[c for c in GEO_DROP_COLUMNS if c in df.columns])
+    return df.withColumn("partitionGeoid", F.lit(geoid)).withColumn(
+        "partitionMonth", F.lit(partition_month)
+    )
+
+
+ESTATE_SUBTYPE_SOURCE = {
+    "HOUSE": "classified_estateSubTypes_house",
+    "APARTMENT": "classified_estateSubTypes_apartment",
+}
+
+
+def shape_json_output(
+    df: DataFrame, distribution_type: str, *, clock: str | None = None
+) -> DataFrame:
+    """script/helper.py:99-186 — the JSON sink shaping: subTypes
+    when-chain + map, distribution-specific price projection,
+    classified_ prefix strip, changelog metadata (injectable clock),
+    flat->nested struct schema."""
+    sub = when_chain(
+        [
+            (
+                F.col("classified_estateType") == et,
+                F.coalesce(F.col(src), F.lit("NOT_APPLICABLE")),
+            )
+            for et, src in ESTATE_SUBTYPE_SOURCE.items()
+        ],
+        otherwise="NOT_APPLICABLE",
+    )
+    out = df.withColumn("subTypes", sub)
+
+    if distribution_type == "BUY":
+        out = (
+            out.withColumn("prices_buy_price_amount", F.col("classified_prices_buy_price_amount"))
+            .withColumn("prices_buy_price_currency", F.col("classified_prices_currency"))
+            .withColumn(
+                "prices_buy_serviceCharge_amount",
+                F.coalesce(F.col("classified_prices_buy_operatingCosts_amount"), F.lit(0.00)).cast(
+                    "float"
+                ),
+            )
+        )
+    else:
+        out = (
+            out.withColumn(
+                "prices_rent_baseRent_amount", F.col("classified_prices_rent_baseRent_amount")
+            )
+            .withColumn("prices_rent_baseRent_currency", F.col("classified_prices_currency"))
+            .withColumn(
+                "prices_rent_operatingCosts_amount",
+                F.col("classified_prices_rent_operatingCosts_amount"),
+            )
+        )
+
+    renames = {
+        c: c[len("classified_"):]
+        for c in ("classified_estateType", "classified_metaData_classifiedId", "classified_geo_city")
+        if c in out.columns
+    }
+    out = out.withColumnsRenamed(renames)
+    out = out.drop(*[c for c in out.columns if c.startswith("classified_")])
+
+    ts = F.current_timestamp() if clock is None else F.lit(clock).cast("timestamp")
+    out = (
+        out.withColumn("metaData_changeLog_timestamp", ts)
+        .withColumn("metaData_changeLog_system", F.lit("SparkEngineExport"))
+        .withColumn("metaData_changeLog_operation", F.lit("UPDATE"))
+    )
+    out = out.withColumn(
+        "subTypes", keyed_map_column(F.col("estateType"), F.col("subTypes"), lower_key=True)
+    )
+    return nest_columns(out, sep="_")
+
+
+def consume_batch(
+    changelog: DataFrame,
+    texts: DataFrame,
+    visibility: DataFrame,
+    fraud_events: DataFrame,
+    contacts: DataFrame,
+    visits: DataFrame,
+    bundeslaender: DataFrame,
+    stadtlandkreise: DataFrame,
+    dates: JobDates,
+    *,
+    slices: tuple[SliceSpec, ...] = DEFAULT_SLICES,
+) -> DataFrame:
+    """The full job (script/main.py:300-368): stage 0 once, stages 1-3 +
+    modify_data per slice, UNION ALL accumulation. Cache the merged
+    change-log — every slice reads it (reference C1)."""
+    merged = merge_delete(filter_changelog(changelog), dates.first_day_past).cache()
+    parts = []
+    for spec in slices:
+        first = basedata_first(merged, texts, spec.geoid, spec.distribution_type)
+        base = basedata_enrich(first, visibility, fraud_events, contacts, visits, dates)
+        final = basedata_final(base, first, dates, spec.price_amount_column)
+        parts.append(
+            modify_data(final, spec.geoid, dates.partition_month, bundeslaender, stadtlandkreise)
+        )
+    return union_slices(parts, "ALL")
