@@ -51,3 +51,36 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         return streaming_dedup(s, watermark="1 hour").select("event_id", "user_id", "event_type")
 
     return run_stream_to_memory(spark, f"{sf_dir}/events.parquet", transform, output_mode="append")
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM ordered
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    doc="Session windows (30-min inactivity gap) via F.session_window — the same graph runs under Structured Streaming with a watermark; the DuckDB oracle is the classic gaps-and-islands formulation.",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
