@@ -334,6 +334,52 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
 
 
+@register(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                     ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split (75/12.5/12.5) by md5 prefix bucket — reproducible on any engine, any partitioning, no shuffle, no RNG state; the standard corpus-split op for training pipelines.",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h1.isin(*"0123456789ab"), "train")
+        .when(h1.isin("c", "d"), "val")
+        .otherwise("test")
+    )
+    return _docs(spark, sf_dir).select("doc_id", split.alias("split"))
+
+
+@register(
+    "stats_percentiles",
+    oracle="""
+    SELECT lang,
+           count(*)                                   AS n_docs,
+           count(DISTINCT source)                     AS n_sources,
+           round(quantile_cont(n_chars, 0.5), 4)      AS p50_chars,
+           round(quantile_cont(n_chars, 0.9), 4)      AS p90_chars,
+           round(quantile_cont(n_chars, 0.99), 4)     AS p99_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Grouped corpus statistics: exact interpolated percentiles (both engines use the type-7 linear-interpolation definition) + distinct-count — the profile step before filtering a training corpus.",
+)
+def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99_chars"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------
