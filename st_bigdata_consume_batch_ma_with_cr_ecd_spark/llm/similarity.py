@@ -107,8 +107,8 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     *,
     k: int = 5,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
     round_to: int = 6,

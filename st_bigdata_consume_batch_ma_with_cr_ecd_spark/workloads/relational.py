@@ -670,6 +670,32 @@ def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_slices([a, b], "DISTINCT")
 
 
+@register(
+    "u3_intersect_except",
+    oracle="""
+    SELECT o_custkey, 'both' AS membership FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    UNION ALL
+    SELECT o_custkey, 'f_only' AS membership FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    )
+    """,
+    doc="INTERSECT / EXCEPT set ops (beyond the reference surface, SURVEY §2.11) — Catalyst plans both as aggregated semi/anti joins.",
+)
+def u3_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    both = f.intersect(o).select("o_custkey", F.lit("both").alias("membership"))
+    f_only = f.subtract(o).select("o_custkey", F.lit("f_only").alias("membership"))
+    return union_slices([both, f_only], "ALL")
+
+
 # --------------------------------------------------------------------------
 # Scalar suite (X1-X12) + column machinery (P4, P7)
 # --------------------------------------------------------------------------

@@ -160,3 +160,23 @@ def test_multimodal_real_decode_is_stubbed(spark):
     pipeline = extract_image_features(attach_binary_payload(df), fake_decode=False)
     with pytest.raises(Exception, match="NotImplementedError|real image decode"):
         pipeline.collect()
+
+
+# ---------------------------------------------------------------- ANN quality
+
+
+def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
+    # the approximate path must find most of the true neighbors
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import lsh_bucketed_topk
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    embs = read_testdata(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 10)
+    truth = brute_force_topk(embs, queries, k=5)
+    approx = lsh_bucketed_topk(embs, queries, k=5, n_planes=4, n_tables=16)
+    t = {(r.query_id, r.neighbor_id) for r in truth.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(t & a) / len(t)
+    # measured 0.84 on the near-random synthetic embeddings (real corpora
+    # cluster and do better); margin below that against plane-seed drift
+    assert recall >= 0.7, f"LSH recall {recall:.2f} too low vs brute force"
