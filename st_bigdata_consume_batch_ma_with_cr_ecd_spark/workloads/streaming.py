@@ -84,3 +84,33 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("user_id", F.col("w.start").alias("session_start"), "n_events")
     )
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           round(sum(value), 4)  AS total_value,
+           round(max(value), 4)  AS max_value
+    FROM events GROUP BY user_id
+    """,
+    doc="Custom stateful operator via applyInPandasWithState (Arrow-batched per-key GroupState): running per-user stats whose final drained state equals the batch GROUP BY.",
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_stats
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def transform(s: DataFrame) -> DataFrame:
+        return running_user_stats(s.select("user_id", "value"))
+
+    out = run_stream_to_memory(spark, f"{sf_dir}/events.parquet", transform, output_mode="update")
+    # update mode re-emits a key per micro-batch; keep the final state
+    from ..operators.dedup import top_n_per_group
+
+    latest = top_n_per_group(out, ["user_id"], [F.col("n_events").desc()])
+    return latest.select(
+        "user_id", "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
