@@ -62,9 +62,18 @@ DEFAULT_SLICES = (SliceConfig("open", "O"), SliceConfig("finished", "F"))
 
 
 def build_slice(
-    orders: DataFrame, customer: DataFrame, lineitem: DataFrame, cfg: SliceConfig
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    cfg: SliceConfig,
+    all_max: DataFrame | None = None,
 ) -> DataFrame:
-    """One slice of the pipeline, stages mirroring the reference chain."""
+    """One slice of the pipeline, stages mirroring the reference chain.
+
+    ``all_max`` (the slice-independent per-customer latest-order date)
+    can be passed in pre-computed so the slice loop shares one
+    aggregation instead of re-deriving it per slice.
+    """
     # stage 1 (W1): latest order per customer within the slice universe
     latest = top_n_per_group(
         orders.where(F.col("o_orderstatus") == cfg.order_status),
@@ -101,7 +110,8 @@ def build_slice(
     slice_max = orders.where(F.col("o_orderstatus") == cfg.order_status).groupBy(
         "o_custkey"
     ).agg(F.max("o_orderdate").alias("__slice_max"))
-    all_max = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("__all_max"))
+    if all_max is None:
+        all_max = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("__all_max"))
     stale_ids = (
         slice_max.join(all_max, "o_custkey", "left")
         .where(F.col("__slice_max") < F.col("__all_max"))
@@ -122,6 +132,10 @@ def market_analytics_pipeline(
     frozen_clock: str | None = None,
 ) -> DataFrame:
     """The full multi-slice pipeline: per-slice chains unioned (U1) and
-    stamped with changelog metadata (X8/X9, injectable clock)."""
-    parts = [build_slice(orders, customer, lineitem, cfg) for cfg in slices]
+    stamped with changelog metadata (X8/X9, injectable clock). The
+    slice-independent all-orders max is computed once and cached —
+    every slice's stale-id stage reuses the materialized aggregate
+    instead of re-scanning orders (reference C1 caching policy)."""
+    all_max = orders.groupBy("o_custkey").agg(F.max("o_orderdate").alias("__all_max")).cache()
+    parts = [build_slice(orders, customer, lineitem, cfg, all_max) for cfg in slices]
     return changelog_columns(union_slices(parts, "ALL"), run_id, at=frozen_clock)

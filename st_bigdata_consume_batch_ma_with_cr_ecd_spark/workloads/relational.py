@@ -671,6 +671,25 @@ def u2_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy aggregation (beyond the reference surface, SURVEY §2.11): subtotals per flag and a grand total in one pass (Catalyst Expand + single shuffle).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), rounded_sum("l_quantity", 2).alias("sum_qty"))
+    )
+
+
+@register(
     "u3_intersect_except",
     oracle="""
     SELECT o_custkey, 'both' AS membership FROM (
