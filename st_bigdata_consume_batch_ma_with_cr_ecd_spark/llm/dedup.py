@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.partitioning import ensure_min_partitions
 from .text import shingles, tokenize
 
 
@@ -43,10 +44,12 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def _doc_shingles(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
+    """(id, shingle) pairs, distinct per doc. Shingling is the heavy
+    per-row stage — spread it over all cores even for few-file inputs."""
     sh = shingles(tokenize(F.col(text_col)), k=k)
     return (
-        df.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
+        ensure_min_partitions(df)
+        .select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("shingle"))
         .where(F.col("shingle") != "")
     )
 
@@ -128,7 +131,7 @@ def minhash_signatures(
     sf0.1.
     """
     sh = F.array_distinct(shingles(tokenize(F.col(text_col)), k=k_shingle))
-    exploded = df.select(F.col(id_col), F.explode(sh).alias("__shingle"))
+    exploded = ensure_min_partitions(df).select(F.col(id_col), F.explode(sh).alias("__shingle"))
     hashed = exploded.select(
         id_col,
         *[
@@ -208,7 +211,7 @@ def simhash_signatures(
             out.append(format(sig, f"0{nbytes * 2}x"))
         return pd.Series(out)
 
-    return df.select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    return ensure_min_partitions(df).select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 
 def simhash_candidate_pairs(

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.dedup import top_n_per_group
+from ..operators.partitioning import ensure_min_partitions
 
 
 def _to_double(v: Column) -> Column:
@@ -56,8 +57,9 @@ def cosine_pairs(
 
     O(n²) self-join — correct baseline for modest n; at corpus scale
     use :func:`lsh_bucketed_topk`-style bucketing first. Norms are
-    precomputed once per row (not per pair)."""
-    e = _with_norm(df, vec_col, id_col)
+    precomputed once per row (not per pair); the stream side is spread
+    over all cores (pair compute, not the scan, dominates)."""
+    e = _with_norm(ensure_min_partitions(df), vec_col, id_col)
     a, b = e.alias("a"), e.alias("b")
     sim = _dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__norm") * F.col("b.__norm"))
     return (
@@ -84,7 +86,7 @@ def brute_force_topk(
     cosine (query broadcast, rank with deterministic tiebreak).
 
     Returns (query_id, neighbor_id, cosine)."""
-    c = _with_norm(corpus, vec_col, id_col).select(
+    c = _with_norm(ensure_min_partitions(corpus), vec_col, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__cv"), F.col("__norm").alias("__cn")
     )
     q = _with_norm(queries, vec_col, id_col).select(
@@ -149,7 +151,7 @@ def lsh_bucketed_topk(
             F.col(id_col).alias(out_id), "__v", "__norm", F.explode(buckets).alias("bucket")
         )
 
-    cb = with_buckets(corpus, "neighbor_id").withColumnRenamed("__v", "__cv").withColumnRenamed(
+    cb = with_buckets(ensure_min_partitions(corpus), "neighbor_id").withColumnRenamed("__v", "__cv").withColumnRenamed(
         "__norm", "__cn"
     )
     qb = with_buckets(queries, "query_id").withColumnRenamed("__v", "__qv").withColumnRenamed(
