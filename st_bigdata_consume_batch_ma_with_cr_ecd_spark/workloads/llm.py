@@ -399,3 +399,93 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_payload = attach_binary_payload(_docs(spark, sf_dir))
     return extract_image_features(with_payload, fake_decode=True)
+
+
+# --------------------------------------------------------------------------
+# Corpus-prep composite: the full training-data chain in one plan
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_prep_pipeline",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, text,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               regexp_split_to_array(trim(text), '\\s+')      AS tokens
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n_tokens,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               len(list_filter(tokens, t -> t IN ('the', 'a', 'and')))  AS score_en,
+               len(list_filter(tokens, t -> t IN ('der', 'die', 'und'))) AS score_de,
+               len(list_filter(tokens, t -> t IN ('el', 'que', 'los')))  AS score_es,
+               len(list_filter(tokens, t -> t IN ('le', 'et', 'les')))   AS score_fr,
+               len(list_filter(tokens, t -> t IN ('的', '是')))          AS score_zh
+        FROM tok
+    ),
+    lang AS (
+        SELECT doc_id, n_tokens, fp,
+               CASE
+                 WHEN score_en > 0 AND score_en >= score_de AND score_en >= score_es
+                      AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+                 WHEN score_de > 0 AND score_de >= score_en AND score_de >= score_es
+                      AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+                 WHEN score_es > 0 AND score_es >= score_en AND score_es >= score_de
+                      AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+                 WHEN score_fr > 0 AND score_fr >= score_en AND score_fr >= score_de
+                      AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+                 WHEN score_zh > 0 AND score_zh >= score_en AND score_zh >= score_de
+                      AND score_zh >= score_es AND score_zh >= score_fr THEN 'zh'
+                 ELSE 'unknown'
+               END AS pred_lang
+        FROM s
+    ),
+    kept AS (SELECT * FROM lang WHERE n_tokens >= 10 AND pred_lang <> 'unknown'),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+                     ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+                ELSE 'test' END AS split,
+           pred_lang,
+           count(*) AS n_docs,
+           round(sum(n_tokens) * 1.0 / count(*), 4) AS avg_tokens
+    FROM deduped
+    GROUP BY 1, 2
+    """,
+    doc="The full training-corpus prep chain as ONE Catalyst plan: quality gate "
+    "(min token count) -> language-ID -> fingerprint near-dedup (keep lowest id "
+    "per normalized-text hash) -> deterministic md5 train/val/test split -> "
+    "per-(split, lang) corpus stats. Everything JVM-side; two shuffles total "
+    "(dedup window on fp, final group-by) regardless of corpus size.",
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import top_n_per_group
+
+    stats = text_stats("text")
+    langs = lang_scores("text")
+    enriched = _docs(spark, sf_dir).select(
+        "doc_id",
+        stats["n_tokens"].cast("long").alias("n_tokens"),
+        langs["pred_lang"].alias("pred_lang"),
+        fingerprint("text").alias("fp"),
+    )
+    kept = enriched.where((F.col("n_tokens") >= 10) & (F.col("pred_lang") != "unknown"))
+    deduped = top_n_per_group(kept, ["fp"], [F.col("doc_id").asc()], n=1)
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h1.isin(*"0123456789ab"), "train").when(h1.isin("c", "d"), "val").otherwise("test")
+    )
+    return (
+        deduped.select(split.alias("split"), "pred_lang", "n_tokens")
+        .groupBy("split", "pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_tokens") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        )
+    )

@@ -910,3 +910,172 @@ def x_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p4_bulk_rename_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
     return bulk_rename(orders, {c: c[2:] for c in orders.columns})
+
+
+# --------------------------------------------------------------------------
+# Additional TPC-H shapes: semi-join EXISTS, pure filter-agg, HAVING-IN
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS correlated subquery as a LEFT SEMI join with a "
+    "non-equi residual (l_shipdate > o_orderdate) — the semi join never "
+    "duplicates orders no matter how many lineitems match, unlike J3's "
+    "multiplicity-preserving inner join.",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))), 2) AS DOUBLE)
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: scan -> tight multi-predicate filter -> global agg. The "
+    "pushdown showcase: all three predicates reach the parquet reader "
+    "(row-group stats skip), no shuffle except the single-row final agg.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            rounded_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape: HAVING-filtered aggregate as a join input (large-volume "
+    "orders). The aggregate runs FIRST and shrinks the join's left side by ~100x "
+    "before any wide row moves — the order every 100-TB plan wants.",
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity").alias("__q"), rounded_sum("l_quantity", 2).alias("sum_qty"))
+        .where(F.col("__q") > 250)
+        .drop("__q")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# Window extensions beyond row_number (SURVEY §2.7 notes the reference
+# stops at top-1-per-group; lag/lead + running totals are the natural
+# next asks of the same price-history data model)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "w_lag_lead_prices",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           round(o_totalprice - lag(o_totalprice) OVER w, 2) AS price_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead over a per-customer order timeline: previous/next order value and "
+    "the delta — the price-change-delta companion to the reference's "
+    "previous-price union (3-basedata_df_final_query.sql:60-63) without the "
+    "self-join. One shuffle on the partition key, unique tiebreak in the order.",
+)
+def w_lag_lead_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.round(F.col("o_totalprice") - prev, 2).alias("price_delta"),
+    )
+
+
+@register(
+    "w_running_total",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8)))
+                      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_spend,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS order_seq
+    FROM orders
+    """,
+    doc="Running per-customer spend: aggregate-over-window with an explicit ROWS "
+    "frame. Decimal accumulation inside the frame (both engines walk the frame "
+    "in the same sorted order only up to segment-tree reassociation — decimal "
+    "makes the result association-independent).",
+)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = F.sum(F.col("o_totalprice").cast("decimal(30,8)")).over(w)
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(running, 2).cast("double").alias("running_spend"),
+        F.row_number().over(seq).alias("order_seq"),
+    )
