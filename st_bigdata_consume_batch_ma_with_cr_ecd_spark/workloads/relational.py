@@ -1079,3 +1079,85 @@ def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(running, 2).cast("double").alias("running_spend"),
         F.row_number().over(seq).alias("order_seq"),
     )
+
+
+# --------------------------------------------------------------------------
+# Keyless range joins (beyond reference): the bucketing rewrite that keeps
+# point-in-interval / interval-overlap off the nested-loop path
+# --------------------------------------------------------------------------
+
+
+@register(
+    "range_event_proximity",
+    oracle="""
+    SELECT a.event_id, count(*) AS n_preceding
+    FROM events a JOIN events b
+      ON CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+     AND CAST(b.ts AS TIMESTAMP) <  CAST(a.ts AS TIMESTAMP)
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+    doc="Temporal proximity join with NO equi key: for each purchase event, count "
+    "the events (any user) in the preceding 10 minutes. Naively this is a "
+    "BroadcastNestedLoopJoin (O(n*m), fatal at scale); "
+    "operators.rangejoin.point_in_interval_join buckets both sides on a 10-min "
+    "grid so the plan is a hash-partitioned equi join on the bucket id plus a "
+    "residual range check — plan-tested to contain no nested loop.",
+)
+def range_event_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import point_in_interval_join
+    import datetime as dt
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select("ts")
+    intervals = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    matched = point_in_interval_join(
+        points, intervals, "ts", "win_start", "win_end", bucket_width=dt.timedelta(minutes=10)
+    )
+    return matched.groupBy("event_id").agg(F.count(F.lit(1)).alias("n_preceding"))
+
+
+@register(
+    "range_order_overlap",
+    oracle="""
+    SELECT a.o_orderkey, count(*) AS n_overlapping
+    FROM orders a JOIN orders b
+      ON a.o_orderdate < b.o_orderdate + INTERVAL 3 DAY
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 3 DAY
+     AND a.o_orderstatus <> b.o_orderstatus
+    GROUP BY a.o_orderkey
+    """,
+    doc="Interval-overlap join with NO equi key: each order carries a 3-day "
+    "activity window; count overlapping windows of orders in a DIFFERENT "
+    "status. operators.rangejoin.interval_overlap_join explodes both sides "
+    "onto a 3-day bucket grid and emits each overlapping pair exactly once "
+    "(in the bucket of the later start) — no distinct pass, no nested loop.",
+)
+def range_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_overlap_join
+    import datetime as dt
+
+    span = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_orderdate").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+        )
+    )
+    pairs = interval_overlap_join(
+        span,
+        span,
+        "w_start",
+        "w_end",
+        "w_start",
+        "w_end",
+        bucket_width=dt.timedelta(days=3),
+        right_prefix="r_",
+    ).where(F.col("o_orderstatus") != F.col("r_o_orderstatus"))
+    return pairs.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_overlapping"))

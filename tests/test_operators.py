@@ -272,3 +272,55 @@ def test_ensure_min_partitions_noop_when_wide_enough(spark):
     wide = spark.range(100).repartition(spark.sparkContext.defaultParallelism + 3)
     assert ensure_min_partitions(wide) is wide
     assert ensure_min_partitions(wide, n=2) is wide
+
+
+# ---------------------------------------------------------------- rangejoin
+
+
+def test_point_in_interval_join_matches_naive(spark):
+    import datetime as dt
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    points = spark.createDataFrame([(i, float(i)) for i in range(50)], "pid int, x double")
+    # intervals of varying width, some spanning many buckets, some empty
+    intervals = spark.createDataFrame(
+        [(1, 3.0, 7.0), (2, 6.5, 6.6), (3, -5.0, 70.0), (4, 80.0, 90.0)],
+        "iid int, lo double, hi double",
+    )
+    got = point_in_interval_join(
+        points, intervals, "x", "lo", "hi", bucket_width=4.0
+    ).select("pid", "iid")
+    naive = points.join(
+        intervals, (points.x >= intervals.lo) & (points.x < intervals.hi)
+    ).select("pid", "iid")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+
+    with pytest.raises(ValueError):
+        point_in_interval_join(points, intervals, "x", "lo", "hi", bucket_width=0)
+    with pytest.raises(TypeError):
+        point_in_interval_join(
+            points, intervals, "x", "lo", "hi", bucket_width=dt.timedelta(seconds=1)
+        )
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 100.0), (2, 10.0, 12.0), (3, 200.0, 201.0)], "lid int, s double, e double"
+    )
+    right = spark.createDataFrame(
+        [(10, 5.0, 95.0), (11, 11.0, 11.5), (12, 150.0, 250.0)], "rid int, s double, e double"
+    )
+    got = interval_overlap_join(
+        left, right, "s", "e", "s", "e", bucket_width=7.0, right_prefix="r_"
+    ).select("lid", "r_rid")
+    rows = sorted(map(tuple, got.collect()))
+    # wide-overlap pairs (1,10)/(1,11) span many shared buckets but must
+    # appear exactly once each
+    assert rows == [(1, 10), (1, 11), (2, 10), (2, 11), (3, 12)]

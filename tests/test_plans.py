@@ -95,3 +95,14 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+@pytest.mark.parametrize("name", ["range_event_proximity", "range_order_overlap"])
+def test_keyless_range_joins_avoid_nested_loop(spark, sf_dir, name):
+    # the whole point of the bucketing rewrite: a keyless range join
+    # must plan as a shuffle/broadcast HASH join on the bucket id, never
+    # O(n*m) BroadcastNestedLoopJoin / CartesianProduct
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
