@@ -15,6 +15,8 @@ All arithmetic in double precision via JVM-side higher-order functions
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -162,6 +164,129 @@ def lsh_bucketed_topk(
         cb.join(qb, (cb.bucket == qb.bucket) & (F.col("query_id") != F.col("neighbor_id")))
         .select("query_id", "neighbor_id", F.round(sim, round_to).alias("cosine"))
         .distinct()
+    )
+    return top_n_per_group(
+        cands, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], n=k
+    )
+
+
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN: coarse quantizer -> probe-limited exact search
+# --------------------------------------------------------------------------
+
+
+def _np_normalize(mat):
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _assign_udf(centroids, n_probe: int):
+    """Pandas UDF: nearest ``n_probe`` centroid ids by cosine, vectorized
+    (one Arrow batch = one numpy matmul — no per-row Python)."""
+    cmat = _np_normalize(np.asarray(centroids, dtype=np.float64)).T  # dim x m
+
+    @F.pandas_udf("array<int>")
+    def probe(vecs: pd.Series) -> pd.Series:
+        m = _np_normalize(np.vstack(vecs.to_numpy()).astype(np.float64))
+        sims = m @ cmat  # rows x m
+        # stable sort: ties broken by centroid id ascending -> deterministic
+        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series([row.astype("int32") for row in idx])
+
+    return probe
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> list[list[float]]:
+    """Deterministic spherical k-means coarse quantizer.
+
+    Init = the ``n_centroids`` corpus rows with smallest ``md5(id)``
+    (a seedless uniform sample). Each Lloyd iteration assigns via the
+    vectorized cosine UDF and recomputes means with DECIMAL sums
+    (order-independent -> bit-stable across runs/partitionings), then
+    re-normalizes. Only ``n_centroids x dim`` floats ever reach the
+    driver — the model, never the data.
+    """
+    e = corpus.select(F.col(id_col).alias("__id"), _to_double(F.col(vec_col)).alias("__v"))
+    init = (
+        e.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(n_centroids)
+        .select("__v")
+        .collect()
+    )
+    centroids = [list(r["__v"]) for r in init]
+    for _ in range(max(0, iters)):
+        probe = _assign_udf(centroids, 1)
+        assigned = e.select(
+            probe(F.col("__v"))[0].alias("__cluster"), F.posexplode(F.col("__v"))
+        )
+        means = (
+            assigned.groupBy("__cluster", "pos")
+            .agg(
+                F.round(
+                    F.avg(F.col("col").cast("decimal(30,12)")), 8
+                ).cast("double").alias("m")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["__cluster"], {})[r.pos] = r.m
+        dim = len(centroids[0])
+        centroids = [
+            [by_cluster[c][p] for p in range(dim)] if c in by_cluster else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    centroids: list[list[float]] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF ANN: corpus vectors index into their nearest-centroid cell;
+    each query probes only its ``n_probe`` nearest cells.
+
+    The candidate join is an equi join on the cell id — candidates
+    shrink ~``n_probe / n_centroids`` vs brute force while the join
+    stays hash-partitionable. A corpus vector lives in exactly one
+    cell, so (query, neighbor) pairs are unique — no distinct pass.
+    Pass precomputed ``centroids`` to skip training (the production
+    shape: train once offline, reuse per batch).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, vec_col, id_col, n_centroids=n_centroids, iters=iters
+        )
+    c = _with_norm(ensure_min_partitions(corpus), vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__cv"), F.col("__norm").alias("__cn")
+    )
+    q = _with_norm(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), F.col("__norm").alias("__qn")
+    )
+    assign1 = _assign_udf(centroids, 1)
+    probe_n = _assign_udf(centroids, n_probe)
+    c = c.withColumn("__cell", assign1(F.col("__cv"))[0])
+    q = q.withColumn("__cell", F.explode(probe_n(F.col("__qv"))))
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    cands = c.join(q, (c.__cell == q.__cell) & (F.col("query_id") != F.col("neighbor_id"))).select(
+        "query_id", "neighbor_id", F.round(sim, round_to).alias("cosine")
     )
     return top_n_per_group(
         cands, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], n=k

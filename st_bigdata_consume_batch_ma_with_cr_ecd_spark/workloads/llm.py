@@ -489,3 +489,20 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens") * F.lit(1.0) / F.count(F.lit(1)), 4).alias("avg_tokens"),
         )
     )
+
+
+@register(
+    "ann_topk_ivf",
+    oracle=None,  # iterative k-means training — not SQL-expressible; rows-only check
+    doc="IVF ANN: deterministic spherical-k-means coarse quantizer (decimal-mean "
+    "Lloyd steps, hash-sampled init), corpus indexed into cells, each query "
+    "probes its 4 nearest of 16 cells; exact cosine only inside probed cells. "
+    "The candidate join is an equi join on the cell id — the scale path when "
+    "even LSH bucket joins are too wide.",
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    return ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4, iters=2)

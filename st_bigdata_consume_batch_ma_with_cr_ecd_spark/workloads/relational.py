@@ -1161,3 +1161,99 @@ def range_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_prefix="r_",
     ).where(F.col("o_orderstatus") != F.col("r_o_orderstatus"))
     return pairs.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_overlapping"))
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation + reshaping (beyond reference, SURVEY §2.11):
+# CUBE / GROUPING SETS / PIVOT / UNPIVOT
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag, l_linestatus) AS gid,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE: all 4 grouping combinations in one pass (Catalyst Expand -> one "
+    "shuffle, not 4 scans). grouping_id disambiguates a NULL data value from "
+    "a NULL that means 'all' — required for lossless downstream use.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            rounded_sum("l_quantity", 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "sum_qty")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_shipmode_dummy, count(*) AS n_rows
+    FROM (SELECT l_returnflag, l_linestatus AS l_shipmode_dummy FROM lineitem)
+    GROUP BY GROUPING SETS ((l_returnflag), (l_shipmode_dummy))
+    """,
+    doc="GROUPING SETS: two independent rollup dimensions in ONE scan + shuffle "
+    "where naive code runs two groupBys and a union (two scans of 100 TB).",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_linestatus").alias("l_shipmode_dummy")
+    )
+    return li.groupingSets(
+        [["l_returnflag"], ["l_shipmode_dummy"]], "l_returnflag", "l_shipmode_dummy"
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "pivot_status_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(round(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(30,8)) END), 2) AS DOUBLE) AS F,
+           CAST(round(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(30,8)) END), 2) AS DOUBLE) AS O,
+           CAST(round(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(30,8)) END), 2) AS DOUBLE) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT long->wide: total order value per priority, one column per "
+    "status. Pivot values are passed EXPLICITLY — without them Spark runs an "
+    "extra distinct scan of the full table just to learn the column set.",
+)
+def pivot_status_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(rounded_sum("o_totalprice", 2))
+    )
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    """,
+    doc="UNPIVOT wide->long (melt): one Expand node, single scan — the UNION "
+    "ALL formulation the oracle uses would scan the table three times.",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "value",
+    )

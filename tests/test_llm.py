@@ -180,3 +180,38 @@ def test_lsh_topk_recall_against_bruteforce(spark, sf_dir):
     # measured 0.84 on the near-random synthetic embeddings (real corpora
     # cluster and do better); margin below that against plane-seed drift
     assert recall >= 0.7, f"LSH recall {recall:.2f} too low vs brute force"
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    embs = read_testdata(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(embs, queries, k=5).collect()
+    }
+    approx = ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4, iters=2)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below floor"
+    # every query produced k candidates (probing did not empty any cell)
+    import collections
+
+    per_q = collections.Counter(q for q, _ in got)
+    assert all(v == 5 for v in per_q.values())
+
+
+def test_ivf_deterministic_across_runs(spark, sf_dir):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import ivf_topk
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    embs = read_testdata(spark, sf_dir, "embeddings")
+    queries = embs.where("vec_id < 10")
+    a = sorted(map(tuple, ivf_topk(embs, queries, k=3, n_centroids=8, n_probe=2).collect()))
+    b = sorted(map(tuple, ivf_topk(embs, queries, k=3, n_centroids=8, n_probe=2).collect()))
+    assert a == b
