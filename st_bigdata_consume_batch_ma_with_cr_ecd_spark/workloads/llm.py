@@ -506,3 +506,30 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10)
     return ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4, iters=2)
+
+
+@register(
+    "stats_approx_sketches",
+    oracle=None,  # HLL++ / KLL sketch internals are engine-specific; error bound pytested
+    doc="Sketch-based stats: approx_count_distinct (HyperLogLog++, rsd 2%) and "
+    "approx_percentile per event type. The 100-TB path for cardinality and "
+    "quantiles: fixed-size mergeable sketch state per group instead of "
+    "holding distinct sets / sorted values; error bound tested vs exact.",
+)
+def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_p50_p95"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("value_p50_p95")[0].alias("p50"),
+            F.col("value_p50_p95")[1].alias("p95"),
+            "n_events",
+        )
+    )

@@ -1257,3 +1257,53 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "merge_upsert_cdc",
+    oracle="""
+    WITH ch AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 5 = 0 THEN o_orderkey
+                    ELSE o_orderkey + 100000000 END AS o_orderkey,
+               o_custkey, 'U' AS o_orderstatus,
+               o_totalprice + 1000 AS o_totalprice,
+               o_orderdate, o_orderpriority,
+               (o_orderkey % 7 = 0) AS is_delete
+        FROM orders
+        WHERE o_orderkey % 5 = 0 OR o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+    ),
+    merged AS (
+        SELECT coalesce(c.o_orderkey, s.o_orderkey) AS o_orderkey,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey      ELSE s.o_custkey      END AS o_custkey,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus  ELSE s.o_orderstatus  END AS o_orderstatus,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice   ELSE s.o_totalprice   END AS o_totalprice,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderdate    ELSE s.o_orderdate    END AS o_orderdate,
+               CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderpriority ELSE s.o_orderpriority END AS o_orderpriority,
+               c.is_delete
+        FROM orders s FULL OUTER JOIN ch c ON s.o_orderkey = c.o_orderkey
+    )
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+    FROM merged WHERE is_delete IS DISTINCT FROM true
+    """,
+    doc="MERGE INTO semantics on plain parquet (operators.merge.merge_upsert): "
+    "a CDC batch of updates (%5), deletes (%7, precedence over update) and "
+    "inserts (%11 remapped to new keys) applied to the orders snapshot in one "
+    "full outer join. Paired with dynamic partition overwrite at write time, "
+    "rewrite cost scales with the touched slice, not the table.",
+)
+def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import merge_upsert
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = o.where((k % 5 == 0) | (k % 7 == 0) | (k % 11 == 0))
+    changes = base.select(
+        F.when((k % 7 == 0) | (k % 5 == 0), k).otherwise(k + 100000000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + 1000).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+        (k % 7 == 0).alias("is_delete"),
+    )
+    return merge_upsert(o, changes, ["o_orderkey"], delete_col="is_delete")

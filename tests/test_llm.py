@@ -215,3 +215,27 @@ def test_ivf_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, ivf_topk(embs, queries, k=3, n_centroids=8, n_probe=2).collect()))
     b = sorted(map(tuple, ivf_topk(embs, queries, k=3, n_centroids=8, n_probe=2).collect()))
     assert a == b
+
+
+def test_approx_sketches_error_bounds(spark, sf_dir):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    approx = {r.event_type: r for r in REGISTRY["stats_approx_sketches"].fn(spark, sf_dir).collect()}
+    ev = read_testdata(spark, sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for t, a in approx.items():
+        e = exact[t]
+        assert abs(a.approx_users - e.users) <= max(3, 0.05 * e.users)
+        assert abs(a.p50 - e.p50) <= 0.05 * max(1.0, abs(e.p50))

@@ -324,3 +324,37 @@ def test_interval_overlap_join_emits_each_pair_once(spark):
     # wide-overlap pairs (1,10)/(1,11) span many shared buckets but must
     # appear exactly once each
     assert rows == [(1, 10), (1, 11), (2, 10), (2, 11), (3, 12)]
+
+
+# ---------------------------------------------------------------- merge
+
+
+def test_merge_upsert_update_insert_delete(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.merge import merge_upsert
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, name string, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "B", None, False),      # update (with a legit NULL value — must win)
+            (3, None, None, True),      # delete
+            (4, "d", 40.0, False),      # insert
+            (99, None, None, True),     # delete of absent key -> no-op
+        ],
+        "id int, name string, v double, is_delete boolean",
+    )
+    got = merge_upsert(snap, changes, ["id"], delete_col="is_delete")
+    rows = {r.id: (r.name, r.v) for r in got.collect()}
+    assert rows == {1: ("a", 10.0), 2: ("B", None), 4: ("d", 40.0)}
+
+
+def test_merge_upsert_without_delete_col(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.merge import merge_upsert
+
+    snap = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    changes = spark.createDataFrame([(1, 9.0), (2, 2.0)], "id int, v double")
+    got = {r.id: r.v for r in merge_upsert(snap, changes, ["id"]).collect()}
+    assert got == {1: 9.0, 2: 2.0}
+    with pytest.raises(ValueError):
+        merge_upsert(snap, changes, [])
