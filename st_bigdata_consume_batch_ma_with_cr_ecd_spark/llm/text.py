@@ -102,3 +102,38 @@ def lang_scores(
     out = {f"score_{lang}": c for lang, c in scores.items()}
     out["pred_lang"] = pred
     return out
+
+
+# --------------------------------------------------------------------------
+# PII redaction, chunking, boilerplate scoring (corpus-cleaning operators)
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax RE2 (DuckDB) and java.util.regex (Spark)
+# interpret identically, so oracles can mirror them verbatim. Order
+# matters: emails contain digits, so they redact first.
+PII_PATTERNS: Sequence[tuple[str, str]] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s()-]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column | str, patterns: Sequence[tuple[str, str]] = PII_PATTERNS) -> Column:
+    """Replace every match of each (pattern, tag) pair — emails, IPv4s,
+    phone-shaped digit runs by default. Pure ``regexp_replace`` chain:
+    JVM-side, codegen'd, linear in bytes."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, tag in patterns:
+        c = F.regexp_replace(c, pat, tag)
+    return c
+
+
+def chunk_starts(tokens: Column, stride: int) -> Column:
+    """1-based start offsets of fixed-stride chunks over a token array."""
+    return F.sequence(F.lit(1), F.greatest(F.size(tokens), F.lit(1)), F.lit(stride))
+
+
+def chunk_at(tokens: Column, start: Column, chunk_size: int, sep: str = " ") -> Column:
+    """The chunk beginning at 1-based ``start``: ``chunk_size`` tokens
+    (clamped at the document end), joined back to text."""
+    return F.array_join(F.slice(tokens, start, chunk_size), sep)

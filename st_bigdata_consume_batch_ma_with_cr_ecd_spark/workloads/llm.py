@@ -533,3 +533,118 @@ def stats_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-cleaning: PII redaction, chunking, boilerplate scoring
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com or +49 30 55512' ||
+               (doc_id % 100) || ' at 10.1.' || (doc_id % 256) || '.7' AS raw
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d\\s()-]{7,}\\d', '<PHONE>', 'g') AS redacted
+    FROM seeded
+    """,
+    doc="PII redaction (llm.text.redact_pii): emails -> <EMAIL>, IPv4 -> <IP>, "
+    "phone-shaped digit runs -> <PHONE>, as a pure regexp_replace chain "
+    "(codegen'd, linear in bytes). Synthetic PII is appended per doc so the "
+    "oracle exercises real replacements, not a no-op.",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import redact_pii
+
+    d = F.col("doc_id")
+    seeded = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d, F.lit("@example.com or +49 30 55512"), d % 100,
+            F.lit(" at 10.1."), d % 256, F.lit(".7"),
+        ).alias("raw"),
+    )
+    return seeded.select("doc_id", redact_pii("raw").alias("redacted"))
+
+
+@register(
+    "text_chunk_documents",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens FROM documents
+    )
+    SELECT doc_id, CAST(s AS INT) AS chunk_start,
+           array_to_string(list_slice(tokens, s, s + 14), ' ') AS chunk,
+           CAST(least(15, len(tokens) - s + 1) AS INT) AS chunk_tokens
+    FROM tok, unnest(range(1, greatest(len(tokens), 1) + 1, 10)) AS u(s)
+    """,
+    doc="Token-window chunking for LLM training: 15-token chunks every 10 "
+    "tokens (5-token overlap), clamped at the document end. One explode per "
+    "doc — no UDF, no shuffle until a downstream consumer needs one.",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import chunk_at, chunk_starts, tokenize
+
+    toks = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("tokens"))
+    with_starts = toks.select(
+        "doc_id", "tokens", F.explode(chunk_starts(F.col("tokens"), 10)).alias("s")
+    )
+    return with_starts.select(
+        "doc_id",
+        F.col("s").cast("int").alias("chunk_start"),
+        chunk_at(F.col("tokens"), F.col("s"), 15).alias("chunk"),
+        F.least(F.lit(15), F.size("tokens") - F.col("s") + 1).cast("int").alias("chunk_tokens"),
+    )
+
+
+@register(
+    "text_boilerplate_ratio",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({_DUCK_SHINGLES}) AS shingle
+        FROM tok
+    ),
+    df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN df.n_docs > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+           round(sum(CASE WHEN df.n_docs > 50 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS boilerplate_ratio
+    FROM sh JOIN df ON sh.shingle = df.shingle
+    GROUP BY sh.doc_id
+    """,
+    doc="Boilerplate scoring (C4/RefinedWeb-style corpus cleaning): fraction of "
+    "a doc's distinct word-3-grams that occur in >50 documents. Document "
+    "frequency is one shuffle on the shingle; the per-doc ratio reuses it. "
+    "The downstream filter (drop docs with ratio above a cap) is a free "
+    "predicate on this output.",
+)
+def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import shingles, tokenize
+
+    sh = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.explode(F.array_distinct(shingles(tokenize("text"), 3))).alias("shingle"))
+    )
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    frequent = F.when(F.col("n_docs") > 50, 1).otherwise(0)
+    return (
+        sh.join(df_counts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(frequent).cast("long").alias("n_boilerplate"),
+            F.round(F.sum(frequent) * F.lit(1.0) / F.count(F.lit(1)), 4).alias("boilerplate_ratio"),
+        )
+    )

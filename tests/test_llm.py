@@ -239,3 +239,22 @@ def test_approx_sketches_error_bounds(spark, sf_dir):
         e = exact[t]
         assert abs(a.approx_users - e.users) <= max(3, 0.05 * e.users)
         assert abs(a.p50 - e.p50) <= 0.05 * max(1.0, abs(e.p50))
+
+
+def test_redact_pii_patterns(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+x@sub.example.co.uk today",),
+            ("server 192.168.001.1 port 80",),
+            ("call +49 (30) 555-1234 67 now",),
+            ("no pii here, just 42",),
+        ],
+        "t string",
+    )
+    got = [r.red for r in df.select(redact_pii("t").alias("red")).collect()]
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "server <IP> port 80"
+    assert "<PHONE>" in got[2] and "555" not in got[2]
+    assert got[3] == "no pii here, just 42"
