@@ -648,3 +648,39 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(frequent) * F.lit(1.0) / F.count(F.lit(1)), 4).alias("boilerplate_ratio"),
         )
     )
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    comp(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, c.label FROM comp c JOIN edges e ON c.node = e.src
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM comp GROUP BY node)
+    SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    """,
+    doc="The near-dedup endgame: MinHash-LSH candidate pairs -> connected "
+    "components (operators.graph, min-label propagation with eager "
+    "localCheckpoint per round) -> one cluster_id per document (singletons "
+    "cluster with themselves). 'Keep one per cluster' is then "
+    "where(doc_id == cluster_id). Oracle = DuckDB recursive CTE over the "
+    "same LSH pairs.",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import assign_cluster_ids
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, k_shingle=3, num_hashes=_NUM_HASHES)
+    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
+    return assign_cluster_ids(
+        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b"
+    ).select("doc_id", "cluster_id")

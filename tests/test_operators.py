@@ -358,3 +358,30 @@ def test_merge_upsert_without_delete_col(spark):
     assert got == {1: 9.0, 2: 2.0}
     with pytest.raises(ValueError):
         merge_upsert(snap, changes, [])
+
+
+# ---------------------------------------------------------------- graph
+
+
+def test_connected_components_basic_shapes(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import (
+        connected_components,
+    )
+
+    # chain 1-2-3-4 (diameter > 1), pair {10,11}, self-loop 20
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 20)], "src int, dst int"
+    )
+    got = {r.node: r.label for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_assign_cluster_ids_covers_singletons(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import (
+        assign_cluster_ids,
+    )
+
+    items = spark.createDataFrame([(i,) for i in [1, 2, 3, 7]], "doc_id int")
+    pairs = spark.createDataFrame([(1, 3)], "a int, b int")
+    got = {r.doc_id: r.cluster_id for r in assign_cluster_ids(items, pairs, "doc_id", "a", "b").collect()}
+    assert got == {1: 1, 2: 2, 3: 1, 7: 7}
