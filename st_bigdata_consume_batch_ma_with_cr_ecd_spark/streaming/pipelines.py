@@ -88,3 +88,59 @@ def run_stream_to_memory(
         if q.isActive:
             q.stop()
     return spark.table(name)
+
+
+def stream_interval_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lookback_seconds: int = 600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each left row pairs with right rows in
+    ``[left_ts - lookback, left_ts)``.
+
+    Structured Streaming refuses stream-stream joins without an
+    EQUALITY predicate (state would be all-pairs); the same bucket-grid
+    rewrite as ``operators.rangejoin`` supplies one: both event times
+    map onto a ``lookback``-wide grid (the left side explodes to the ≤2
+    buckets its window touches), the join keys on the bucket id, and
+    the exact range stays as a residual. The two-sided time bound then
+    lets the engine EXPIRE join state at the watermark — an unbounded
+    condition grows state forever, the #1 stream-stream join failure
+    at production scale. Works identically on batch frames (watermarks
+    are no-ops) — one graph, two runtimes.
+    """
+    width = lookback_seconds * 1_000_000  # grid in micros
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+
+    def bucket(col: str) -> F.Column:
+        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / F.lit(width)).cast("long")
+
+    lb = lw.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(
+                    (F.unix_micros(F.col(left_ts).cast("timestamp")) - F.lit(width))
+                    / F.lit(width)
+                ).cast("long"),
+                F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / F.lit(width)).cast(
+                    "long"
+                ),
+            )
+        ),
+    )
+    rb = rw.withColumn("__bucket", bucket(right_ts))
+    cond = (
+        (F.col("l.__bucket") == F.col("r.__bucket"))
+        & (
+            F.col(f"r.{right_ts}")
+            >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {lookback_seconds} SECONDS")
+        )
+        & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}"))
+    )
+    return lb.alias("l").join(rb.alias("r"), cond).drop("__bucket")

@@ -114,3 +114,43 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("total_value", 4).alias("total_value"),
         F.round("max_value", 4).alias("max_value"),
     )
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT a.event_id, count(*) AS n_preceding
+    FROM events a JOIN events b
+      ON CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+     AND CAST(b.ts AS TIMESTAMP) <  CAST(a.ts AS TIMESTAMP)
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id
+    """,
+    doc="Stream-stream interval self-join: purchases pair with any event in "
+    "their preceding 10 minutes while both streams flow. The two-sided "
+    "time-range predicate is what lets the engine EXPIRE join state at the "
+    "watermark — the unbounded version grows state forever. Drained pairs "
+    "aggregate to the same counts as the batch range join "
+    "(range_event_proximity), proving batch/stream parity.",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import stream_interval_join_pairs
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def transform(s: DataFrame) -> DataFrame:
+        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        purchases = s.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+        )
+        others = s.select(F.col("ts").alias("o_ts"))
+        return stream_interval_join_pairs(
+            purchases, others, left_ts="p_ts", right_ts="o_ts"
+        ).select("p_id")
+
+    pairs = run_stream_to_memory(
+        spark, f"{sf_dir}/events.parquet", transform, output_mode="append"
+    )
+    return pairs.groupBy(F.col("p_id").alias("event_id")).agg(
+        F.count(F.lit(1)).alias("n_preceding")
+    )
