@@ -78,3 +78,49 @@ def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
     overwrite_partitions(patch, out, ["partition_month"])
     back = spark.read.parquet(out)
     assert rows_set(back.select("partition_month", "v")) == {("2024-01", 1), ("2024-02", 99)}
+
+
+def test_zorder_layout_narrows_file_stats_on_both_dims(spark, sf_dir, tmp_path):
+    """The point of Z-ordering: per-file min/max footers are narrow on
+    BOTH interleaved columns, so a filter on either dimension skips
+    most files. Compare against a single-column sort layout, where the
+    secondary column's per-file span stays ~global."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.layout import write_zordered
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    orders = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], n_files=8)
+    (
+        orders.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def spans(root: str, col: str) -> list[float]:
+        out = []
+        for f in Path(root).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            out.append(float(hi) - float(lo))
+        return out
+
+    import statistics
+
+    # the single-sorted layout leaves o_totalprice unclustered: each file
+    # spans ~the full price range; z-ordering must cut the mean span
+    z_price = statistics.mean(spans(zpath, "o_totalprice"))
+    s_price = statistics.mean(spans(spath, "o_totalprice"))
+    assert z_price < 0.75 * s_price, (z_price, s_price)
+    # and o_custkey must still be clustered, not random
+    z_cust = statistics.mean(spans(zpath, "o_custkey"))
+    full = max(spans(spath, "o_custkey")) * 8  # ~global span upper bound
+    assert z_cust < full, (z_cust, full)
