@@ -463,6 +463,7 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per normalized-text hash) -> deterministic md5 train/val/test split -> "
     "per-(split, lang) corpus stats. Everything JVM-side; two shuffles total "
     "(dedup window on fp, final group-by) regardless of corpus size.",
+    tags=("bench",),
 )
 def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import top_n_per_group
@@ -674,6 +675,7 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster with themselves). 'Keep one per cluster' is then "
     "where(doc_id == cluster_id). Oracle = DuckDB recursive CTE over the "
     "same LSH pairs.",
+    tags=("bench",),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import assign_cluster_ids

@@ -1103,6 +1103,7 @@ def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators.rangejoin.point_in_interval_join buckets both sides on a 10-min "
     "grid so the plan is a hash-partitioned equi join on the bucket id plus a "
     "residual range check — plan-tested to contain no nested loop.",
+    tags=("bench",),
 )
 def range_event_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rangejoin import point_in_interval_join
@@ -1126,16 +1127,18 @@ def range_event_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.o_orderkey, count(*) AS n_overlapping
     FROM orders a JOIN orders b
-      ON a.o_orderdate < b.o_orderdate + INTERVAL 3 DAY
-     AND b.o_orderdate < a.o_orderdate + INTERVAL 3 DAY
+      ON a.o_orderdate < b.o_orderdate + INTERVAL 1 DAY
+     AND b.o_orderdate < a.o_orderdate + INTERVAL 1 DAY
      AND a.o_orderstatus <> b.o_orderstatus
     GROUP BY a.o_orderkey
     """,
-    doc="Interval-overlap join with NO equi key: each order carries a 3-day "
+    doc="Interval-overlap join with NO equi key: each order carries a 1-day "
     "activity window; count overlapping windows of orders in a DIFFERENT "
     "status. operators.rangejoin.interval_overlap_join explodes both sides "
-    "onto a 3-day bucket grid and emits each overlapping pair exactly once "
-    "(in the bucket of the later start) — no distinct pass, no nested loop.",
+    "onto a matching bucket grid and emits each overlapping pair exactly "
+    "once (in the bucket of the later start) — no distinct pass, no nested "
+    "loop. Work per bucket is quadratic in bucket density (inherent to "
+    "overlap joins); size the window/grid so buckets stay small.",
 )
 def range_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.rangejoin import interval_overlap_join
@@ -1147,7 +1150,7 @@ def range_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "o_orderstatus",
             F.col("o_orderdate").alias("w_start"),
-            (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("w_end"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 1 DAYS")).alias("w_end"),
         )
     )
     pairs = interval_overlap_join(
@@ -1157,7 +1160,7 @@ def range_order_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_end",
         "w_start",
         "w_end",
-        bucket_width=dt.timedelta(days=3),
+        bucket_width=dt.timedelta(days=1),
         right_prefix="r_",
     ).where(F.col("o_orderstatus") != F.col("r_o_orderstatus"))
     return pairs.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_overlapping"))
