@@ -686,3 +686,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_cluster_ids(
         docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b"
     ).select("doc_id", "cluster_id")
+
+
+@register(
+    "corpus_contiguous_ids",
+    oracle="""
+    SELECT doc_id, CAST(row_number() OVER (ORDER BY lang, doc_id) - 1 AS BIGINT) AS row_id
+    FROM documents
+    """,
+    doc="Dense 0..N-1 example ids in a deterministic total order WITHOUT the "
+    "single-partition window row_number() forces: range-partition sort, a "
+    "per-partition histogram to the driver (one row per partition), then "
+    "offset + local index in one mapInPandas pass. Plan-tested to keep "
+    "more than one task in every stage.",
+)
+def corpus_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rowids import assign_contiguous_ids
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return assign_contiguous_ids(docs, ["lang", "doc_id"]).select("doc_id", "row_id")

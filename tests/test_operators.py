@@ -385,3 +385,27 @@ def test_assign_cluster_ids_covers_singletons(spark):
     pairs = spark.createDataFrame([(1, 3)], "a int, b int")
     got = {r.doc_id: r.cluster_id for r in assign_cluster_ids(items, pairs, "doc_id", "a", "b").collect()}
     assert got == {1: 1, 2: 2, 3: 1, 7: 7}
+
+
+# ---------------------------------------------------------------- row ids
+
+
+def test_assign_contiguous_ids_dense_and_ordered(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.rowids import (
+        assign_contiguous_ids,
+    )
+
+    df = spark.createDataFrame([(x,) for x in [30, 10, 20, 40, 5]], "k int")
+    out = assign_contiguous_ids(df, ["k"], num_partitions=3).collect()
+    by_k = {r.k: r.row_id for r in out}
+    assert by_k == {5: 0, 10: 1, 20: 2, 30: 3, 40: 4}
+    with pytest.raises(ValueError):
+        assign_contiguous_ids(df, [])
+
+
+def test_contiguous_ids_plan_has_no_single_partition_window(spark, sf_dir):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+
+    df = REGISTRY["corpus_contiguous_ids"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan  # no global row_number() fallback
