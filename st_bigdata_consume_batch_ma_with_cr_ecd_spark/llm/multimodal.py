@@ -59,3 +59,123 @@ def extract_image_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(op, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = "doc_id long, payload binary, width int, height int"
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Batch image resize via mapInPandas: payload in, resized payload +
+    dimensions out. Fake path truncates/pads bytes to ``w*h`` so output
+    sizes (and downstream partition planning) behave like the real
+    thing; swap the marked block for PIL/libvips when available.
+
+    For multi-MB blobs cap Arrow batch sizes
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``) so a batch fits
+    executor memory — batch bytes = records x blob size.
+    """
+    size = target_w * target_h
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError("real resize needs PIL/libvips")
+            out = pdf[payload_col].map(
+                lambda b: (b or b"\x00")[:size].ljust(size, b"\x00")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out,
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def sample_video_frames(
+    df: DataFrame,
+    *,
+    frame_bytes: int = 16,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Keyframe sampling: one input row fans out to one output row per
+    kept frame (mapInPandas yields more rows than it receives — the
+    shape a real ffmpeg/pyav sampler needs). Fake path treats the
+    payload as ``frame_bytes``-sized frames and keeps every
+    ``every_n``-th."""
+
+    def op(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError("real frame sampling needs pyav/ffmpeg")
+            ids, idxs, frames = [], [], []
+            for doc, b in zip(pdf[id_col], pdf[payload_col]):
+                b = b or b""
+                n_frames = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                for i in range(0, n_frames, every_n):
+                    ids.append(doc)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, payload_col).mapInPandas(op, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id long, n_samples long, mean_level double, peak_level int"
+
+
+def extract_audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Audio feature extraction (level stats) — vectorized over the whole
+    Arrow batch with numpy, no per-row Python. Fake path reads the raw
+    bytes as unsigned 8-bit samples; a real path would
+    ``soundfile.read`` into the same numpy shape."""
+
+    def op(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake_decode:
+                raise NotImplementedError("real audio decode needs soundfile/librosa")
+            stats = []
+            for b in pdf[payload_col]:
+                arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
+                stats.append((len(arr), round(float(arr.mean()), 4), int(arr.max())))
+            n, mean, peak = zip(*stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_samples": n,
+                    "mean_level": mean,
+                    "peak_level": peak,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, AUDIO_SCHEMA)

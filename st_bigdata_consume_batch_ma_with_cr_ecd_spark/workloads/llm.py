@@ -705,3 +705,17 @@ def corpus_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang")
     return assign_contiguous_ids(docs, ["lang", "doc_id"]).select("doc_id", "row_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # binary fan-out via mapInPandas — no SQL twin; rows-only check
+    doc="Video keyframe sampling plumbing: one row per kept frame, fanned out "
+    "inside mapInPandas (the shape a real ffmpeg sampler needs). Decode is "
+    "stubbed deterministically; schema/batching/partitioning are real.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import attach_binary_payload, sample_video_frames
+
+    with_payload = attach_binary_payload(_docs(spark, sf_dir))
+    return sample_video_frames(with_payload, frame_bytes=16, every_n=2)

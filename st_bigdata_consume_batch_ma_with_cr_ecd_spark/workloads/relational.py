@@ -1310,3 +1310,49 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 7 == 0).alias("is_delete"),
     )
     return merge_upsert(o, changes, ["o_orderkey"], delete_col="is_delete")
+
+
+@register(
+    "dq_quarantine_summary",
+    oracle="""
+    WITH labeled AS (
+        SELECT o_orderkey,
+               (CASE WHEN NOT coalesce(o_totalprice > 0 AND o_totalprice <= 350000, FALSE)
+                     THEN 1 ELSE 0 END) AS v_price,
+               (CASE WHEN NOT coalesce(o_orderstatus IN ('F','O','P'), FALSE)
+                     THEN 1 ELSE 0 END) AS v_status,
+               (CASE WHEN NOT coalesce(o_orderdate IS NOT NULL, FALSE)
+                     THEN 1 ELSE 0 END) AS v_date
+        FROM orders
+    )
+    SELECT CAST(sum(CASE WHEN v_price + v_status + v_date > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(sum(CASE WHEN v_price + v_status + v_date = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(sum(v_price) AS BIGINT)  AS fail_price_band,
+           CAST(sum(v_status) AS BIGINT) AS fail_known_status,
+           CAST(sum(v_date) AS BIGINT)   AS fail_has_date
+    FROM labeled
+    """,
+    doc="Data-quality gate (functions.quality): declarative rules -> per-rule "
+    "violation labels -> quarantine split, all as JVM predicates over one "
+    "scan. NULL rule results quarantine (an unevaluable rule must not pass). "
+    "Output: triage summary the nightly job alerts on.",
+)
+def dq_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import quarantine_split, with_violations, VIOLATIONS_COL
+
+    rules = {
+        "price_band": F.col("o_totalprice").between(1e-9, 350000.0),
+        "known_status": F.col("o_orderstatus").isin("F", "O", "P"),
+        "has_date": F.col("o_orderdate").isNotNull(),
+    }
+    labeled = with_violations(_t(spark, sf_dir, "orders"), rules)
+    has = lambda name: F.array_contains(F.col(VIOLATIONS_COL), name).cast("int")  # noqa: E731
+    return labeled.agg(
+        F.sum((F.size(F.col(VIOLATIONS_COL)) > 0).cast("int")).cast("long").alias("n_quarantined"),
+        F.sum((F.size(F.col(VIOLATIONS_COL)) == 0).cast("int")).cast("long").alias("n_valid"),
+        F.sum(has("price_band")).cast("long").alias("fail_price_band"),
+        F.sum(has("known_status")).cast("long").alias("fail_known_status"),
+        F.sum(has("has_date")).cast("long").alias("fail_has_date"),
+    )

@@ -258,3 +258,56 @@ def test_redact_pii_patterns(spark):
     assert got[1] == "server <IP> port 80"
     assert "<PHONE>" in got[2] and "555" not in got[2]
     assert got[3] == "no pii here, just 42"
+
+
+def test_multimodal_resize_and_audio_shapes(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
+        extract_audio_features,
+        resize_images,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"abcdef" * 10), (2, b"x"), (3, None)], "doc_id long, payload binary"
+    )
+    resized = resize_images(df, 4, 3).collect()
+    assert all(len(r.payload) == 12 and r.width == 4 and r.height == 3 for r in resized)
+
+    frames = sample_video_frames(df, frame_bytes=8, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+    # 60 bytes -> 8 frames -> keep 0,2,4,6 ; 1 byte -> frame 0 ; None -> frame 0
+    assert by_doc[1] == [0, 2, 4, 6] and by_doc[2] == [0] and by_doc[3] == [0]
+
+    audio = {r.doc_id: r for r in extract_audio_features(df).collect()}
+    assert audio[1].n_samples == 60 and audio[1].peak_level == ord("f")
+    assert audio[3].n_samples == 1  # null payload -> 1 zero sample, no crash
+
+
+def test_multimodal_real_decode_gates_raise(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
+        resize_images,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame([(1, b"ab")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="NotImplementedError|PIL|pyav|ffmpeg|libvips"):
+        resize_images(df, 2, 2, fake_decode=False).collect()
+    with pytest.raises(Exception, match="NotImplementedError|pyav|ffmpeg"):
+        sample_video_frames(df, fake_decode=False).collect()
+
+
+def test_quarantine_split_partitions_rows(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.functions.quality import (
+        quarantine_split,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None)], "id int, price double"
+    )
+    valid, bad = quarantine_split(df, {"pos_price": F.col("price") > 0})
+    assert [r.id for r in valid.collect()] == [1]
+    got = {r.id: list(r["__violations"]) for r in bad.collect()}
+    assert got == {2: ["pos_price"], 3: ["pos_price"]}  # NULL rule -> quarantined
