@@ -47,7 +47,7 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_labels = sym.join(
             labels.withColumnRenamed("node", "dst"), on="dst"
         ).select(F.col("src").alias("node"), "label")
@@ -55,16 +55,20 @@ def connected_components(
             labels.unionByName(neighbor_labels).groupBy("node").agg(F.min("label").alias("label"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        # round 0 always changes something when any edge exists — skip
+        # the convergence probe (one fewer job per call)
+        if it > 0:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="node")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels
 
 

@@ -1356,3 +1356,67 @@ def dq_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(has("known_status")).cast("long").alias("fail_known_status"),
         F.sum(has("has_date")).cast("long").alias("fail_has_date"),
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: order-count histogram including ZERO-order customers. "
+    "The non-key predicate lives in the JOIN CONDITION, not WHERE — filtering "
+    "after a left join would silently turn it inner and drop the zero bucket. "
+    "Two-level aggregation: the second groupBy shuffles only (count, custkey) "
+    "pairs, already one row per customer.",
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q22_dormant_accounts",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_custs,
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    doc="TPC-H Q22 shape: above-average-balance customers with no URGENT order "
+    "— a scalar aggregate subquery (global avg, broadcast as a 1-row join) "
+    "gating a LEFT ANTI join against a filtered orders scan, then a segment "
+    "rollup. The anti join shuffles only keys; the priority filter pushes "
+    "into the orders scan before the join.",
+)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg"))
+    rich = cust.join(F.broadcast(avg_bal)).where(F.col("c_acctbal") > F.col("__avg"))
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    dormant = rich.join(urgent, rich.c_custkey == F.col("o_custkey"), "left_anti")
+    return dormant.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        rounded_sum("c_acctbal", 2).alias("total_bal"),
+    )
