@@ -25,3 +25,25 @@ def render_sql(template: str, **params: object) -> str:
 
 def load_sql_template(path: str | Path, **params: object) -> str:
     return render_sql(Path(path).read_text(), **params)
+
+
+def run_templated_query(
+    spark,
+    template: str,
+    *,
+    views: dict[str, "object"] | None = None,
+    **params: object,
+):
+    """Execute a rendered SQL template the way the reference's driver
+    does (``helper.py:64-72`` + ``main.py``'s ``spark.sql`` loop):
+    register each DataFrame in ``views`` as a temp view, substitute the
+    ``{name}`` parameters, and hand the text to Catalyst.
+
+    SQL text and the DataFrame API compile to the same logical plans —
+    pushdown/broadcast/AQE behave identically — so pipelines can mix
+    both freely (the reference is SQL-first; this engine is
+    DataFrame-first with this as the compatibility path).
+    """
+    for name, df in (views or {}).items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(render_sql(template, **params))

@@ -1420,3 +1420,39 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_custs"),
         rounded_sum("c_acctbal", 2).alias("total_bal"),
     )
+
+
+@register(
+    "sql_templated_latest_version",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                                     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    ) WHERE rn = 1
+    """,
+    doc="The reference's SQL execution path (helper.py:64-72, main.py spark.sql "
+    "loop): a {param}-templated query text over temp views, rendered and "
+    "handed to Catalyst (sources.sql_templates.run_templated_query). Same "
+    "latest-version-per-day dedup as 1-basedata_first_query.sql; identical "
+    "physical plan to the DataFrame formulation (WindowGroupLimit included).",
+)
+def sql_templated_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.sql_templates import run_templated_query
+
+    template = """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey, CAST(o_orderdate AS DATE)
+                                         ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+            FROM {src_view} WHERE o_orderdate >= TIMESTAMP '{min_date}'
+        ) WHERE rn = 1
+    """
+    return run_templated_query(
+        spark,
+        template,
+        views={"orders_cdc": _t(spark, sf_dir, "orders")},
+        src_view="orders_cdc",
+        min_date="1996-01-01",
+    )
