@@ -106,3 +106,31 @@ def load_nanos_events(spark: SparkSession, path: str, ts_col: str = "ts") -> Dat
     df = spark.read.parquet(path)
     # integer `div`, NOT `/`: epoch-nanos (~1.7e18) overflow double precision
     return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+
+
+def read_json_lines(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    *,
+    recursive: bool = True,
+) -> DataFrame:
+    """JSONL scan (the interchange format of most public text corpora).
+
+    ALWAYS pass a schema in production: schema inference runs a full
+    extra pass over 100 TB before the real read. Corrupt lines land in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the job —
+    filter or quarantine them explicitly.
+    """
+    reader = spark.read.option("recursiveFileLookup", str(recursive).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, *, columns: list[str] | None = None) -> DataFrame:
+    """ORC scan — same pushdown/pruning behavior as parquet (both are
+    columnar with stats footers); included so warehouses with ORC-era
+    history can feed the same operators."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df

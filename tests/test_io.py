@@ -124,3 +124,35 @@ def test_zorder_layout_narrows_file_stats_on_both_dims(spark, sf_dir, tmp_path):
     z_cust = statistics.mean(spans(zpath, "o_custkey"))
     full = max(spans(spath, "o_custkey")) * 8  # ~global span upper bound
     assert z_cust < full, (z_cust, full)
+
+
+def test_jsonl_roundtrip_with_corrupt_record_capture(spark, tmp_path):
+    import json
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_json_lines
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    lines = [json.dumps({"id": 1, "text": "hello"}), "{not json", json.dumps({"id": 2, "text": "ok"})]
+    (p / "part-0.jsonl").write_text("\n".join(lines))
+    df = read_json_lines(
+        spark, str(p), "id long, text string, _corrupt_record string"
+    ).cache()
+    try:
+        good = df.where("_corrupt_record IS NULL")
+        bad = df.where("_corrupt_record IS NOT NULL")
+        assert {(r.id, r.text) for r in good.collect()} == {(1, "hello"), (2, "ok")}
+        assert bad.count() == 1  # quarantined, not a job failure
+    finally:
+        df.unpersist()
+
+
+def test_orc_roundtrip_preserves_schema(spark, sf_dir, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_orc, read_testdata
+
+    orders = read_testdata(spark, sf_dir, "orders").limit(100)
+    path = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(path)
+    back = read_orc(spark, path, columns=["o_orderkey", "o_totalprice"])
+    assert back.columns == ["o_orderkey", "o_totalprice"]
+    assert back.count() == 100
