@@ -486,3 +486,41 @@ def test_consume_batch_end_to_end_and_json_shape(spark, fixture_tables):
     assert "metaData" in schema and "changeLog" in schema["metaData"].simpleString()
     first_shaped = shaped.collect()[0]
     assert first_shaped.subTypes in ({"house": "VILLA"}, {"apartment": "PENTHOUSE"})
+
+
+def test_cli_driver_writes_all_three_sinks(spark, fixture_tables, tmp_path):
+    """tools/run_consume_batch.py end-to-end: same fixtures via parquet
+    inputs, all three reference sinks written, parquet row count equals
+    the in-process pipeline's."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import run_consume_batch as cli
+
+    _, t = fixture_tables
+    in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+    for name in cli.INPUT_TABLES:
+        t[name].write.mode("overwrite").parquet(str(in_dir / name))
+
+    rc = cli.main(
+        [
+            "--input-dir", str(in_dir),
+            "--output-dir", str(out_dir),
+            "--partition-date", "2024-07-15",
+            "--days-ago", "10",
+        ]
+    )
+    assert rc == 0
+
+    expected = consume_batch(
+        t["changelog"], t["texts"], t["visibility"], t["fraud"], t["contacts"], t["visits"],
+        t["bundeslaender"], t["stadtlandkreise"], DATES,
+    ).count()
+    got = spark.read.parquet(str(out_dir / "parquet")).count()
+    assert got == expected > 0
+    # one gzip file per slice for both text sinks that had rows
+    for kind in ("csv", "json"):
+        slices = list((out_dir / kind).iterdir())
+        assert len(slices) == 4
+        assert all(any(p.name.endswith(".gz") for p in s.iterdir()) for s in slices)
