@@ -719,3 +719,67 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     with_payload = attach_binary_payload(_docs(spark, sf_dir))
     return sample_video_frames(with_payload, frame_bytes=16, every_n=2)
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id, regexp_replace(lower(trim(substr(text, 1, 40))), '\\s+', ' ', 'g') AS head
+        FROM documents
+    ),
+    blocked AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.head AS ha, b.head AS hb
+        FROM n a JOIN n b
+          ON substr(a.head, 1, 8) = substr(b.head, 1, 8) AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(levenshtein(ha, hb) AS INT) AS edit_dist
+    FROM blocked WHERE levenshtein(ha, hb) <= 10
+    """,
+    doc="Fuzzy near-dedup: normalized 40-char head, blocking on the first 8 "
+    "chars (the equi key that makes the candidate join hash-partitionable — "
+    "all-pairs levenshtein is O(n^2) and unshardable), then exact edit "
+    "distance <= 10 on candidates only. Spark and DuckDB levenshtein agree "
+    "exactly (classic Wagner-Fischer).",
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    head = F.regexp_replace(F.lower(F.trim(F.substring(F.col("text"), 1, 40))), r"\s+", " ")
+    n = _docs(spark, sf_dir).select("doc_id", head.alias("head"))
+    a = n.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("ha"),
+                 F.substring("head", 1, 8).alias("blk"))
+    b = n.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("hb"),
+                 F.substring("head", 1, 8).alias("blk"))
+    dist = F.levenshtein(F.col("ha"), F.col("hb"))
+    return (
+        a.join(b, (a.blk == b.blk) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", dist.cast("int").alias("edit_dist"))
+        .where(F.col("edit_dist") <= 10)
+    )
+
+
+@register(
+    "stats_profile_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               CAST(least(floor(value / 25.0), 19) AS INT) AS bucket
+        FROM events WHERE value IS NOT NULL AND value >= 0
+    )
+    SELECT event_type, bucket, count(*) AS n,
+           CAST(bucket * 25.0 AS DOUBLE) AS bucket_lo
+    FROM b GROUP BY event_type, bucket
+    """,
+    doc="Data-profiling histogram: fixed-width value buckets per event type in "
+    "one groupBy (floor arithmetic, top bucket clamped) — the single-pass "
+    "distribution profile a 100-TB quality dashboard is built from.",
+)
+def stats_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
+    return (
+        ev.where(F.col("value").isNotNull() & (F.col("value") >= 0))
+        .select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bucket_lo", (F.col("bucket") * 25.0).cast("double"))
+    )
