@@ -1456,3 +1456,31 @@ def sql_templated_latest_version(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_view="orders_cdc",
         min_date="1996-01-01",
     )
+
+
+@register(
+    "w_rank_family",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4)       OVER w AS spend_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="The rank-function family (ntile/percent_rank/cume_dist/rank/"
+    "dense_rank) over one shared window — one shuffle + one sort serves all "
+    "five. Total order (price, key) keeps every function deterministic.",
+)
+def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
