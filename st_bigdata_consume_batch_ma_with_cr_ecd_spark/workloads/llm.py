@@ -9,6 +9,8 @@ hyperplane LSH are rows-only checks.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -782,4 +784,35 @@ def stats_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("bucket_lo", (F.col("bucket") * 25.0).cast("double"))
+    )
+
+
+@register(
+    "stats_pandas_grouped_median",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS median_value,
+           round(avg(value), 4) AS mean_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Grouped-aggregate Pandas UDF: numpy median per group over Arrow "
+    "batches — the pattern slot for any numpy/scipy aggregate Spark lacks "
+    "(grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg(), "
+    "so the mean is numpy too). numpy median == type-7 quantile == DuckDB "
+    "quantile_cont — exact cross-engine match.",
+)
+def stats_pandas_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf("double")
+    def np_median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy(dtype="float64")))
+
+    @F.pandas_udf("double")
+    def np_mean(v: pd.Series) -> float:
+        return float(v.to_numpy(dtype="float64").mean())
+
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg()
+    ev = read_testdata(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(np_median("value"), 4).alias("median_value"),
+        F.round(np_mean("value"), 4).alias("mean_value"),
     )

@@ -1484,3 +1484,42 @@ def w_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
     )
+
+
+@register(
+    "udtf_date_spine",
+    oracle="""
+    SELECT o_orderkey, CAST(d AS DATE) AS active_day
+    FROM orders, unnest(generate_series(
+        CAST(o_orderdate AS DATE),
+        CAST(o_orderdate AS DATE) + INTERVAL 2 DAY,
+        INTERVAL 1 DAY)) AS u(d)
+    WHERE o_orderkey <= 1000
+    """,
+    doc="Python UDTF (Spark 4 table function): each order expands to its "
+    "3-day active-day spine — the date-scaffold generator behind fill-gaps "
+    "/ as-of reporting. One lateral-join Generate node; rows fan out "
+    "executor-side, never through the driver.",
+)
+def udtf_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="active_day date")
+    class DateSpine:
+        def eval(self, start: dt.date):
+            for i in range(3):
+                yield (start + dt.timedelta(days=i),)
+
+    spark.udtf.register("date_spine", DateSpine)
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    orders.createOrReplaceTempView("orders_spine_src")
+    return spark.sql(
+        """
+        SELECT s.o_orderkey, d.active_day
+        FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS start_day
+              FROM orders_spine_src) s,
+        LATERAL date_spine(s.start_day) d
+        """
+    )

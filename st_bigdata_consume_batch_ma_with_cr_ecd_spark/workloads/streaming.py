@@ -154,3 +154,47 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy(F.col("p_id").alias("event_id")).agg(
         F.count(F.lit(1)).alias("n_preceding")
     )
+
+
+@register(
+    "streaming_static_enrich",
+    oracle="""
+    WITH tiers AS (
+        SELECT user_id, CASE WHEN count(*) >= 25 THEN 'heavy' ELSE 'light' END AS tier
+        FROM events GROUP BY user_id
+    )
+    SELECT t.tier, count(*) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value
+    FROM events e JOIN tiers t ON e.user_id = t.user_id
+    GROUP BY t.tier
+    """,
+    doc="Stream-static join: the flowing events stream enriches against a "
+    "static dimension (per-user tier) computed in batch — the broadcast "
+    "refresh pattern every streaming consumer needs (dims re-read per "
+    "micro-batch, no stream state). Drained totals equal the batch join.",
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the static dim: computed once in batch, broadcast into the stream
+    static_tiers = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 25, "heavy").otherwise("light").alias("tier"),
+        )
+    )
+
+    def transform(s: DataFrame) -> DataFrame:
+        enriched = s.join(F.broadcast(static_tiers), "user_id")
+        return enriched.groupBy("tier").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+
+    return run_stream_to_memory(
+        spark, f"{sf_dir}/events.parquet", transform, output_mode="complete"
+    )
