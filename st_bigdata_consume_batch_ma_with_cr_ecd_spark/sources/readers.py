@@ -134,3 +134,15 @@ def read_orc(spark: SparkSession, path: str, *, columns: list[str] | None = None
     history can feed the same operators."""
     df = spark.read.orc(path)
     return df.select(*columns) if columns else df
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: ``mergeSchema`` unions the
+    footer schemas of every file, so files written before a column was
+    added read as NULL in that column instead of failing.
+
+    Costs one footer read per file (not a data scan) — fine nightly,
+    but pin an explicit schema on hot paths; at 100 TB the footer
+    listing alone is a driver-side cost worth caching in a catalog.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -199,3 +199,35 @@ def test_foreach_batch_partition_overwrite_is_idempotent(spark, sf_dir, tmp_path
     partition_overwrite_batch_writer(out, ["etype"])(batch, epoch_id=0)
     n2 = spark.read.parquet(out).count()
     assert n2 == n1  # converged, no duplicate rows
+
+
+def test_read_parquet_evolved_tolerates_added_column(spark, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([(1, "a")], "id int, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, name string, score double"
+    ).write.mode("append").parquet(p)
+    df = read_parquet_evolved(spark, p)
+    rows = {r.id: (r.name, r.score) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_compact_small_files_preserves_rows(spark, sf_dir, tmp_path):
+    from pathlib import Path
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.layout import compact_small_files
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    p = str(tmp_path / "frag")
+    orders = read_testdata(spark, sf_dir, "orders")
+    orders.repartition(32).write.parquet(p)  # fragment: 32 tiny files
+    assert len(list(Path(p).rglob("*.parquet"))) == 32
+    before = spark.read.parquet(p).count()
+
+    n = compact_small_files(spark, p, target_file_bytes=10 * 1024 * 1024)
+    assert n < 32
+    assert spark.read.parquet(p).count() == before
