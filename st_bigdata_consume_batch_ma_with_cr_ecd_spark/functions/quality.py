@@ -37,3 +37,13 @@ def quarantine_split(df: DataFrame, rules: Mapping[str, Column]) -> tuple[DataFr
     labeled = with_violations(df, rules)
     ok = F.size(F.col(VIOLATIONS_COL)) == 0
     return labeled.where(ok).drop(VIOLATIONS_COL), labeled.where(~ok)
+
+
+def with_observed_metrics(df: DataFrame, name: str, **metrics: Column) -> DataFrame:
+    """Attach streaming/batch-safe in-flight metrics (``df.observe``):
+    aggregates computed DURING the action that consumes ``df``, for free
+    — no second scan, unlike a separate ``.agg().collect()`` audit pass.
+    Read them back from ``QueryExecutionListener`` /
+    ``StreamingQueryListener`` or (batch) ``Observation``.
+    """
+    return df.observe(name, *[c.alias(n) for n, c in metrics.items()])

@@ -1523,3 +1523,28 @@ def udtf_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         LATERAL date_spine(s.start_day) d
         """
     )
+
+
+@register(
+    "x_variant_shredding",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_total,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS k_max
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured VARIANT path (Spark 4): parse_json once into the "
+    "binary variant encoding, then typed variant_get extraction feeding "
+    "ordinary aggregation — the evolution of the reference's "
+    "get_json_object string re-parsing (one parse per row, not one per "
+    "field access).",
+)
+def x_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("k_total"),
+        F.max("k").cast("int").alias("k_max"),
+    )

@@ -311,3 +311,23 @@ def test_quarantine_split_partitions_rows(spark):
     assert [r.id for r in valid.collect()] == [1]
     got = {r.id: list(r["__violations"]) for r in bad.collect()}
     assert got == {2: ["pos_price"], 3: ["pos_price"]}  # NULL rule -> quarantined
+
+
+def test_observed_metrics_piggyback_on_the_action(spark):
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.functions.quality import (
+        with_observed_metrics,
+    )
+
+    obs = Observation("audit")
+    df = spark.range(100).observe(
+        obs, F.count(F.lit(1)).alias("rows"), F.sum("id").alias("id_sum")
+    )
+    assert df.count() == 100  # the consuming action
+    assert obs.get == {"rows": 100, "id_sum": 4950}
+
+    # the helper shape: named metrics appear in the plan without a second scan
+    audited = with_observed_metrics(spark.range(10), "m", rows=F.count(F.lit(1)))
+    assert audited.count() == 10

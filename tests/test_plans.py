@@ -106,3 +106,12 @@ def test_keyless_range_joins_avoid_nested_loop(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    # the session factory turns AQE on; a small post-shuffle stage must
+    # show AQEShuffleRead (coalesced) instead of 32 tiny reducers
+    df = REGISTRY["f4_enum_equality"].fn(spark, sf_dir)
+    df.collect()  # AQE re-plans at runtime; materialize first
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
