@@ -93,8 +93,18 @@ def overwrite_partitions(
     is about to rewrite, the open equivalent of Glue ``purge_table`` +
     append (reference ``script/main.py:395-416``).
     """
-    writer = df.write.mode("overwrite").format(format).partitionBy(*partition_by)
     if as_table:
-        writer.saveAsTable(path_or_table)
+        # saveAsTable(mode=overwrite) REPLACES the whole table regardless
+        # of partitionOverwriteMode; only insertInto honors dynamic
+        # overwrite. Create on first write, insertInto thereafter.
+        if df.sparkSession.catalog.tableExists(path_or_table):
+            # insertInto matches by POSITION and the table stores
+            # partition columns last — reorder to the table's schema
+            table_cols = df.sparkSession.table(path_or_table).columns
+            df.select(*table_cols).write.mode("overwrite").insertInto(path_or_table)
+        else:
+            df.write.mode("overwrite").format(format).partitionBy(*partition_by).saveAsTable(
+                path_or_table
+            )
     else:
-        writer.save(path_or_table)
+        df.write.mode("overwrite").format(format).partitionBy(*partition_by).save(path_or_table)

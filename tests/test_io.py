@@ -231,3 +231,25 @@ def test_compact_small_files_preserves_rows(spark, sf_dir, tmp_path):
     n = compact_small_files(spark, p, target_file_bytes=10 * 1024 * 1024)
     assert n < 32
     assert spark.read.parquet(p).count() == before
+
+
+def test_overwrite_partitions_as_catalog_table(spark, tmp_path):
+    """The catalog-managed path (as_table=True): dynamic overwrite must
+    behave identically through saveAsTable — the open equivalent of the
+    reference's Glue catalog sink (glue.tf:5-16)."""
+    name = "t_overwrite_catalog"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    base = spark.createDataFrame(
+        [("2024-01", 1), ("2024-02", 2)], "partition_month string, v int"
+    )
+    overwrite_partitions(base, name, ["partition_month"], as_table=True)
+    patch = spark.createDataFrame([("2024-02", 77)], "partition_month string, v int")
+    try:
+        overwrite_partitions(patch, name, ["partition_month"], as_table=True)
+        back = spark.table(name)
+        assert rows_set(back.select("partition_month", "v")) == {
+            ("2024-01", 1),
+            ("2024-02", 77),
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
