@@ -1548,3 +1548,26 @@ def x_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("k_total"),
         F.max("k").cast("int").alias("k_max"),
     )
+
+
+@register(
+    "stats_corr_covar",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 6)      AS qty_disc_covar,
+           round(stddev_samp(l_extendedprice), 4)            AS price_stddev
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Bivariate statistics per group: Pearson correlation, sample "
+    "covariance, sample stddev — single-pass partial-aggregable moments "
+    "(sum, sum-of-squares, cross-products), so the shuffle carries one "
+    "moment vector per group, not the data.",
+)
+def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+    )
