@@ -1571,3 +1571,47 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
     )
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2)
+                 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: a derived revenue view consumed twice — once for the "
+    "global max (scalar subquery, 1-row broadcast) and once as the join "
+    "input. The view computes ONCE per consumer; revenue stays DECIMAL "
+    "through the equality comparison (a rounded-double equality would be "
+    "engine-dependent) and casts to double only in the output.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,8)")),
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("__max"))
+    top = revenue.join(F.broadcast(max_rev)).where(F.col("total_revenue") == F.col("__max"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return sup.join(top, sup.s_suppkey == top.supplier_no).select(
+        "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+    )

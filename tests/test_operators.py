@@ -409,3 +409,41 @@ def test_contiguous_ids_plan_has_no_single_partition_window(spark, sf_dir):
     df = REGISTRY["corpus_contiguous_ids"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan  # no global row_number() fallback
+
+
+# ---------------------------------------------------------------- empty inputs
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Every composite operator must behave on 0-row frames — at 100 TB
+    an empty slice/partition/day is routine, not exceptional."""
+    import datetime as dtm
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import (
+        connected_components,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.merge import merge_upsert
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    empty_edges = spark.createDataFrame([], "src int, dst int")
+    assert connected_components(empty_edges).count() == 0
+
+    snap = spark.createDataFrame([(1, 2.0)], "id int, v double")
+    no_changes = spark.createDataFrame([], "id int, v double")
+    assert {r.id: r.v for r in merge_upsert(snap, no_changes, ["id"]).collect()} == {1: 2.0}
+    empty_snap = spark.createDataFrame([], "id int, v double")
+    assert {r.id for r in merge_upsert(empty_snap, snap, ["id"]).collect()} == {1}
+
+    pts = spark.createDataFrame([], "x double")
+    iv = spark.createDataFrame([(1, 0.0, 5.0)], "iid int, lo double, hi double")
+    assert point_in_interval_join(pts, iv, "x", "lo", "hi", bucket_width=2.0).count() == 0
+    assert (
+        point_in_interval_join(
+            spark.createDataFrame([(3.0,)], "x double"),
+            spark.createDataFrame([], "iid int, lo double, hi double"),
+            "x", "lo", "hi", bucket_width=2.0,
+        ).count()
+        == 0
+    )
