@@ -816,3 +816,104 @@ def stats_pandas_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(np_median("value"), 4).alias("median_value"),
         F.round(np_mean("value"), 4).alias("mean_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# End-to-end embedding pipeline, oracle-checked: chunk -> embed -> retrieve
+# --------------------------------------------------------------------------
+
+_EMB_DIMS = 8
+
+
+def _duck_chunk_emb() -> str:
+    dims = ", ".join(
+        f"CAST(ascii(substr(md5(chunk || ':{i}'), 1, 1)) * 100 "
+        f"+ ascii(substr(md5(chunk || ':{i}'), 2, 1)) AS DOUBLE)"
+        for i in range(_EMB_DIMS)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, CAST(s AS INT) AS chunk_start,
+               array_to_string(list_slice(tokens, s, s + 14), ' ') AS chunk
+        FROM tok, unnest(range(1, greatest(len(tokens), 1) + 1, 10)) AS u(s)
+    ),
+    emb AS (SELECT doc_id, chunk_start, [{dims}] AS e FROM chunks)
+    """
+
+
+@register(
+    "corpus_embed_retrieve",
+    oracle=_duck_chunk_emb()
+    + """
+    , scored AS (
+        SELECT q.doc_id, q.chunk_start,
+               c.doc_id AS n_doc, c.chunk_start AS n_start,
+               round(list_dot_product(q.e, c.e) /
+                     (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6)
+                 AS cosine
+        FROM emb q JOIN emb c ON q.doc_id <> c.doc_id
+        WHERE q.doc_id < 5
+    )
+    SELECT doc_id, chunk_start, n_doc, n_start, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, chunk_start
+                                     ORDER BY cosine DESC, n_doc, n_start) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="The full retrieval chain as ONE oracle-checked plan: token-window "
+    "chunking -> deterministic hash embedding (md5-derived, identical "
+    "expression in both engines — the stand-in slot for a real encoder UDF) "
+    "-> cross-document cosine top-1 per query chunk. At corpus scale the "
+    "final join swaps for the IVF/LSH candidate path; everything upstream "
+    "is unchanged.",
+)
+def corpus_embed_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import _dot
+    from ..llm.text import chunk_at, chunk_starts, tokenize
+
+    toks = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("tokens"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(chunk_starts(F.col("tokens"), 10)).alias("s"),
+        "tokens",
+    ).select(
+        "doc_id",
+        F.col("s").cast("int").alias("chunk_start"),
+        chunk_at(F.col("tokens"), F.col("s"), 15).alias("chunk"),
+    )
+
+    def dim(i: int):
+        h = F.md5(F.concat(F.col("chunk"), F.lit(f":{i}")))
+        return (F.ascii(F.substring(h, 1, 1)) * 100 + F.ascii(F.substring(h, 2, 1))).cast("double")
+
+    emb = chunks.select(
+        "doc_id", "chunk_start", F.array(*[dim(i) for i in range(_EMB_DIMS)]).alias("e")
+    )
+    norm = F.sqrt(_dot(F.col("e"), F.col("e")))
+    emb = emb.withColumn("nrm", norm)
+    q = emb.where(F.col("doc_id") < 5).select(
+        F.col("doc_id"), F.col("chunk_start"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = emb.select(
+        F.col("doc_id").alias("n_doc"),
+        F.col("chunk_start").alias("n_start"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cosine = F.round(_dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("doc_id") != F.col("n_doc"))
+        .select("doc_id", "chunk_start", "n_doc", "n_start", cosine.alias("cosine"))
+    )
+    from ..operators.dedup import top_n_per_group
+
+    return top_n_per_group(
+        scored,
+        ["doc_id", "chunk_start"],
+        [F.col("cosine").desc(), F.col("n_doc").asc(), F.col("n_start").asc()],
+        n=1,
+    )
