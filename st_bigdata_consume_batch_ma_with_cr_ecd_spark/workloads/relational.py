@@ -1615,3 +1615,62 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.join(top, sup.s_suppkey == top.supplier_no).select(
         "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
     )
+
+
+@register(
+    "gap_fill_monthly_spend",
+    oracle="""
+    WITH actual AS (
+        SELECT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS INT) AS m,
+               round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS spend_dec
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+    ),
+    bounds AS (SELECT o_custkey, min(m) AS lo, max(m) AS hi FROM actual GROUP BY o_custkey),
+    spine AS (
+        SELECT b.o_custkey, CAST(u.m AS INT) AS m
+        FROM bounds b, unnest(range(b.lo, b.hi + 1)) AS u(m)
+    )
+    SELECT s.o_custkey, s.m AS month_idx,
+           CAST(last_value(a.spend_dec IGNORE NULLS) OVER (
+                PARTITION BY s.o_custkey ORDER BY s.m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_ffill,
+           (a.spend_dec IS NULL) AS was_gap
+    FROM spine s LEFT JOIN actual a ON s.o_custkey = a.o_custkey AND s.m = a.m
+    """,
+    doc="Hypertable-style gap fill: per customer, a dense month spine between "
+    "first and last activity (sequence+explode — spine rows are generated "
+    "executor-side, never on the driver), left join actual spend, then "
+    "forward-fill via last(ignorenulls) over an ordered window. All native "
+    "DataFrame ops; spine width bounded by the filter window.",
+)
+def gap_fill_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("int")
+    actual = (
+        _t(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("o_custkey", m.alias("m"))
+        .agg(F.round(F.sum(F.col("o_totalprice").cast("decimal(30,8)")), 2).alias("spend_dec"))
+    )
+    spine = (
+        actual.groupBy("o_custkey")
+        .agg(F.min("m").alias("lo"), F.max("m").alias("hi"))
+        .select("o_custkey", F.explode(F.sequence("lo", "hi")).alias("m"))
+    )
+    joined = spine.join(actual, ["o_custkey", "m"], "left")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "o_custkey",
+        F.col("m").alias("month_idx"),
+        F.last("spend_dec", ignorenulls=True).over(w).cast("double").alias("spend_ffill"),
+        F.col("spend_dec").isNull().alias("was_gap"),
+    )
