@@ -39,6 +39,11 @@ def merge_upsert(
     if the batch is small Catalyst broadcasts it instead. For
     partitioned tables, pre-prune the snapshot to the batch's
     partitions (semi join) so the outer join never touches cold data.
+
+    ``changes`` must carry at most one row per key (CDC batches should
+    be pre-compacted to latest-per-key, e.g. via
+    ``operators.dedup.top_n_per_group``); duplicate keys would fan the
+    join out and emit duplicate output rows.
     """
     if not keys:
         raise ValueError("keys must be non-empty")
