@@ -917,3 +917,32 @@ def corpus_embed_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("cosine").desc(), F.col("n_doc").asc(), F.col("n_start").asc()],
         n=1,
     )
+
+
+@register(
+    "stats_hll_sketch_merge",
+    oracle=None,  # sketch binaries are engine-specific; estimates pytested vs exact
+    doc="Mergeable HLL sketches (Spark 4 hll_sketch_agg/hll_union_agg): one "
+    "sketch per event type, then a union-merge for the global estimate — "
+    "the store-per-partition / merge-on-read cardinality pattern that "
+    "replaces count_distinct re-scans at 100 TB (sketches persist as "
+    "binary columns; merging is associative).",
+)
+def stats_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    per_type = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+        "n_events",
+        "sketch",
+    )
+    merged = per_type.agg(
+        F.lit("__all__").alias("event_type"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return per_type.drop("sketch").unionByName(merged)

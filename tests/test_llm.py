@@ -331,3 +331,16 @@ def test_observed_metrics_piggyback_on_the_action(spark):
     # the helper shape: named metrics appear in the plan without a second scan
     audited = with_observed_metrics(spark.range(10), "m", rows=F.count(F.lit(1)))
     assert audited.count() == 10
+
+
+def test_hll_sketch_merge_estimates_within_error(spark, sf_dir):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    rows = {r.event_type: r.approx_users for r in REGISTRY["stats_hll_sketch_merge"].fn(spark, sf_dir).collect()}
+    ev = read_testdata(spark, sf_dir, "events")
+    exact_all = ev.select("user_id").distinct().count()
+    # the merged sketch must estimate the GLOBAL distinct count (not the
+    # sum of per-type counts, which double-counts cross-type users)
+    assert abs(rows["__all__"] - exact_all) <= max(5, 0.05 * exact_all)
+    assert sum(v for k, v in rows.items() if k != "__all__") > rows["__all__"]
