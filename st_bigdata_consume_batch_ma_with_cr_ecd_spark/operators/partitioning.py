@@ -30,6 +30,7 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """
     if n is None:
         n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    # metadata probe only, no compute — the one sanctioned low-level touch
+    if df.rdd.getNumPartitions() >= n:  # noqa: rdd
         return df
     return df.repartition(n)

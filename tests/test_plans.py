@@ -115,3 +115,21 @@ def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
     df.collect()  # AQE re-plans at runtime; materialize first
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_package_is_rdd_free():
+    """The DataFrame-first contract: no .rdd / parallelize / mapPartitions
+    anywhere in the engine package — every operator stays inside Catalyst
+    where pushdown, AQE, and whole-stage codegen apply. (mapInPandas /
+    applyInPandas are the sanctioned Python escape hatches.)"""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "st_bigdata_consume_batch_ma_with_cr_ecd_spark"
+    bad = []
+    pat = re.compile(r"\.rdd\b|parallelize\(|\bmapPartitions\(")
+    for f in pkg.rglob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if pat.search(line) and "noqa: rdd" not in line:
+                bad.append(f"{f.name}:{i}: {line.strip()}")
+    assert not bad, "RDD API leaked into the engine:\n" + "\n".join(bad)
