@@ -133,3 +133,28 @@ def test_package_is_rdd_free():
             if pat.search(line) and "noqa: rdd" not in line:
                 bad.append(f"{f.name}:{i}: {line.strip()}")
     assert not bad, "RDD API leaked into the engine:\n" + "\n".join(bad)
+
+
+def test_runtime_bloom_filter_engages_on_shuffle_joins(spark, sf_dir):
+    """Runtime bloom-filter semi-join reduction is ON in our sessions; its
+    10 GB application-side threshold keeps it out of toy runs, so lower
+    the thresholds to prove the machinery engages: the fact scan gets a
+    might_contain filter built from the dim side before the shuffle."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower() or "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
