@@ -1674,3 +1674,80 @@ def gap_fill_monthly_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("spend_dec", ignorenulls=True).over(w).cast("double").alias("spend_ffill"),
         F.col("spend_dec").isNull().alias("was_gap"),
     )
+
+
+@register(
+    "x_array_functions",
+    oracle="""
+    WITH t AS (
+        SELECT l_orderkey, list(l_quantity ORDER BY l_linenumber, l_quantity) AS qs
+        FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qs) AS n_items,
+           round(list_aggregate(list_transform(qs, q -> q * 2.0), 'sum'), 4) AS doubled_sum,
+           len(list_filter(qs, q -> q >= 25)) AS n_large,
+           qs[1] AS first_qty,
+           list_sort(qs)[-1] AS max_qty,
+           round(list_aggregate(list_slice(list_sort(qs), 1, 3), 'sum'), 4) AS low3_sum
+    FROM t
+    """,
+    doc="Higher-order array battery over collected per-order quantity lists: "
+    "collect_list with deterministic ordering, transform+aggregate (map/"
+    "reduce inside one row, zero shuffles), filter, indexing, sort+slice. "
+    "These JVM lambdas are the UDF-free path for per-row collection logic.",
+)
+def x_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 2000)
+    t = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("pairs")
+    ).select(
+        "l_orderkey", F.transform("pairs", lambda p: p.l_quantity).alias("qs")
+    )
+    doubled_sum = F.aggregate(
+        F.transform("qs", lambda q: q * 2.0), F.lit(0.0), lambda acc, x: acc + x
+    )
+    low3 = F.slice(F.array_sort("qs"), 1, 3)
+    return t.select(
+        "l_orderkey",
+        F.size("qs").alias("n_items"),
+        F.round(doubled_sum, 4).alias("doubled_sum"),
+        F.size(F.filter("qs", lambda q: q >= 25)).alias("n_large"),
+        F.col("qs")[0].alias("first_qty"),
+        F.array_max("qs").alias("max_qty"),
+        F.round(
+            F.aggregate(low3, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("low3_sum"),
+    )
+
+
+@register(
+    "x_null_semantics",
+    oracle="""
+    SELECT event_id,
+           coalesce(value, -1.0) AS v_or_default,
+           nullif(event_type, 'error') AS type_or_null,
+           CASE WHEN value IS NULL THEN 'missing' ELSE 'present' END AS presence,
+           (value IS DISTINCT FROM 0.0) AS nonzero_nullsafe,
+           ifnull(CAST(NULL AS INT), user_id % 10) AS fallback_chain
+    FROM events WHERE event_id <= 2000
+    """,
+    doc="Null-semantics battery: coalesce / nullif / null-safe comparison "
+    "(IS DISTINCT FROM == Spark eqNullSafe negation) / conditional presence "
+    "— the exact traps three-valued logic sets in filters and joins, pinned "
+    "against the oracle.",
+)
+def x_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    return ev.select(
+        "event_id",
+        F.coalesce("value", F.lit(-1.0)).alias("v_or_default"),
+        F.nullif("event_type", F.lit("error")).alias("type_or_null"),
+        F.when(F.col("value").isNull(), "missing").otherwise("present").alias("presence"),
+        (~F.col("value").eqNullSafe(F.lit(0.0))).alias("nonzero_nullsafe"),
+        F.ifnull(F.lit(None).cast("int"), (F.col("user_id") % 10).cast("int")).alias(
+            "fallback_chain"
+        ),
+    )
