@@ -1751,3 +1751,70 @@ def x_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fallback_chain"
         ),
     )
+
+
+@register(
+    "x_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE)   AS order_month,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS order_quarter,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)      AS due_date,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch,
+           CAST(year(o_orderdate) AS INT)  AS y,
+           CAST(month(o_orderdate) AS INT) AS m,
+           CAST(day(o_orderdate) AS INT)   AS d
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+    doc="Datetime battery on the safe cross-engine subset: truncation "
+    "(month/quarter), interval arithmetic, last_day, day difference, "
+    "component extraction. Week-numbering and day-of-week are "
+    "DELIBERATELY absent — Spark and ANSI engines disagree on their "
+    "conventions (documented rather than papered over).",
+)
+def x_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", d).cast("date").alias("order_month"),
+        F.date_trunc("quarter", d).cast("date").alias("order_quarter"),
+        F.date_add(d.cast("date"), 30).alias("due_date"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+        F.year(d).cast("int").alias("y"),
+        F.month(d).cast("int").alias("m"),
+        F.dayofmonth(d).cast("int").alias("d"),
+    )
+
+
+@register(
+    "x_string_functions",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           length(c_name) AS name_len,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           replace(c_mktsegment, 'ING', '+') AS seg_replaced,
+           substr(c_name, 1, 8) AS name_head,
+           reverse(c_mktsegment) AS seg_rev,
+           concat_ws('|', c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS seg_nation
+    FROM customer WHERE c_custkey <= 500
+    """,
+    doc="String battery: case, length, zero-padded keys, replace, substring, "
+    "reverse, delimiter concat — the column-machinery scalars (reference "
+    "helper.py when-chains lean on these) pinned cross-engine.",
+)
+def x_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.length("c_name").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(F.col("c_mktsegment"), F.lit("ING"), F.lit("+")).alias("seg_replaced"),
+        F.substring("c_name", 1, 8).alias("name_head"),
+        F.reverse("c_mktsegment").alias("seg_rev"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
+    )

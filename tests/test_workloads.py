@@ -51,3 +51,17 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert df.columns[0] == "l_returnflag"
+
+
+def test_readme_query_count_in_sync():
+    from pathlib import Path
+    import re
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+
+    readme = (Path(__file__).resolve().parent.parent / "README.md").read_text()
+    m = re.search(r"the (\d+)-query registry", readme)
+    assert m, "README must state the registry size"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"README says {m.group(1)} queries, registry has {len(REGISTRY)} — update README.md"
+    )
