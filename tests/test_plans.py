@@ -158,3 +158,21 @@ def test_runtime_bloom_filter_engages_on_shuffle_joins(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """§2.10 physical hints: the optimizer obeys explicit per-join
+    strategy hints — the manual override for when stats mislead AQE
+    (e.g. a filter the planner can't estimate shrinks a 'big' side)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    merge_plan = (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" in merge_plan
+    shuffle_hash_plan = (
+        li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ShuffledHashJoin" in shuffle_hash_plan
