@@ -1818,3 +1818,578 @@ def x_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("c_mktsegment").alias("seg_rev"),
         F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H nation/market-share family (Q7/Q8/Q9/Q14 shapes): multi-way joins
+# with CASE-conditional aggregates. No partsupp table exists in the driver
+# testdata, so Q9's supply cost is modeled as a retail-price fraction — the
+# planner shape (5/6-way join + conditional agg) is what these pin down.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(CAST(volume AS DECIMAL(30,8))), 2) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+            OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+          AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1998-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: 6-way join (two roles of the same nation dim) with a "
+    "disjunctive nation-pair predicate and per-year conditional revenue. The "
+    "nation dim joins broadcast; the OR pair filter is a post-join residual "
+    "on two broadcast columns, so it never blocks the equi-join strategy.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1998-12-31").cast("timestamp")
+        )
+    )
+    joined = (
+        _t(spark, sf_dir, "supplier")
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"), volume.alias("volume"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(rounded_sum("volume", 2).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END
+                                AS DECIMAL(30,8))) AS DOUBLE)
+                 / CAST(sum(CAST(volume AS DECIMAL(30,8))) AS DOUBLE), 6) AS mkt_share
+    FROM (
+        SELECT year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS supp_nation
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region    ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: 8-way join (nation twice, region gating the customer "
+    "side) feeding a CASE-conditional market-share ratio per year. Numerator "
+    "and denominator are exact decimal sums so the double quotient is "
+    "engine-identical; dims broadcast, facts shuffle once on the join spine.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    europe = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    joined = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .join(_t(spark, sf_dir, "lineitem"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(_t(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(europe), F.col("c_rkey") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("supp_nation") == "NATION_5", volume).otherwise(F.lit(0.0))
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), volume.alias("volume"), national.alias("national"))
+        .groupBy("o_year")
+        .agg(F.round(exact_sum("national") / exact_sum("volume"), 6).alias("mkt_share"))
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, o_year,
+           CAST(round(sum(CAST(amount AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_profit
+    FROM (
+        SELECT n_name, year(o_orderdate) AS o_year,
+               l_extendedprice * (1 - l_discount) - p_retailprice * 0.1 * l_quantity AS amount
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY n_name, o_year
+    """,
+    doc="TPC-H Q9 shape: profit per supplier-nation per year over parts picked "
+    "by an infix LIKE (not pushable as a prefix — evaluated in the scan "
+    "stage post-decode). Supply cost is modeled as a retail-price fraction "
+    "(the driver schema has no partsupp). Infix-LIKE dim filter shrinks the "
+    "probe side before three fact joins; nation broadcasts.",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.1) * F.col("l_quantity")
+    )
+    joined = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .join(_t(spark, sf_dir, "lineitem"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(_t(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(rounded_sum("amount", 2).alias("sum_profit"))
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                                            THEN l_extendedprice * (1 - l_discount)
+                                            ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE)
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE),
+                 4) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+    """,
+    doc="TPC-H Q14 shape: single-row conditional-ratio aggregate (promo share "
+    "of revenue) over a date-windowed fact join. The final agg collapses to "
+    "one row but the partial aggregation runs map-side on every partition, "
+    "so no single-reducer bottleneck exists before the 1-row exchange.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    joined = li.join(_t(spark, sf_dir, "part"), F.col("l_partkey") == F.col("p_partkey"))
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return joined.select(disc.alias("disc"), promo.alias("promo")).agg(
+        F.round(F.lit(100.0) * exact_sum("promo") / exact_sum("disc"), 4).alias("promo_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H correlated / scalar-subquery family (Q2/Q10/Q11/Q17 shapes). Each
+# correlated subquery is decorrelated the way Catalyst itself would: a
+# grouped aggregate joined back on the correlation key (Q2/Q17), a 1-row
+# scalar broadcast (Q11), a distributed top-k (Q10).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH eligible AS (
+        SELECT p_partkey, p_name, s_name, n_name,
+               l_extendedprice / l_quantity AS unit_cost
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE' AND p_size <= 15 AND p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_name, s_name, n_name, unit_cost
+    FROM (SELECT *, min(unit_cost) OVER (PARTITION BY p_partkey) AS min_cost FROM eligible)
+    WHERE unit_cost = min_cost
+    """,
+    doc="TPC-H Q2 shape: cheapest-supplier-per-part — a correlated scalar-min "
+    "subquery decorrelated into groupBy(partkey).min + an equality join "
+    "back on (partkey, cost). min over doubles is order-independent and "
+    "the per-row division is IEEE-identical, so the float equality join is "
+    "deterministic. Ties (two suppliers at the min) are kept on both sides.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eligible = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") <= 15) & (F.col("p_type") == "STANDARD"))
+        .join(_t(spark, sf_dir, "lineitem"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(_t(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+        )
+    )
+    min_cost = eligible.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return eligible.join(
+        min_cost,
+        (F.col("p_partkey") == F.col("mc_partkey")) & (F.col("unit_cost") == F.col("min_cost")),
+    ).select("p_partkey", "p_name", "s_name", "n_name", "unit_cost")
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: lost-revenue ranking — 4-way join, grouped decimal "
+    "revenue, then a deterministic global top-20 (ORDER BY revenue DESC "
+    "with c_custkey as total-order tiebreak). Spark plans TakeOrderedAnd"
+    "Project: each partition keeps its local top-20, only 20 rows per "
+    "partition reach the driver — no global sort, no single-reducer stage.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            _t(spark, sf_dir, "orders").where(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(_t(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select("c_custkey", "c_name", "n_name", "c_acctbal", revenue.alias("revenue"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(rounded_sum("revenue", 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH base AS (
+        SELECT l_partkey, l_extendedprice
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    ),
+    grouped AS (
+        SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS dec_value
+        FROM base GROUP BY l_partkey
+    )
+    SELECT l_partkey, CAST(round(dec_value, 2) AS DOUBLE) AS part_value
+    FROM grouped
+    WHERE CAST(dec_value AS DOUBLE) >
+          (SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) FROM base) * 0.001
+    """,
+    doc="TPC-H Q11 shape: per-part value filtered against a fraction of the "
+    "global total — a scalar aggregate subquery broadcast into the HAVING. "
+    "Both the per-group and global sums are exact decimals, so the double "
+    "threshold comparison is engine-identical. The 1-row global aggregate "
+    "joins as a broadcast; the base slice is computed once per branch and "
+    "both branches push the nation filter below the fact join.",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import DECIMAL_SUM_TYPE
+
+    base = (
+        _t(spark, sf_dir, "lineitem")
+        .join(_t(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("l_partkey", "l_extendedprice")
+    )
+    grouped = base.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast(DECIMAL_SUM_TYPE)).alias("dec_value")
+    )
+    total = base.agg(exact_sum("l_extendedprice").alias("total_value"))
+    return (
+        grouped.join(F.broadcast(total))
+        .where(F.col("dec_value").cast("double") > F.col("total_value") * F.lit(0.001))
+        .select("l_partkey", F.round("dec_value", 2).cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH part_avg AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))) / 7, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN part_avg ON part_avg.l_partkey = lineitem.l_partkey
+    WHERE p_brand = 'Brand#11' AND l_quantity < 0.2 * avg_qty
+    """,
+    doc="TPC-H Q17 shape: small-quantity-order revenue — the classic "
+    "correlated AVG subquery (l_quantity < 0.2 * per-part average) "
+    "decorrelated into a grouped aggregate joined back on partkey. The "
+    "average is exact-decimal-sum / count so the 0.2x threshold compares "
+    "identically cross-engine; the brand filter prunes the probe side "
+    "before the aggregate join.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        (exact_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    branded = li.join(
+        F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    return (
+        branded.join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,8)")) / 7, 2
+            ).cast("double").alias("avg_yearly")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H existence / disjunction family (Q12/Q16/Q19/Q20/Q21 shapes): CASE
+# pivot counts, count-distinct behind a NOT IN, OR-of-ANDs join residuals,
+# nested IN with HAVING, and the double EXISTS / NOT EXISTS self-join.
+# (No l_shipmode / receiptdate columns exist, so Q12/Q21 use priority and
+# a shipdate-lag in their place; the planner shapes are unchanged.)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+             AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: conditional CASE counts pivoting order priority "
+    "into high/low columns per line status — integer-exact, no float "
+    "determinism concerns. One fact-fact join with the date window pushed "
+    "into the lineitem scan, then a two-column conditional aggregate.",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = _t(spark, sf_dir, "orders").join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy("l_linestatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+@register(
+    "q16_supplier_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: supplier diversity per part bucket — COUNT(DISTINCT) "
+    "over a fact join, minus suppliers excluded by a NOT IN subquery (the "
+    "reference's F8/J6 null-aware anti-join, reused here via "
+    "not_in_anti_join). The distinct dedups inside the aggregate exchange; "
+    "exclusions broadcast as the anti side.",
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    excluded = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = not_in_anti_join(_t(spark, sf_dir, "lineitem"), excluded, "l_suppkey", "s_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape: OR-of-ANDs mixing build-side (brand/size) and "
+    "probe-side (quantity) predicates. The equi key (partkey) still drives "
+    "a hash join; the disjunction stays a post-join residual, while the "
+    "per-side implied filters (any-branch brand/size, any-branch quantity) "
+    "are pushable. Single-row decimal-exact revenue output.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joined = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(_t(spark, sf_dir, "part")), F.col("p_partkey") == F.col("l_partkey")
+    )
+    branch = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & F.col("l_quantity").between(qlo, qhi)
+    )
+    return (
+        joined.where(branch("Brand#12", 5, 1, 11) | branch("Brand#23", 10, 10, 20) | branch("Brand#34", 15, 20, 30))
+        .select((F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        .agg(rounded_sum("rev", 2).alias("revenue"))
+    )
+
+
+@register(
+    "q20_volume_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(30,8))) > 50
+    )
+    """,
+    doc="TPC-H Q20 shape: suppliers who moved significant volume of one "
+    "part family in one year — an IN subquery whose body is itself a "
+    "grouped HAVING aggregate over a fact join. Planned as aggregate -> "
+    "project -> left_semi join; the prefix LIKE pushes to the part scan "
+    "as a range predicate. Quantity sum kept decimal for the threshold.",
+)
+def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red_parts = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    movers = (
+        li.join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("qty"))
+        .where(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+        SELECT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape: the sole-blame supplier — EXISTS (another supplier "
+    "contributed to the order) plus NOT EXISTS (no OTHER supplier was also "
+    "late), both correlated with a non-equi residual (suppkey <>). Planned "
+    "as left_semi + left_anti joins on the orderkey with the inequality as "
+    "residual condition; 'late' means shipped >60 days after the order "
+    "date (the driver schema has no receipt/commit dates).",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    late = (
+        li.join(_t(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.select(F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("s_key"))
+    l2 = li.select(F.col("l_orderkey").alias("l2_okey"), F.col("l_suppkey").alias("l2_skey"))
+    l3 = late.select(F.col("l_orderkey").alias("l3_okey"), F.col("l_suppkey").alias("l3_skey"))
+    blamed = (
+        l1.join(
+            l2,
+            (F.col("o_key") == F.col("l2_okey")) & (F.col("s_key") != F.col("l2_skey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("o_key") == F.col("l3_okey")) & (F.col("s_key") != F.col("l3_skey")),
+            "left_anti",
+        )
+    )
+    return (
+        blamed.join(_t(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("s_key"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
