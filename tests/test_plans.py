@@ -176,3 +176,39 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ShuffledHashJoin" in shuffle_hash_plan
+
+
+def test_top_k_plans_as_take_ordered_not_global_sort(spark, sf_dir):
+    # Q10's ORDER BY ... LIMIT 20 must plan as TakeOrderedAndProject
+    # (per-partition local top-k, 20 rows per partition to the driver) —
+    # a global Sort + single-partition Exchange would serialize the
+    # whole grouped result through one reducer at 100 TB.
+    plan = plan_of(spark, sf_dir, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_exists_pair_plans_as_semi_plus_anti(spark, sf_dir):
+    # Q21's EXISTS / NOT EXISTS pair must stay semi + anti joins (only
+    # keys shuffle, no payload duplication from a full join + dedup).
+    plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_market_share_dims_all_broadcast(spark, sf_dir):
+    # Q8's 8-way join: nation (twice), region, and the filtered part dim
+    # must broadcast — any dim falling back to SortMergeJoin would add a
+    # full fact shuffle per dim at scale.
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_disjunctive_join_keeps_hash_join_with_residual(spark, sf_dir):
+    # Q19's OR-of-ANDs must not break the equi hash join: the partkey
+    # equality drives a broadcast hash join and the disjunction stays a
+    # residual/post-join filter, never a nested-loop join.
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
