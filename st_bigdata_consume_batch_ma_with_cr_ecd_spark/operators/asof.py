@@ -118,3 +118,70 @@ def asof_backfill(
     )
     # asof_join suffixes the donor ts as `<ts>_right`; drop it, keep fills.
     return joined.drop(f"{ts}_right")
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: Sequence[str],
+    schema: str,
+) -> DataFrame:
+    """The Arrow/pandas physical strategy for the backward as-of join:
+    ``groupBy(key).cogroup`` + ``pd.merge_asof`` per key group.
+
+    Same semantics as ``asof_join(direction='backward', how='left')``
+    when ``(right_key, right_ts)`` is unique on the right — pre-dedup
+    the right side (top_n_per_group) to guarantee that, otherwise the
+    winner among equal timestamps is undefined in both strategies.
+
+    When to prefer this over the join+window composition: extreme
+    per-key fan-out (millions of right rows joined then discarded by
+    the rank filter). Here each side shuffles ONCE on the key and the
+    per-group merge is a linear two-pointer scan inside Arrow batches —
+    no join blow-up, no window sort of the joined product. The
+    trade-off is leaving whole-stage codegen for the Python workers,
+    so the JVM path (`asof_join`) stays the default.
+
+    Output columns: every ``left`` column, then ``payload`` columns
+    from the right (null where no right row is at-or-before). ``schema``
+    must declare exactly those columns in that order.
+    """
+    import pandas as pd
+
+    left_cols = list(left.columns)
+    out_cols = left_cols + list(payload)
+    int_payload = {
+        f.name
+        for f in right.schema.fields
+        if f.name in payload and f.dataType.simpleString() in ("tinyint", "smallint", "int", "bigint")
+    }
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        # right-only key groups arrive with an empty left frame: emit
+        # nothing (left-join semantics). Keep dtypes from the input
+        # frames so Arrow sees stable types on every partition.
+        if ldf.empty:
+            out = ldf.copy()
+            for c in payload:
+                out[c] = pd.Series(dtype="float64")
+            return out[out_cols]
+        ldf = ldf.sort_values(left_ts, kind="mergesort")
+        rdf = rdf[[right_ts, *payload]].sort_values(right_ts, kind="mergesort")
+        out = pd.merge_asof(
+            ldf, rdf, left_on=left_ts, right_on=right_ts,
+            direction="backward", allow_exact_matches=True,
+        )
+        for c in int_payload:
+            out[c] = out[c].astype("Int64")
+        return out[out_cols]
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(right.groupBy(right_key))
+        .applyInPandas(merge, schema)
+    )

@@ -2393,3 +2393,51 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "asof_pandas_cogroup",
+    oracle="""
+    WITH dedup AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                         ORDER BY o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    ),
+    ranked AS (
+        SELECT e.event_id, e.user_id, e.ts, d.o_orderkey, d.o_totalprice,
+               row_number() OVER (PARTITION BY e.event_id ORDER BY d.o_orderdate DESC) AS rn
+        FROM events e
+        LEFT JOIN dedup d ON e.user_id = d.o_custkey AND e.ts >= d.o_orderdate
+    )
+    SELECT event_id, user_id, ts, o_orderkey, o_totalprice FROM ranked WHERE rn = 1
+    """,
+    doc="The as-of join's second physical strategy: cogrouped applyInPandas "
+    "+ pd.merge_asof per key group (operators.asof.asof_join_cogrouped). "
+    "Attaches each event's latest at-or-before order; right side pre-deduped "
+    "per (custkey, orderdate) so the winner is well-defined. Each side "
+    "shuffles once on the key and the per-group merge is a linear scan — "
+    "no join fan-out — at the cost of leaving the JVM for Arrow workers. "
+    "The oracle is the join+window formulation: two strategies, one result.",
+)
+def asof_pandas_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_cogrouped
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders_dedup = top_n_per_group(
+        _t(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderdate"],
+        [F.desc("o_orderkey")],
+    ).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    return asof_join_cogrouped(
+        events,
+        orders_dedup,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        schema="event_id bigint, user_id bigint, ts timestamp, o_orderkey bigint, o_totalprice double",
+    )

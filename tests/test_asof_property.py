@@ -69,3 +69,49 @@ def test_asof_join_matches_pandas_merge_asof(spark, direction, case):
         for r in expected_pd.itertuples()
     }
     assert got == expected
+
+
+def test_cogrouped_strategy_matches_join_window_strategy(spark, sf_dir):
+    # the two physical strategies for the same logical as-of join must
+    # agree row-for-row: JVM join+window (asof_join) vs Arrow cogroup +
+    # pd.merge_asof (asof_join_cogrouped), on a right side deduped to a
+    # unique (key, ts) grain so the pick is well-defined in both.
+    from pyspark.sql import functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.dedup import top_n_per_group
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    events = read_testdata(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = top_n_per_group(
+        read_testdata(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderdate"],
+        [F.desc("o_orderkey")],
+    ).select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+
+    jvm = (
+        asof_join(
+            events,
+            orders.withColumnRenamed("o_custkey", "user_id"),
+            on=["user_id"],
+            left_ts="ts",
+            right_ts="o_orderdate",
+            how="left",
+            left_id="event_id",
+        )
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+    )
+    arrow = asof_join_cogrouped(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        schema="event_id bigint, user_id bigint, ts timestamp, o_orderkey bigint, o_totalprice double",
+    )
+    assert {tuple(r) for r in jvm.collect()} == {tuple(r) for r in arrow.collect()}
