@@ -32,44 +32,50 @@ def connected_components(
     dst: str = "dst",
     *,
     max_iter: int = 20,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Label each node of the (undirected) pair graph with the smallest
     node id reachable from it. Returns ``(node, label)`` — rows only
     for nodes that appear in some edge; singletons are their own
     cluster by definition (coalesce on the consumer side).
+
+    ``edges_distinct=True`` skips the dedup shuffle on the symmetrized
+    edge list — safe when the input pairs are already distinct with
+    src < dst (LSH candidate pairs are); duplicate edges would only
+    inflate the per-round join, never change the result.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-    sym = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if not edges_distinct:
+        sym = sym.distinct()
     sym = sym.localCheckpoint(eager=True)  # reused every round — cut the source plan
 
+    # each round's aggregate carries the node's previous label through
+    # as __own, so the convergence probe is a filter over the freshly
+    # checkpointed round output — no extra join job per round.
+    null_label = F.when(F.lit(False), F.col("label"))  # typed NULL matching the node type
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
     for it in range(max_iter):
+        own = labels.select("node", "label", F.col("label").alias("__own"))
         neighbor_labels = sym.join(
             labels.withColumnRenamed("node", "dst"), on="dst"
-        ).select(F.col("src").alias("node"), "label")
+        ).select(F.col("src").alias("node"), "label", null_label.alias("__own"))
         new_labels = (
-            labels.unionByName(neighbor_labels).groupBy("node").agg(F.min("label").alias("label"))
+            own.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"), F.min("__own").alias("__own"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         # round 0 always changes something when any edge exists — skip
         # the convergence probe (one fewer job per call)
         if it > 0:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="node")
-                .where(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
-            )
+            changed = new_labels.where(F.col("label") < F.col("__own")).limit(1).count()
             if changed == 0:
-                labels = new_labels
                 break
-        labels = new_labels
-    return labels
+        labels = new_labels.select("node", "label")
+    return labels.select("node", "label")
 
 
 def assign_cluster_ids(
@@ -80,12 +86,15 @@ def assign_cluster_ids(
     pair_b: str,
     *,
     max_iter: int = 20,
+    pairs_distinct: bool = False,
 ) -> DataFrame:
     """Items + near-dup pairs -> one ``cluster_id`` per item (its
     component's min id; singletons cluster with themselves). The
     retention policy "keep one per cluster" is then a trivial
     ``where(id == cluster_id)``."""
-    comps = connected_components(pairs, pair_a, pair_b, max_iter=max_iter)
+    comps = connected_components(
+        pairs, pair_a, pair_b, max_iter=max_iter, edges_distinct=pairs_distinct
+    )
     joined = items.join(
         comps.withColumnRenamed("node", id_col), on=id_col, how="left"
     )

@@ -686,7 +686,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(docs, k_shingle=3, num_hashes=_NUM_HASHES)
     pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
     return assign_cluster_ids(
-        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b"
+        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b", pairs_distinct=True
     ).select("doc_id", "cluster_id")
 
 
