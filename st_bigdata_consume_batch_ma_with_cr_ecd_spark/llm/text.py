@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 WHITESPACE = r"\s+"
@@ -54,6 +54,99 @@ def text_stats(text: Column | str) -> dict[str, Column]:
         "avg_token_len": F.round(sum_len * F.lit(1.0) / n_tokens, 4),
         "type_token_ratio": F.round(n_uniq * F.lit(1.0) / n_tokens, 4),
     }
+
+
+def repetition_stats(text: Column | str) -> dict[str, Column]:
+    """Gopher-style repetition-quality signals, computed map-only.
+
+    - ``dup_token_frac`` — fraction of tokens that repeat an earlier one
+      (1 - distinct/total);
+    - ``top_bigram_count`` / ``top_bigram_frac`` — occurrences of the
+      single most frequent word bigram, absolute and as a fraction of
+      all bigrams. High values mark boilerplate / degenerate repetition
+      (the Gopher repetition filters).
+
+    The top-bigram mode is found WITHOUT a shuffle: sort the bigram
+    array, then a single ``aggregate`` pass tracks the longest run of
+    equal adjacent values — O(n log n) per row, JVM-side, so the whole
+    operator stays embarrassingly parallel at corpus scale (the
+    explode-and-count alternative shuffles one row per bigram
+    occurrence)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokenize(c)
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    bigrams = shingles(toks, k=2)
+    n_bigrams = F.size(bigrams)
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        step,
+        lambda acc: acc["best"],
+    )
+    return {
+        "n_tokens": n_tokens,
+        "dup_token_frac": F.round((n_tokens - n_uniq) * F.lit(1.0) / n_tokens, 4),
+        "top_bigram_count": top,
+        "top_bigram_frac": F.when(
+            n_bigrams > 0, F.round(top * F.lit(1.0) / n_bigrams, 4)
+        ).otherwise(F.lit(0.0)),
+    }
+
+
+def contamination_counts(
+    train: "DataFrame",
+    eval_df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+) -> "DataFrame":
+    """Benchmark decontamination: for every training document, count how
+    many of its distinct word-``k``-grams also occur anywhere in the
+    evaluation set. Returns ``(id, n_matched_ngrams, contaminated)`` for
+    every training row.
+
+    The eval shingle set is broadcast — benchmark suites are tiny next
+    to a training corpus, so the overlap join is map-side and the only
+    shuffle is the per-doc count. If the eval side ever outgrows the
+    broadcast threshold, drop the hint and let AQE pick the join."""
+    train_sh = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(tokenize(F.col(text_col)), k=k))).alias("__shingle"),
+    )
+    eval_sh = (
+        eval_df.select(
+            F.explode(F.array_distinct(shingles(tokenize(F.col(text_col)), k=k))).alias("__shingle")
+        )
+        .where(F.col("__shingle") != "")
+        .distinct()
+    )
+    matched = (
+        train_sh.join(F.broadcast(eval_sh), "__shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        train.select(id_col)
+        .join(matched, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias("n_matched_ngrams"),
+            (F.coalesce(F.col("__n"), F.lit(0).cast("long")) > 0).alias("contaminated"),
+        )
+    )
 
 
 DEFAULT_LANG_MARKERS: Mapping[str, Sequence[str]] = {

@@ -324,6 +324,80 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    big AS (
+        SELECT doc_id, len(tokens) AS n_tokens, len(list_distinct(tokens)) AS n_uniq,
+               CASE WHEN len(tokens) >= 2 THEN
+                 list_transform(range(1, len(tokens)), i -> tokens[i] || ' ' || tokens[i+1])
+               ELSE CAST([] AS VARCHAR[]) END AS bigrams
+        FROM tok
+    ),
+    cnt AS (
+        SELECT doc_id, bg, count(*) AS c
+        FROM (SELECT doc_id, unnest(bigrams) AS bg FROM big) GROUP BY 1, 2
+    ),
+    top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY 1)
+    SELECT b.doc_id,
+           b.n_tokens AS n_tokens,
+           round((b.n_tokens - b.n_uniq) * 1.0 / b.n_tokens, 4) AS dup_token_frac,
+           CAST(coalesce(t.top_c, 0) AS BIGINT) AS top_bigram_count,
+           CASE WHEN len(bigrams) > 0
+                THEN round(coalesce(t.top_c, 0) * 1.0 / len(bigrams), 4)
+                ELSE 0.0 END AS top_bigram_frac
+    FROM big b LEFT JOIN top t USING (doc_id)
+    """,
+    doc="Gopher-style repetition filters: duplicate-token fraction and "
+    "top-bigram share per doc. The bigram mode comes from a run-length "
+    "aggregate over the sorted bigram array — map-only, zero shuffles "
+    "(the oracle's explode-and-count formulation is the shape it avoids).",
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import repetition_stats
+
+    stats = repetition_stats("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        stats["n_tokens"].cast("long").alias("n_tokens"),
+        stats["dup_token_frac"].alias("dup_token_frac"),
+        stats["top_bigram_count"].cast("long").alias("top_bigram_count"),
+        stats["top_bigram_frac"].alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    sh AS (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS shingle FROM tok),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0 AND shingle <> ''),
+    train_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 20 <> 0),
+    m AS (
+        SELECT doc_id, count(*) AS n
+        FROM train_sh JOIN eval_sh USING (shingle) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(m.n, 0) AS BIGINT) AS n_matched_ngrams,
+           coalesce(m.n, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+    LEFT JOIN m USING (doc_id)
+    """,
+    doc="Benchmark decontamination: per training doc, how many of its "
+    "distinct 3-gram shingles appear anywhere in the (broadcast) eval "
+    "split — docs with doc_id % 20 = 0 stand in for the benchmark suite. "
+    "Map-side overlap join; the only shuffle is the per-doc count.",
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import contamination_counts
+
+    docs = _docs(spark, sf_dir)
+    train = docs.where(F.col("doc_id") % 20 != 0)
+    eval_df = docs.where(F.col("doc_id") % 20 == 0)
+    return contamination_counts(train, eval_df)
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

@@ -344,3 +344,51 @@ def test_hll_sketch_merge_estimates_within_error(spark, sf_dir):
     # sum of per-type counts, which double-counts cross-type users)
     assert abs(rows["__all__"] - exact_all) <= max(5, 0.05 * exact_all)
     assert sum(v for k, v in rows.items() if k != "__all__") > rows["__all__"]
+
+
+def test_repetition_stats_run_length_mode(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # bigrams: 3x "a a" -> top count 3
+            (2, "a b a b a"),        # bigrams: "a b" x2, "b a" x2 -> top 2
+            (3, "x"),                # no bigrams
+            (4, "p q r s"),          # all bigrams unique -> top 1
+        ],
+        "doc_id long, text string",
+    )
+    stats = repetition_stats("text")
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in stats.items()],
+        ).collect()
+    }
+    assert out[1].top_bigram_count == 3 and out[1].top_bigram_frac == 1.0
+    assert out[1].dup_token_frac == 0.75
+    assert out[2].top_bigram_count == 2 and out[2].top_bigram_frac == 0.5
+    assert out[3].top_bigram_count == 0 and out[3].top_bigram_frac == 0.0
+    assert out[4].top_bigram_count == 1 and out[4].dup_token_frac == 0.0
+
+
+def test_contamination_counts_broadcast_overlap(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.text import contamination_counts
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "the quick brown", "quick brown fox" w/ eval
+            (2, "totally novel training text here"),
+            (3, "the quick brown dog"),         # shares "the quick brown"
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox runs")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in contamination_counts(train, eval_df).collect()}
+    assert out[1].contaminated and out[1].n_matched_ngrams == 2
+    assert not out[2].contaminated and out[2].n_matched_ngrams == 0
+    assert out[3].contaminated and out[3].n_matched_ngrams == 1
+    assert len(out) == 3  # every training row reported, matched or not
