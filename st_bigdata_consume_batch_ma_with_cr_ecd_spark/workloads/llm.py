@@ -398,6 +398,68 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents),
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               round(tf.tf * ln(n.n_docs * 1.0 / dfreq.df), 4) AS tfidf
+        FROM tf JOIN dfreq USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+        ) AS rank
+        FROM scored
+    )
+    SELECT doc_id, token, tf, tfidf, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Keyword extraction: top-3 TF-IDF terms per document. Term "
+    "frequencies and document frequencies are two hash aggregates over "
+    "one token explode (the tf rows ARE the distinct doc-term pairs, so "
+    "df is a second agg over tf, not a second scan); corpus size joins "
+    "in as a 1-row broadcast; per-doc top-k runs as a WindowGroupLimit "
+    "with a total (tfidf DESC, token ASC) order.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..llm.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "tfidf", "rank")
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
