@@ -495,6 +495,38 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_stratified_by_lang",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN lang = 'en' THEN 4.0 WHEN lang = 'de' THEN 2.0 ELSE 1.0 END AS weight
+    FROM documents
+    WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+               WHEN lang = 'de' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'
+               ELSE TRUE END
+    """,
+    doc="Deterministic stratified downsampling (sampleBy semantics without "
+    "RNG state): keep 25% of 'en', 50% of 'de', all else, by comparing an "
+    "md5-prefix bucket against the per-stratum rate threshold — "
+    "reproducible on any engine and any partitioning, pure filter, no "
+    "shuffle. The weight column (1/rate) keeps downstream aggregates "
+    "unbiased.",
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = (
+        F.when(F.col("lang") == "en", h2 < "40")
+        .when(F.col("lang") == "de", h2 < "80")
+        .otherwise(F.lit(True))
+    )
+    weight = (
+        F.when(F.col("lang") == "en", F.lit(4.0))
+        .when(F.col("lang") == "de", F.lit(2.0))
+        .otherwise(F.lit(1.0))
+    )
+    return _docs(spark, sf_dir).where(keep).select("doc_id", "lang", weight.alias("weight"))
+
+
+@register(
     "stats_percentiles",
     oracle="""
     SELECT lang,
