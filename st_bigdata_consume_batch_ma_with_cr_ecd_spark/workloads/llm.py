@@ -495,6 +495,39 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_label_centroids",
+    oracle="""
+    WITH comp AS (
+        SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+        FROM embeddings
+    ),
+    agg AS (SELECT label, pos, round(avg(val), 4) AS v FROM comp GROUP BY 1, 2),
+    cent AS (SELECT label, list(v ORDER BY pos) AS centroid FROM agg GROUP BY 1),
+    n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
+    SELECT n.label, n.n_vecs, cent.centroid
+    FROM n JOIN cent USING (label)
+    """,
+    doc="Per-label embedding centroid: posexplode components -> one hash "
+    "aggregate keyed (label, pos) -> reassemble the vector with "
+    "sort_array(collect_list(struct)). The canonical distributed "
+    "element-wise vector mean (mean-pooling / quantizer training): "
+    "partial aggregation map-side means shuffle volume is one partial "
+    "sum per (label, pos, mapper), never the raw vectors.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    comp = embs.select("label", F.posexplode("embedding").alias("pos", "val"))
+    agg = comp.groupBy("label", "pos").agg(F.round(F.avg("val"), 4).alias("v"))
+    cent = agg.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+    counts = embs.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return counts.join(cent, "label").select("label", "n_vecs", "centroid")
+
+
+@register(
     "sample_stratified_by_lang",
     oracle="""
     SELECT doc_id, lang,
