@@ -215,6 +215,75 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_classify_majority",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS n_label,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM e q JOIN e c ON c.vec_id % 25 <> 0
+        WHERE q.vec_id % 25 = 0
+    ),
+    topk AS (
+        SELECT query_id, n_label FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT query_id, n_label, count(*) AS votes FROM topk GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT query_id, n_label AS pred_label, votes FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY votes DESC, n_label ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, p.pred_label, p.votes, e.label AS true_label,
+           p.pred_label = e.label AS correct
+    FROM pred p JOIN e ON p.query_id = e.vec_id
+    """,
+    doc="k-NN classification by majority vote: held-out query vectors "
+    "(vec_id % 25 = 0) take the modal label of their 5 nearest corpus "
+    "neighbors by cosine, ties broken (votes DESC, label ASC). Reuses "
+    "the broadcast-query brute-force top-k; swap in the IVF/LSH variant "
+    "at corpus scale.",
+)
+def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") % 25 == 0)
+    corpus = embs.where(F.col("vec_id") % 25 != 0)
+    topk = brute_force_topk(corpus, queries, k=5)
+    labeled = topk.join(
+        embs.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "n_label").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("n_label"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("query_id", F.col("n_label").alias("pred_label"), "votes")
+    )
+    truth = embs.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "pred_label",
+        "votes",
+        "true_label",
+        (F.col("pred_label") == F.col("true_label")).alias("correct"),
+    )
+
+
+@register(
     "ann_topk_lsh",
     oracle=None,  # seeded random hyperplanes — deterministic but not SQL-expressible
     doc="Approximate cosine top-5 via random-hyperplane LSH buckets (the 100-TB ANN path).",
