@@ -216,31 +216,52 @@ def simhash_signatures(
 
     @F.pandas_udf("string")
     def _simhash(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
+        # Vectorized over the Arrow batch: the only Python loop left is
+        # md5 over *unique* tokens (the hash itself); bit expansion, the
+        # signed per-bit sums, and the final bit-pack are all numpy.
+        import numpy as np
+
+        n = len(texts)
+        out = np.full(n, None, dtype=object)
+        doc_idx: list[int] = []
+        toks: list[str] = []
+        for i, t in enumerate(texts):
             if t is None:
-                out.append(None)
                 continue
-            acc = [0] * bits
-            for tok in t.split():
-                h = hashlib.md5(tok.encode("utf-8")).digest()[:nbytes]
-                v = int.from_bytes(h, "big")
-                for b in range(bits):
-                    acc[b] += 1 if (v >> (bits - 1 - b)) & 1 else -1
-            sig = 0
-            for b in range(bits):
-                sig = (sig << 1) | (1 if acc[b] > 0 else 0)
-            out.append(format(sig, f"0{nbytes * 2}x"))
+            tt = t.split()
+            doc_idx.extend([i] * len(tt))
+            toks.extend(tt)
+            out[i] = "0" * (nbytes * 2)  # empty doc -> all-zero signature
+        if toks:
+            uniq, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+            digests = np.frombuffer(
+                b"".join(hashlib.md5(u.encode("utf-8")).digest()[:nbytes] for u in uniq),
+                dtype=np.uint8,
+            ).reshape(len(uniq), nbytes)
+            # MSB-first bit expansion -> {-1,+1} contributions per bit
+            plus_minus = np.unpackbits(digests, axis=1).astype(np.int32) * 2 - 1
+            acc = np.zeros((n, bits), dtype=np.int64)
+            np.add.at(acc, np.asarray(doc_idx, dtype=np.int64), plus_minus[inv])
+            packed = np.packbits((acc > 0).astype(np.uint8), axis=1)
+            for i in range(n):
+                if out[i] is not None:
+                    out[i] = packed[i].tobytes().hex()
         return pd.Series(out)
 
     return ensure_min_partitions(df).select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
 
 
 def simhash_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", *, band_hex_width: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    band_hex_width: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any aligned 16-bit block of the
-    SimHash (4 hex chars) — the standard hamming-LSH trick."""
+    SimHash (4 hex chars) — the standard hamming-LSH trick.
+    ``max_bucket_size`` caps degenerate blocks (e.g. the all-zero block
+    of empty docs), the corpus-scale skew guard."""
     blocks = F.array(
         *[
             F.concat(F.lit(str(i)), F.lit(":"), F.substring("simhash", i * band_hex_width + 1, band_hex_width))
@@ -248,4 +269,4 @@ def simhash_candidate_pairs(
         ]
     )
     b = sigs.select(F.col(id_col).alias("doc"), F.explode(blocks).alias("block"))
-    return _bucket_pairs(b, "block")
+    return _bucket_pairs(b, "block", max_bucket_size=max_bucket_size)

@@ -75,6 +75,124 @@ def cosine_pairs(
     )
 
 
+def hyperplane_tables(
+    *, n_tables: int = 4, n_planes: int = 8, dim: int = 64, seed: int = 42
+) -> list[list[list[float]]]:
+    """Seeded random-hyperplane tables for sign-LSH — deterministic, so
+    the exact same planes can be re-materialized as SQL literals by an
+    oracle engine."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+        for _ in range(n_tables)
+    ]
+
+
+def _bucket_expr(vec: Column, table: list[list[float]], t: int) -> Column:
+    """Sign-pattern bucket id for one LSH table: ``"t:01101..."``.
+
+    Pure-JVM formulation; kept as the reference semantics, but the hot
+    path uses :func:`_buckets_udf` — Catalyst interprets (does not
+    codegen) higher-order-function lambdas, so n_tables*n_planes folds
+    per row are ~1000x slower than one Arrow-batch matmul."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(vec, F.array(*[F.lit(w) for w in plane]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in table
+    ]
+    return F.concat(F.lit(f"{t}:"), *bits)
+
+
+def _buckets_udf(tables: list[list[list[float]]]):
+    """Vectorized sign-LSH bucketing: all ``n_tables * n_planes`` dot
+    products for an Arrow batch in ONE numpy matmul. Returns the same
+    ``"t:0110..."`` bucket ids as :func:`_bucket_expr`."""
+    n_tables, n_planes = len(tables), len(tables[0])
+    planes = np.asarray([p for tbl in tables for p in tbl], dtype=np.float64)  # (T*P, dim)
+
+    @F.pandas_udf("array<string>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        chars = np.where(m @ planes.T >= 0, "1", "0")  # (n, T*P)
+        return pd.Series(
+            [
+                [f"{t}:" + "".join(row[t * n_planes : (t + 1) * n_planes]) for t in range(n_tables)]
+                for row in chars
+            ]
+        )
+
+    return buckets
+
+
+def cosine_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.4,
+    tables: list[list[list[float]]] | None = None,
+    max_bucket_size: int | None = 1000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at corpus scale: candidates only
+    where some LSH table's sign pattern matches — an EQUI join on the
+    bucket id, hash-partitionable, instead of :func:`cosine_pairs`'
+    O(n²) ``id_a < id_b`` self-join. This is the primary embedding-dedup
+    path; keep ``cosine_pairs`` as the small-n exactness baseline.
+
+    ``max_bucket_size`` drops degenerate hot buckets (near-constant
+    embedding regions): a B-member bucket emits B(B-1)/2 candidate
+    pairs, the classic LSH skew failure at 100-TB corpora.
+
+    Returns (id_a < id_b, cosine >= threshold); recall < 1 by design —
+    a pair is only seen if it shares a bucket. Deterministic via the
+    seeded hyperplanes, so an oracle can replay the exact bucketing.
+    """
+    if tables is None:
+        tables = hyperplane_tables()
+    e = _with_norm(ensure_min_partitions(df), vec_col, id_col)
+    buckets = _buckets_udf(tables)(F.col("__v"))
+    # Pairs are generated from GROUPED buckets, not a self-join: the
+    # 32-hyperplane bucket signature is the expensive stage, and a
+    # self-join would evaluate it for both sides (plus once more for the
+    # bucket-size count) — grouping evaluates it exactly once. Same
+    # shape as dedup._bucket_pairs, but members carry (id, vec, norm) so
+    # the cosine evaluates inline on each emitted pair.
+    eb = e.select(
+        F.struct(
+            F.col(id_col).alias("id"), F.col("__v").alias("v"), F.col("__norm").alias("n")
+        ).alias("__m"),
+        F.explode(buckets).alias("bucket"),
+    )
+    grouped = eb.groupBy("bucket").agg(F.array_sort(F.collect_list("__m")).alias("__ms"))
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("__ms") <= max_bucket_size)
+    pair_structs = F.expr(
+        "transform(__ms, (x, i) ->"
+        " transform(slice(__ms, i + 2, size(__ms)), y -> struct(x AS a, y AS b)))"
+    )
+    pairs = grouped.select(F.explode(F.flatten(pair_structs)).alias("p"))
+    sim = _dot(F.col("p.a.v"), F.col("p.b.v")) / (F.col("p.a.n") * F.col("p.b.n"))
+    return (
+        pairs.select(
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.round(sim, round_to).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -116,41 +234,27 @@ def lsh_bucketed_topk(
     dim: int = 64,
     seed: int = 42,
     round_to: int = 6,
+    tables: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate ANN: random-hyperplane (sign) LSH.
 
     Each of ``n_tables`` tables hashes a vector to an ``n_planes``-bit
     sign pattern; query/corpus pairs meet only when some table's
     pattern matches exactly. Recall grows with tables, candidate count
-    shrinks with planes. Deterministic via seeded hyperplanes.
+    shrinks with planes. Deterministic via seeded hyperplanes — pass
+    ``tables`` (from :func:`hyperplane_tables`) to share the exact
+    planes with an oracle replay.
     """
-    import random
-
-    rng = random.Random(seed)
-    tables = [
-        [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)] for _ in range(n_tables)
-    ]
-
-    def bucket_expr(vec: Column, t: int) -> Column:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(vec, F.array(*[F.lit(w) for w in plane]), lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for plane in tables[t]
-        ]
-        return F.concat(F.lit(f"{t}:"), *bits)
+    if tables is None:
+        tables = hyperplane_tables(n_tables=n_tables, n_planes=n_planes, dim=dim, seed=seed)
 
     def with_buckets(df: DataFrame, out_id: str) -> DataFrame:
         e = _with_norm(df, vec_col, id_col)
-        buckets = F.array(*[bucket_expr(F.col("__v"), t) for t in range(n_tables)])
         return e.select(
-            F.col(id_col).alias(out_id), "__v", "__norm", F.explode(buckets).alias("bucket")
+            F.col(id_col).alias(out_id),
+            "__v",
+            "__norm",
+            F.explode(_buckets_udf(tables)(F.col("__v"))).alias("bucket"),
         )
 
     cb = with_buckets(ensure_min_partitions(corpus), "neighbor_id").withColumnRenamed("__v", "__cv").withColumnRenamed(

@@ -99,13 +99,37 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP, whatever physical
+    encoding it arrived in. Dtype-conditional — never assume the
+    writer's physical type, inspect the loaded schema:
+
+    - LONG (parquet INT64 TIMESTAMP(NANOS) read under ``nanosAsLong``):
+      convert nanos -> micros -> timestamp.
+    - TIMESTAMP_NTZ (parquet TIMESTAMP(MICROS/MILLIS) with
+      ``isAdjustedToUTC=false``): cast to session-local TIMESTAMP so
+      comparisons against literals behave uniformly.
+    - TIMESTAMP: pass through untouched.
+
+    Works on batch AND streaming DataFrames (pure projection, no state).
+    """
+    from pyspark.sql import types as T
+
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, T.LongType):
+        # integer `div`, NOT `/`: epoch-nanos (~1.7e18) overflow double precision
+        return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast(T.TimestampType()))
+    return df
+
+
 def load_nanos_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame:
-    """Read a parquet file whose ``ts_col`` is TIMESTAMP(NANOS): nanos
-    come in as long, go out as a proper timestamp column."""
+    """Read a parquet events file, normalizing ``ts_col`` to TIMESTAMP
+    via :func:`normalize_event_ts` (handles NANOS-as-long, NTZ, and
+    plain timestamp encodings)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
-    # integer `div`, NOT `/`: epoch-nanos (~1.7e18) overflow double precision
-    return df.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    return normalize_event_ts(spark.read.parquet(path), ts_col)
 
 
 def read_json_lines(

@@ -23,7 +23,13 @@ from ..llm.dedup import (
     simhash_signatures,
 )
 from ..llm.multimodal import attach_binary_payload, extract_image_features
-from ..llm.similarity import brute_force_topk, cosine_pairs, lsh_bucketed_topk
+from ..llm.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    cosine_pairs_lsh,
+    hyperplane_tables,
+    lsh_bucketed_topk,
+)
 from ..llm.text import fingerprint, lang_scores, text_stats
 from ..sources.readers import read_testdata
 from .registry import register
@@ -40,6 +46,10 @@ _DUCK_SHINGLES = (
 
 _NUM_HASHES = 16
 _BANDS, _ROWS_PER_BAND = 4, 4
+# Hot-bucket cap: a B-doc LSH bucket emits B(B-1)/2 candidate pairs, so
+# degenerate buckets (boilerplate-dominated bands) are THE skew failure
+# at corpus scale. The tested default IS the 100-TB default.
+_MINHASH_BUCKET_CAP = 100
 
 
 def _minhash_oracle() -> str:
@@ -60,8 +70,15 @@ def _minhash_oracle() -> str:
            {sig_exprs}
         FROM sh_t WHERE len(sh) > 0
     ),
-    buckets AS (
+    buckets_all AS (
     {band_selects}
+    ),
+    keep AS (
+        SELECT band, bucket FROM buckets_all
+        GROUP BY band, bucket HAVING count(*) <= {_MINHASH_BUCKET_CAP}
+    ),
+    buckets AS (
+        SELECT buckets_all.* FROM buckets_all JOIN keep USING (band, bucket)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM buckets a JOIN buckets b
@@ -148,7 +165,9 @@ def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(_docs(spark, sf_dir), k_shingle=3, num_hashes=_NUM_HASHES)
-    return lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
+    return lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND, max_bucket_size=_MINHASH_BUCKET_CAP
+    )
 
 
 @register(
@@ -158,7 +177,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(_docs(spark, sf_dir))
-    return simhash_candidate_pairs(sigs)
+    return simhash_candidate_pairs(sigs, max_bucket_size=_MINHASH_BUCKET_CAP)
 
 
 @register(
@@ -178,6 +197,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+# Hyperplanes are seeded constants shared by the Spark query and its
+# oracle: the SQL replays the exact same sign-LSH bucketing from
+# literal plane weights, so even the approximate path has an exact twin.
+_EMB_LSH_TABLES = hyperplane_tables(n_tables=4, n_planes=8, dim=64, seed=42)
+_EMB_LSH_BUCKET_CAP = 200
+
+
+def _lsh_bucket_sql(tables: list[list[list[float]]]) -> str:
+    """The DuckDB twin of similarity._bucket_expr: per-table sign-pattern
+    bucket ids from literal plane weights (exactly the seeded planes the
+    Spark query uses)."""
+
+    def plane_lit(plane: list[float]) -> str:
+        return "[" + ", ".join(repr(w) for w in plane) + "]"
+
+    bucket_exprs = []
+    for t, tbl in enumerate(tables):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(p)}) >= 0 THEN '1' ELSE '0' END)"
+            for p in tbl
+        )
+        bucket_exprs.append(f"'{t}:' || {bits}")
+    return ",\n        ".join(bucket_exprs)
+
+
+def _embedding_lsh_oracle(threshold: float = 0.4) -> str:
+    buckets = _lsh_bucket_sql(_EMB_LSH_TABLES)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, unnest([{buckets}]) AS bucket FROM e
+    ),
+    keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) <= {_EMB_LSH_BUCKET_CAP}),
+    bk AS (SELECT b.vec_id, b.bucket FROM b JOIN keep USING (bucket)),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    )
+    SELECT cand.id_a, cand.id_b,
+           round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+    FROM cand JOIN e x ON cand.id_a = x.vec_id JOIN e y ON cand.id_b = y.vec_id
+    WHERE round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= {threshold}
+    """
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=_embedding_lsh_oracle(),
+    doc="Embedding near-dup pairs AT SCALE: seeded random-hyperplane sign-LSH "
+    "buckets (4 tables x 8 planes) -> EQUI join on the bucket id -> cosine "
+    "only on candidates, with a hot-bucket cap (200) as the skew guard. "
+    "This replaces dedup_embedding_cosine's O(n^2) self-join as the primary "
+    "embedding-dedup path; the all-pairs query stays as the small-n "
+    "exactness baseline. The oracle replays the identical bucketing from "
+    "literal plane weights.",
+    tags=("bench",),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs_lsh(
+        _embs(spark, sf_dir),
+        threshold=0.4,
+        tables=_EMB_LSH_TABLES,
+        max_bucket_size=_EMB_LSH_BUCKET_CAP,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -283,15 +372,52 @@ def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The exact planes lsh_bucketed_topk uses by default (n_tables=8,
+# n_planes=4, seed=42) — shared so the oracle replays the bucketing.
+_ANN_LSH_TABLES = hyperplane_tables(n_tables=8, n_planes=4, dim=64, seed=42)
+
+
+def _ann_lsh_oracle() -> str:
+    buckets = _lsh_bucket_sql(_ANN_LSH_TABLES)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    b AS (
+        SELECT vec_id, unnest([{buckets}]) AS bucket FROM e
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 10
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6) AS cosine
+        FROM cand JOIN e x ON cand.query_id = x.vec_id
+                  JOIN e y ON cand.neighbor_id = y.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """
+
+
 @register(
     "ann_topk_lsh",
-    oracle=None,  # seeded random hyperplanes — deterministic but not SQL-expressible
-    doc="Approximate cosine top-5 via random-hyperplane LSH buckets (the 100-TB ANN path).",
+    oracle=_ann_lsh_oracle(),
+    doc="Approximate cosine top-5 via random-hyperplane LSH buckets (the "
+    "100-TB ANN path). The seeded planes are shared with the oracle as SQL "
+    "literals, so even the approximate path has an exact DuckDB twin.",
 )
 def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(embs, queries, k=5)
+    return lsh_bucketed_topk(embs, queries, k=5, tables=_ANN_LSH_TABLES)
 
 
 # --------------------------------------------------------------------------
@@ -567,33 +693,29 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_label_centroids",
     oracle="""
     WITH comp AS (
-        SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS val
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
         FROM embeddings
     ),
     agg AS (SELECT label, pos, round(avg(val), 4) AS v FROM comp GROUP BY 1, 2),
-    cent AS (SELECT label, list(v ORDER BY pos) AS centroid FROM agg GROUP BY 1),
     n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
-    SELECT n.label, n.n_vecs, cent.centroid
-    FROM n JOIN cent USING (label)
+    SELECT n.label, n.n_vecs, agg.pos, agg.v
+    FROM n JOIN agg USING (label)
     """,
     doc="Per-label embedding centroid: posexplode components -> one hash "
-    "aggregate keyed (label, pos) -> reassemble the vector with "
-    "sort_array(collect_list(struct)). The canonical distributed "
-    "element-wise vector mean (mean-pooling / quantizer training): "
-    "partial aggregation map-side means shuffle volume is one partial "
-    "sum per (label, pos, mapper), never the raw vectors.",
+    "aggregate keyed (label, pos). The canonical distributed element-wise "
+    "vector mean (mean-pooling / quantizer training): partial aggregation "
+    "map-side means shuffle volume is one partial sum per (label, pos, "
+    "mapper), never the raw vectors. Emitted as exploded (label, pos, v) "
+    "rows — scalar columns hash/sort cleanly in any comparison harness; "
+    "reassemble with sort_array(collect_list(struct(pos, v))) when an "
+    "array column is wanted.",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     comp = embs.select("label", F.posexplode("embedding").alias("pos", "val"))
     agg = comp.groupBy("label", "pos").agg(F.round(F.avg("val"), 4).alias("v"))
-    cent = agg.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-        ).alias("centroid")
-    )
     counts = embs.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
-    return counts.join(cent, "label").select("label", "n_vecs", "centroid")
+    return counts.join(agg, "label").select("label", "n_vecs", "pos", "v")
 
 
 @register(

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..sources.readers import normalize_event_ts
 from ..streaming.pipelines import run_stream_to_memory, windowed_event_counts
 from .registry import register
 
@@ -23,12 +24,12 @@ from .registry import register
     doc="Structured Streaming tumbling-window agg (watermark + window) drained via availableNow; equals the batch GROUP BY.",
 )
 def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS): stream it as long, rebuild
-    # the timestamp inside the streaming graph (see sources.readers).
+    # whatever physical type events.ts arrives in (nanos-as-long, NTZ,
+    # timestamp), normalize it inside the streaming graph (sources.readers).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def transform(s: DataFrame) -> DataFrame:
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = normalize_event_ts(s)
         return windowed_event_counts(s, window="1 hour", watermark="1 hour")
 
     return run_stream_to_memory(spark, f"{sf_dir}/events.parquet", transform, output_mode="complete")
@@ -47,7 +48,7 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def transform(s: DataFrame) -> DataFrame:
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = normalize_event_ts(s)
         return streaming_dedup(s, watermark="1 hour").select("event_id", "user_id", "event_type")
 
     return run_stream_to_memory(spark, f"{sf_dir}/events.parquet", transform, output_mode="append")
@@ -139,7 +140,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     def transform(s: DataFrame) -> DataFrame:
-        s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = normalize_event_ts(s)
         purchases = s.where(F.col("event_type") == "purchase").select(
             F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
         )

@@ -253,3 +253,45 @@ def test_overwrite_partitions_as_catalog_table(spark, tmp_path):
         }
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_normalize_event_ts_handles_every_physical_encoding(spark, tmp_path):
+    # The r1 round-killer: the events loader must inspect the LOADED
+    # dtype, not assume the writer's physical type. Exercise all three
+    # encodings a ts column can arrive in.
+    import datetime
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        load_nanos_events,
+        normalize_event_ts,
+    )
+
+    wall = datetime.datetime(2024, 5, 20, 12, 30, 45, 123456)
+
+    # 1) long epoch-nanos (parquet TIMESTAMP(NANOS) under nanosAsLong)
+    nanos = int(wall.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000) * 1000
+    df_long = spark.createDataFrame([(1, nanos)], "event_id INT, ts LONG")
+    out = normalize_event_ts(df_long)
+    assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+
+    # 2) TIMESTAMP_NTZ (parquet micros with isAdjustedToUTC=false)
+    df_ntz = spark.createDataFrame(
+        [(1, wall)], T.StructType([
+            T.StructField("event_id", T.IntegerType()),
+            T.StructField("ts", T.TimestampNTZType()),
+        ])
+    )
+    out_ntz = normalize_event_ts(df_ntz)
+    assert isinstance(out_ntz.schema["ts"].dataType, T.TimestampType)
+    assert out_ntz.collect()[0]["ts"].replace(tzinfo=None) == wall
+
+    # 3) already TIMESTAMP -> untouched passthrough
+    df_ts = df_ntz.withColumn("ts", F.col("ts").cast("timestamp"))
+    assert normalize_event_ts(df_ts) is df_ts
+
+    # end-to-end through a parquet file written with plain timestamps
+    p = str(tmp_path / "ev.parquet")
+    df_ts.write.parquet(p)
+    loaded = load_nanos_events(spark, p)
+    assert isinstance(loaded.schema["ts"].dataType, T.TimestampType)
+    assert loaded.count() == 1

@@ -212,3 +212,16 @@ def test_disjunctive_join_keeps_hash_join_with_residual(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_lsh_dedup_has_no_join_at_all(spark, sf_dir):
+    # The scale-safe embedding near-dup path groups vectors by LSH bucket
+    # id (one hash-partitionable aggregate) and emits candidate pairs from
+    # each bucket — there is NO join in the plan at all, and in particular
+    # never the O(n^2) `id_a < id_b` nested-loop/cartesian self-join that
+    # is the 100-TB scale-killer this query exists to replace.
+    plan = plan_of(spark, sf_dir, "dedup_embedding_lsh")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # pairs come from the grouped buckets
+    assert "HashAggregate" in plan  # the bucket grouping
