@@ -172,8 +172,51 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    oracle=None,  # Pandas-UDF bit-twiddling — no SQL twin; rows-only check
-    doc="SimHash-64 signatures + 16-bit-block candidate pairs (vectorized Pandas UDF).",
+    # The bit-twiddling UDF has an exact SQL twin after all: md5 is
+    # engine-identical, so the first-8-bytes token hash, the signed
+    # per-bit sums, and the nibble-wise hex reassembly all replay in
+    # DuckDB (UBIGINT shifts + string_agg of hex nibbles).
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM tok
+    ),
+    acc AS (
+        SELECT doc_id, bb.b AS b,
+               sum(CASE WHEN ((h >> (63 - bb.b)) & 1) = 1 THEN 1 ELSE -1 END) AS s
+        FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+        GROUP BY 1, 2
+    ),
+    nib AS (
+        SELECT doc_id, b // 4 AS j,
+               sum(CASE WHEN s > 0 THEN (8 >> (b % 4)) ELSE 0 END) AS n
+        FROM acc GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id, string_agg(substr('0123456789abcdef', n::INT + 1, 1), '' ORDER BY j) AS simhash
+        FROM nib GROUP BY doc_id
+    ),
+    allsig AS (
+        SELECT d.doc_id, coalesce(sig.simhash, '0000000000000000') AS simhash
+        FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+    ),
+    blocks AS (
+        SELECT doc_id AS doc, ii.i::VARCHAR || ':' || substr(simhash, ii.i * 4 + 1, 4) AS block
+        FROM allsig CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii
+    ),
+    keep AS (SELECT block FROM blocks GROUP BY block HAVING count(*) <= {_MINHASH_BUCKET_CAP}),
+    bk AS (SELECT blocks.doc, blocks.block FROM blocks JOIN keep USING (block))
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM bk a JOIN bk b ON a.block = b.block AND a.doc < b.doc
+    """,
+    doc="SimHash-64 signatures + 16-bit-block candidate pairs. Signature UDF "
+    "is numpy-vectorized (md5 only over unique tokens; bit expansion, "
+    "signed sums, and bit-pack are matrix ops); hamming-block LSH with a "
+    "hot-block cap. md5 determinism gives even this bit-twiddling path an "
+    "exact DuckDB oracle.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(_docs(spark, sf_dir))
@@ -1103,16 +1146,37 @@ def corpus_contiguous_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # binary fan-out via mapInPandas — no SQL twin; rows-only check
+    # The fake decode is byte-deterministic, so even the mapInPandas
+    # fan-out has an exact SQL twin; frames compare as lowercase hex
+    # (this DuckDB build has no BLOB substring — the binary plumbing
+    # itself is pytested in test_llm).
+    oracle="""
+    WITH p AS (
+        SELECT doc_id, lower(hex(encode(text))) AS hx,
+               octet_length(encode(text)) AS nb
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, hx, unnest(range(0, greatest(1, (nb + 15) // 16), 2)) AS i
+        FROM p
+    )
+    SELECT doc_id, i::INT AS frame_idx, substr(hx, (i * 32 + 1)::INT, 32) AS frame_hex
+    FROM f
+    """,
     doc="Video keyframe sampling plumbing: one row per kept frame, fanned out "
     "inside mapInPandas (the shape a real ffmpeg sampler needs). Decode is "
-    "stubbed deterministically; schema/batching/partitioning are real.",
+    "stubbed deterministically; schema/batching/partitioning are real. The "
+    "registered query hex-encodes frames so the fan-out hash-verifies "
+    "against a SQL oracle.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.multimodal import attach_binary_payload, sample_video_frames
 
     with_payload = attach_binary_payload(_docs(spark, sf_dir))
-    return sample_video_frames(with_payload, frame_bytes=16, every_n=2)
+    frames = sample_video_frames(with_payload, frame_bytes=16, every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", F.lower(F.hex(F.col("frame"))).alias("frame_hex")
+    )
 
 
 @register(
