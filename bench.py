@@ -37,6 +37,7 @@ def main() -> int:
     if Path(warm_dir).is_dir():
         REGISTRY["dedup_ngram_jaccard"].fn(spark, warm_dir).count()
         REGISTRY["dedup_minhash_lsh"].fn(spark, warm_dir).count()
+        REGISTRY["dedup_embedding_lsh"].fn(spark, warm_dir).count()
         # corpus_prep + clustering compile their own large expression
         # trees (5-language higher-order filters, label propagation)
         REGISTRY["corpus_prep_pipeline"].fn(spark, warm_dir).count()

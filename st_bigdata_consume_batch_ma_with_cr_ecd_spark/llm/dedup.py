@@ -203,6 +203,66 @@ def lsh_candidate_pairs(
     return _bucket_pairs(buckets, "band", "bucket", max_bucket_size=max_bucket_size)
 
 
+def duplicate_chunk_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_tokens: int = 5,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Exact-substring boilerplate removal (the RefinedWeb/Falcon-style
+    corpus-cleaning pass, at aligned-chunk granularity): split each doc
+    into non-overlapping ``chunk_tokens``-token chunks, drop every chunk
+    that appears in more than ``max_doc_freq`` documents, reassemble the
+    survivors in order.
+
+    Scale shape: the global chunk-frequency aggregate's OUTPUT (chunks
+    above the threshold) is the boilerplate set — small by definition —
+    so it BROADCASTS back as a left join marker; the expensive
+    alternative (shuffling all chunks a second time to join frequencies)
+    never happens. One explode, one count-distinct aggregate, one
+    broadcast, one per-doc regroup.
+
+    Returns (id, clean_text, n_chunks_kept, n_chunks_removed).
+    """
+    toks = tokenize(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunk_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " ").alias("chunk"),
+        ),
+    )
+    guarded = F.when(n_chunks >= 1, chunk_structs).otherwise(
+        F.array().cast("array<struct<chunk_idx:int,chunk:string>>")
+    )
+    ex = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col), F.explode(guarded).alias("c"))
+        .select(id_col, F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk"))
+    )
+    hot = (
+        ex.groupBy("chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("__f"))
+        .where(F.col("__f") > max_doc_freq)
+        .select("chunk", F.lit(True).alias("__hot"))
+    )
+    marked = ex.join(F.broadcast(hot), "chunk", "left")
+    kept_struct = F.when(
+        F.col("__hot").isNull(), F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )  # null for hot chunks -> collect_list skips them
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(kept_struct)), lambda s: s["chunk"]), " "
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("__hot").isNull(), 1).otherwise(0)).alias("n_chunks_kept"),
+        F.sum(F.when(F.col("__hot").isNull(), 0).otherwise(1)).alias("n_chunks_removed"),
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 64
 ) -> DataFrame:

@@ -74,3 +74,59 @@ def assign_contiguous_ids(
                 yield grp
 
     return with_pid.mapInPandas(add_ids, schema=out_schema).drop(pid)
+
+
+def running_total(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    value_col: str,
+    *,
+    out_col: str = "cum_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global cumulative sum of ``value_col`` in the total order given by
+    ``order_cols`` — same two-phase trick as :func:`assign_contiguous_ids`
+    (``sum() OVER (ORDER BY ...)`` with no PARTITION BY is the same
+    one-task trap as global ``row_number``):
+
+    1. range-partition + sort (parallel global sort);
+    2. per-partition value sums -> driver prefix-sum (one number per
+       partition, the model not the data);
+    3. per-partition local cumsum + broadcast offset in one
+       ``mapInPandas`` pass.
+
+    ``out_col`` is the INCLUSIVE running total (``... ROWS UNBOUNDED
+    PRECEDING`` semantics). Values must be integral (long out)."""
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty (and a total order)")
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = df.repartitionByRange(n, *order_cols).sortWithinPartitions(*order_cols)
+    ordered = ordered.localCheckpoint(eager=True)  # pin range bounds across the 2 jobs
+
+    pid = "__pid"
+    with_pid = ordered.withColumn(pid, F.spark_partition_id())
+    sums = dict(
+        with_pid.groupBy(pid).agg(F.sum(value_col).alias("s")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p] or 0
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(list(with_pid.schema.fields) + [T.StructField(out_col, T.LongType())])
+
+    def add_cumsum(batches: Iterator) -> Iterator:
+        local = {}
+        for pdf in batches:
+            for p, grp in pdf.groupby(pid, sort=False):
+                grp = grp.copy()
+                base = offsets[p] + local.get(p, 0)
+                run = grp[value_col].cumsum()
+                grp[out_col] = run + base
+                local[p] = local.get(p, 0) + int(grp[value_col].sum())
+                yield grp
+
+    return with_pid.mapInPandas(add_cumsum, schema=out_schema).drop(pid)

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm.dedup import (
+    duplicate_chunk_removal,
     exact_dedup_groups,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -221,6 +222,80 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash_signatures(_docs(spark, sf_dir))
     return simhash_candidate_pairs(sigs, max_bucket_size=_MINHASH_BUCKET_CAP)
+
+
+@register(
+    "text_chunk_dedup",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    ci AS (
+        SELECT doc_id, tokens, unnest(range(0, (len(tokens) + 4) // 5)) AS chunk_idx
+        FROM tok
+    ),
+    ch AS (
+        SELECT doc_id, chunk_idx,
+               array_to_string(tokens[chunk_idx * 5 + 1 : chunk_idx * 5 + 5], ' ') AS chunk
+        FROM ci
+    ),
+    hot AS (
+        SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+    )
+    SELECT ch.doc_id,
+           coalesce(string_agg(ch.chunk, ' ' ORDER BY ch.chunk_idx)
+                        FILTER (WHERE h.chunk IS NULL), '') AS clean_text,
+           count(*) FILTER (WHERE h.chunk IS NULL)     AS n_chunks_kept,
+           count(*) FILTER (WHERE h.chunk IS NOT NULL) AS n_chunks_removed
+    FROM ch LEFT JOIN hot h ON ch.chunk = h.chunk
+    GROUP BY ch.doc_id
+    """,
+    doc="Exact-substring boilerplate removal (RefinedWeb-style corpus "
+    "cleaning): drop every aligned 5-token chunk that appears in more than "
+    "one document, reassemble the survivors. The hot-chunk set (the "
+    "aggregate's OUTPUT, small by definition) broadcasts back as a join "
+    "marker — the full chunk table never shuffles twice.",
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return duplicate_chunk_removal(
+        _docs(spark, sf_dir), chunk_tokens=5, max_doc_freq=1
+    )
+
+
+@register(
+    "corpus_pack_sequences",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_DUCK_TOKENS}) AS n_tokens FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS start_offset
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_offset, start_offset // 2048 AS pack_id FROM c
+    """,
+    doc="Training-sequence packing (concat-and-chop): every doc gets its "
+    "global token start offset and the id of the 2048-token pack its first "
+    "token lands in. The global cumulative sum runs as a distributed "
+    "prefix-sum (operators.rowids.running_total): range-partitioned sort, "
+    "per-partition sums to the driver (one number per partition), "
+    "broadcast offsets + local cumsum — NOT a single-task "
+    "`sum() OVER (ORDER BY)` window, which serializes the corpus at "
+    "100 TB.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import tokenize
+    from ..operators.rowids import running_total
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokenize(F.col("text"))).alias("n_tokens")
+    )
+    cum = running_total(docs, ["doc_id"], "n_tokens", out_col="__cum")
+    start = F.col("__cum") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(2048)).cast("long").alias("pack_id"),
+    )
 
 
 @register(

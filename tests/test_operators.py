@@ -447,3 +447,37 @@ def test_operators_tolerate_empty_inputs(spark):
         ).count()
         == 0
     )
+
+
+def test_running_total_matches_window_semantics(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.rowids import running_total
+
+    df = spark.createDataFrame(
+        [(3, 10), (1, 5), (4, 7), (2, 0), (5, 3)], "k int, v long"
+    )
+    out = {r.k: r.cum_sum for r in running_total(df, ["k"], "v", num_partitions=3).collect()}
+    # inclusive running total in k order: 5, 5, 15, 22, 25
+    assert out == {1: 5, 2: 5, 3: 15, 4: 22, 5: 25}
+    with pytest.raises(ValueError):
+        running_total(df, [], "v")
+
+
+def test_duplicate_chunk_removal_drops_shared_chunks(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+        duplicate_chunk_removal,
+    )
+
+    shared = "a b c d e"  # one aligned 5-token chunk, present in both docs
+    df = spark.createDataFrame(
+        [
+            (1, shared + " unique one text here xx"),
+            (2, shared + " other words entirely different yy"),
+            (3, "totally fresh content nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in duplicate_chunk_removal(df, chunk_tokens=5).collect()}
+    assert out[1].n_chunks_removed == 1 and out[1].clean_text == "unique one text here xx"
+    assert out[2].n_chunks_removed == 1
+    assert out[3].n_chunks_removed == 0
+    assert out[3].clean_text == "totally fresh content nothing shared"
