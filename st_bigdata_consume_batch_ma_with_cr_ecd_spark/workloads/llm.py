@@ -253,6 +253,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one document, reassemble the survivors. The hot-chunk set (the "
     "aggregate's OUTPUT, small by definition) broadcasts back as a join "
     "marker — the full chunk table never shuffles twice.",
+    tags=("bench",),
 )
 def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_chunk_removal(
@@ -280,6 +281,7 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast offsets + local cumsum — NOT a single-task "
     "`sum() OVER (ORDER BY)` window, which serializes the corpus at "
     "100 TB.",
+    tags=("bench",),
 )
 def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.text import tokenize

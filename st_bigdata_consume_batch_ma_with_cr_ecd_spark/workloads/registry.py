@@ -74,6 +74,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "u2_union_distinct",
     # §2 projections P2-P8
     "p2_computed_projection",
+    "p3_drop_columns",
     "p4_bulk_rename_prefix",
     "p5_p6_dynamic_projection",
     "p7_nest_flatten_roundtrip",
@@ -89,7 +90,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "skew_salted_join",
     "skew_salted_aggregate",
     "range_event_proximity",
-    "q18_large_orders",
     # the faithful reference pipeline
     "pipeline_market_analytics",
     # streaming suite

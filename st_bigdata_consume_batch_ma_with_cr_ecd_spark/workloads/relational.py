@@ -833,6 +833,22 @@ def p2_computed_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p3_drop_columns",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+    doc="P3: config-driven drop list (reference Glue drop_fields, "
+    "script/main.py:169-173) — absent names silently ignored; the "
+    "surviving projection is what Catalyst prunes the scan to.",
+)
+def p3_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.columns import drop_columns
+
+    nat = _t(spark, sf_dir, "nation")
+    return drop_columns(nat, ["n_regionkey", "n_comment", "not_a_column"])
+
+
+@register(
     "p5_p6_dynamic_projection",
     oracle="""
     SELECT l_orderkey, l_linenumber,
