@@ -31,7 +31,7 @@ from ..llm.similarity import (
     hyperplane_tables,
     lsh_bucketed_topk,
 )
-from ..llm.text import fingerprint, lang_scores, text_stats
+from ..llm.text import fingerprint, lang_scores, text_stats, tokenize
 from ..sources.readers import read_testdata
 from .registry import register
 
@@ -298,6 +298,70 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         start.alias("start_offset"),
         F.floor(start / F.lit(2048)).cast("long").alias("pack_id"),
     )
+
+
+@register(
+    "text_vocab_topk",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    counts AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+    top AS (SELECT token, n FROM counts ORDER BY n DESC, token ASC LIMIT 100)
+    SELECT token, n, row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+    FROM top
+    """,
+    doc="Vocabulary building: global top-100 tokens by corpus frequency "
+    "with deterministic tiebreak (count DESC, token ASC). The top-k plans "
+    "as TakeOrderedAndProject (per-partition heads merged on one bounded "
+    "k-row reduce) — never a global sort or an unbounded single-task "
+    "window; rank is assigned AFTER the limit, over k rows.",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(F.explode(tokenize(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(100)
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())  # bounded: 100 rows
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH comp AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    stats AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM comp GROUP BY pos)
+    SELECT c.vec_id, c.pos,
+           CAST(CASE WHEN s.hi > s.lo
+                     THEN least(255, floor((c.v - s.lo) * 255 / (s.hi - s.lo)))
+                     ELSE 0 END AS INT) AS q
+    FROM comp c JOIN stats s USING (pos)
+    """,
+    doc="Scalar int8 quantization for ANN index compression: per-dimension "
+    "[min, max] from one posexplode aggregate (64 rows — the MODEL, never "
+    "the data), broadcast back, each component floored onto the 0..255 "
+    "grid. floor() not round(): half-to-even vs half-away divergence on "
+    "binary doubles is the classic cross-engine trap; floor of an "
+    "identical IEEE expression is bit-deterministic everywhere.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    comp = embs.select(
+        "vec_id", F.posexplode(F.expr("transform(embedding, x -> cast(x as double))")).alias("pos", "v")
+    )
+    stats = comp.groupBy("pos").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    q = (
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(F.lit(255.0), F.floor((F.col("v") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo")))),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return comp.join(F.broadcast(stats), "pos").select("vec_id", "pos", q.alias("q"))
 
 
 @register(
