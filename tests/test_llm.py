@@ -392,3 +392,31 @@ def test_contamination_counts_broadcast_overlap(spark):
     assert not out[2].contaminated and out[2].n_matched_ngrams == 0
     assert out[3].contaminated and out[3].n_matched_ngrams == 1
     assert len(out) == 3  # every training row reported, matched or not
+
+
+def test_vectorized_lsh_buckets_match_jvm_expression(spark):
+    # _buckets_udf (numpy matmul per Arrow batch) is the hot path;
+    # _bucket_expr (pure-JVM fold) is the reference semantics. They must
+    # agree bucket-for-bucket, or the oracle replay breaks silently.
+    from pyspark.sql import functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        _bucket_expr,
+        _buckets_udf,
+        hyperplane_tables,
+    )
+
+    tables = hyperplane_tables(n_tables=3, n_planes=4, dim=8, seed=7)
+    df = spark.range(50).select(
+        "id",
+        F.expr(
+            "transform(sequence(0, 7), j -> cast(sin(id * 13 + j) as double))"
+        ).alias("v"),
+    )
+    jvm = df.select(
+        "id", F.array(*[_bucket_expr(F.col("v"), t, i) for i, t in enumerate(tables)]).alias("b")
+    )
+    vec = df.select("id", _buckets_udf(tables)(F.col("v")).alias("b"))
+    assert {(r.id, tuple(r.b)) for r in jvm.collect()} == {
+        (r.id, tuple(r.b)) for r in vec.collect()
+    }
