@@ -15,9 +15,14 @@ Rounds needed = component diameter, and near-dup clusters are
 near-cliques (diameter 2-3), so 3-4 rounds settle real corpora. Each
 round is eagerly ``localCheckpoint``-ed: without it the loop builds an
 exponentially deep lineage that chokes the planner long before data
-size matters. At extreme scale swap in the large-star/small-star
-variant (Kiveris et al., "Connected Components in MapReduce and
-Beyond") — same DataFrame skeleton, fewer rounds.
+size matters.
+
+For extreme scale / pathological diameters,
+:func:`connected_components_star` implements the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14): O(log diameter) rounds, each star op a
+``groupBy.min`` + equi join (never per-node neighbor lists).
+Property-tested equivalent to propagation on arbitrary graphs.
 """
 
 from __future__ import annotations
@@ -76,6 +81,100 @@ def connected_components(
                 break
         labels = new_labels.select("node", "label")
     return labels.select("node", "label")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the extreme-scale alternative to min-label
+    propagation: rounds needed are O(log diameter), not O(diameter),
+    so chain-shaped components (pathological for propagation) settle
+    in a handful of rounds.
+
+    Both star operations are expressed WITHOUT per-node neighbor lists
+    (a ``collect_list`` would melt on super-nodes): each is one
+    ``groupBy.min`` + one equi join —
+
+    - large-star: for every node u with m(u) = min(Γ(u) ∪ {u}),
+      re-point each STRICTLY LARGER neighbor v > u at m(u);
+    - small-star: with m⁻(u) = min over smaller-or-equal neighbors,
+      re-point each v ≤ u (and u itself) at m⁻(u).
+
+    Every intermediate edge (a, b) keeps the invariant b < a (parent
+    pointers toward smaller ids). Convergence = the edge multiset is
+    stable; checked with a (count, xor-of-hashes) fingerprint — two
+    longs to the driver per round. Returns (node, label) like
+    :func:`connected_components`.
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # self-loop nodes carry no connectivity but ARE nodes of the graph —
+    # they come back as their own roots at the end
+    selfies = raw.where(F.col("a") == F.col("b")).select(F.col("a").alias("node")).distinct()
+    e = raw.where(F.col("a") != F.col("b"))
+    # parent-pointer form: b < a
+    cur = e.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    ).distinct()
+    cur = cur.localCheckpoint(eager=True)
+
+    def fingerprint(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64(F.col("a"), F.col("b"))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    def large_star(df: DataFrame) -> DataFrame:
+        # symmetric neighborhoods
+        sym = df.unionByName(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = sym.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
+        # v > u re-points at m(u); output in parent-pointer form (m < v)
+        out = (
+            sym.where(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    def small_star(df: DataFrame) -> DataFrame:
+        # df already has b < a: Γ⁻ neighborhoods are exactly the edges
+        m = df.groupBy("a").agg(F.min("b").alias("m"))
+        with_m = df.join(m, "a")
+        # each smaller neighbor b re-points at m(a)...
+        repoint = with_m.select(F.col("b").alias("a"), F.col("m").alias("b"))
+        # ...and a keeps its pointer to m(a)
+        keep = with_m.select("a", F.col("m").alias("b"))
+        out = repoint.unionByName(keep)
+        return out.where(F.col("a") != F.col("b")).distinct()
+
+    fp = fingerprint(cur)
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        nfp = fingerprint(nxt)
+        cur = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    # converged: every edge points a -> component minimum
+    labels = cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
+    roots = cur.select(F.col("b").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    base = labels.unionByName(roots).distinct()
+    # a self-loop node that also has real edges already carries its
+    # component label — only truly lone ones label themselves
+    lone = selfies.join(base.select("node"), "node", "left_anti").withColumn(
+        "label", F.col("node")
+    )
+    return base.unionByName(lone)
 
 
 def assign_cluster_ids(
