@@ -1229,9 +1229,7 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_cluster_components",
-    oracle=f"""
+_CLUSTER_ORACLE = f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -1246,7 +1244,21 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels AS (SELECT node, min(label) AS cluster_id FROM comp GROUP BY node)
     SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
     FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
-    """,
+    """
+
+
+def _lsh_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, k_shingle=3, num_hashes=_NUM_HASHES)
+    pairs = lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND, max_bucket_size=_MINHASH_BUCKET_CAP
+    )
+    return docs, pairs
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=_CLUSTER_ORACLE,
     doc="The near-dedup endgame: MinHash-LSH candidate pairs -> connected "
     "components (operators.graph, min-label propagation with eager "
     "localCheckpoint per round) -> one cluster_id per document (singletons "
@@ -1258,12 +1270,32 @@ def text_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import assign_cluster_ids
 
-    docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs, k_shingle=3, num_hashes=_NUM_HASHES)
-    pairs = lsh_candidate_pairs(sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND)
+    docs, pairs = _lsh_pairs(spark, sf_dir)
     return assign_cluster_ids(
         docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b", pairs_distinct=True
     ).select("doc_id", "cluster_id")
+
+
+@register(
+    "dedup_cluster_components_star",
+    oracle=_CLUSTER_ORACLE,
+    doc="Same clusters via large-star/small-star (Kiveris et al. SoCC'14): "
+    "O(log diameter) rounds instead of O(diameter), each star op one "
+    "groupBy.min + equi join, no per-node neighbor lists — the variant for "
+    "pathological component shapes at extreme scale. Hash-verified against "
+    "the identical recursive-CTE oracle as the propagation path.",
+)
+def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    docs, pairs = _lsh_pairs(spark, sf_dir)
+    comps = connected_components_star(pairs, "doc_a", "doc_b")
+    joined = docs.select("doc_id").join(
+        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    return joined.select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
+    )
 
 
 @register(
