@@ -118,9 +118,19 @@ def minhash_signatures(
     k_shingle: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """Per-doc MinHash signature: array of ``num_hashes`` md5-hex minima
-    over the doc's shingle set. Docs with no shingle are dropped (too
-    short to compare).
+    """Per-doc MinHash signature: array of ``num_hashes`` minima over
+    the doc's shingle set, each hash = the first 8 md5 bytes as an
+    unsigned 64-bit value carried in ``DECIMAL(20,0)``. Docs with no
+    shingle are dropped (too short to compare).
+
+    Why DECIMAL and not the md5 hex string: ``min(string)`` is not
+    hash-aggregatable in Spark (variable-length buffer), so the
+    signature aggregate — the widest stage of the whole dedup — falls
+    back to SortAggregate; fixed-size decimal minima keep it a
+    HashAggregate with map-side partial min. Still engine-exact: the
+    oracle computes the identical integers from the identical md5s, so
+    both sides take minima over the SAME value sets (truncation
+    collisions, ~2^-64, would affect both sides identically anyway).
 
     Shape: explode the shingle set once, compute the ``num_hashes``
     md5s per (doc, shingle) row, then take per-doc minima in a single
@@ -136,7 +146,13 @@ def minhash_signatures(
     hashed = exploded.select(
         id_col,
         *[
-            F.md5(F.concat(F.lit(f"{j}:"), F.col("__shingle"))).alias(f"__h{j}")
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("__shingle"))), 1, 16),
+                16,
+                10,
+            )
+            .cast("decimal(20,0)")
+            .alias(f"__h{j}")
             for j in range(num_hashes)
         ],
     )

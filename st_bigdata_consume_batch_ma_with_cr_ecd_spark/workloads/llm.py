@@ -54,8 +54,13 @@ _MINHASH_BUCKET_CAP = 100
 
 
 def _minhash_oracle() -> str:
+    # first 8 md5 bytes as unsigned 64-bit in DECIMAL(20,0) — the exact
+    # integers the Spark side takes minima over (llm/dedup.py rationale:
+    # decimal minima stay hash-aggregatable, string minima don't)
     sig_exprs = ",\n           ".join(
-        f"list_min(list_transform(sh, s -> md5('{j}:' || s))) AS h{j}" for j in range(_NUM_HASHES)
+        f"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('{j}:' || s), 1, 16))::UBIGINT"
+        f" AS DECIMAL(20,0)))) AS h{j}"
+        for j in range(_NUM_HASHES)
     )
     band_selects = "\n    UNION ALL\n    ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(

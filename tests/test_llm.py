@@ -72,11 +72,14 @@ def test_minhash_signature_shape_and_determinism(spark, docs):
     assert set(rows) == {1, 2, 3, 4}  # doc 5 (< 3 tokens) dropped
     assert all(len(s) == 8 for s in rows.values())
     assert rows[1] == rows[4]  # identical docs -> identical signatures
-    # deterministic: first hash = min over md5('0:'||shingle), reproducible in python
+    # deterministic: first hash = min over the first-8-md5-bytes integer
+    # of '0:'||shingle (the decimal form that keeps the agg hash-based)
     toks = "the quick brown fox jumps over the lazy dog".split()
     shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
-    expected_h0 = min(hashlib.md5(f"0:{s}".encode()).hexdigest() for s in shingles)
-    assert rows[1][0] == expected_h0
+    expected_h0 = min(
+        int.from_bytes(hashlib.md5(f"0:{s}".encode()).digest()[:8], "big") for s in shingles
+    )
+    assert int(rows[1][0]) == expected_h0
 
 
 def test_lsh_candidates_include_exact_dup_pair(spark, docs):
