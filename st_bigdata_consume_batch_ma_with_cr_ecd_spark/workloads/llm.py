@@ -1076,6 +1076,33 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_shuffle_deterministic",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+    doc="Deterministic global corpus shuffle for training-order "
+    "reproducibility: sort key = md5(salt || doc_id) (new permutation per "
+    "epoch salt, identical on any engine/partitioning), dense 0..N-1 "
+    "positions via the distributed contiguous-id assignment — a parallel "
+    "range-partitioned sort, never the single-task global row_number the "
+    "oracle formulation implies.",
+)
+def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rowids import assign_contiguous_ids
+
+    keyed = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string"))).alias("__k"),
+    )
+    return assign_contiguous_ids(keyed, ["__k", "doc_id"], id_col="shuffle_pos").select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+@register(
     "ann_topk_ivf",
     oracle=None,  # iterative k-means training — not SQL-expressible; rows-only check
     doc="IVF ANN: deterministic spherical-k-means coarse quantizer (decimal-mean "
@@ -1301,6 +1328,30 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
     return joined.select(
         "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
     )
+
+
+@register(
+    "sample_split_leakage_safe",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTER_ORACLE})
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1) IN
+                     ('0','1','2','3','4','5','6','7','8','9','a','b') THEN 'train'
+                ELSE 'test' END AS split
+    FROM clusters
+    """,
+    doc="Leakage-safe train/test split: the md5 split bucket keys on the "
+    "near-dup CLUSTER id, not the doc id, so near-duplicate documents can "
+    "never straddle the split (the classic eval-contamination bug that a "
+    "doc-keyed split silently commits). Composition of the dedup pipeline "
+    "(LSH pairs -> connected components) with the deterministic hash "
+    "split; 75/25 by first md5 nibble.",
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clustered = dedup_cluster_components(spark, sf_dir)
+    h1 = F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 1)
+    split = F.when(h1.isin(*"0123456789ab"), "train").otherwise("test")
+    return clustered.select("doc_id", "cluster_id", split.alias("split"))
 
 
 @register(
