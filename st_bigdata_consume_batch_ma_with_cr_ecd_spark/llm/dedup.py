@@ -18,11 +18,13 @@ Four families, in increasing fuzziness:
   cosine similarity of the token multiset; computed in a vectorized
   Pandas UDF (bit-twiddling beats SQL expressions here).
 
-MinHash hashes are md5 *hex strings* (min over lexicographic order),
-not integers: md5 is available and bit-identical in every engine, so
-signatures are reproducible by any SQL oracle — a deliberate choice
-for verifiability; swap in xxhash64 for raw speed if signatures never
-leave Spark.
+MinHash values are md5-derived but carried as integers — the first 8
+md5 bytes as an unsigned 64-bit value in ``DECIMAL(20,0)``: md5 is
+bit-identical in every engine (so any SQL oracle reproduces the exact
+same integers and minima), while fixed-size decimal minima keep the
+signature aggregate hash-based (``min(string)`` falls back to
+SortAggregate in Spark — see ``minhash_signatures``). Swap in xxhash64
+for raw speed if signatures never leave Spark.
 """
 
 from __future__ import annotations
@@ -287,7 +289,10 @@ def simhash_signatures(
     Vectorized Pandas UDF (Arrow-batched): per token md5 -> first
     ``bits`` bits; signature bit b is the sign of sum(+/-1) over
     tokens. Deterministic (md5), no Python hash randomization.
+    ``bits`` must be byte-aligned (the signature is a hex string).
     """
+    if bits % 8 != 0 or not 0 < bits <= 128:
+        raise ValueError(f"bits must be a multiple of 8 in (0, 128], got {bits}")
     nbytes = bits // 8
 
     @F.pandas_udf("string")
@@ -324,7 +329,14 @@ def simhash_signatures(
                     out[i] = packed[i].tobytes().hex()
         return pd.Series(out)
 
-    return ensure_min_partitions(df).select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    # NULL text -> no signature row (not comparable), matching MinHash's
+    # "no shingles -> dropped" contract; NULL signatures would otherwise
+    # bucket together through NULL block keys downstream.
+    return (
+        ensure_min_partitions(df)
+        .where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), _simhash(F.col(text_col)).alias("simhash"))
+    )
 
 
 def simhash_candidate_pairs(

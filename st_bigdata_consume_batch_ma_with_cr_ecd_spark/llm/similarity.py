@@ -9,8 +9,12 @@
   Trades recall for a join that scales to corpus sizes where the
   cross product is impossible. Hyperplanes are seeded -> deterministic.
 
-All arithmetic in double precision via JVM-side higher-order functions
-(``zip_with`` + ``aggregate``) — no Python in the hot path.
+Pair/score arithmetic runs in double precision via JVM-side
+higher-order functions (``zip_with`` + ``aggregate``); the LSH
+*bucketing* hot path is the deliberate exception — one numpy matmul
+per Arrow batch (``_buckets_udf``), because Catalyst interprets rather
+than codegens HOF lambdas and the batched matmul measured ~2.7x faster
+end-to-end.
 """
 
 from __future__ import annotations

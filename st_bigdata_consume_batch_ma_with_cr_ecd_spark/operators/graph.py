@@ -108,7 +108,7 @@ def connected_components_star(
 
     Every intermediate edge (a, b) keeps the invariant b < a (parent
     pointers toward smaller ids). Convergence = the edge multiset is
-    stable; checked with a (count, xor-of-hashes) fingerprint — two
+    stable; checked with a (count, sum-of-hashes) fingerprint — two
     longs to the driver per round. Returns (node, label) like
     :func:`connected_components`.
     """

@@ -1,10 +1,12 @@
 """LLM-data-pipeline query battery over ``documents`` / ``embeddings``.
 
 Design for verifiability: the fuzzy-dedup operators are built on
-engine-independent primitives (md5 hex strings, explicit double
-arithmetic, rounded ratios) so even MinHash-LSH has an exact DuckDB
-oracle. Only SimHash (Pandas-UDF bit-twiddling) and the seeded
-hyperplane LSH are rows-only checks.
+engine-independent primitives (md5-derived integers, explicit double
+arithmetic, rounded ratios) so even MinHash-LSH, SimHash (UBIGINT
+bit-twiddling replayed in SQL), and the seeded hyperplane-LSH paths
+(planes shared with the oracle as literals) have exact DuckDB oracles.
+The only rows-only checks left are the iterative/sketch-based queries
+(IVF k-means training, HLL/KLL sketch internals).
 """
 
 from __future__ import annotations
@@ -206,8 +208,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nib GROUP BY doc_id
     ),
     allsig AS (
+        -- NULL-text docs get NULL signatures on the Spark side and are
+        -- excluded there; only token-less (empty/whitespace) docs take
+        -- the all-zero signature
         SELECT d.doc_id, coalesce(sig.simhash, '0000000000000000') AS simhash
         FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
+        WHERE d.text IS NOT NULL
     ),
     blocks AS (
         SELECT doc_id AS doc, ii.i::VARCHAR || ':' || substr(simhash, ii.i * 4 + 1, 4) AS block

@@ -481,3 +481,15 @@ def test_duplicate_chunk_removal_drops_shared_chunks(spark):
     assert out[2].n_chunks_removed == 1
     assert out[3].n_chunks_removed == 0
     assert out[3].clean_text == "totally fresh content nothing shared"
+
+
+def test_running_total_survives_int32_overflow(spark):
+    # IntegerType value columns arrive in pandas as int32; a partition
+    # summing past 2^31-1 must not wrap (the 100-TB regression this
+    # operator exists to avoid).
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.rowids import running_total
+
+    big = 2**30
+    df = spark.createDataFrame([(i, big) for i in range(4)], "k int, v int")
+    out = {r.k: r.cum_sum for r in running_total(df, ["k"], "v", num_partitions=1).collect()}
+    assert out == {0: big, 1: 2 * big, 2: 3 * big, 3: 4 * big}
