@@ -225,3 +225,12 @@ def test_embedding_lsh_dedup_has_no_join_at_all(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "Join" not in plan  # pairs come from the grouped buckets
     assert "HashAggregate" in plan  # the bucket grouping
+
+
+def test_minhash_signature_aggregate_is_hash_based(spark, sf_dir):
+    # min(string) falls back to SortAggregate (variable-length buffer),
+    # sorting the widest stage of the dedup; DECIMAL(20,0) minima must
+    # keep every aggregate hash-based.
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
