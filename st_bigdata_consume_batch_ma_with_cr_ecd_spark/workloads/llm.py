@@ -1082,6 +1082,68 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_event_funnel",
+    oracle="""
+    WITH u1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN u1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id
+    ),
+    u3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN u2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM u1) AS n_view,
+           (SELECT count(*) FROM u2) AS n_click,
+           (SELECT count(*) FROM u3) AS n_purchase
+    """,
+    doc="Strict sequential funnel (view -> click -> purchase): how many "
+    "users complete each prefix IN ORDER. ONE shuffle total: per-user "
+    "sorted event array, then a JVM-side fold walks each array once "
+    "tracking the first qualifying timestamp per stage — vs the "
+    "oracle's 3 self-join+aggregate rounds (one per stage, each a "
+    "full-table shuffle at 100 TB). Per-user arrays are bounded by "
+    "per-user activity; cap with a count filter if hyperactive-user "
+    "skew appears.",
+)
+def stats_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))).alias("evs")
+    )
+    state = F.expr(
+        """
+        aggregate(
+          evs,
+          named_struct('t1', CAST(NULL AS TIMESTAMP), 't2', CAST(NULL AS TIMESTAMP),
+                       't3', CAST(NULL AS TIMESTAMP)),
+          (acc, e) -> named_struct(
+            't1', CASE WHEN acc.t1 IS NULL AND e.event_type = 'view'
+                       THEN e.ts ELSE acc.t1 END,
+            't2', CASE WHEN acc.t2 IS NULL AND acc.t1 IS NOT NULL
+                            AND e.event_type = 'click' AND e.ts > acc.t1
+                       THEN e.ts ELSE acc.t2 END,
+            't3', CASE WHEN acc.t3 IS NULL AND acc.t2 IS NOT NULL
+                            AND e.event_type = 'purchase' AND e.ts > acc.t2
+                       THEN e.ts ELSE acc.t3 END
+          )
+        )
+        """
+    )
+    staged = per_user.select(state.alias("s"))
+    return staged.agg(
+        F.count("s.t1").alias("n_view"),
+        F.count("s.t2").alias("n_click"),
+        F.count("s.t3").alias("n_purchase"),
+    )
+
+
+@register(
     "corpus_shuffle_deterministic",
     oracle="""
     SELECT doc_id,
