@@ -1144,6 +1144,38 @@ def stats_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_retention_cohorts",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    f AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id),
+    j AS (
+        SELECT a.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, a.day) AS day_n
+        FROM a JOIN f USING (user_id)
+    )
+    SELECT cohort_day, day_n, count(*) AS n_active
+    FROM j GROUP BY 1, 2
+    """,
+    doc="Day-N retention cohorts: users grouped by first-active day, "
+    "counted on each later active day. The per-user cohort day comes from "
+    "a window MIN over the user partition — the distinct-activity table "
+    "shuffles ONCE on user_id and the window rides that partitioning (no "
+    "join back, which would shuffle the same table a second time at "
+    "100 TB).",
+)
+def stats_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = F.min("day").over(Window.partitionBy("user_id"))
+    j = activity.withColumn("cohort_day", cohort).withColumn(
+        "day_n", F.datediff(F.col("day"), F.col("cohort_day"))
+    )
+    return j.groupBy("cohort_day", "day_n").agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
     "corpus_shuffle_deterministic",
     oracle="""
     SELECT doc_id,
