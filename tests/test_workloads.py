@@ -65,3 +65,31 @@ def test_readme_query_count_in_sync():
     assert int(m.group(1)) == len(REGISTRY), (
         f"README says {m.group(1)} queries, registry has {len(REGISTRY)} — update README.md"
     )
+
+
+def test_driver_priority_window_invariants():
+    # The driver's correctness gate evaluates a bounded prefix of
+    # queries() (r1: 50). The priority list must stay exactly that
+    # size, reference only real queries, and lead the map.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import (
+        REGISTRY,
+        queries_map,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.registry import (
+        DRIVER_PRIORITY,
+    )
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50  # no duplicates
+    missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
+    assert not missing, f"priority names not registered: {missing}"
+    assert list(queries_map())[:50] == list(DRIVER_PRIORITY)
+
+
+def test_bench_tagged_queries_have_oracles():
+    # Bench queries produce the graded numbers; all of them must also be
+    # hash-verifiable (no rows-only query in the bench set).
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import bench_specs
+
+    missing = [s.name for s in bench_specs() if s.oracle is None]
+    assert not missing, f"bench queries without oracle: {missing}"
