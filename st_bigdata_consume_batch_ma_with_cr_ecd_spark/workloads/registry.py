@@ -107,11 +107,37 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 
+# Second tier: if the driver's check window is ever wider than the
+# priority block, these get evaluated next — the remaining events-reader
+# blast radius (rows-only sketches), the bench-tagged TPC-H flagship,
+# and this round's new operators.
+DRIVER_SECONDARY: tuple[str, ...] = (
+    "stats_approx_sketches",
+    "stats_hll_sketch_merge",
+    "q18_large_orders",
+    "dedup_minhash_lsh",
+    "dedup_cluster_components",
+    "dedup_cluster_components_star",
+    "text_chunk_dedup",
+    "corpus_pack_sequences",
+    "text_vocab_topk",
+    "embedding_quantize_int8",
+    "corpus_shuffle_deterministic",
+    "sample_split_leakage_safe",
+    "stats_event_funnel",
+    "stats_retention_cohorts",
+    "dedup_simhash",
+    "multimodal_frame_sample",
+    "ann_topk_lsh",
+)
+
+
 def _ordered_specs() -> list[QuerySpec]:
-    """Registry specs with DRIVER_PRIORITY names first (in that order),
+    """Registry specs ordered DRIVER_PRIORITY, then DRIVER_SECONDARY,
     then everything else in registration order."""
-    prioritized = [REGISTRY[n] for n in DRIVER_PRIORITY if n in REGISTRY]
-    seen = set(DRIVER_PRIORITY)
+    tiers = list(DRIVER_PRIORITY) + list(DRIVER_SECONDARY)
+    prioritized = [REGISTRY[n] for n in tiers if n in REGISTRY]
+    seen = set(tiers)
     return prioritized + [s for n, s in REGISTRY.items() if n not in seen]
 
 
