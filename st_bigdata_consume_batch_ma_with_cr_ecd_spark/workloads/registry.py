@@ -15,8 +15,11 @@ double sums would otherwise break the driver's value hash).
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,111 +37,70 @@ class QuerySpec:
 
 REGISTRY: dict[str, QuerySpec] = {}
 
-# The driver's correctness gate evaluates a bounded PREFIX of the
-# queries() map (r1: first 50 of 120). This list pins that window to
-# the queries that matter most for grading: the complete SURVEY §2
-# battery (every operator row has exactly one query here), the
-# faithful pipeline, the streaming suite, and this round's new/fixed
-# queries. Everything else (TPC-H breadth, the r1-green LLM battery)
-# follows in registration order.
-DRIVER_PRIORITY: tuple[str, ...] = (
-    # §2 sources: S1-S4, S6
-    "s1_scan_project",
-    "s2_catalog_pruned_scan",
-    "s4_csv_lookup_scan",
-    "sql_templated_latest_version",
-    # §2 filters F1-F6
-    "f1_isin_filter",
-    "f2_prefix_like",
-    "f3_null_predicate",
-    "f4_enum_equality",
-    "f5_numeric_threshold",
-    "f6_date_range",
-    # §2 joins J1-J7 (J1/W2 = merge_delete_backfill), F8 = j6
-    "j2_left_join_enrich",
-    "j3_inner_join_filter",
-    "j4_left_join_preagg",
-    "j5_stale_id_detection",
-    "j6_not_in_anti_join",
-    "j7_broadcast_expr_join",
-    "merge_delete_backfill",
-    # §2 aggregates A1-A3
-    "a1_grouped_max",
-    "a2_max_by_argmax",
-    "a3_sum_coalesce",
-    # §2 windows W1-W4 (F7 = w1's post-window filter)
-    "w1_latest_per_group",
-    "price_change_history",
-    # §2 set ops U1-U2
-    "u1_union_all_slices",
-    "u2_union_distinct",
-    # §2 projections P2-P8
-    "p2_computed_projection",
-    "p3_drop_columns",
-    "p4_bulk_rename_prefix",
-    "p5_p6_dynamic_projection",
-    "p7_nest_flatten_roundtrip",
-    "p8_map_construction",
-    # §2 scalar/X suite
-    "x_scalar_suite",
-    "x8_changelog_metadata",
-    "x_json_extraction",
-    "x_variant_shredding",
-    "x_null_semantics",
-    # events-reader blast radius (rest of the r1-broken set)
-    "asof_pandas_cogroup",
-    "skew_salted_join",
-    "skew_salted_aggregate",
-    "range_event_proximity",
-    # the faithful reference pipeline
-    "pipeline_market_analytics",
-    # streaming suite
-    "streaming_hourly_counts",
-    "streaming_dedup_ids",
-    "session_windows",
-    "streaming_stateful_user_stats",
-    "streaming_interval_join",
-    "streaming_static_enrich",
-    # this round's new/fixed LLM queries
-    "embedding_label_centroids",
-    "dedup_embedding_lsh",
-    "stats_profile_histogram",
-    "stats_pandas_grouped_median",
+# The external driver's correctness gate evaluates a bounded PREFIX of
+# the queries() map (50 of 131 per round). Rounds 1-2 hand-curated that
+# prefix; the round-2 review correctly called the curation out as a
+# sampling bias (regressions outside the window escape the gate). The
+# fix is a self-maintaining ROTATION: order queries by the round in
+# which the driver last checked them (never-checked first, then stalest,
+# ties broken by registration order). Each round the driver's record
+# files (CORRECTNESS_r*.json at the repo root) advance the rotation
+# automatically, so over ceil(131/50) = 3 rounds every query gets a
+# driver-green row, and newly added queries always enter the next
+# window. tools/check_correctness.py still covers the FULL registry
+# locally every round — the rotation only decides which slice lands in
+# the driver's own record.
+
+# Queries whose registered semantics changed THIS round (output-visible
+# behavior, not refactors): treated as never-checked so the driver
+# re-verifies them even if a past round checked the old behavior.
+FORCE_RECHECK: frozenset[str] = frozenset(
+    {
+        # r3: default skew cap (max_shingle_freq) wired into the
+        # registered query + its oracle — output changes on capped corpora.
+        "dedup_ngram_jaccard",
+        "dedup_ngram_jaccard_pruned",
+    }
 )
 
-
-# Second tier: if the driver's check window is ever wider than the
-# priority block, these get evaluated next — the remaining events-reader
-# blast radius (rows-only sketches), the bench-tagged TPC-H flagship,
-# and this round's new operators.
-DRIVER_SECONDARY: tuple[str, ...] = (
-    "stats_approx_sketches",
-    "stats_hll_sketch_merge",
-    "q18_large_orders",
-    "dedup_minhash_lsh",
-    "dedup_cluster_components",
-    "dedup_cluster_components_star",
-    "text_chunk_dedup",
-    "corpus_pack_sequences",
-    "text_vocab_topk",
-    "embedding_quantize_int8",
-    "corpus_shuffle_deterministic",
-    "sample_split_leakage_safe",
-    "stats_event_funnel",
-    "stats_retention_cohorts",
-    "dedup_simhash",
-    "multimodal_frame_sample",
-    "ann_topk_lsh",
-)
+def _last_checked_round() -> dict[str, int]:
+    """Per-query round number of the most recent driver check, read
+    from the driver's own CORRECTNESS_r*.json records at the repo root.
+    Missing/corrupt files degrade to registration order (empty map)."""
+    last: dict[str, int] = {}
+    root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            record = json.loads(path.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(record, dict):
+            for name in record:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    """Registry specs ordered DRIVER_PRIORITY, then DRIVER_SECONDARY,
-    then everything else in registration order."""
-    tiers = list(DRIVER_PRIORITY) + list(DRIVER_SECONDARY)
-    prioritized = [REGISTRY[n] for n in tiers if n in REGISTRY]
-    seen = set(tiers)
-    return prioritized + [s for n, s in REGISTRY.items() if n not in seen]
+    """Registry specs in rotation order: least-recently-driver-checked
+    first (never-checked and FORCE_RECHECK lead), registration order as
+    the tiebreak — deterministic for a given set of record files."""
+    last = _last_checked_round()
+    reg_index = {name: i for i, name in enumerate(REGISTRY)}
+
+    def sort_key(spec: QuerySpec) -> tuple[int, int]:
+        if spec.name in FORCE_RECHECK:
+            rnd = -1  # ahead even of never-checked: semantics changed
+        elif spec.name not in last:
+            rnd = 0
+        else:
+            rnd = last[spec.name]
+        return (rnd, reg_index[spec.name])
+
+    return sorted(REGISTRY.values(), key=sort_key)
 
 
 def register(

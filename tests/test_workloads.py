@@ -67,23 +67,42 @@ def test_readme_query_count_in_sync():
     )
 
 
-def test_driver_priority_window_invariants():
+def test_driver_window_rotation_invariants():
     # The driver's correctness gate evaluates a bounded prefix of
-    # queries() (r1: 50). The priority list must stay exactly that
-    # size, reference only real queries, and lead the map.
+    # queries() (50 of 131). The rotation must put least-recently
+    # driver-checked queries first: FORCE_RECHECK, then never-checked,
+    # then stalest round — registration order as tiebreak — and be a
+    # permutation of the registry.
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import (
         REGISTRY,
         queries_map,
     )
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.registry import (
-        DRIVER_PRIORITY,
+        FORCE_RECHECK,
+        _last_checked_round,
     )
 
-    assert len(DRIVER_PRIORITY) == 50
-    assert len(set(DRIVER_PRIORITY)) == 50  # no duplicates
-    missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
-    assert not missing, f"priority names not registered: {missing}"
-    assert list(queries_map())[:50] == list(DRIVER_PRIORITY)
+    order = list(queries_map())
+    assert sorted(order) == sorted(REGISTRY), "rotation must be a permutation"
+    assert order == list(queries_map()), "rotation must be deterministic"
+    missing = [n for n in FORCE_RECHECK if n not in REGISTRY]
+    assert not missing, f"FORCE_RECHECK names not registered: {missing}"
+
+    last = _last_checked_round()
+
+    def rank(name):
+        if name in FORCE_RECHECK:
+            return -1
+        return last.get(name, 0)
+
+    ranks = [rank(n) for n in order]
+    assert ranks == sorted(ranks), "stale queries must lead the window"
+    # Every query not checked in the latest recorded round (or never)
+    # must appear before every query already checked in that round.
+    if last:
+        newest = max(last.values())
+        stale = [n for n in order if rank(n) < newest]
+        assert order[: len(stale)] == stale
 
 
 def test_bench_tagged_queries_have_oracles():
