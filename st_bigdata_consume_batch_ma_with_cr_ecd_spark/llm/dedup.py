@@ -65,6 +65,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.1,
     max_shingle_freq: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by word-k-gram Jaccard >= threshold.
 
@@ -78,11 +79,27 @@ def ngram_jaccard_pairs(
     output. ``max_shingle_freq`` (the corpus-scale skew guard) becomes a
     free ``size(bucket) <= cap`` filter: a hot boilerplate shingle with
     B docs would otherwise emit B(B-1)/2 pairs.
+
+    The bucket aggregate (tokenize -> shingle-explode -> collect_list —
+    the most expensive stage of the whole dedup) fans out to THREE
+    consumers: the pair generator plus both sides of the sizes join.
+    Catalyst does not reuse the subtree across those branches (r2 plan
+    audit: 22 Exchanges, 0 ReusedExchange = the shingle pipeline ran
+    3x), so ``materialize=True`` cuts the lineage with an eager
+    ``localCheckpoint`` after the aggregate — the shingle stage runs
+    exactly once and all three consumers scan the stored partitions.
+    Same pattern as ``operators/graph.py``'s per-round checkpoint; the
+    same caveat applies (localCheckpoint is not fault-tolerant — on a
+    real cluster with lossy executors, swap for a reliable checkpoint
+    dir). ``sizes`` (one short row per doc) is checkpointed too so the
+    ``sa``/``sb`` join branches share one aggregation instead of two.
     """
     sh = _doc_shingles(df, text_col, id_col, k).select(F.col(id_col).alias("doc"), "shingle")
     buckets = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("__docs"))
     if max_shingle_freq is not None:
         buckets = buckets.where(F.size("__docs") <= max_shingle_freq)
+    if materialize:
+        buckets = buckets.localCheckpoint(eager=True)
 
     # sizes over the (possibly pruned) shingle universe, matching the
     # pair counts' denominator
@@ -91,6 +108,8 @@ def ngram_jaccard_pairs(
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_shingles"))
     )
+    if materialize:
+        sizes = sizes.localCheckpoint(eager=True)
     pair_structs = F.expr(
         "transform(__docs, (x, i) ->"
         " transform(slice(__docs, i + 2, size(__docs)), y -> struct(x AS doc_a, y AS doc_b)))"

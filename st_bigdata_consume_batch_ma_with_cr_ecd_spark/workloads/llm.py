@@ -121,9 +121,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
+    # The default carries a GENEROUS stop-shingle cap (freq <= 200) so
+    # the query a user reaches for is never the unguarded B(B-1)/2
+    # pair bomb on boilerplate shingles; the oracle applies the exact
+    # same HAVING cap, so both engines prune the identical shingle
+    # universe. Exactness trade-off: a shingle shared by >200 docs
+    # stops contributing to overlap AND to doc sizes — acceptable for
+    # near-dedup (such shingles are boilerplate, not content), and the
+    # `_pruned` twin demonstrates the tighter production cap (50).
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
-    sh AS (SELECT doc_id AS doc, unnest({_DUCK_SHINGLES}) AS shingle FROM tok),
+    sh_all AS (SELECT doc_id AS doc, unnest({_DUCK_SHINGLES}) AS shingle FROM tok),
+    keep AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 200),
+    sh AS (SELECT doc, sh_all.shingle FROM sh_all JOIN keep ON sh_all.shingle = keep.shingle),
     shared AS (
         SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
@@ -134,11 +144,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shared JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
     WHERE round(shared / (x.n + y.n - shared), 4) >= 0.1
     """,
-    doc="Near-dedup: word-3-gram Jaccard >= 0.1 via shingle self-join (stop-shingle pruning knob for scale).",
+    doc="Near-dedup: word-3-gram Jaccard >= 0.1 via bucketed pair generation, default stop-shingle cap 200 (skew guard on by default).",
     tags=("bench",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1)
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), k=3, threshold=0.1, max_shingle_freq=200)
 
 
 @register(

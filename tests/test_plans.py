@@ -234,3 +234,18 @@ def test_minhash_signature_aggregate_is_hash_based(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ngram_jaccard_shingle_pipeline_runs_once(spark, sf_dir):
+    # r2's plan audit found the shingle-bucket aggregate (the most
+    # expensive stage of the whole dedup) recomputed 3x: 22 Exchanges,
+    # 0 ReusedExchange. ngram_jaccard_pairs now cuts lineage with an
+    # eager localCheckpoint after the bucket aggregate (and after the
+    # tiny per-doc sizes aggregate), so every consumer scans the stored
+    # partitions. The final plan must be the cheap tail only: the pair
+    # shuffle plus the sizes joins — never the shingle pipeline again.
+    plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
+    # collect_list (ObjectHashAggregate) lives BEFORE the checkpoint cut
+    assert "ObjectHashAggregate" not in plan
+    assert plan.count("Exchange") <= 6, f"shingle subtree recomputed?\n{plan}"
+    assert "Scan ExistingRDD" in plan  # checkpointed buckets/sizes
