@@ -58,13 +58,28 @@ def cosine_pairs(
     *,
     threshold: float = 0.4,
     round_to: int = 6,
+    allow_full_cross: bool = False,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a < id_b, cosine >= threshold).
 
     O(n²) self-join — correct baseline for modest n; at corpus scale
-    use :func:`lsh_bucketed_topk`-style bucketing first. Norms are
-    precomputed once per row (not per pair); the stream side is spread
-    over all cores (pair compute, not the scan, dominates)."""
+    use :func:`cosine_pairs_lsh` (the registered scale path). To keep
+    this baseline from silently becoming a production path, the input
+    is counted up front and the call raises above ``max_rows`` unless
+    ``allow_full_cross=True`` — one cheap count-scan buys an explicit
+    decision before an O(n²) join that would never finish at corpus
+    scale. Norms are precomputed once per row (not per pair); the
+    stream side is spread over all cores (pair compute, not the scan,
+    dominates)."""
+    if not allow_full_cross:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is an O(n^2) all-pairs baseline; input has {n} rows "
+                f"(max_rows={max_rows}). Use cosine_pairs_lsh for corpus-scale "
+                "near-dedup, or pass allow_full_cross=True if you really mean it."
+            )
     e = _with_norm(ensure_min_partitions(df), vec_col, id_col)
     a, b = e.alias("a"), e.alias("b")
     sim = _dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__norm") * F.col("b.__norm"))
@@ -125,14 +140,23 @@ def _buckets_udf(tables: list[list[list[float]]]):
 
     @F.pandas_udf("array<string>")
     def buckets(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
-        chars = np.where(m @ planes.T >= 0, "1", "0")  # (n, T*P)
-        return pd.Series(
-            [
+        # Arrow may hand an empty batch (np.vstack would raise), and a
+        # NULL embedding row must propagate as NULL like the JVM
+        # _bucket_expr it replaced — mask nulls out of the matmul.
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        valid = vecs.notna().to_numpy()
+        out = np.full(len(vecs), None, dtype=object)
+        if valid.any():
+            m = np.vstack(vecs[valid].to_numpy()).astype(np.float64)  # (n_valid, dim)
+            chars = np.where(m @ planes.T >= 0, "1", "0")  # (n_valid, T*P)
+            vals = np.empty(int(valid.sum()), dtype=object)  # keep lists un-coerced
+            vals[:] = [
                 [f"{t}:" + "".join(row[t * n_planes : (t + 1) * n_planes]) for t in range(n_tables)]
                 for row in chars
             ]
-        )
+            out[valid] = vals
+        return pd.Series(out)
 
     return buckets
 
@@ -296,11 +320,20 @@ def _assign_udf(centroids, n_probe: int):
 
     @F.pandas_udf("array<int>")
     def probe(vecs: pd.Series) -> pd.Series:
-        m = _np_normalize(np.vstack(vecs.to_numpy()).astype(np.float64))
-        sims = m @ cmat  # rows x m
-        # stable sort: ties broken by centroid id ascending -> deterministic
-        idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
-        return pd.Series([row.astype("int32") for row in idx])
+        # empty Arrow batch / NULL rows: same guards as _buckets_udf
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        valid = vecs.notna().to_numpy()
+        out = np.full(len(vecs), None, dtype=object)
+        if valid.any():
+            m = _np_normalize(np.vstack(vecs[valid].to_numpy()).astype(np.float64))
+            sims = m @ cmat  # rows x m
+            # stable sort: ties broken by centroid id ascending -> deterministic
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            vals = np.empty(int(valid.sum()), dtype=object)  # keep rows un-coerced
+            vals[:] = [row.astype("int32") for row in idx]
+            out[valid] = vals
+        return pd.Series(out)
 
     return probe
 

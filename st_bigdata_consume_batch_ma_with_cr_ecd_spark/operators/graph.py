@@ -27,6 +27,8 @@ Property-tested equivalent to propagation on arbitrary graphs.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -62,6 +64,7 @@ def connected_components(
     labels = (
         sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    converged = False
     for it in range(max_iter):
         own = labels.select("node", "label", F.col("label").alias("__own"))
         neighbor_labels = sym.join(
@@ -78,8 +81,19 @@ def connected_components(
         if it > 0:
             changed = new_labels.where(F.col("label") < F.col("__own")).limit(1).count()
             if changed == 0:
+                converged = True
+                labels = new_labels.select("node", "label")
                 break
         labels = new_labels.select("node", "label")
+    if not converged and max_iter > 0:
+        warnings.warn(
+            f"connected_components: label propagation did not converge in "
+            f"{max_iter} rounds — a component with diameter > {max_iter} may "
+            "carry non-minimal labels. Raise max_iter or use "
+            "connected_components_star (O(log diameter) rounds).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("node", "label")
 
 
@@ -155,14 +169,33 @@ def connected_components_star(
         out = repoint.unionByName(keep)
         return out.where(F.col("a") != F.col("b")).distinct()
 
+    converged = False
     fp = fingerprint(cur)
     for _ in range(max_iter):
+        prev = cur
         nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
         nfp = fingerprint(nxt)
         cur = nxt
         if nfp == fp:
-            break
+            # fingerprint equality is necessary, not sufficient (a
+            # (count, sum-of-xxhash64) collision could stop a round
+            # early) — confirm EXACTLY on the candidate final round
+            # only: counts match, so one-directional exceptAll empty
+            # <=> the edge multisets are equal. On a non-converged
+            # exit a node could appear as both child and root with
+            # two conflicting labels, so this must be certain.
+            if cur.exceptAll(prev).isEmpty():
+                converged = True
+                break
         fp = nfp
+    if not converged and max_iter > 0:
+        warnings.warn(
+            f"connected_components_star: edge set did not stabilize in "
+            f"{max_iter} rounds — labels may be non-minimal and a node can "
+            "carry conflicting child/root rows. Raise max_iter.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     # converged: every edge points a -> component minimum
     labels = cur.select(F.col("a").alias("node"), F.col("b").alias("label"))
     roots = cur.select(F.col("b").alias("node")).distinct().withColumn(

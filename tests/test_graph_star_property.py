@@ -42,3 +42,17 @@ def test_star_components_long_chain(spark):
 def test_star_components_match_propagation(spark, pairs):
     prop, star = _both(spark, pairs)
     assert star == prop
+
+
+def test_both_variants_warn_when_max_iter_exhausted(spark):
+    # a diameter-8 chain cannot settle in one round under either
+    # algorithm: the non-converged exit must be loud, not silent —
+    # star-variant labels can even be contradictory (child + root rows)
+    import pytest
+
+    pairs = [(i, i + 1) for i in range(8)]
+    edges = spark.createDataFrame(pairs, "src int, dst int")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iter=1)
+    with pytest.warns(RuntimeWarning, match="did not stabilize"):
+        connected_components_star(edges, max_iter=1)

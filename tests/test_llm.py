@@ -122,6 +122,32 @@ def test_cosine_pairs_threshold(spark, vecs):
     assert got[(0, 1)] == pytest.approx(0.993884, abs=1e-6)
 
 
+def test_cosine_pairs_guards_against_full_cross(spark, vecs):
+    # the all-pairs baseline must refuse big inputs unless the caller
+    # explicitly opts in — at corpus scale the O(n^2) join never finishes
+    with pytest.raises(ValueError, match="allow_full_cross"):
+        cosine_pairs(vecs, max_rows=2)
+    # explicit opt-in bypasses the guard (and the count scan)
+    assert cosine_pairs(vecs, max_rows=2, allow_full_cross=True, threshold=0.9).count() == 1
+
+
+def test_lsh_bucket_udf_propagates_null_embeddings(spark):
+    # NULL embedding rows must flow through bucketing as NULL (then be
+    # dropped by the explode), not crash np.vstack with a ragged array
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        cosine_pairs_lsh,
+        hyperplane_tables,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    tables = hyperplane_tables(n_tables=2, n_planes=2, dim=3, seed=7)
+    got = {(r.id_a, r.id_b) for r in cosine_pairs_lsh(df, tables=tables, threshold=0.9).collect()}
+    assert got == {(0, 1)}  # null row silently excluded, no crash
+
+
 def test_brute_force_topk_ranks_by_cosine(spark, vecs):
     out = brute_force_topk(vecs, vecs.where(F.col("vec_id") == 0), k=2)
     got = [(r.neighbor_id, r.cosine) for r in out.orderBy(F.desc("cosine")).collect()]
