@@ -3,12 +3,20 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata structs; decode / feature-extraction runs as Arrow-batched
 ``mapInPandas`` so each Python worker sees whole record batches, never
-single rows. The actual codec step is STUBBED (no image/audio libs in
-this container): ``fake_decode=True`` derives deterministic pseudo
-features from the payload bytes so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and testable;
-``fake_decode=False`` raises NotImplementedError where a real
-``PIL.Image.open`` / ``soundfile.read`` call belongs.
+single rows.
+
+Decode status per op:
+
+- images (``extract_image_features`` / ``resize_images``): REAL for
+  24-bit uncompressed BMP via the pure-numpy codec in
+  :mod:`.codecs` (``fake_decode=False``); ``fake_decode=True`` keeps
+  the deterministic pseudo-features for payloads that are not images
+  (the oracle-checked registered queries use text bytes as payloads).
+- audio (``extract_audio_features``): REAL for PCM WAV, same codec
+  module.
+- video (``sample_video_frames``): still stubbed —
+  keyframe-accurate sampling genuinely needs pyav/ffmpeg; the fake
+  path exercises the fan-out shape (1 row in, N frame rows out).
 """
 
 from __future__ import annotations
@@ -32,23 +40,35 @@ def extract_image_features(
 ) -> DataFrame:
     """Per-payload feature extraction via mapInPandas.
 
-    Fake decode: width/height derived from the first two payload bytes
-    (deterministic, engine-independent) — replace the marked block with
-    a real decoder when codec libs are available.
+    ``fake_decode=True``: width/height derived from the first two
+    payload bytes (deterministic, engine-independent — what the
+    oracle-checked registered query uses, since its payloads are text
+    bytes, not images). ``fake_decode=False``: REAL decode — the
+    payload is parsed as a 24-bit uncompressed BMP by the pure-numpy
+    codec (:func:`..codecs.decode_bmp`); width/height come from the
+    actual bitmap header. NULL payloads yield zeroed feature rows
+    either way; malformed image bytes raise with the offending field.
     """
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from .codecs import decode_bmp
+
         for pdf in batches:
             payloads = pdf[payload_col]
-            if not fake_decode:
-                raise NotImplementedError(
-                    "real image decode needs PIL/libvips — not available in this container"
+            if fake_decode:
+                width = payloads.map(lambda b: (b[0] % 64) + 1 if b else 0)
+                height = payloads.map(
+                    lambda b: (b[1] % 64) + 1 if b is not None and len(b) > 1 else 0
                 )
+            else:
+                dims = payloads.map(
+                    lambda b: decode_bmp(b).shape[:2] if b is not None else (0, 0)
+                )
+                height = dims.map(lambda hw: hw[0])
+                width = dims.map(lambda hw: hw[1])
             n_bytes = payloads.map(lambda b: len(b) if b is not None else 0)
-            width = payloads.map(lambda b: (b[0] % 64) + 1 if b else 0)
-            height = payloads.map(lambda b: (b[1] % 64) + 1 if b is not None and len(b) > 1 else 0)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -74,9 +94,11 @@ def resize_images(
     fake_decode: bool = True,
 ) -> DataFrame:
     """Batch image resize via mapInPandas: payload in, resized payload +
-    dimensions out. Fake path truncates/pads bytes to ``w*h`` so output
-    sizes (and downstream partition planning) behave like the real
-    thing; swap the marked block for PIL/libvips when available.
+    dimensions out. ``fake_decode=False`` is a REAL resize for 24-bit
+    BMP payloads: decode -> nearest-neighbor index resample -> re-encode
+    (pure numpy, :mod:`..codecs`). The fake path truncates/pads bytes to
+    ``w*h`` so output sizes (and downstream partition planning) behave
+    like the real thing for non-image payloads.
 
     For multi-MB blobs cap Arrow batch sizes
     (``spark.sql.execution.arrow.maxRecordsPerBatch``) so a batch fits
@@ -87,12 +109,19 @@ def resize_images(
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from .codecs import decode_bmp, encode_bmp, resize_nearest
+
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError("real resize needs PIL/libvips")
-            out = pdf[payload_col].map(
-                lambda b: (b or b"\x00")[:size].ljust(size, b"\x00")
-            )
+            if fake_decode:
+                out = pdf[payload_col].map(
+                    lambda b: (b or b"\x00")[:size].ljust(size, b"\x00")
+                )
+            else:
+                out = pdf[payload_col].map(
+                    lambda b: None
+                    if b is None
+                    else encode_bmp(resize_nearest(decode_bmp(b), target_w, target_h))
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -152,22 +181,34 @@ def extract_audio_features(
     payload_col: str = "payload",
     fake_decode: bool = True,
 ) -> DataFrame:
-    """Audio feature extraction (level stats) — vectorized over the whole
-    Arrow batch with numpy, no per-row Python. Fake path reads the raw
-    bytes as unsigned 8-bit samples; a real path would
-    ``soundfile.read`` into the same numpy shape."""
+    """Audio feature extraction (level stats) — vectorized per payload
+    with numpy. ``fake_decode=False`` is a REAL decode for PCM WAV
+    payloads (:func:`..codecs.decode_wav`): n_samples = frame count,
+    levels over the absolute int16 amplitude across all channels. The
+    fake path reads raw bytes as unsigned 8-bit samples for non-audio
+    payloads."""
 
     def op(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        from .codecs import decode_wav
+
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError("real audio decode needs soundfile/librosa")
             stats = []
             for b in pdf[payload_col]:
-                arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
-                stats.append((len(arr), round(float(arr.mean()), 4), int(arr.max())))
+                if fake_decode:
+                    arr = np.frombuffer(b or b"\x00", dtype=np.uint8)
+                    stats.append((len(arr), round(float(arr.mean()), 4), int(arr.max())))
+                else:
+                    frames = None if b is None else decode_wav(b)[1]
+                    if frames is None or frames.size == 0:
+                        stats.append((0, 0.0, 0))
+                    else:
+                        amp = np.abs(frames.astype(np.int32))
+                        stats.append(
+                            (frames.shape[0], round(float(amp.mean()), 4), int(amp.max()))
+                        )
             n, mean, peak = zip(*stats)
             yield pd.DataFrame(
                 {

@@ -1000,6 +1000,49 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(with_payload, fake_decode=True)
 
 
+@register(
+    "multimodal_bmp_roundtrip",
+    # The REAL image decode under the driver gate: n_bytes replays the
+    # exact 24-bit BMP file layout in SQL — 54 header bytes plus
+    # height rows of width*3 pixel bytes padded to 4-byte alignment.
+    # If the encoder pads wrong, the decoder mis-parses a header field,
+    # or either side flips width/height, the hash mismatches.
+    oracle="""
+    SELECT doc_id,
+           (54 + (((doc_id % 13 + 1) * 3 + 3) // 4 * 4) * (doc_id % 9 + 1))::BIGINT AS n_bytes,
+           (doc_id % 13 + 1)::INT AS width,
+           (doc_id % 9 + 1)::INT AS height
+    FROM documents
+    """,
+    doc=(
+        "Real (not stubbed) image decode: synthesize a doc_id-derived 24-bit BMP "
+        "per document in one mapInPandas pass, then parse it back with the "
+        "pure-numpy codec (llm/codecs.py). The oracle recomputes the BMP layout "
+        "arithmetic symbolically, so header encode + decode are both verified."
+    ),
+)
+def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.codecs import encode_bmp
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = [
+                encode_bmp(
+                    np.full((int(i) % 9 + 1, int(i) % 13 + 1, 3), int(i) % 256, dtype=np.uint8)
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    with_bmp = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return extract_image_features(with_bmp, fake_decode=False)
+
+
 # --------------------------------------------------------------------------
 # Corpus-prep composite: the full training-data chain in one plan
 # --------------------------------------------------------------------------

@@ -1329,6 +1329,57 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_cow_table_roundtrip",
+    # Verifies the WHOLE storage path, not just the merge expression:
+    # write a partitioned copy-on-write table, MERGE a CDC batch into
+    # it (updates move rows across the o_orderstatus partitioning,
+    # deletes can empty partitions), then read the files back. The
+    # oracle replays the end state symbolically from `orders`.
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+    FROM orders WHERE o_orderkey % 17 <> 3
+    """,
+    doc="Copy-on-write parquet table (sinks.cowtable): snapshot partitioned by "
+    "o_orderstatus, one CDC batch of updates (%10, re-statused to F so rows "
+    "MOVE partitions) and deletes (%17), read back from disk. Only touched "
+    "partitions rewrite; emptied ones are removed. The driver-checked row "
+    "for the MERGE-capable table format.",
+)
+def merge_cow_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.cowtable import create_cow_table, merge_cow_table, read_cow_table
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="cow_orders_") + "/t"
+    create_cow_table(o, path, ["o_orderstatus"])
+    updates = (
+        o.where((k % 10 == 0) & (k % 17 != 3))
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("is_deleted", F.lit(False))
+    )
+    deletes = o.where(k % 17 == 3).withColumn("is_deleted", F.lit(True))
+    merge_cow_table(
+        spark,
+        path,
+        updates.unionByName(deletes),
+        ["o_orderkey"],
+        ["o_orderstatus"],
+        delete_col="is_deleted",
+    )
+    return read_cow_table(spark, path).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@register(
     "dq_quarantine_summary",
     oracle="""
     WITH labeled AS (

@@ -1,0 +1,109 @@
+"""Pure-numpy BMP/WAV codec: roundtrips, layout details (row padding,
+bottom-up storage, chunk walking), and loud rejection of unsupported
+variants. No Spark needed — these run in milliseconds."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import (
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    resize_nearest,
+)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (3, 5), (5, 3), (4, 4), (7, 2)])
+def test_bmp_roundtrip_all_paddings(shape):
+    # widths 1/2/3/5/7 exercise every 4-byte row-padding remainder
+    rng = np.random.default_rng(shape[0] * 10 + shape[1])
+    img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+def test_bmp_is_bottom_up_bgr_on_disk():
+    # (0,0) red / rest black: bottom-up BGR puts the red pixel's bytes
+    # (B=0, G=0, R=255) at the START of the LAST stored row
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = [255, 0, 0]
+    raw = encode_bmp(img)
+    pixel_offset = struct.unpack_from("<I", raw, 10)[0]
+    stride = 8  # 2 px * 3 B = 6, padded to 8
+    last_row = raw[pixel_offset + stride : pixel_offset + 2 * stride]
+    assert last_row[:3] == b"\x00\x00\xff"
+
+
+def test_bmp_top_down_negative_height_decodes():
+    img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    raw = bytearray(encode_bmp(img[::-1]))  # encode flipped...
+    struct.pack_into("<i", raw, 22, -2)  # ...then mark top-down
+    # top-down decode must NOT flip: rows come back in file order,
+    # which undoes the flip we encoded with
+    assert (decode_bmp(bytes(raw)) == img).all()
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda r: r[:10], "too short"),
+        (lambda r: b"XX" + r[2:], "magic"),
+        (lambda r: r[:28] + struct.pack("<H", 32) + r[30:], "bpp=32"),
+        (lambda r: r[:30] + struct.pack("<I", 1) + r[34:], "compression=1"),
+        (lambda r: r[:-4], "truncated"),
+    ],
+)
+def test_bmp_rejects_unsupported(mutate, msg):
+    raw = encode_bmp(np.zeros((2, 2, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match=msg):
+        decode_bmp(mutate(raw))
+
+
+def test_resize_nearest_identity_and_downsample():
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    assert (resize_nearest(img, 4, 4) == img).all()
+    half = resize_nearest(img, 2, 2)
+    assert (half == img[::2, ::2]).all()
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = np.array([0, 32767, -32768, 5], dtype=np.int16)
+    rate, frames = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and frames.shape == (4, 1)
+    assert (frames[:, 0] == mono).all()
+
+    stereo = np.array([[1, -1], [2, -2], [3, -3]], dtype=np.int16)
+    rate, frames = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100 and (frames == stereo).all()
+
+
+def test_wav_skips_extra_chunks_and_reads_8bit():
+    # hand-build: RIFF [junk chunk] [fmt 8-bit PCM] [data] — the chunk
+    # walker must skip junk and widen u8 samples to int16
+    samples = bytes([0, 128, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    chunks = b"JUNK" + struct.pack("<I", 3) + b"xyz\x00"  # odd size -> word-aligned
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(samples)) + samples
+    raw = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    rate, frames = decode_wav(raw)
+    assert rate == 8000
+    assert frames[:, 0].tolist() == [(-128) << 8, 0, 127 << 8]
+
+
+@pytest.mark.parametrize(
+    "mutate, msg",
+    [
+        (lambda r: b"RIFX" + r[4:], "RIFF"),
+        (lambda r: r.replace(b"fmt ", b"fmx "), "missing fmt"),
+        (lambda r: r.replace(struct.pack("<HH", 1, 1), struct.pack("<HH", 3, 1), 1), "format=3"),
+    ],
+)
+def test_wav_rejects_unsupported(mutate, msg):
+    raw = encode_wav(np.array([1, 2], dtype=np.int16))
+    with pytest.raises(ValueError, match=msg):
+        decode_wav(mutate(raw))

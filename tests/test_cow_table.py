@@ -1,0 +1,124 @@
+"""Copy-on-write parquet table: MERGE roundtrips, partition-scoped
+rewrites, cross-partition key moves, emptied partitions, idempotent
+re-application (the crash-recovery contract)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.cowtable import (
+    create_cow_table,
+    merge_cow_table,
+    read_cow_table,
+)
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    path = str(tmp_path / "cow")
+    snap = spark.createDataFrame(
+        [
+            (1, "DE", 10.0),
+            (2, "DE", 20.0),
+            (3, "AT", 30.0),
+            (4, "CH", 40.0),
+        ],
+        "id long, country string, amount double",
+    )
+    create_cow_table(snap, path, ["country"])
+    return path
+
+
+def _rows(spark, path):
+    return {
+        (r.id, r.country, r.amount)
+        for r in read_cow_table(spark, path).collect()
+    }
+
+
+def test_upsert_insert_and_delete_roundtrip(spark, table):
+    changes = spark.createDataFrame(
+        [
+            (2, "DE", 25.0, False),  # update in place
+            (5, "AT", 55.0, False),  # brand-new key
+            (3, "AT", 0.0, True),    # delete
+        ],
+        "id long, country string, amount double, is_deleted boolean",
+    )
+    touched = merge_cow_table(
+        spark, table, changes, ["id"], ["country"], delete_col="is_deleted"
+    )
+    assert {p["country"] for p in touched} == {"DE", "AT"}
+    assert _rows(spark, table) == {
+        (1, "DE", 10.0),
+        (2, "DE", 25.0),  # updated
+        (5, "AT", 55.0),  # inserted; id=3 deleted
+        (4, "CH", 40.0),  # untouched partition
+    }
+
+
+def test_untouched_partitions_keep_their_files(spark, table):
+    # the 100-TB property: a merge into DE must not rewrite CH's files
+    ch_dir = os.path.join(table, "country=CH")
+    before = {f: os.path.getmtime(os.path.join(ch_dir, f)) for f in os.listdir(ch_dir)}
+    changes = spark.createDataFrame([(1, "DE", 11.0)], "id long, country string, amount double")
+    touched = merge_cow_table(spark, table, changes, ["id"], ["country"])
+    assert touched == [{"country": "DE"}]
+    after = {f: os.path.getmtime(os.path.join(ch_dir, f)) for f in os.listdir(ch_dir)}
+    assert before == after  # same files, same mtimes — never rewritten
+
+
+def test_cross_partition_key_move_drops_old_row(spark, table):
+    # id=4 moves CH -> DE: the batch has no CH row, but CH must still
+    # rewrite (here: empty out) or the table would hold the key twice
+    changes = spark.createDataFrame([(4, "DE", 44.0)], "id long, country string, amount double")
+    merge_cow_table(spark, table, changes, ["id"], ["country"])
+    rows = _rows(spark, table)
+    assert (4, "DE", 44.0) in rows
+    assert not any(c == "CH" for _, c, _ in rows)  # CH emptied, stale dir gone
+    assert not os.path.isdir(os.path.join(table, "country=CH"))
+
+
+def test_emptied_partition_by_delete_marker(spark, table):
+    changes = spark.createDataFrame(
+        [(4, "CH", 0.0, True)], "id long, country string, amount double, is_deleted boolean"
+    )
+    merge_cow_table(spark, table, changes, ["id"], ["country"], delete_col="is_deleted")
+    assert _rows(spark, table) == {(1, "DE", 10.0), (2, "DE", 20.0), (3, "AT", 30.0)}
+    assert not os.path.isdir(os.path.join(table, "country=CH"))
+
+
+def test_reapplying_same_batch_is_idempotent(spark, table):
+    # the crash-recovery contract: partial failure -> rerun the batch,
+    # state converges (same rows, second touched set identical)
+    changes = spark.createDataFrame(
+        [
+            (2, "DE", 25.0, False),
+            (4, "DE", 44.0, False),  # CH -> DE move
+            (3, "AT", 0.0, True),    # delete
+        ],
+        "id long, country string, amount double, is_deleted boolean",
+    )
+    merge_cow_table(spark, table, changes, ["id"], ["country"], delete_col="is_deleted")
+    state1 = _rows(spark, table)
+    merge_cow_table(spark, table, changes, ["id"], ["country"], delete_col="is_deleted")
+    assert _rows(spark, table) == state1 == {
+        (1, "DE", 10.0),
+        (2, "DE", 25.0),
+        (4, "DE", 44.0),
+    }
+
+
+def test_empty_batch_is_a_no_op(spark, table):
+    before = _rows(spark, table)
+    changes = spark.createDataFrame([], "id long, country string, amount double")
+    assert merge_cow_table(spark, table, changes, ["id"], ["country"]) == []
+    assert _rows(spark, table) == before
+
+
+def test_partitionless_table_is_rejected(spark, tmp_path):
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(ValueError, match="partition_by"):
+        create_cow_table(df, str(tmp_path / "x"), [])

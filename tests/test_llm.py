@@ -184,11 +184,64 @@ def test_multimodal_fake_decode_features(spark):
     assert out.height == (ord("B") % 64) + 1
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
+def test_multimodal_real_decode_rejects_non_image_bytes(spark):
+    # fake_decode=False now REALLY parses BMP headers — text bytes must
+    # fail loudly with the offending field, never decode to garbage
     df = spark.createDataFrame([(1, "xy")], "doc_id long, text string")
     pipeline = extract_image_features(attach_binary_payload(df), fake_decode=False)
-    with pytest.raises(Exception, match="NotImplementedError|real image decode"):
+    with pytest.raises(Exception, match="BMP|magic"):
         pipeline.collect()
+
+
+def test_multimodal_real_bmp_decode_roundtrip(spark):
+    import numpy as np
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import (
+        decode_bmp,
+        encode_bmp,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import resize_images
+
+    rng = np.random.default_rng(11)
+    img_a = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)  # odd width -> row padding
+    img_b = rng.integers(0, 256, (3, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_bmp(img_a))), (2, bytearray(encode_bmp(img_b))), (3, None)],
+        "doc_id long, payload binary",
+    )
+    feats = {r.doc_id: r for r in extract_image_features(df, fake_decode=False).collect()}
+    assert (feats[1].width, feats[1].height) == (5, 6)
+    assert (feats[2].width, feats[2].height) == (8, 3)
+    assert (feats[3].width, feats[3].height, feats[3].n_bytes) == (0, 0, 0)
+
+    resized = {r.doc_id: r for r in resize_images(df, 4, 2, fake_decode=False).collect()}
+    assert resized[3].payload is None
+    out = decode_bmp(bytes(resized[1].payload))
+    assert out.shape == (2, 4, 3)
+    # nearest-neighbor: output pixel (y, x) samples input (y*h//th, x*w//tw)
+    expect = img_a[(np.arange(2) * 6) // 2][:, (np.arange(4) * 5) // 4]
+    assert (out == expect).all()
+
+
+def test_multimodal_real_wav_decode_levels(spark):
+    import numpy as np
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import encode_wav
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
+        extract_audio_features,
+    )
+
+    mono = np.array([0, 1000, -2000, 500], dtype=np.int16)
+    stereo = np.array([[100, -100], [30000, -30000]], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(mono))), (2, bytearray(encode_wav(stereo))), (3, None)],
+        "doc_id long, payload binary",
+    )
+    audio = {r.doc_id: r for r in extract_audio_features(df, fake_decode=False).collect()}
+    assert audio[1].n_samples == 4 and audio[1].peak_level == 2000
+    assert audio[1].mean_level == pytest.approx((0 + 1000 + 2000 + 500) / 4, abs=1e-4)
+    assert audio[2].n_samples == 2 and audio[2].peak_level == 30000
+    assert audio[3].n_samples == 0 and audio[3].peak_level == 0
 
 
 # ---------------------------------------------------------------- ANN quality
@@ -314,15 +367,17 @@ def test_multimodal_resize_and_audio_shapes(spark):
     assert audio[3].n_samples == 1  # null payload -> 1 zero sample, no crash
 
 
-def test_multimodal_real_decode_gates_raise(spark):
+def test_multimodal_real_decode_gates(spark):
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
         resize_images,
         sample_video_frames,
     )
 
     df = spark.createDataFrame([(1, b"ab")], "doc_id long, payload binary")
-    with pytest.raises(Exception, match="NotImplementedError|PIL|pyav|ffmpeg|libvips"):
+    # image resize is real now: non-BMP bytes fail loudly
+    with pytest.raises(Exception, match="BMP"):
         resize_images(df, 2, 2, fake_decode=False).collect()
+    # video stays honestly stubbed — keyframe sampling needs pyav/ffmpeg
     with pytest.raises(Exception, match="NotImplementedError|pyav|ffmpeg"):
         sample_video_frames(df, fake_decode=False).collect()
 
