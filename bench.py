@@ -4,9 +4,18 @@ JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Timing counts full execution of each query (plan + shuffle + collect-to-
-count), after one untimed warm-up of the smallest query to amortize JVM /
-codegen startup. `value` is the wall-clock sum of all per-query times.
+Timing counts full execution of each query through a **noop sink**
+(`df.write.format("noop")`): every expression the query registers is
+computed and discarded, with no driver transfer. The previous harness
+timed `df.count()`, which let Catalyst PRUNE unreferenced aggregate
+expressions — a `groupBy.agg` query's row count needs only the grouping
+keys, so the timed plan silently dropped the aggregates (verified:
+`sum(` disappears from the count-plan of q1). Numbers from this harness
+are therefore higher than rounds 1-2 for aggregate-heavy queries — they
+measure the query actually registered, not a pruned shadow of it.
+
+One untimed warm-up of the heavy-codegen queries amortizes JVM/codegen
+startup. `value` is the wall-clock sum of all per-query times.
 """
 
 from __future__ import annotations
@@ -32,23 +41,26 @@ def main() -> int:
     # compile large higher-order-function/hash expression trees, so warm
     # those codegen paths too — on sf0.001 data, so the warm-up does a
     # negligible fraction of the benched work.
-    REGISTRY["s1_scan_project"].fn(spark, sf_dir).count()
+    def _run(name: str, d: str) -> None:
+        REGISTRY[name].fn(spark, d).write.format("noop").mode("overwrite").save()
+
+    _run("s1_scan_project", sf_dir)
     warm_dir = "/root/testdata/sf0.001"
     if Path(warm_dir).is_dir():
-        REGISTRY["dedup_ngram_jaccard"].fn(spark, warm_dir).count()
-        REGISTRY["dedup_minhash_lsh"].fn(spark, warm_dir).count()
-        REGISTRY["dedup_embedding_lsh"].fn(spark, warm_dir).count()
+        _run("dedup_ngram_jaccard", warm_dir)
+        _run("dedup_minhash_lsh", warm_dir)
+        _run("dedup_embedding_lsh", warm_dir)
         # corpus_prep + clustering compile their own large expression
         # trees (5-language higher-order filters, label propagation)
-        REGISTRY["corpus_prep_pipeline"].fn(spark, warm_dir).count()
-        REGISTRY["dedup_cluster_components"].fn(spark, warm_dir).count()
+        _run("corpus_prep_pipeline", warm_dir)
+        _run("dedup_cluster_components", warm_dir)
 
     timings: dict[str, float] = {}
     for spec in bench_specs():
         t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
+        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[spec.name] = round(time.perf_counter() - t0, 3)
-        print(f"# {spec.name}: {timings[spec.name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {spec.name}: {timings[spec.name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -4,11 +4,11 @@ Importing this package registers every workload module's queries into
 ``registry.REGISTRY``.
 """
 
-# Registration order == driver correctness-check order (the driver
-# evaluates a bounded prefix of the registry): the SURVEY §2 relational
-# battery and the faithful pipeline come first, then streaming, then
-# the LLM extension surface.
-from . import relational, pipeline, streaming, llm  # noqa: F401
+# Registration order is the rotation TIEBREAK (registry.py orders the
+# driver's bounded check window by least-recently-checked): the SURVEY
+# §2 relational battery and the faithful pipeline first, then
+# streaming, the LLM extension surface, and the end-to-end job.
+from . import relational, pipeline, streaming, llm, consume_e2e  # noqa: F401
 from .registry import (  # noqa: F401
     REGISTRY,
     QuerySpec,

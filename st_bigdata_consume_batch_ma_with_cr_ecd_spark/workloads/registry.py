@@ -60,6 +60,10 @@ FORCE_RECHECK: frozenset[str] = frozenset(
         # registered query + its oracle — output changes on capped corpora.
         "dedup_ngram_jaccard",
         "dedup_ngram_jaccard_pruned",
+        # r3: brand-new flagship (the end-to-end faithful job incl.
+        # sinks) — must lead the window ahead of the older never-checked
+        # tail so its first driver record lands this round.
+        "pipeline_consume_batch_e2e",
     }
 )
 
