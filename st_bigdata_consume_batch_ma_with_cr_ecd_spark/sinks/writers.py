@@ -25,7 +25,17 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 
 
-def _shape_output(df: DataFrame, files: int | None) -> DataFrame:
+def _shape_output(df: DataFrame, files: int | None, single_file: bool) -> DataFrame:
+    if single_file:
+        # Bit-parity escape hatch with the reference's coalesce(1)
+        # (script/main.py:389): ONE output file whose row order matches
+        # a single-partition computation exactly. Scale hazard by
+        # design — coalesce(1) collapses the final stage onto one task
+        # — so it must be asked for explicitly; the default files= knob
+        # keeps upstream parallelism via repartition.
+        if files not in (None, 1):
+            raise ValueError("single_file=True contradicts files != 1")
+        return df.coalesce(1)
     if files is None:
         return df
     if files < 1:
@@ -35,15 +45,33 @@ def _shape_output(df: DataFrame, files: int | None) -> DataFrame:
     return df.repartition(files)
 
 
-def write_json_gzip(df: DataFrame, path: str, *, files: int | None = None, mode: str = "overwrite") -> None:
-    _shape_output(df, files).write.mode(mode).option("compression", "gzip").json(path)
+def write_json_gzip(
+    df: DataFrame,
+    path: str,
+    *,
+    files: int | None = None,
+    mode: str = "overwrite",
+    single_file: bool = False,
+) -> None:
+    (
+        _shape_output(df, files, single_file)
+        .write.mode(mode)
+        .option("compression", "gzip")
+        .json(path)
+    )
 
 
 def write_csv_gzip(
-    df: DataFrame, path: str, *, files: int | None = None, header: bool = True, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    *,
+    files: int | None = None,
+    header: bool = True,
+    mode: str = "overwrite",
+    single_file: bool = False,
 ) -> None:
     (
-        _shape_output(df, files)
+        _shape_output(df, files, single_file)
         .write.mode(mode)
         .option("compression", "gzip")
         .option("header", str(header).lower())

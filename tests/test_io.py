@@ -67,6 +67,22 @@ def test_write_files_must_be_positive(spark, tmp_path):
         write_csv_gzip(spark.range(1), str(tmp_path / "x"), files=0)
 
 
+def test_single_file_escape_hatch_preserves_order(spark, tmp_path):
+    # single_file=True is the coalesce(1) bit-parity path: exactly one
+    # file AND rows in computation order (repartition would round-robin
+    # them), the reference's exact sink contract (script/main.py:389)
+    df = spark.range(50).orderBy(F.col("id").desc()).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "single")
+    write_csv_gzip(df, out, single_file=True)
+    parts = list(Path(out).glob("part-*.csv.gz"))
+    assert len(parts) == 1
+    back = spark.read.option("header", "true").csv(str(parts[0]))
+    ids = [int(r.id) for r in back.collect()]
+    assert ids == list(range(49, -1, -1))  # order survives the single task
+    with pytest.raises(ValueError, match="single_file"):
+        write_csv_gzip(df, out, files=3, single_file=True)
+
+
 def test_overwrite_partitions_touches_only_written_partitions(spark, tmp_path):
     out = str(tmp_path / "part_table")
     base = spark.createDataFrame(
