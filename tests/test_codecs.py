@@ -107,3 +107,37 @@ def test_wav_rejects_unsupported(mutate, msg):
     raw = encode_wav(np.array([1, 2], dtype=np.int16))
     with pytest.raises(ValueError, match=msg):
         decode_wav(mutate(raw))
+
+
+# ---------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(0, 64),
+    ch=st.integers(1, 3),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_wav_roundtrip_property(n, ch, rate, seed):
+    frames = (
+        np.random.default_rng(seed)
+        .integers(-(2**15), 2**15, (n, ch))
+        .astype(np.int16)
+    )
+    got_rate, got = decode_wav(encode_wav(frames, rate))
+    assert got_rate == rate and got.shape == (n, ch) and (got == frames).all()

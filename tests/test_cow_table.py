@@ -111,6 +111,32 @@ def test_reapplying_same_batch_is_idempotent(spark, table):
     }
 
 
+def test_partial_crash_state_converges_on_retry(spark, table, tmp_path):
+    # A multi-partition merge is not a transaction: simulate a crash
+    # that committed DE's rewrite but left AT untouched, by restoring
+    # AT's pre-merge files after a full merge. Re-applying the SAME
+    # batch from that mixed state must converge to the fully-merged
+    # table — the documented recovery contract.
+    import shutil
+
+    changes = spark.createDataFrame(
+        [(2, "DE", 25.0, False), (3, "AT", 0.0, True)],
+        "id long, country string, amount double, is_deleted boolean",
+    )
+    backup = str(tmp_path / "at_backup")
+    shutil.copytree(os.path.join(table, "country=AT"), backup)
+    merge_cow_table(spark, table, changes, ["id"], ["country"], delete_col="is_deleted")
+    done = _rows(spark, table)
+
+    # crash simulation: AT never committed
+    shutil.rmtree(os.path.join(table, "country=AT"), ignore_errors=True)
+    shutil.copytree(backup, os.path.join(table, "country=AT"))
+    assert _rows(spark, table) != done  # genuinely partial now
+
+    merge_cow_table(spark, table, changes, ["id"], ["country"], delete_col="is_deleted")
+    assert _rows(spark, table) == done
+
+
 def test_empty_batch_is_a_no_op(spark, table):
     before = _rows(spark, table)
     changes = spark.createDataFrame([], "id long, country string, amount double")
