@@ -1272,6 +1272,84 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4, iters=2)
 
 
+# Fixed literal centroids for the SERVING-path IVF query: the
+# production shape is "train the coarse quantizer once offline, reuse
+# per batch" (llm/similarity.ivf_topk docstring), and with the
+# centroids fixed the whole serving path — cell assignment, probe
+# selection, in-cell exact cosine, top-k — is SQL-expressible, so this
+# twin carries an exact oracle while `ann_topk_ivf` keeps exercising
+# the iterative trainer (rows-only by design). Seeded gaussians, same
+# determinism trick as the LSH hyperplane tables.
+def _fixed_ivf_centroids(n: int = 8, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+_IVF_FIXED_CENTROIDS = _fixed_ivf_centroids()
+
+
+def _ivf_fixed_oracle(n_probe: int = 2, k: int = 5) -> str:
+    rows = ",\n        ".join(
+        f"({cid}, {[float(x) for x in c]}::DOUBLE[])"
+        for cid, c in enumerate(_IVF_FIXED_CENTROIDS)
+    )
+    return f"""
+    WITH cent AS (
+        SELECT cid, c, sqrt(list_dot_product(c, c)) AS cnrm
+        FROM (VALUES {rows}) AS t(cid, c)
+    ),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    ranked_cells AS (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, cent.c) / (e.nrm * cent.cnrm) DESC,
+                            cent.cid ASC) AS rn
+        FROM e CROSS JOIN cent
+    ),
+    corpus_cell AS (SELECT vec_id, cid FROM ranked_cells WHERE rn = 1),
+    query_cells AS (
+        SELECT vec_id, cid FROM ranked_cells WHERE rn <= {n_probe} AND vec_id < 10
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS cosine
+        FROM query_cells q
+        JOIN corpus_cell c ON q.cid = c.cid AND q.vec_id <> c.vec_id
+        JOIN e qe ON qe.vec_id = q.vec_id
+        JOIN e ce ON ce.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "ann_topk_ivf_fixed",
+    oracle=_ivf_fixed_oracle(),
+    doc="IVF ANN serving path with a FIXED (offline-trained stand-in) coarse "
+    "quantizer: corpus vectors index into their nearest of 8 literal "
+    "centroid cells, each query probes its 2 nearest cells, exact cosine "
+    "only inside probed cells, top-5. Exact DuckDB oracle replays the "
+    "literal centroids — the cell equi-join scale path, hash-verified.",
+)
+def ann_topk_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    return ivf_topk(embs, queries, k=5, n_probe=2, centroids=_IVF_FIXED_CENTROIDS)
+
+
 @register(
     "stats_approx_sketches",
     oracle=None,  # HLL++ / KLL sketch internals are engine-specific; error bound pytested
