@@ -91,17 +91,23 @@ def _last_checked_round() -> dict[str, int]:
 def _ordered_specs() -> list[QuerySpec]:
     """Registry specs in rotation order: least-recently-driver-checked
     first (never-checked and FORCE_RECHECK lead), registration order as
-    the tiebreak — deterministic for a given set of record files."""
+    the tiebreak — deterministic for a given set of record files.
+
+    FORCE_RECHECK is SELF-EXPIRING: it front-runs the window only until
+    the driver's newest record file contains the query (i.e. the
+    changed semantics have been re-verified once), after which the
+    query rotates normally — otherwise a stale force list would pin
+    window slots forever."""
     last = _last_checked_round()
+    newest = max(last.values(), default=0)
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
 
     def sort_key(spec: QuerySpec) -> tuple[int, int]:
-        if spec.name in FORCE_RECHECK:
+        rnd = last.get(spec.name)
+        if spec.name in FORCE_RECHECK and (rnd is None or rnd < newest):
             rnd = -1  # ahead even of never-checked: semantics changed
-        elif spec.name not in last:
+        elif rnd is None:
             rnd = 0
-        else:
-            rnd = last[spec.name]
         return (rnd, reg_index[spec.name])
 
     return sorted(REGISTRY.values(), key=sort_key)

@@ -89,11 +89,14 @@ def test_driver_window_rotation_invariants():
     assert not missing, f"FORCE_RECHECK names not registered: {missing}"
 
     last = _last_checked_round()
+    newest = max(last.values(), default=0)
 
     def rank(name):
-        if name in FORCE_RECHECK:
+        rnd = last.get(name)
+        # FORCE_RECHECK self-expires once the newest record covers it
+        if name in FORCE_RECHECK and (rnd is None or rnd < newest):
             return -1
-        return last.get(name, 0)
+        return 0 if rnd is None else rnd
 
     ranks = [rank(n) for n in order]
     assert ranks == sorted(ranks), "stale queries must lead the window"
