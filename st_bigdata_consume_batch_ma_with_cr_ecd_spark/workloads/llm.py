@@ -901,7 +901,10 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, unnest(embedding) AS val
         FROM embeddings
     ),
-    agg AS (SELECT label, pos, round(avg(val), 4) AS v FROM comp GROUP BY 1, 2),
+    -- + 0.0 normalizes IEEE negative zero: a mean that rounds to -0.0
+    -- prints/hashes differently from 0.0 and the engines disagree on
+    -- which they produce (caught by the sf0.001 sweep)
+    agg AS (SELECT label, pos, round(avg(val), 4) + 0.0 AS v FROM comp GROUP BY 1, 2),
     n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1)
     SELECT n.label, n.n_vecs, agg.pos, agg.v
     FROM n JOIN agg USING (label)
@@ -918,7 +921,8 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     comp = embs.select("label", F.posexplode("embedding").alias("pos", "val"))
-    agg = comp.groupBy("label", "pos").agg(F.round(F.avg("val"), 4).alias("v"))
+    # + 0.0 folds IEEE -0.0 to 0.0 (cross-engine hash trap, see oracle)
+    agg = comp.groupBy("label", "pos").agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("v"))
     counts = embs.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     return counts.join(agg, "label").select("label", "n_vecs", "pos", "v")
 

@@ -1702,9 +1702,9 @@ def x_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats_corr_covar",
     oracle="""
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
-           round(covar_samp(l_quantity, l_discount), 6)      AS qty_disc_covar,
-           round(stddev_samp(l_extendedprice), 4)            AS price_stddev
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0  AS qty_price_corr,
+           round(covar_samp(l_quantity, l_discount), 6) + 0.0 AS qty_disc_covar,
+           round(stddev_samp(l_extendedprice), 4)             AS price_stddev
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="Bivariate statistics per group: Pearson correlation, sample "
@@ -1714,9 +1714,11 @@ def x_variant_shredding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    # + 0.0 folds IEEE -0.0 to 0.0: signed moments whose accumulation
+    # order differs across engines can round to opposite-signed zero
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("qty_disc_covar"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + F.lit(0.0)).alias("qty_price_corr"),
+        (F.round(F.covar_samp("l_quantity", "l_discount"), 6) + F.lit(0.0)).alias("qty_disc_covar"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
     )
 
