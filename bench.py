@@ -51,9 +51,13 @@ def main() -> int:
         _run("dedup_minhash_lsh", warm_dir)
         _run("dedup_embedding_lsh", warm_dir)
         # corpus_prep + clustering compile their own large expression
-        # trees (5-language higher-order filters, label propagation)
+        # trees (5-language higher-order filters, label propagation);
+        # the e2e job compiles the biggest plan in the repo (4 slice
+        # chains + 3 sink shapes) — warm it so the timed run measures
+        # the pipeline, not the one-off codegen
         _run("corpus_prep_pipeline", warm_dir)
         _run("dedup_cluster_components", warm_dir)
+        _run("pipeline_consume_batch_e2e", warm_dir)
 
     timings: dict[str, float] = {}
     for spec in bench_specs():
