@@ -1488,7 +1488,7 @@ def merge_cow_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Output: triage summary the nightly job alerts on.",
 )
 def dq_quarantine_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.quality import quarantine_split, with_violations, VIOLATIONS_COL
+    from ..functions.quality import with_violations, VIOLATIONS_COL
 
     rules = {
         "price_band": F.col("o_totalprice").between(1e-9, 350000.0),

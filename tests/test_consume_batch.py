@@ -32,7 +32,6 @@ from st_bigdata_consume_batch_ma_with_cr_ecd_spark.pipelines.consume_batch impor
     filter_changelog,
     merge_delete,
     modify_data,
-    payload_columns,
     shape_json_output,
 )
 

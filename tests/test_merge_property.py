@@ -4,7 +4,6 @@ side; NULLs allowed in data columns; random delete flags)."""
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

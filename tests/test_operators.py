@@ -5,7 +5,6 @@ can't isolate."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.aggregates import (
@@ -417,8 +416,6 @@ def test_contiguous_ids_plan_has_no_single_partition_window(spark, sf_dir):
 def test_operators_tolerate_empty_inputs(spark):
     """Every composite operator must behave on 0-row frames — at 100 TB
     an empty slice/partition/day is routine, not exceptional."""
-    import datetime as dtm
-
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import (
         connected_components,
     )

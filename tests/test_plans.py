@@ -60,8 +60,6 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
     import contextlib
     import io
 
-    from pyspark.sql import functions as F
-
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.writers import write_bucketed_table
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
 

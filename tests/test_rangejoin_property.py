@@ -4,7 +4,6 @@ bucket width, since correctness must not depend on the tuning knob."""
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
