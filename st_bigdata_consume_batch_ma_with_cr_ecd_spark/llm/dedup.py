@@ -138,11 +138,22 @@ def minhash_signatures(
     *,
     k_shingle: int = 3,
     num_hashes: int = 16,
+    double_hashing: bool = False,
 ) -> DataFrame:
     """Per-doc MinHash signature: array of ``num_hashes`` minima over
     the doc's shingle set, each hash = the first 8 md5 bytes as an
     unsigned 64-bit value carried in ``DECIMAL(20,0)``. Docs with no
     shingle are dropped (too short to compare).
+
+    ``double_hashing=True`` derives the ``num_hashes`` functions from
+    TWO md5s per shingle via Kirsch-Mitzenmacher composition —
+    ``h_j = (h1 + j*h2) mod 2^64`` — instead of ``num_hashes``
+    independent md5s. Same minhash guarantees (K-M shows pairwise
+    independence suffices for Bloom/minhash-style sketches), ~k/2
+    fewer hash evaluations in the widest stage of the dedup: at the
+    production end (k = 128+) the hashing cost of the signature stage
+    drops ~64x. The composition is plain DECIMAL arithmetic, so the
+    oracle replays it exactly.
 
     Why DECIMAL and not the md5 hex string: ``min(string)`` is not
     hash-aggregatable in Spark (variable-length buffer), so the
@@ -164,19 +175,24 @@ def minhash_signatures(
     """
     sh = F.array_distinct(shingles(tokenize(F.col(text_col)), k=k_shingle))
     exploded = ensure_min_partitions(df).select(F.col(id_col), F.explode(sh).alias("__shingle"))
-    hashed = exploded.select(
-        id_col,
-        *[
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{j}:"), F.col("__shingle"))), 1, 16),
-                16,
-                10,
-            )
-            .cast("decimal(20,0)")
-            .alias(f"__h{j}")
+
+    def md5_u64(salt: str):
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("__shingle"))), 1, 16), 16, 10
+        ).cast("decimal(20,0)")
+
+    if double_hashing:
+        from decimal import Decimal
+
+        two64 = F.lit(Decimal(2**64))
+        h1, h2 = md5_u64("a:"), md5_u64("b:")
+        hash_cols = [
+            ((h1 + F.lit(j) * h2) % two64).cast("decimal(20,0)").alias(f"__h{j}")
             for j in range(num_hashes)
-        ],
-    )
+        ]
+    else:
+        hash_cols = [md5_u64(f"{j}:").alias(f"__h{j}") for j in range(num_hashes)]
+    hashed = exploded.select(id_col, *hash_cols)
     agg = hashed.groupBy(id_col).agg(
         *[F.min(f"__h{j}").alias(f"__h{j}") for j in range(num_hashes)]
     )

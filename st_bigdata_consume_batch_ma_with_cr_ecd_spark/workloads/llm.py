@@ -94,6 +94,48 @@ def _minhash_oracle() -> str:
     """
 
 
+def _minhash_km_oracle() -> str:
+    # Kirsch-Mitzenmacher: all 16 hash functions from TWO md5s per
+    # shingle, h_j = (h1 + j*h2) mod 2^64 — replayed in HUGEINT
+    # arithmetic, minima carried as DECIMAL(20,0) like the default
+    def u64(salt: str) -> str:
+        return f"('0x' || substr(md5('{salt}' || s), 1, 16))::UBIGINT::HUGEINT"
+
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> CAST(({u64('a:')} + {j} * {u64('b:')})"
+        f" % 18446744073709551616 AS DECIMAL(20,0)))) AS h{j}"
+        for j in range(_NUM_HASHES)
+    )
+    band_selects = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('|', {cols})) AS bucket FROM sig".format(
+            b=b, cols=", ".join(f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    sh_t AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tok),
+    sig AS (
+        SELECT doc_id,
+           {sig_exprs}
+        FROM sh_t WHERE len(sh) > 0
+    ),
+    buckets_all AS (
+    {band_selects}
+    ),
+    keep AS (
+        SELECT band, bucket FROM buckets_all
+        GROUP BY band, bucket HAVING count(*) <= {_MINHASH_BUCKET_CAP}
+    ),
+    buckets AS (
+        SELECT buckets_all.* FROM buckets_all JOIN keep USING (band, bucket)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    """
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_testdata(spark, sf_dir, "documents")
 
@@ -183,6 +225,28 @@ def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(_docs(spark, sf_dir), k_shingle=3, num_hashes=_NUM_HASHES)
+    return lsh_candidate_pairs(
+        sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND, max_bucket_size=_MINHASH_BUCKET_CAP
+    )
+
+
+@register(
+    "dedup_minhash_lsh_km",
+    oracle=_minhash_km_oracle(),
+    doc="MinHash+LSH with Kirsch-Mitzenmacher double hashing: the 16 hash "
+    "functions derive from TWO md5s per shingle (h_j = h1 + j*h2 mod 2^64, "
+    "pure DECIMAL arithmetic). At k=16 the measured local delta is small "
+    "(hashing is ~30% of the signature stage); the win scales linearly "
+    "with signature width, so at production k = 128+ this keeps hashing "
+    "from dominating the job. Same banding/bucket-cap as the "
+    "md5-per-function default; exact oracle replays the composition in "
+    "HUGEINT.",
+    tags=("bench",),
+)
+def dedup_minhash_lsh_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), k_shingle=3, num_hashes=_NUM_HASHES, double_hashing=True
+    )
     return lsh_candidate_pairs(
         sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND, max_bucket_size=_MINHASH_BUCKET_CAP
     )

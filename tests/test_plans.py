@@ -247,3 +247,12 @@ def test_ngram_jaccard_shingle_pipeline_runs_once(spark, sf_dir):
     assert "ObjectHashAggregate" not in plan
     assert plan.count("Exchange") <= 6, f"shingle subtree recomputed?\n{plan}"
     assert "Scan ExistingRDD" in plan  # checkpointed buckets/sizes
+
+
+def test_km_minhash_signature_aggregate_is_hash_based(spark, sf_dir):
+    # the Kirsch-Mitzenmacher composition must keep DECIMAL(20,0)
+    # minima — same fixed-width contract as the md5-per-function
+    # default, else the widest stage regresses to SortAggregate
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh_km")
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
