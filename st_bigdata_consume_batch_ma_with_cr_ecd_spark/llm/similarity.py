@@ -302,6 +302,84 @@ def lsh_bucketed_topk(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    centroids: list[list[float]],
+    threshold: float = 0.6,
+    max_cell_size: int | None = 10_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    deduplicate WITHIN each cluster cell — two documents are semantic
+    duplicates when their cosine similarity meets ``threshold``, and
+    only same-cell pairs are ever compared, so the quadratic pair work
+    is confined to cells instead of the corpus.
+
+    Deterministic survivor rule (SQL-replayable): a row is kept iff no
+    same-cell row with a SMALLER id has cosine >= threshold against it.
+    The paper picks survivors by distance-to-centroid; the min-id rule
+    is order-independent, engine-replayable, and keeps exactly one row
+    per pairwise-duplicate chain, which is what a training-data
+    pipeline needs from the op.
+
+    Scale shape: one vectorized centroid assignment (Arrow-batch numpy
+    matmul, no per-row Python), one hash shuffle on the cell id, then a
+    per-cell normalized gram matrix inside ``applyInPandas``. With the
+    production centroid count ~sqrt(n), cells stay small and the
+    per-cell matmul is the textbook SemDeDup cost. ``max_cell_size`` is
+    the skew guard: a degenerate cell (near-constant embedding region)
+    above the cap SKIPS dedup (all rows kept) rather than attempting a
+    B^2 gram matrix — under-dedup, never a blown-up task. Centroids are
+    passed in as literals (train offline via
+    :func:`train_ivf_centroids`), which also lets an oracle engine
+    replay the exact assignment.
+
+    Returns (id, cell, kept) for every non-null-embedding input row.
+    """
+    import pandas as pd  # noqa: F811 — local for the UDF closure
+
+    e = _with_norm(
+        ensure_min_partitions(df.where(F.col(vec_col).isNotNull())), vec_col, id_col
+    )
+    assign1 = _assign_udf(centroids, 1)
+    e = e.select(
+        F.col(id_col).alias("__id"), "__v", "__norm", assign1(F.col("__v"))[0].alias("__cell")
+    )
+    cap = max_cell_size
+    thr = float(threshold)
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
+            return pd.DataFrame({"__id": [], "__cell": [], "kept": []}).astype(
+                {"__id": "int64", "__cell": "int32", "kept": "bool"}
+            )
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        n = len(pdf)
+        if cap is not None and n > cap:
+            kept = np.ones(n, dtype=bool)
+        else:
+            m = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            nrm = pdf["__norm"].to_numpy(dtype=np.float64)
+            sims = np.round((m @ m.T) / np.outer(nrm, nrm), round_to)
+            prior = np.tril(np.ones((n, n), dtype=bool), k=-1)  # j < i
+            max_prior = np.max(np.where(prior, sims, -np.inf), axis=1)
+            kept = max_prior < thr
+        return pd.DataFrame(
+            {"__id": pdf["__id"], "__cell": pdf["__cell"], "kept": kept}
+        )
+
+    out = e.groupBy("__cell").applyInPandas(
+        dedup_cell, schema="__id long, __cell int, kept boolean"
+    )
+    return out.select(
+        F.col("__id").alias(id_col), F.col("__cell").alias("cell"), "kept"
+    )
+
+
 # --------------------------------------------------------------------------
 # IVF (inverted-file) ANN: coarse quantizer -> probe-limited exact search
 # --------------------------------------------------------------------------

@@ -538,6 +538,85 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# SemDeDup coarse quantizer: fixed literal centroids (the production
+# shape is train-once-offline, like the IVF serving path), generated
+# from a seed DISTINCT from the IVF/LSH seeds so the ops stay
+# independent. Literals let the oracle replay assignment exactly.
+def _semdedup_centroids(n: int = 8, dim: int = 64, seed: int = 11) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+_SEMDEDUP_CENTROIDS = _semdedup_centroids()
+_SEMDEDUP_THRESHOLD = 0.4
+_SEMDEDUP_CELL_CAP = 5000
+
+
+def _semdedup_oracle() -> str:
+    rows = ",\n        ".join(
+        f"({cid}, {[float(x) for x in c]}::DOUBLE[])"
+        for cid, c in enumerate(_SEMDEDUP_CENTROIDS)
+    )
+    return f"""
+    WITH cent AS (
+        SELECT cid, c, sqrt(list_dot_product(c, c)) AS cnrm
+        FROM (VALUES {rows}) AS t(cid, c)
+    ),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    ranked AS (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, cent.c) / (e.nrm * cent.cnrm) DESC,
+                            cent.cid ASC) AS rn
+        FROM e CROSS JOIN cent
+    ),
+    cellm AS (
+        SELECT r.vec_id, r.cid AS cell, e.v, e.nrm
+        FROM ranked r JOIN e USING (vec_id) WHERE rn = 1
+    ),
+    sizes AS (SELECT cell, count(*) AS n FROM cellm GROUP BY 1),
+    prior AS (
+        SELECT x.vec_id, x.cell,
+               max(round(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 6)) AS mp
+        FROM cellm x LEFT JOIN cellm y ON x.cell = y.cell AND y.vec_id < x.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT p.vec_id, CAST(p.cell AS INT) AS cell,
+           (s.n > {_SEMDEDUP_CELL_CAP}) OR coalesce(p.mp, -2) < {_SEMDEDUP_THRESHOLD} AS kept
+    FROM prior p JOIN sizes s USING (cell)
+    """
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle=_semdedup_oracle(),
+    doc="SemDeDup (Abbas et al. 2023): embeddings cluster into 8 fixed "
+    "literal-centroid cells (offline-trained coarse quantizer stand-in), "
+    "then near-duplicates (cosine >= 0.4) are pruned WITHIN each cell by "
+    "the deterministic min-id survivor rule — quadratic pair work confined "
+    "to cells, one cell-id shuffle, per-cell numpy gram matrix over Arrow "
+    "batches, with an oversized-cell skip guard. The oracle replays the "
+    "literal centroids, assignment, and survivor rule exactly.",
+    tags=("bench",),
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _embs(spark, sf_dir),
+        centroids=_SEMDEDUP_CENTROIDS,
+        threshold=_SEMDEDUP_THRESHOLD,
+        max_cell_size=_SEMDEDUP_CELL_CAP,
+    )
+
+
 # --------------------------------------------------------------------------
 # Similarity search
 # --------------------------------------------------------------------------
@@ -1021,6 +1100,103 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(1.0))
     )
     return _docs(spark, sf_dir).where(keep).select("doc_id", "lang", weight.alias("weight"))
+
+
+@register(
+    "quality_filter_percentile",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS tokens FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               round(len(list_distinct(tokens)) * 1.0 / len(tokens), 4) AS quality
+        FROM tok
+    ),
+    banded AS (
+        SELECT doc_id, lang, quality,
+               ntile(4) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS band
+        FROM scored
+    )
+    SELECT doc_id, lang, quality, band FROM banded WHERE band >= 2
+    """,
+    doc="Percentile-band quality filtering (the CCNet/Gopher corpus-cleaning "
+    "shape): score every document (type-token ratio), split each language "
+    "into exact quartiles with ntile over a total order (score, doc_id "
+    "tiebreak -> deterministic on any engine), drop the worst quartile "
+    "PER LANGUAGE — relative thresholds, so no language is wiped out by a "
+    "global cutoff. One window over the lang shuffle; at 100 TB swap ntile "
+    "for approx_percentile thresholds broadcast back to stay single-pass.",
+)
+def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    stats = text_stats("text")
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", stats["type_token_ratio"].alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("band", F.ntile(4).over(w))
+        .where(F.col("band") >= 2)
+        .select("doc_id", "lang", "quality", "band")
+    )
+
+
+@register(
+    "sample_temperature_rebalance",
+    # keep-rule arithmetic is EXACT integers on both engines: keep iff
+    # h^2 * c_lang < 2^64 * c_min  (h = first 8 md5 hex digits), which
+    # realizes rate = sqrt(c_min / c_lang) with zero float in the
+    # decision — no cross-engine pow/sqrt ulp can flip a row.
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS c_l FROM documents GROUP BY lang),
+    m AS (SELECT min(c_l) AS c_min FROM counts),
+    d AS (
+        SELECT doc_id, lang,
+               CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS HUGEINT) AS h
+        FROM documents
+    )
+    SELECT d.doc_id, d.lang,
+           round(sqrt(CAST(c.c_l AS DOUBLE) / m.c_min), 4) AS weight
+    FROM d JOIN counts c USING (lang) CROSS JOIN m
+    WHERE d.h * d.h * c.c_l < CAST('18446744073709551616' AS HUGEINT) * m.c_min
+    """,
+    doc="Temperature-flattened language rebalancing (the multilingual "
+    "training-mix op, UNIMAX/mT5-style at T=2): each language keeps "
+    "rate = sqrt(c_min/c_lang) of its documents — rare languages keep "
+    "everything, dominant ones are root-downsampled — via the "
+    "deterministic md5-threshold rule, with the keep decision done in "
+    "exact DECIMAL integer arithmetic (h^2*c_l < 2^64*c_min) so it is "
+    "bit-reproducible on any engine and any partitioning. The weight "
+    "column (1/rate) keeps downstream token counts unbiased. Pure "
+    "filter + one broadcast of per-language counts: no data shuffle.",
+)
+def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c_l"))
+    cmin = counts.agg(F.min("c_l").alias("c_min"))
+    enriched = docs.select("doc_id", "lang").join(
+        F.broadcast(counts.crossJoin(cmin)), "lang"
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "decimal(10,0)"
+    )
+    # h^2 -> decimal(21,0); * c_l(9,0) -> decimal(31,0); RHS 2^64(20,0)
+    # * c_min(9,0) -> decimal(30,0): all within DECIMAL(38), no
+    # precision loss, no doubles in the keep decision
+    lhs = h * h * F.col("c_l").cast("decimal(9,0)")
+    rhs = F.lit("18446744073709551616").cast("decimal(20,0)") * F.col("c_min").cast(
+        "decimal(9,0)"
+    )
+    return (
+        enriched.where(lhs < rhs)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(
+                F.sqrt(F.col("c_l").cast("double") / F.col("c_min")), 4
+            ).alias("weight"),
+        )
+    )
 
 
 @register(

@@ -1410,6 +1410,67 @@ def merge_upsert_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH before_s AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+    ),
+    after_s AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '2000-01-01'
+          AND NOT (o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01')
+    )
+    SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+                WHEN a.o_orderkey IS NULL THEN 'delete'
+                WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+                  OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus THEN 'update'
+                END AS change_type,
+           b.o_totalprice  AS o_totalprice_before,
+           a.o_totalprice  AS o_totalprice_after,
+           b.o_orderstatus AS o_orderstatus_before,
+           a.o_orderstatus AS o_orderstatus_after
+    FROM before_s b FULL OUTER JOIN after_s a ON b.o_orderkey = a.o_orderkey
+    WHERE coalesce(b.o_orderkey, a.o_orderkey) IS NOT NULL
+      AND (b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+           OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+           OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus)
+    """,
+    doc="CDC change feed between two snapshots (operators.merge.snapshot_diff, "
+    "the inverse of merge_upsert): one full outer join on the key classifies "
+    "every order as insert (new date window) / delete (purged F-rows) / "
+    "update (O-rows repriced), null-safe compare, unchanged keys dropped. "
+    "The lakehouse table_changes(v1, v2) primitive on plain parquet.",
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.merge import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    before = o.where(F.col("o_orderdate") < "1999-01-01").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    after = (
+        o.where(
+            (F.col("o_orderdate") < "2000-01-01")
+            & ~((F.col("o_orderstatus") == "F") & (F.col("o_orderdate") < "1996-01-01"))
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderstatus") == "O", F.col("o_totalprice") + 10.0
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    return snapshot_diff(before, after, ["o_orderkey"])
+
+
+@register(
     "merge_cow_table_roundtrip",
     # Verifies the WHOLE storage path, not just the merge expression:
     # write a partitioned copy-on-write table, MERGE a CDC batch into

@@ -131,6 +131,47 @@ def test_cosine_pairs_guards_against_full_cross(spark, vecs):
     assert cosine_pairs(vecs, max_rows=2, allow_full_cross=True, threshold=0.9).count() == 1
 
 
+def test_semantic_dedup_min_id_survivor_and_chain(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import semantic_dedup
+
+    # one centroid -> everything in one cell; 0,1 are near-dups, 2 is
+    # orthogonal to both, 3 is a near-dup of 0 as well
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.95, 0.05, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.9, 0.0, 0.1]),
+            (4, None),  # null embedding must be dropped, not crash the UDF
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r.kept
+        for r in semantic_dedup(df, centroids=[[1.0, 1.0, 1.0]], threshold=0.9).collect()
+    }
+    # min-id survivor: 0 kept; 1 and 3 removed (cos >= 0.9 against 0);
+    # 2 kept (orthogonal); null row absent entirely
+    assert out == {0: True, 1: False, 2: True, 3: False}
+
+
+def test_semantic_dedup_oversized_cell_skips_dedup(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0, float(i) * 1e-3]) for i in range(10)],
+        "vec_id long, embedding array<float>",
+    )
+    # all 10 rows are mutual near-dups, but the cell exceeds the cap ->
+    # the skew guard keeps everything (under-dedup, never a B^2 blowup)
+    out = semantic_dedup(df, centroids=[[1.0, 0.0, 0.0]], threshold=0.9, max_cell_size=5)
+    assert [r.kept for r in out.collect()] == [True] * 10
+    # with the cap lifted, only the min id survives
+    out2 = semantic_dedup(df, centroids=[[1.0, 0.0, 0.0]], threshold=0.9, max_cell_size=None)
+    kept = {r.vec_id for r in out2.collect() if r.kept}
+    assert kept == {0}
+
+
 def test_lsh_bucket_udf_propagates_null_embeddings(spark):
     # NULL embedding rows must flow through bucketing as NULL (then be
     # dropped by the explode), not crash np.vstack with a ragged array

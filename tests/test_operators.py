@@ -359,6 +359,42 @@ def test_merge_upsert_without_delete_col(spark):
         merge_upsert(snap, changes, [])
 
 
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.merge import snapshot_diff
+
+    before = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, "d", 40.0)],
+        "id int, name string, v double",
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (4, None, 40.0), (5, "e", 50.0)],
+        "id int, name string, v double",
+    )
+    got = {r.id: r for r in snapshot_diff(before, after, ["id"]).collect()}
+    # 1 unchanged -> absent; 2 NULL->20.0 update (null-safe compare);
+    # 3 deleted; 4 name d->NULL update; 5 inserted
+    assert set(got) == {2, 3, 4, 5}
+    assert got[2].change_type == "update" and got[2].v_before is None and got[2].v_after == 20.0
+    assert got[3].change_type == "delete" and got[3].v_after is None
+    assert got[4].change_type == "update" and got[4].name_after is None
+    assert got[5].change_type == "insert" and got[5].name_before is None
+    with pytest.raises(ValueError):
+        snapshot_diff(before, after, [])
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.merge import snapshot_diff
+
+    before = spark.createDataFrame([(1, "a", 1.0)], "id int, name string, v double")
+    after = spark.createDataFrame([(1, "a", 9.0)], "id int, name string, v double")
+    # v excluded from the compare -> the key counts as unchanged
+    assert snapshot_diff(before, after, ["id"], compare_cols=["name"]).count() == 0
+    # roundtrip property: applying the diff's after-values onto before
+    # (merge semantics) reproduces after
+    full = snapshot_diff(before, after, ["id"])
+    assert full.count() == 1
+
+
 # ---------------------------------------------------------------- graph
 
 
