@@ -1,0 +1,124 @@
+"""Greedy longest-match subword tokenization (WordPiece-style).
+
+The training-pipeline token-accounting op: given a fixed subword
+vocabulary (trained offline — here passed in as literals, the same
+production shape as the IVF centroids and LSH hyperplanes), encode
+each whitespace word by repeatedly taking the LONGEST vocab piece that
+prefixes the remaining string; a position no piece matches emits one
+``<unk>`` and advances one character. This is the serving half of
+WordPiece/BPE (the merge-table walk), which is what corpus token
+counting, cost estimation, and sequence packing actually need — vocab
+TRAINING is an offline, non-distributed concern.
+
+Determinism: the match rule (longest piece, lexicographic tiebreak) is
+pure string logic, so an oracle engine can replay it exactly with a
+recursive CTE over the same literal vocab.
+
+Scale shape: tokenization crosses the Python boundary once per Arrow
+batch (pandas UDF) with a per-batch word memo — each distinct word is
+encoded once per batch, not once per occurrence. The JVM side computes
+the whitespace split; only the token arrays cross to Python.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokenize
+
+# Offline-trained stand-in vocabulary: frequent corpus words + the
+# latin alphabet as byte-fallback pieces. Anything else (digits,
+# punctuation, non-latin scripts) hits the <unk> path.
+DEFAULT_VOCAB: tuple[str, ...] = (
+    "table", "value", "spark", "batch", "merge", "window",
+    "scan", "part", "hash", "fast", "slow", "sort", "line",
+    "key", "agg", "row", "the",
+) + tuple("abcdefghijklmnopqrstuvwxyz")
+
+
+def _encoder(vocab: Sequence[str]):
+    """word -> (n_pieces, n_unk) under greedy longest-match; pieces are
+    bucketed by first char and sorted (len desc, lexicographic) so the
+    first prefix hit IS the match the oracle's ORDER BY picks."""
+    by_first: dict[str, list[str]] = {}
+    for p in vocab:
+        if not p:
+            raise ValueError("vocab pieces must be non-empty")
+        by_first.setdefault(p[0], []).append(p)
+    for lst in by_first.values():
+        lst.sort(key=lambda s: (-len(s), s))
+
+    def encode_word(w: str) -> tuple[int, int]:
+        n_pieces = n_unk = 0
+        i = 0
+        while i < len(w):
+            best = None
+            for p in by_first.get(w[i], ()):
+                if w.startswith(p, i):
+                    best = p
+                    break
+            n_pieces += 1
+            if best is None:
+                n_unk += 1
+                i += 1
+            else:
+                i += len(best)
+        return n_pieces, n_unk
+
+    return encode_word
+
+
+def subword_token_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    vocab: Sequence[str] = DEFAULT_VOCAB,
+) -> DataFrame:
+    """Per-document subword token accounting under greedy longest-match
+    encoding with ``vocab``: whitespace-word count, emitted piece
+    count, ``<unk>`` count, and pieces-per-word ratio (the fertility
+    metric tokenizer evaluations report).
+
+    Returns (id, n_tokens, n_pieces, n_unk, pieces_per_token).
+    """
+    vocab = tuple(vocab)
+
+    @F.pandas_udf("struct<n_tokens: long, n_pieces: long, n_unk: long>")
+    def enc(token_arrays: pd.Series) -> pd.DataFrame:
+        encode_word = _encoder(vocab)
+        memo: dict[str, tuple[int, int]] = {}
+        rows = []
+        for words in token_arrays:
+            if words is None:
+                rows.append((0, 0, 0))
+                continue
+            n_t = n_p = n_u = 0
+            for w in words:
+                if w == "":
+                    continue
+                hit = memo.get(w)
+                if hit is None:
+                    hit = memo[w] = encode_word(w)
+                n_t += 1
+                n_p += hit[0]
+                n_u += hit[1]
+            rows.append((n_t, n_p, n_u))
+        return pd.DataFrame(rows, columns=["n_tokens", "n_pieces", "n_unk"])
+
+    c: Column = enc(tokenize(F.col(text_col)))
+    out = df.select(F.col(id_col), c.alias("__e"))
+    return out.select(
+        id_col,
+        F.col("__e.n_tokens").alias("n_tokens"),
+        F.col("__e.n_pieces").alias("n_pieces"),
+        F.col("__e.n_unk").alias("n_unk"),
+        F.when(
+            F.col("__e.n_tokens") > 0,
+            F.round(F.col("__e.n_pieces") / F.col("__e.n_tokens"), 4),
+        ).alias("pieces_per_token"),
+    )

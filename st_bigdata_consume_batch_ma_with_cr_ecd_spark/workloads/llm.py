@@ -1015,6 +1015,69 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", fingerprint("text").alias("fp"))
 
 
+def _subword_oracle() -> str:
+    from ..llm.tokenizer import DEFAULT_VOCAB
+
+    vocab_rows = ", ".join(f"('{p}')" for p in DEFAULT_VOCAB)
+    return f"""
+    WITH RECURSIVE vocab(piece) AS (SELECT * FROM (VALUES {vocab_rows}) v),
+    tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    words AS (
+        SELECT doc_id, unnest(tokens) AS word, generate_subscripts(tokens, 1) AS wi
+        FROM tok
+    ),
+    w2 AS (SELECT * FROM words WHERE word <> ''),
+    step AS (
+        SELECT doc_id, wi, word AS rem, 0 AS n_p, 0 AS n_u FROM w2
+        UNION ALL
+        SELECT s.doc_id, s.wi,
+               CASE WHEN b.best IS NULL THEN substr(s.rem, 2)
+                    ELSE substr(s.rem, length(b.best) + 1) END,
+               s.n_p + 1,
+               s.n_u + CASE WHEN b.best IS NULL THEN 1 ELSE 0 END
+        FROM step s
+        LEFT JOIN LATERAL (
+            SELECT piece AS best FROM vocab WHERE starts_with(s.rem, piece)
+            ORDER BY length(piece) DESC, piece LIMIT 1
+        ) b ON true
+        WHERE s.rem <> ''
+    ),
+    done AS (SELECT doc_id, wi, n_p, n_u FROM step WHERE rem = ''),
+    agg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(n_p) AS BIGINT) AS n_pieces,
+               CAST(sum(n_u) AS BIGINT) AS n_unk
+        FROM done GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.n_tokens, 0) AS n_tokens,
+           coalesce(a.n_pieces, 0) AS n_pieces,
+           coalesce(a.n_unk, 0) AS n_unk,
+           CASE WHEN coalesce(a.n_tokens, 0) > 0
+                THEN round(a.n_pieces * 1.0 / a.n_tokens, 4) END AS pieces_per_token
+    FROM tok t LEFT JOIN agg a USING (doc_id)
+    """
+
+
+@register(
+    "tokenize_subword_greedy",
+    oracle=_subword_oracle(),
+    doc="WordPiece-style subword token accounting (llm/tokenizer.py): each "
+    "whitespace word encodes by greedy longest-match against a fixed "
+    "literal vocabulary (frequent words + letter fallback; anything else "
+    "emits <unk>) — the serving half of BPE/WordPiece that corpus token "
+    "counting and cost estimation need. Arrow-batched pandas UDF with a "
+    "per-batch word memo (distinct words encode once per batch). The "
+    "oracle replays the exact greedy walk with a recursive CTE over the "
+    "same vocab literals.",
+    tags=("bench",),
+)
+def tokenize_subword_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.tokenizer import subword_token_counts
+
+    return subword_token_counts(_docs(spark, sf_dir))
+
+
 @register(
     "sample_hash_split",
     oracle="""

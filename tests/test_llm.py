@@ -198,6 +198,40 @@ def test_brute_force_topk_ranks_by_cosine(spark, vecs):
 # ---------------------------------------------------------------- text
 
 
+def test_subword_encoder_greedy_longest_match():
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.tokenizer import _encoder
+
+    enc = _encoder(["the", "th", "t", "h", "e", "ab", "abc", "a", "b", "c"])
+    assert enc("the") == (1, 0)          # whole-word piece wins
+    assert enc("thee") == (2, 0)         # the + e
+    assert enc("abcabc") == (2, 0)       # abc (longest) twice, not ab+c
+    assert enc("tx") == (2, 1)           # t + <unk>(x)
+    assert enc("999") == (3, 3)          # all-unk advances one char at a time
+    assert enc("") == (0, 0)
+    with pytest.raises(ValueError):
+        _encoder([""])
+
+
+def test_subword_token_counts_per_document(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.tokenizer import (
+        subword_token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the the abc"), (2, "  "), (3, "zz")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pieces, r.n_unk, r.pieces_per_token)
+        for r in subword_token_counts(
+            df, vocab=["the", "a", "b", "c"]
+        ).collect()
+    }
+    assert got[1] == (3, 5, 0, round(5 / 3, 4))  # the, the, a+b+c
+    assert got[2] == (0, 0, 0, None)             # whitespace-only -> no tokens
+    assert got[3] == (1, 2, 2, 2.0)              # z twice -> two <unk>
+
+
 def test_fingerprint_normalizes_whitespace_and_case(spark):
     df = spark.createDataFrame([("  Hello   World ",), ("hello world",)], "text string")
     fps = [r.fp for r in df.select(fingerprint("text").alias("fp")).collect()]
