@@ -148,3 +148,29 @@ def test_partitionless_table_is_rejected(spark, tmp_path):
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     with pytest.raises(ValueError, match="partition_by"):
         create_cow_table(df, str(tmp_path / "x"), [])
+
+
+def test_change_feed_recovered_via_snapshot_diff(spark, table, tmp_path):
+    # the lakehouse table_changes(v1, v2) pattern on plain parquet:
+    # snapshot the table before a merge, diff snapshots afterwards —
+    # the recovered feed classifies exactly the rows the batch touched
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.merge import snapshot_diff
+
+    v1_path = str(tmp_path / "v1")
+    read_cow_table(spark, table).write.parquet(v1_path)
+
+    changes = spark.createDataFrame(
+        [
+            (2, "DE", 99.0, False),  # update
+            (3, "AT", 0.0, True),    # delete
+            (9, "CH", 90.0, False),  # insert
+        ],
+        "id long, country string, amount double, is_deleted boolean",
+    )
+    merge_cow_table(spark, table, changes, ["id"], ["country"], delete_col="is_deleted")
+
+    feed = snapshot_diff(
+        spark.read.parquet(v1_path), read_cow_table(spark, table), ["id"]
+    )
+    got = {r.id: r.change_type for r in feed.collect()}
+    assert got == {2: "update", 3: "delete", 9: "insert"}
