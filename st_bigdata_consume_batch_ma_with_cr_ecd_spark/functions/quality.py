@@ -47,3 +47,44 @@ def with_observed_metrics(df: DataFrame, name: str, **metrics: Column) -> DataFr
     ``StreamingQueryListener`` or (batch) ``Observation``.
     """
     return df.observe(name, *[c.alias(n) for n, c in metrics.items()])
+
+
+def expectation_suite(
+    df: DataFrame, expectations: Mapping[str, tuple[Column, float, float]]
+) -> DataFrame:
+    """Dataset-level constraint checking (the deequ/Great-Expectations
+    shape) in ONE aggregate pass: every expectation is an aggregate
+    metric Column plus an inclusive [lo, hi] acceptance band, all
+    metrics computed in a single ``agg`` over one scan, then exploded
+    to one result row per expectation.
+
+    Returns (expectation, value, lo, hi, passed). Values are rounded
+    to 6 decimals BEFORE the band check so pass/fail is deterministic
+    across engines/partitionings. Complements the row-level
+    :func:`quarantine_split`: that gates rows, this gates the DATASET
+    (uniqueness, null rates, bounds, conformity rates) — the check a
+    nightly job alerts on before publishing a partition.
+
+    At 100 TB this is one map-side-combined aggregate over the scan —
+    the metrics travel as one partial row per mapper; there is no
+    per-expectation pass.
+    """
+    if not expectations:
+        raise ValueError("expectations must be non-empty")
+    agg = df.agg(
+        *[
+            F.round(m.cast("double"), 6).alias(name)
+            for name, (m, _lo, _hi) in expectations.items()
+        ]
+    )
+    structs = [
+        F.struct(
+            F.lit(name).alias("expectation"),
+            F.col(name).alias("value"),
+            F.lit(float(lo)).alias("lo"),
+            F.lit(float(hi)).alias("hi"),
+            ((F.col(name) >= float(lo)) & (F.col(name) <= float(hi))).alias("passed"),
+        )
+        for name, (_m, lo, hi) in expectations.items()
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("e")).select("e.*")

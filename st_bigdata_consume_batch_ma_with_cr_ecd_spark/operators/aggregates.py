@@ -67,3 +67,67 @@ def exact_avg(col: str | Column) -> Column:
     """Order-independent mean: exact decimal sum / count, in doubles."""
     c = F.col(col) if isinstance(col, str) else col
     return exact_sum(c) / F.count(c)
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (partial-aggregate algebra)
+# ---------------------------------------------------------------------------
+
+PARTIAL_STATE_COLS = ("n_rows", "sum_v", "min_v", "max_v")
+
+
+def partial_agg(df: DataFrame, keys: Sequence[str], value_col: str | Column) -> DataFrame:
+    """Per-key mergeable aggregate STATE over one slice of a table:
+    (n_rows, sum_v, min_v, max_v) — the partial-aggregate algebra
+    Spark itself uses map-side, lifted to a first-class operator so a
+    pipeline can MAINTAIN a materialized aggregate incrementally:
+    aggregate only the new slice (delta) and merge it into the stored
+    state with :func:`merge_partial_aggs`, never rescanning history.
+
+    The sum is an exact DECIMAL (order-independent), so merging states
+    in any order or grouping is bit-stable — the property incremental
+    maintenance needs to be trustworthy.
+    """
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    return df.groupBy(*list(keys)).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(c.cast(DECIMAL_SUM_TYPE)).alias("sum_v"),
+        F.min(c).alias("min_v"),
+        F.max(c).alias("max_v"),
+    )
+
+
+def merge_partial_aggs(parts: Sequence[DataFrame], keys: Sequence[str]) -> DataFrame:
+    """Merge any number of :func:`partial_agg` states into one:
+    union → one hash aggregate (counts add, sums add, min of mins,
+    max of maxes). Commutative and associative, so states can merge
+    daily→monthly→yearly in any tree shape.
+
+    At 100 TB this is the materialized-view pattern: the nightly job
+    aggregates ONLY the new partition and merges it into yesterday's
+    state — cost scales with the delta, not the table.
+    """
+    if not parts:
+        raise ValueError("parts must be non-empty")
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    return merged.groupBy(*list(keys)).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("sum_v").alias("sum_v"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
+def finalize_agg(state: DataFrame, *, scale: int = 2) -> DataFrame:
+    """Resolve a merged state into user-facing metrics: n, sum, min,
+    max, avg (avg derived sum/count at read time — never merged)."""
+    return state.select(
+        *[c for c in state.columns if c not in PARTIAL_STATE_COLS],
+        F.col("n_rows"),
+        F.round(F.col("sum_v"), scale).cast("double").alias("total"),
+        F.col("min_v").alias("lo"),
+        F.col("max_v").alias("hi"),
+        F.round(F.col("sum_v") / F.col("n_rows"), scale).cast("double").alias("mean"),
+    )

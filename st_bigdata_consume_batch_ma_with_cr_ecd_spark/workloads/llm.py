@@ -1079,6 +1079,40 @@ def tokenize_subword_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_reservoir_per_group",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    ) WHERE rk <= 5
+    """,
+    doc="Deterministic fixed-size per-group sample (reservoir-sampling "
+    "semantics without RNG state): the k=5 docs per language with the "
+    "smallest md5(doc_id) — a uniform draw that is reproducible on any "
+    "engine and any partitioning, and STABLE under corpus growth (a doc "
+    "only leaves the sample when a smaller-hash doc arrives). Plans as "
+    "row_number + WindowGroupLimit: each mapper forwards at most k "
+    "candidate rows per group before the shuffle, so the shuffle carries "
+    "k x groups x mappers rows, never the corpus.",
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import top_n_per_group
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return top_n_per_group(
+        docs,
+        ["lang"],
+        [F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()],
+        n=5,
+        rank_col="rk",
+        keep_rank=True,
+    )
+
+
+@register(
     "sample_hash_split",
     oracle="""
     SELECT doc_id,

@@ -1522,6 +1522,101 @@ def merge_cow_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_expectation_suite",
+    oracle="""
+    WITH m AS (
+        SELECT
+            round(CAST(count(*) AS DOUBLE), 6)                                    AS row_count,
+            round(CAST(count(*) - count(DISTINCT o_orderkey) AS DOUBLE), 6)       AS dup_orderkeys,
+            round(avg(CASE WHEN o_custkey IS NULL THEN 1.0 ELSE 0.0 END), 6)      AS custkey_null_rate,
+            round(min(o_totalprice), 6)                                           AS min_totalprice,
+            round(max(o_totalprice), 6)                                           AS max_totalprice,
+            round(avg(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1.0 ELSE 0.0 END), 6)
+                                                                                  AS status_conformity,
+            round(avg(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1.0 ELSE 0.0 END), 6)
+                                                                                  AS priority_format_rate
+        FROM orders
+    ),
+    rows_out(expectation, value, lo, hi) AS (
+        SELECT 'row_count', row_count, 1.0, 1e12 FROM m
+        UNION ALL SELECT 'dup_orderkeys', dup_orderkeys, 0.0, 0.0 FROM m
+        UNION ALL SELECT 'custkey_null_rate', custkey_null_rate, 0.0, 0.01 FROM m
+        UNION ALL SELECT 'min_totalprice', min_totalprice, 0.0, 1e9 FROM m
+        UNION ALL SELECT 'max_totalprice', max_totalprice, 0.0, 500000.0 FROM m
+        UNION ALL SELECT 'status_conformity', status_conformity, 1.0, 1.0 FROM m
+        UNION ALL SELECT 'priority_format_rate', priority_format_rate, 0.99, 1.0 FROM m
+    )
+    SELECT expectation, value,
+           CAST(lo AS DOUBLE) AS lo, CAST(hi AS DOUBLE) AS hi,
+           (value >= lo AND value <= hi) AS passed
+    FROM rows_out
+    """,
+    doc="Dataset-level expectation suite (functions.quality.expectation_suite, "
+    "the deequ/Great-Expectations shape): uniqueness, null-rate, bounds, and "
+    "conformity-rate constraints ALL computed in one map-side-combined "
+    "aggregate over one scan, exploded to one (expectation, value, band, "
+    "passed) row each — the publish gate a nightly job alerts on. "
+    "Complements dq_quarantine_summary (row-level gate).",
+)
+def dq_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quality import expectation_suite
+
+    o = _t(spark, sf_dir, "orders")
+    return expectation_suite(
+        o,
+        {
+            "row_count": (F.count(F.lit(1)), 1, 1e12),
+            "dup_orderkeys": (F.count(F.lit(1)) - F.countDistinct("o_orderkey"), 0, 0),
+            "custkey_null_rate": (F.avg(F.col("o_custkey").isNull().cast("double")), 0, 0.01),
+            "min_totalprice": (F.min("o_totalprice"), 0, 1e9),
+            "max_totalprice": (F.max("o_totalprice"), 0, 500000.0),
+            "status_conformity": (
+                F.avg(F.col("o_orderstatus").isin("F", "O", "P").cast("double")), 1, 1
+            ),
+            "priority_format_rate": (
+                F.avg(F.col("o_orderpriority").rlike("^[1-5]-").cast("double")), 0.99, 1
+            ),
+        },
+    )
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS total,
+           min(o_totalprice) AS lo,
+           max(o_totalprice) AS hi,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(30,8))) / count(*), 2) AS DOUBLE) AS mean
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Incremental materialized-aggregate maintenance "
+    "(operators.aggregates.partial_agg/merge_partial_aggs/finalize_agg): "
+    "history (orders before 2000) and the delta (2000+) are aggregated "
+    "SEPARATELY into mergeable states (count, exact DECIMAL sum, min, max), "
+    "merged with the partial-aggregate algebra, and finalized — the oracle "
+    "recomputes from the full table, proving merge(delta)+state equals "
+    "recompute. At 100 TB the nightly job aggregates only the new "
+    "partition; cost scales with the delta, not the table.",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import finalize_agg, merge_partial_aggs, partial_agg
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.where(F.col("o_orderdate") < "2000-01-01")
+    delta = o.where(F.col("o_orderdate") >= "2000-01-01")
+    state = merge_partial_aggs(
+        [
+            partial_agg(base, ["o_orderstatus"], "o_totalprice"),
+            partial_agg(delta, ["o_orderstatus"], "o_totalprice"),
+        ],
+        ["o_orderstatus"],
+    )
+    return finalize_agg(state)
+
+
+@register(
     "dq_quarantine_summary",
     oracle="""
     WITH labeled AS (

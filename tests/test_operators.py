@@ -526,3 +526,56 @@ def test_running_total_survives_int32_overflow(spark):
     df = spark.createDataFrame([(i, big) for i in range(4)], "k int, v int")
     out = {r.k: r.cum_sum for r in running_total(df, ["k"], "v", num_partitions=1).collect()}
     assert out == {0: big, 1: 2 * big, 2: 3 * big, 3: 4 * big}
+
+
+# ------------------------------------------------------- partial-agg algebra
+
+
+def test_partial_agg_merge_equals_full_recompute(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.aggregates import (
+        finalize_agg,
+        merge_partial_aggs,
+        partial_agg,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.5), ("a", 2.5), ("a", -1.0), ("b", 10.0), ("b", 0.25)],
+        "k string, v double",
+    )
+    # merge of any slicing must equal the full recompute — associativity
+    s1 = partial_agg(df.where(F.col("v") > 1), ["k"], "v")
+    s2 = partial_agg(df.where(F.col("v") <= 1), ["k"], "v")
+    merged = finalize_agg(merge_partial_aggs([s1, s2], ["k"]))
+    full = finalize_agg(partial_agg(df, ["k"], "v"))
+    assert rows_set(merged) == rows_set(full)
+    got = {r.k: (r.n_rows, r.total, r.lo, r.hi, r.mean) for r in merged.collect()}
+    assert got["a"] == (3, 3.0, -1.0, 2.5, 1.0)
+    assert got["b"] == (2, 10.25, 0.25, 10.0, 5.13)  # HALF_UP at scale 2
+    with pytest.raises(ValueError):
+        merge_partial_aggs([], ["k"])
+
+
+def test_expectation_suite_single_pass_bands(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.functions.quality import (
+        expectation_suite,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, None), (3, 15.0)], "id int, v double"
+    )
+    out = {
+        r.expectation: (r.value, r.passed)
+        for r in expectation_suite(
+            df,
+            {
+                "rows": (F.count(F.lit(1)), 1, 100),
+                "null_rate": (F.avg(F.col("v").isNull().cast("double")), 0, 0.1),
+                "max_v": (F.max("v"), 0, 10),
+            },
+        ).collect()
+    }
+    assert out["rows"] == (3.0, True)
+    assert out["null_rate"] == (round(1 / 3, 6), False)  # 0.333 > 0.1 band
+    assert out["max_v"] == (15.0, False)
+    with pytest.raises(ValueError):
+        expectation_suite(df, {})
