@@ -256,3 +256,46 @@ def test_km_minhash_signature_aggregate_is_hash_based(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_minhash_lsh_km")
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_semantic_dedup_single_cell_shuffle(spark, sf_dir):
+    # SemDeDup's contract: ONE hash shuffle (the cell id) feeding ONE
+    # applyInPandas; the centroid assignment must be Arrow-batched
+    # projection, never a join against a centroid table
+    plan = plan_of(spark, sf_dir, "dedup_semantic_clusters")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+    # formatted explain lists each node twice (tree + details):
+    # 2 physical exchanges = repartition + the cell-id hash partitioning
+    assert plan.count("Exchange") <= 4
+
+
+def test_reservoir_sample_has_partial_group_limit(spark, sf_dir):
+    # k-per-group sampling must forward at most k candidates per
+    # (group, mapper) before the shuffle — WindowGroupLimit below the
+    # Exchange, the same contract as top-1 dedup
+    plan = plan_of(spark, sf_dir, "sample_reservoir_per_group")
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit") < plan.rindex("Exchange")
+
+
+def test_expectation_suite_is_one_aggregate_pass(spark, sf_dir):
+    # every expectation metric must ride ONE map-side-combined global
+    # aggregate over one scan: a single Exchange (SinglePartition),
+    # one scan of orders, no joins between per-metric passes
+    plan = plan_of(spark, sf_dir, "dq_expectation_suite")
+    # formatted explain lists each node twice (tree + details): ONE
+    # physical scan; exactly TWO physical exchanges — the global
+    # partial/final pair plus the one the exact countDistinct's
+    # double-aggregation inserts. No joins, no per-metric passes.
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 4
+
+
+def test_temperature_rebalance_broadcasts_counts_no_data_shuffle(spark, sf_dir):
+    # the keep decision is a FILTER: per-language counts broadcast back;
+    # the documents scan itself must never hash-shuffle
+    plan = plan_of(spark, sf_dir, "sample_temperature_rebalance")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
