@@ -26,9 +26,13 @@ def windowed_event_counts(
     ts_col: str = "ts",
     key_col: str = "event_type",
     window: str = "1 hour",
+    slide: str | None = None,
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Tumbling-window counts + sums with late-data watermark.
+    """Tumbling- (or, with ``slide``, sliding-/hopping-) window counts +
+    sums with late-data watermark. A sliding window assigns each event
+    to window/slide overlapping windows (state grows by that factor —
+    the price of overlap).
 
     Works on both a streaming and a batch DataFrame (the watermark is a
     no-op in batch) — the same graph serves both runtimes.
@@ -37,8 +41,13 @@ def windowed_event_counts(
     # decimal sum, rounded while still decimal -> order- and engine-
     # independent total (see operators.aggregates.rounded_sum)
     total = F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2).cast("double")
+    w = (
+        F.window(F.col(ts_col), window, slide)
+        if slide is not None
+        else F.window(F.col(ts_col), window)
+    )
     return (
-        src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        src.groupBy(w.alias("w"), F.col(key_col))
         .agg(F.count(F.lit(1)).alias("n_events"), total.alias("total_value"))
         .select(F.col("w.start").alias("window_start"), key_col, "n_events", "total_value")
     )

@@ -36,6 +36,37 @@ def streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH w AS (
+        SELECT event_type, value,
+               unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+                       time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+                           - INTERVAL '30 minutes']) AS window_start
+        FROM events
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2
+    """,
+    doc="Sliding/hopping-window streaming agg (1-hour windows every 30 min): "
+    "each event lands in exactly 2 overlapping windows — 2x state vs "
+    "tumbling, the overlap price. The batch oracle replays the window "
+    "assignment by bucketing each event to its two covering window starts "
+    "(both engines align windows on epoch :00/:30 boundaries).",
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def transform(s: DataFrame) -> DataFrame:
+        s = normalize_event_ts(s)
+        return windowed_event_counts(s, window="1 hour", slide="30 minutes", watermark="1 hour")
+
+    return run_stream_to_memory(spark, f"{sf_dir}/events.parquet", transform, output_mode="complete")
+
+
+@register(
     "streaming_dedup_ids",
     oracle="""
     SELECT event_id, user_id, event_type FROM events
