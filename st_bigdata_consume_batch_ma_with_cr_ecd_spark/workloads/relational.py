@@ -194,6 +194,50 @@ def s4_csv_lookup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dim.where(F.col("tier") <= 2).select("geoid", "zone", "tier")
 
 
+@register(
+    "s7_python_datasource",
+    # the oracle REGENERATES the custom source's rows symbolically:
+    # every field of row i derives from md5(i), so DuckDB replays the
+    # connector end to end from generate_series
+    oracle="""
+    WITH gen AS (
+        SELECT CAST(CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT) % 100 AS BIGINT) AS user_id,
+               ['view','click','purchase','refund'][
+                   CAST(CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 9, 2)) AS UBIGINT) % 4 AS INT) + 1
+               ] AS event_type,
+               (CAST(concat('0x', substr(md5(CAST(i AS VARCHAR)), 11, 8)) AS UBIGINT) % 100000) / 100.0 AS value
+        FROM generate_series(0, 9999) t(i)
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(round(sum(CAST(value AS DECIMAL(30,8))), 2) AS DOUBLE) AS total_value
+    FROM gen GROUP BY event_type
+    """,
+    doc="S7 (extension): custom Python DataSource (PySpark 4 "
+    "spark.dataSource API, sources/pydatasource.py) — a deterministic "
+    "md5-derived synthetic event source with partitioned parallel reads "
+    "and Spark 4.1 filter pushdown into Python. The driver gate "
+    "hash-verifies the whole connector: the oracle regenerates identical "
+    "rows from generate_series.",
+)
+def s7_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pydatasource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    ev = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 10_000)
+        .option("n_users", 100)
+        .load()
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        rounded_sum("value", 2).alias("total_value"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Filters (F1, F2, F6)
 # --------------------------------------------------------------------------
