@@ -352,3 +352,49 @@ def test_python_datasource_rowid_pushdown_narrows_generation(spark):
     # non-pushable predicates still evaluate correctly post-scan
     small = spark.read.format("synthetic_events").option("n_rows", 500).load()
     assert small.where(small.event_type == "view").count() > 0
+
+
+def test_python_datasink_commit_protocol(spark, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.pydatasource import (
+        register_jsonlines_sink,
+    )
+    import json as _json
+    import os as _os
+
+    register_jsonlines_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id int, tag string")
+    df.repartition(2).write.format("jsonlines").option("path", out).mode("append").save()
+    files = sorted(_os.listdir(out))
+    # commit renamed every task file into place; no temp orphans
+    assert all(f.startswith("part-") and f.endswith(".jsonl") for f in files)
+    assert len(files) == 2
+    rows = []
+    for f in files:
+        with open(_os.path.join(out, f)) as fh:
+            rows += [_json.loads(line) for line in fh]
+    assert sorted((r["id"], r["tag"]) for r in rows) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_python_datasink_abort_leaves_no_partial_output(spark, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.pydatasource import (
+        register_jsonlines_sink,
+    )
+    import os as _os
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    register_jsonlines_sink(spark)
+    out = str(tmp_path / "sink_abort")
+    df = spark.range(4).select(
+        "id",
+        F.when(F.col("id") < 3, F.col("id"))
+        .otherwise(F.expr("raise_error('boom')"))
+        .alias("v"),
+    )
+    with _pytest.raises(Exception, match="boom"):
+        df.repartition(2).write.format("jsonlines").option("path", out).mode("append").save()
+    # abort removed the temp files of the tasks that had started; the
+    # all-or-nothing contract: nothing committed
+    leftover = [f for f in (_os.listdir(out) if _os.path.isdir(out) else [])]
+    assert not [f for f in leftover if f.startswith("part-")]
