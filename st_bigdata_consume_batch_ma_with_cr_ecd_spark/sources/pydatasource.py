@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     EqualTo,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -108,6 +109,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine)."""
@@ -180,3 +184,54 @@ class JsonLinesDataSource(DataSource):
 
 def register_jsonlines_sink(spark) -> None:
     spark.dataSource.register(JsonLinesDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming read path: offset-tracked micro-batches from the same generator
+# ---------------------------------------------------------------------------
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (``spark.readStream.format(
+    "synthetic_events")``): the engine drives the offset protocol —
+    ``initialOffset`` → repeated ``read(start)`` (each advances the
+    offset by ``rows_per_batch``) → ``commit`` once a batch is
+    checkpointed; ``readBetweenOffsets`` REPLAYS a batch after restart,
+    which is what makes the source exactly-once-capable: the same
+    md5-derived generator regenerates byte-identical rows for any
+    offset range, the replayability contract Kafka gives via offsets.
+
+    Bounded by ``n_rows`` so availableNow drains terminate in tests;
+    production sources are unbounded (read() blocks/returns empty at
+    the head).
+    """
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 10_000))
+        self.n_users = int(options.get("n_users", 100))
+        self.start_epoch = int(options.get("start_epoch", 1_700_000_000))
+        self.rows_per_batch = int(options.get("rows_per_batch", 1000))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next"])
+        hi = min(lo + self.rows_per_batch, self.n_rows)
+        end = {"next": hi}
+        return (self.readBetweenOffsets(start, end), end)
+
+    def _rows(self, start: dict, end: dict) -> list:
+        return [
+            synth_row(i, self.n_users, self.start_epoch)
+            for i in range(int(start["next"]), int(end["next"]))
+        ]
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # a list ITERATOR: the engine requires an iterator (it calls
+        # next()) that is also picklable for the prefetch/replay cache —
+        # generators are not picklable, list iterators are
+        return iter(self._rows(start, end))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the generator can replay any range

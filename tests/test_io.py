@@ -398,3 +398,40 @@ def test_python_datasink_abort_leaves_no_partial_output(spark, tmp_path):
     # all-or-nothing contract: nothing committed
     leftover = [f for f in (_os.listdir(out) if _os.path.isdir(out) else [])]
     assert not [f for f in leftover if f.startswith("part-")]
+
+
+def test_python_streaming_source_drains_with_offset_protocol(spark):
+    import uuid as _uuid
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 3000)
+        .option("rows_per_batch", 700)
+        .load()
+    )
+    name = "pysrc_" + _uuid.uuid4().hex[:8]
+    q = (
+        stream.groupBy("event_type")
+        .count()
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # drives micro-batches until offsets dry up
+    finally:
+        q.stop()
+    streamed = {r.event_type: r["count"] for r in spark.table(name).collect()}
+    # stream/batch parity: the same generator read as a batch source
+    batch = (
+        spark.read.format("synthetic_events").option("n_rows", 3000).load()
+        .groupBy("event_type").count()
+    )
+    assert streamed == {r.event_type: r["count"] for r in batch.collect()}
+    assert sum(streamed.values()) == 3000
