@@ -1,0 +1,122 @@
+"""Measured scaling evidence: run headline operators on Nx-amplified
+inputs and report wall-clock + throughput, so "would this survive a
+scale-up?" is answered with numbers instead of plan-reading alone.
+
+Amplification unions the sf table with itself ``mult`` times, shifting
+every key column by a replica offset — group/join key cardinality
+scales WITH the data (the realistic case: more orders means more order
+keys, not hotter keys), while low-cardinality dimensions (returnflag,
+status) stay fixed like real enums do. Timing uses the noop sink
+(bench.py's no-pruning trap note applies).
+
+Usage:  python tools/scale_probe.py [--sf DIR] [--mults 1,4,8]
+Prints one line per (query, mult): seconds + input Mrows/s, then a
+linearity verdict (time ratio vs data ratio between the largest pair).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.aggregates import rounded_sum  # noqa: E402
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.dedup import top_n_per_group  # noqa: E402
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.session import get_spark  # noqa: E402
+
+SHIFT = 1_000_000_000
+
+
+def amplify(df: DataFrame, mult: int, key_cols: list[str]) -> DataFrame:
+    """Union ``mult`` replicas, shifting integer key columns so key
+    cardinality scales with the data volume."""
+    if mult == 1:
+        return df
+    parts = []
+    for r in range(mult):
+        rep = df
+        for c in key_cols:
+            rep = rep.withColumn(c, F.col(c) + F.lit(r * SHIFT))
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataFrame, int]]:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_li, n_o = li.count(), orders.count()
+    li_m = amplify(li, mult, ["l_orderkey"])
+    o_m = amplify(orders, mult, ["o_orderkey", "o_custkey"])
+
+    agg = (
+        li_m.where(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rounded_sum("l_quantity", 2).alias("sum_qty"),
+            rounded_sum("l_extendedprice", 2).alias("sum_base"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+    topn = top_n_per_group(
+        li_m,
+        ["l_orderkey"],
+        [F.col("l_shipdate").desc(), F.col("l_linenumber").desc(), F.col("l_quantity").desc()],
+    )
+
+    join = (
+        li_m.join(o_m.select("o_orderkey", "o_orderdate"), li_m.l_orderkey == o_m.o_orderkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(rounded_sum("l_extendedprice", 2).alias("rev"))
+    )
+
+    return {
+        "scan_agg": (agg, n_li * mult),
+        "window_top1": (topn, n_li * mult),
+        "shuffle_join_agg": (join, (n_li + n_o) * mult),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument("--mults", default="1,4,8")
+    args = ap.parse_args()
+    mults = [int(m) for m in args.mults.split(",")]
+
+    spark = get_spark()
+    # warm codegen/scan caches so mult=1 is not penalized by startup
+    for df, _ in probes(spark, args.sf, 1).values():
+        df.write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[int, float]] = {}
+    for mult in mults:
+        for name, (df, rows) in probes(spark, args.sf, mult).items():
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            results.setdefault(name, {})[mult] = dt
+            print(f"{name:18s} mult={mult:<3d} {dt:6.2f}s  {rows / dt / 1e6:7.2f} Mrows/s")
+
+    lo, hi = mults[0], mults[-1]
+    data_ratio = hi / lo
+    print(f"\nlinearity (time ratio vs {data_ratio:.0f}x data):")
+    ok = True
+    for name, times in results.items():
+        ratio = times[hi] / times[lo]
+        verdict = "linear-ish" if ratio <= data_ratio * 1.5 else "SUPERLINEAR"
+        ok &= ratio <= data_ratio * 1.5
+        print(f"  {name:18s} {ratio:5.1f}x  {verdict}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
