@@ -83,6 +83,9 @@ def apply_session_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.sources.partitionOverwriteMode", "dynamic"),
+        # runtime-settable; required before any read of a custom Python
+        # DataSource that implements pushFilters (sources.pydatasource)
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)
