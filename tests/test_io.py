@@ -435,3 +435,43 @@ def test_python_streaming_source_drains_with_offset_protocol(spark):
     )
     assert streamed == {r.event_type: r["count"] for r in batch.collect()}
     assert sum(streamed.values()) == 3000
+
+
+def test_python_streaming_source_checkpoint_restart_exactly_once(spark, tmp_path):
+    # the offset protocol across RESTARTS: run one micro-batch with a
+    # checkpoint, stop, start a fresh query on the same checkpoint —
+    # the resumed stream must continue from the committed offset, with
+    # no duplicated and no skipped rows (readBetweenOffsets replay)
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.pydatasource import (
+        register_synthetic_source,
+    )
+
+    register_synthetic_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", 2000)
+            .option("rows_per_batch", 800)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(once=True)  # exactly one micro-batch, then stop
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # batch 0: rows [0, 800)
+    first = spark.read.parquet(out).count()
+    assert first == 800
+    run_once()  # restart from checkpoint: rows [800, 1600)
+    run_once()  # rows [1600, 2000)
+    run_once()  # source exhausted: empty batch, no duplicates
+    ids = [r.row_id for r in spark.read.parquet(out).select("row_id").collect()]
+    assert len(ids) == 2000
+    assert sorted(ids) == list(range(2000))
