@@ -145,3 +145,136 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+# --------------------------------------------------------------------------
+# PNG (8-bit truecolor / truecolor+alpha / grayscale, non-interlaced)
+# --------------------------------------------------------------------------
+#
+# PNG adds one real compression layer (zlib, in the stdlib) plus the
+# per-row predictor filters — both fully specified in the public PNG
+# spec (RFC 2083). Supporting the subset real training fixtures use
+# (bit depth 8, color types 0/2/6, no interlace) keeps the decoder
+# ~80 lines of numpy while rejecting everything else loudly.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (height, width, channels) uint8 array.
+
+    Supports bit depth 8, color types 0 (gray), 2 (RGB), 6 (RGBA),
+    non-interlaced — the fixtures a data pipeline actually generates.
+    All five row filters (None/Sub/Up/Average/Paeth) are implemented;
+    unsupported shapes raise ``ValueError`` naming the field.
+    """
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    idat = b""
+    height = bit_depth = color_type = interlace = None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {bit_depth} (only 8)")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type} (only 0/2/6)")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, data_rows = rows[:, 0], rows[:, 1:]
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(height):
+        f, cur = filters[y], data_rows[y].copy()
+        prior = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = cur + prior
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            row = out[y]
+            for x in range(stride):
+                left = row[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    val = int(cur[x]) + int(left)
+                elif f == 3:
+                    val = int(cur[x]) + ((int(left) + int(up)) >> 1)
+                else:
+                    val = int(cur[x]) + int(
+                        _paeth(np.uint8(left), np.uint8(up), np.uint8(ul))
+                    )
+                row[x] = val & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f} on row {y}")
+    return out.reshape(height, width, channels)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 1|3|4) or (h, w) uint8 array -> PNG bytes (filter 0 rows,
+    single IDAT) — fixture-generation twin of :func:`decode_png`."""
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, channels = px.shape
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Container-sniffing image decode: dispatch on magic bytes to the
+    BMP or PNG codec. Returns (h, w, channels) uint8."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    raise ValueError(f"unsupported image format (magic bytes {payload[:8]!r})")

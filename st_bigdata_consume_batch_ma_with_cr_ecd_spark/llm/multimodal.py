@@ -8,8 +8,9 @@ single rows.
 Decode status per op:
 
 - images (``extract_image_features`` / ``resize_images``): REAL for
-  24-bit uncompressed BMP via the pure-numpy codec in
-  :mod:`.codecs` (``fake_decode=False``); ``fake_decode=True`` keeps
+  24-bit uncompressed BMP and 8-bit PNG (gray/RGB/RGBA, all five row
+  filters) via the pure-numpy codecs in :mod:`.codecs`, dispatched on
+  magic bytes (``fake_decode=False``); ``fake_decode=True`` keeps
   the deterministic pseudo-features for payloads that are not images
   (the oracle-checked registered queries use text bytes as payloads).
 - audio (``extract_audio_features``): REAL for PCM WAV, same codec
@@ -44,16 +45,16 @@ def extract_image_features(
     payload bytes (deterministic, engine-independent — what the
     oracle-checked registered query uses, since its payloads are text
     bytes, not images). ``fake_decode=False``: REAL decode — the
-    payload is parsed as a 24-bit uncompressed BMP by the pure-numpy
-    codec (:func:`..codecs.decode_bmp`); width/height come from the
-    actual bitmap header. NULL payloads yield zeroed feature rows
+    payload is sniffed by magic bytes and parsed as a 24-bit BMP or an
+    8-bit PNG by the pure-numpy codecs (:func:`..codecs.decode_image`);
+    width/height come from the actual image header. NULL payloads yield zeroed feature rows
     either way; malformed image bytes raise with the offending field.
     """
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from .codecs import decode_bmp
+        from .codecs import decode_image
 
         for pdf in batches:
             payloads = pdf[payload_col]
@@ -64,7 +65,7 @@ def extract_image_features(
                 )
             else:
                 dims = payloads.map(
-                    lambda b: decode_bmp(b).shape[:2] if b is not None else (0, 0)
+                    lambda b: decode_image(b).shape[:2] if b is not None else (0, 0)
                 )
                 height = dims.map(lambda hw: hw[0])
                 width = dims.map(lambda hw: hw[1])
@@ -109,7 +110,7 @@ def resize_images(
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from .codecs import decode_bmp, encode_bmp, resize_nearest
+        from .codecs import decode_image, encode_bmp, resize_nearest
 
         for pdf in batches:
             if fake_decode:
@@ -120,7 +121,7 @@ def resize_images(
                 out = pdf[payload_col].map(
                     lambda b: None
                     if b is None
-                    else encode_bmp(resize_nearest(decode_bmp(b), target_w, target_h))
+                    else encode_bmp(resize_nearest(decode_image(b)[..., :3], target_w, target_h))
                 )
             yield pd.DataFrame(
                 {

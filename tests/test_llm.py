@@ -449,8 +449,9 @@ def test_multimodal_real_decode_gates(spark):
     )
 
     df = spark.createDataFrame([(1, b"ab")], "doc_id long, payload binary")
-    # image resize is real now: non-BMP bytes fail loudly
-    with pytest.raises(Exception, match="BMP"):
+    # image resize is real now: non-image bytes fail loudly (the
+    # sniffing dispatcher names the unrecognized magic bytes)
+    with pytest.raises(Exception, match="BMP|unsupported image format"):
         resize_images(df, 2, 2, fake_decode=False).collect()
     # video stays honestly stubbed — keyframe sampling needs pyav/ffmpeg
     with pytest.raises(Exception, match="NotImplementedError|pyav|ffmpeg"):
