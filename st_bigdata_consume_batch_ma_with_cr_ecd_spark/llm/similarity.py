@@ -510,3 +510,134 @@ def ivf_topk(
     return top_n_per_group(
         cands, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], n=k
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (PQ): compressed codes + asymmetric distance
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    *, n_subspaces: int = 8, n_codes: int = 16, dim: int = 64, seed: int = 13
+) -> list[list[list[float]]]:
+    """Seeded per-subspace codebooks (offline-trained stand-in, like the
+    fixed IVF centroids): ``n_subspaces`` books of ``n_codes`` sub-
+    centroids of width ``dim / n_subspaces``. Literals -> SQL-replayable."""
+    import random
+
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    rng = random.Random(seed)
+    sub = dim // n_subspaces
+    return [
+        [[rng.gauss(0.0, 1.0) for _ in range(sub)] for _ in range(n_codes)]
+        for _ in range(n_subspaces)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Product-quantization encode: each vector splits into subvectors,
+    each subvector maps to its nearest (L2) codebook entry — 64 float32
+    (256 B) become 8 single-byte codes, the 32x memory compression that
+    makes billion-vector ANN indexes fit in RAM at all.
+
+    Vectorized per Arrow batch: one ``(batch, codes)`` distance matrix
+    per subspace via numpy, no per-row Python. Ties break toward the
+    lowest code id (numpy argmin first-hit == the oracle's
+    ``ORDER BY dist, cid``). Returns (id, codes array<int>).
+    """
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        valid = vecs.notna().to_numpy()
+        out = np.full(len(vecs), None, dtype=object)
+        if valid.any():
+            m = np.vstack(vecs[valid].to_numpy()).astype(np.float64)
+            codes = np.empty((m.shape[0], len(books)), dtype=np.int32)
+            for j, book in enumerate(books):
+                seg = m[:, j * sub : (j + 1) * sub]
+                # ||x - c||^2 for every (row, code): one matmul per book
+                d = (
+                    (seg * seg).sum(axis=1, keepdims=True)
+                    - 2.0 * (seg @ book.T)
+                    + (book * book).sum(axis=1)[None, :]
+                )
+                codes[:, j] = np.argmin(d, axis=1)  # first hit = lowest id
+            vals = np.empty(int(valid.sum()), dtype=object)
+            vals[:] = [row for row in codes]
+            out[valid] = vals
+        return pd.Series(out)
+
+    return df.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), encode(_to_double(F.col(vec_col))).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: the corpus is
+    stored ONLY as codes; each query precomputes a distance table
+    (subspace x code -> L2^2 of query subvector vs codebook entry) and
+    a corpus row's score is 8 table lookups summed — no float vector
+    ever read at query time, which is the whole point of PQ at scale.
+
+    Spark shape: corpus codes via :func:`pq_encode` (Arrow-vectorized),
+    query tables computed once from the collected query vectors (the
+    MODEL-sized side — same collect budget as the IVF centroids),
+    broadcast as literal rows, scored with a JVM ``zip_with`` lookup
+    (codes x tables), ranked with WindowGroupLimit. Returns
+    (query_id, neighbor_id, adc_dist).
+    """
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    coded = pq_encode(corpus, vec_col, id_col, codebooks=codebooks).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    qrows = queries.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v")).collect()
+    table_rows = []
+    for r in qrows:
+        q = np.asarray(r["__v"], dtype=np.float64)
+        table = [
+            [
+                float(((q[j * sub : (j + 1) * sub] - book[c]) ** 2).sum())
+                for c in range(book.shape[0])
+            ]
+            for j, book in enumerate(books)
+        ]
+        table_rows.append((r[id_col], table))
+    spark = corpus.sparkSession
+    tables = spark.createDataFrame(
+        table_rows, "query_id long, table array<array<double>>"
+    )
+    score = F.round(
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("table"), lambda c, t: t[c]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_to,
+    )
+    scored = coded.crossJoin(F.broadcast(tables)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", score.alias("adc_dist"))
+    return top_n_per_group(
+        scored, ["query_id"], [F.col("adc_dist").asc(), F.col("neighbor_id").asc()], n=k
+    )

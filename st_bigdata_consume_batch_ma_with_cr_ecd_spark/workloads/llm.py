@@ -1691,6 +1691,111 @@ def ann_topk_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, queries, k=5, n_probe=2, centroids=_IVF_FIXED_CENTROIDS)
 
 
+# PQ codebooks: fixed literals (offline-trained stand-in), distinct
+# seed from the IVF/LSH/SemDeDup constants.
+def _pq_books():
+    from ..llm.similarity import pq_codebooks
+
+    return pq_codebooks(n_subspaces=8, n_codes=16, dim=64, seed=13)
+
+
+_PQ_BOOKS = _pq_books()
+_PQ_SUB = 8
+
+
+def _pq_codebook_values() -> str:
+    rows = []
+    for j, book in enumerate(_PQ_BOOKS):
+        for cid, c in enumerate(book):
+            rows.append(f"({j}, {cid}, {[float(x) for x in c]}::DOUBLE[])")
+    return ",\n        ".join(rows)
+
+
+def _pq_codes_cte() -> str:
+    # per (vec, subspace): the code minimizing the expanded L2^2
+    # q·q - 2 q·c + c·c (same expansion the Spark-side numpy uses)
+    return f"""
+    cb AS (SELECT j, cid, c, list_dot_product(c, c) AS cnorm
+           FROM (VALUES {_pq_codebook_values()}) AS t(j, cid, c)),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
+    subs AS (
+        SELECT e.vec_id, cb.j, cb.cid,
+               list_dot_product(e.v[cb.j * {_PQ_SUB} + 1 : (cb.j + 1) * {_PQ_SUB}],
+                                e.v[cb.j * {_PQ_SUB} + 1 : (cb.j + 1) * {_PQ_SUB}])
+               - 2 * list_dot_product(e.v[cb.j * {_PQ_SUB} + 1 : (cb.j + 1) * {_PQ_SUB}], cb.c)
+               + cb.cnorm AS d
+        FROM e CROSS JOIN cb
+    ),
+    codes AS (
+        SELECT vec_id, j, cid AS code FROM (
+            SELECT vec_id, j, cid,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, cid ASC) AS rn
+            FROM subs
+        ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "embedding_pq_codes",
+    oracle=f"""
+    WITH {_pq_codes_cte()}
+    SELECT vec_id, j AS subspace, code FROM codes
+    """,
+    doc="Product-quantization encode (llm/similarity.pq_encode): each "
+    "64-float vector splits into 8 subvectors, each mapped to its nearest "
+    "of 16 literal codebook entries — 256 bytes become 8 single-byte "
+    "codes, the 32x compression that fits billion-vector ANN indexes in "
+    "RAM. One numpy distance matrix per subspace per Arrow batch; the "
+    "oracle replays the assignment from the same codebook literals.",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import pq_encode
+
+    coded = pq_encode(_embs(spark, sf_dir), codebooks=_PQ_BOOKS)
+    return coded.select("vec_id", F.posexplode("codes").alias("subspace", "code"))
+
+
+@register(
+    "ann_topk_pq_fixed",
+    oracle=f"""
+    WITH {_pq_codes_cte()},
+    q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+    qtab AS (
+        SELECT q.query_id, cb.j, cb.cid,
+               list_dot_product(q.v[cb.j * {_PQ_SUB} + 1 : (cb.j + 1) * {_PQ_SUB}],
+                                q.v[cb.j * {_PQ_SUB} + 1 : (cb.j + 1) * {_PQ_SUB}])
+               - 2 * list_dot_product(q.v[cb.j * {_PQ_SUB} + 1 : (cb.j + 1) * {_PQ_SUB}], cb.c)
+               + cb.cnorm AS d
+        FROM q CROSS JOIN cb
+    ),
+    scored AS (
+        SELECT qt.query_id, c.vec_id AS neighbor_id, round(sum(qt.d), 6) AS adc_dist
+        FROM codes c JOIN qtab qt ON qt.j = c.j AND qt.cid = c.code
+        WHERE qt.query_id <> c.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="PQ asymmetric-distance top-k (llm/similarity.pq_topk): the corpus "
+    "is stored ONLY as 8-byte PQ codes; each query precomputes a "
+    "(subspace x code) distance table from the literal codebooks, and a "
+    "corpus row's score is 8 JVM zip_with table lookups summed — no float "
+    "vector read at query time. Query tables broadcast (model-sized "
+    "collect, like the IVF centroids); WindowGroupLimit top-5. The oracle "
+    "replays codes, tables, and ranking from the same literals.",
+)
+def ann_topk_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import pq_topk
+
+    embs = _embs(spark, sf_dir)
+    return pq_topk(embs, embs.where(F.col("vec_id") < 10), codebooks=_PQ_BOOKS, k=5)
+
+
 @register(
     "stats_approx_sketches",
     oracle=None,  # HLL++ / KLL sketch internals are engine-specific; error bound pytested

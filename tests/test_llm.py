@@ -580,3 +580,40 @@ def test_vectorized_lsh_buckets_match_jvm_expression(spark):
     assert {(r.id, tuple(r.b)) for r in jvm.collect()} == {
         (r.id, tuple(r.b)) for r in vec.collect()
     }
+
+
+def test_pq_encode_assigns_nearest_codes(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import pq_encode
+
+    # 2 subspaces of width 2; each book: code0 near origin, code1 near 10s
+    books = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[0.0, 0.0], [10.0, 10.0]],
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, [0.1, 0.2, 9.8, 9.9]),   # -> codes [0, 1]
+            (2, [9.0, 9.5, 0.3, 0.1]),   # -> codes [1, 0]
+            (3, None),                    # dropped
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: list(r.codes) for r in pq_encode(df, codebooks=books).collect()}
+    assert got == {1: [0, 1], 2: [1, 0]}
+
+
+def test_pq_topk_adc_matches_manual_tables(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import pq_topk
+
+    books = [[[0.0, 0.0], [10.0, 10.0]], [[0.0, 0.0], [10.0, 10.0]]]
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [10.0, 10.0, 10.0, 10.0]),
+        (2, [0.0, 0.0, 10.0, 10.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = pq_topk(df, df.where(df.vec_id == 0), codebooks=books, k=2)
+    got = [(r.neighbor_id, r.adc_dist) for r in out.collect()]
+    # query 0 codes to [0,0]; ADC dist to codes of 2 ([0,1]) = 0 + 200;
+    # to codes of 1 ([1,1]) = 200 + 200 — deterministic ordering
+    assert got == [(2, 200.0), (1, 400.0)]
