@@ -278,3 +278,77 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     raise ValueError(f"unsupported image format (magic bytes {payload[:8]!r})")
+
+
+# --------------------------------------------------------------------------
+# Y4M / YUV4MPEG2 (uncompressed video container)
+# --------------------------------------------------------------------------
+#
+# The one video container that is honestly parseable without
+# pyav/ffmpeg: a text header line, then raw YUV frames each prefixed
+# by a FRAME line (public format, shipped by ffmpeg/mjpegtools).
+# Supporting it makes keyframe SAMPLING real — compressed codecs
+# (h264/vp9) still genuinely need pyav and stay gated.
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+
+
+def decode_y4m(payload: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Y4M bytes -> (width, height, [luma plane (h, w) uint8, ...]).
+
+    Supports C420* (1.5 bytes/px) and C444 (3 bytes/px) chroma, the
+    ffmpeg defaults; chroma planes are skipped (luma is what frame
+    sampling and thumbnailing consume). Malformed streams raise
+    ``ValueError`` naming the field.
+    """
+    if not payload.startswith(_Y4M_MAGIC):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = payload.index(b"\n")
+    width = height = None
+    chroma = "420"
+    for tok in payload[len(_Y4M_MAGIC) : nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            width = int(t[1:])
+        elif t.startswith("H"):
+            height = int(t[1:])
+        elif t.startswith("C"):
+            chroma = t[1:]
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if chroma.startswith("420"):
+        frame_size = width * height * 3 // 2
+    elif chroma == "444":
+        frame_size = width * height * 3
+    else:
+        raise ValueError(f"unsupported Y4M chroma {chroma}")
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if not payload.startswith(b"FRAME", pos):
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = payload.index(b"\n", pos) + 1
+        if pos + frame_size > len(payload):
+            raise ValueError("Y4M truncated mid-frame")
+        luma = np.frombuffer(payload, dtype=np.uint8, count=width * height, offset=pos)
+        frames.append(luma.reshape(height, width).copy())
+        pos += frame_size
+    return width, height, frames
+
+
+def encode_y4m(frames: list[np.ndarray], *, fps: int = 30) -> bytes:
+    """[(h, w) uint8 luma, ...] -> C420 Y4M bytes (flat gray chroma) —
+    fixture-generation twin of :func:`decode_y4m`."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape
+    if h % 2 or w % 2:
+        raise ValueError("C420 needs even dimensions")
+    chroma = np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420jpeg\n".encode()]
+    for f in frames:
+        arr = np.asarray(f, dtype=np.uint8)
+        if arr.shape != (h, w):
+            raise ValueError("all frames must share dimensions")
+        out.append(b"FRAME\n" + arr.tobytes() + chroma + chroma)
+    return b"".join(out)

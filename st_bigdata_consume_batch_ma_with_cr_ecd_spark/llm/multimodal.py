@@ -15,9 +15,11 @@ Decode status per op:
   (the oracle-checked registered queries use text bytes as payloads).
 - audio (``extract_audio_features``): REAL for PCM WAV, same codec
   module.
-- video (``sample_video_frames``): still stubbed —
-  keyframe-accurate sampling genuinely needs pyav/ffmpeg; the fake
-  path exercises the fan-out shape (1 row in, N frame rows out).
+- video (``sample_video_frames``): REAL for uncompressed Y4M
+  (YUV4MPEG2) containers via :mod:`.codecs`; compressed codecs
+  (h264/vp9) genuinely need pyav/ffmpeg and raise with the dependency
+  named. The fake path exercises the fan-out shape (1 row in, N frame
+  rows out).
 """
 
 from __future__ import annotations
@@ -147,26 +149,44 @@ def sample_video_frames(
     payload_col: str = "payload",
     fake_decode: bool = True,
 ) -> DataFrame:
-    """Keyframe sampling: one input row fans out to one output row per
+    """Frame sampling: one input row fans out to one output row per
     kept frame (mapInPandas yields more rows than it receives — the
-    shape a real ffmpeg/pyav sampler needs). Fake path treats the
-    payload as ``frame_bytes``-sized frames and keeps every
-    ``every_n``-th."""
+    shape a real sampler needs). Fake path treats the payload as
+    ``frame_bytes``-sized frames and keeps every ``every_n``-th.
+
+    ``fake_decode=False`` is a REAL decode for Y4M/YUV4MPEG2 payloads
+    (:func:`..codecs.decode_y4m` — the uncompressed container ffmpeg
+    emits): every ``every_n``-th frame's luma plane is the sampled
+    frame. Compressed codecs (h264/vp9 in mp4/webm) genuinely need
+    pyav/ffmpeg, which this environment lacks — those payloads raise
+    ``NotImplementedError`` naming the dependency."""
 
     def op(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        from .codecs import decode_y4m
+
         for pdf in batches:
-            if not fake_decode:
-                raise NotImplementedError("real frame sampling needs pyav/ffmpeg")
             ids, idxs, frames = [], [], []
             for doc, b in zip(pdf[id_col], pdf[payload_col]):
                 b = b or b""
-                n_frames = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
-                for i in range(0, n_frames, every_n):
-                    ids.append(doc)
-                    idxs.append(i)
-                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                if fake_decode:
+                    n_frames = max(1, (len(b) + frame_bytes - 1) // frame_bytes)
+                    for i in range(0, n_frames, every_n):
+                        ids.append(doc)
+                        idxs.append(i)
+                        frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                elif b.startswith(b"YUV4MPEG2"):
+                    _w, _h, lumas = decode_y4m(b)
+                    for i in range(0, len(lumas), every_n):
+                        ids.append(doc)
+                        idxs.append(i)
+                        frames.append(lumas[i].tobytes())
+                else:
+                    raise NotImplementedError(
+                        "real frame sampling of compressed video needs pyav/ffmpeg; "
+                        "only uncompressed Y4M payloads decode natively"
+                    )
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.select(id_col, payload_col).mapInPandas(op, FRAME_SCHEMA)

@@ -260,3 +260,49 @@ def test_image_features_real_decode_handles_png(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: (r.width, r.height) for r in extract_image_features(df, fake_decode=False).collect()}
     assert got == {1: (11, 7), 2: (3, 4)}
+
+
+# ------------------------------------------------------------------- Y4M
+
+
+def test_y4m_roundtrip_and_rejections():
+    import numpy as np
+    import pytest
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    rng = np.random.default_rng(2)
+    fr = [rng.integers(0, 256, size=(4, 6), dtype=np.uint8) for _ in range(3)]
+    w, h, back = decode_y4m(encode_y4m(fr))
+    assert (w, h) == (6, 4)
+    assert len(back) == 3 and all((a == b).all() for a, b in zip(fr, back))
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        decode_y4m(b"not video")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_y4m(encode_y4m(fr)[:-5])
+    with pytest.raises(ValueError, match="even"):
+        encode_y4m([np.zeros((3, 6), dtype=np.uint8)])
+
+
+def test_video_frame_sampling_real_y4m(spark):
+    import numpy as np
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import encode_y4m
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
+        sample_video_frames,
+    )
+
+    frames = [np.full((2, 4), i * 10, dtype=np.uint8) for i in range(5)]
+    df = spark.createDataFrame(
+        [(1, bytes(encode_y4m(frames)))], "doc_id long, payload binary"
+    )
+    out = sample_video_frames(df, every_n=2, fake_decode=False).collect()
+    # frames 0, 2, 4 kept; each sampled frame is the 8-byte luma plane
+    assert [(r.frame_idx, bytes(r.frame)) for r in sorted(out, key=lambda r: r.frame_idx)] == [
+        (0, bytes([0] * 8)),
+        (2, bytes([20] * 8)),
+        (4, bytes([40] * 8)),
+    ]
