@@ -1113,6 +1113,61 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_weighted_reservoir",
+    # Efraimidis-Spirakis weighted reservoir: per-row key u^(1/w) with
+    # u a deterministic md5 fraction; top-k keys per group = a weighted
+    # draw without replacement. pow() is the one double op in the key,
+    # so the key is ROUNDED to 9 decimals on both sides before ranking
+    # (doc_id tiebreak) — engines agree as long as their pow results
+    # round alike at 1e-9, the same tolerance class as every rounded
+    # aggregate in this registry.
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS DOUBLE)
+                   / 4294967296.0 AS u
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_chars,
+               round(pow(u, 1.0 / n_chars), 9) AS sample_key
+        FROM d
+    )
+    SELECT doc_id, lang, n_chars, sample_key, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY sample_key DESC, doc_id ASC) AS rk
+        FROM keyed
+    ) WHERE rk <= 3
+    """,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis 2006): "
+    "key = u^(1/weight) with u a deterministic md5 fraction, weight = "
+    "n_chars (longer docs proportionally likelier) — the top-3 keys per "
+    "language ARE a weighted draw, reproducible on any engine/partitioning "
+    "with no RNG state. Plans as WindowGroupLimit like the uniform "
+    "reservoir; the ranking key rounds to 1e-9 on both sides so the one "
+    "floating pow() cannot flip the driver hash.",
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import top_n_per_group
+
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "double"
+    ) / F.lit(4294967296.0)
+    keyed = docs.withColumn(
+        "sample_key", F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    )
+    return top_n_per_group(
+        keyed,
+        ["lang"],
+        [F.col("sample_key").desc(), F.col("doc_id").asc()],
+        n=3,
+        rank_col="rk",
+        keep_rank=True,
+    )
+
+
+@register(
     "sample_hash_split",
     oracle="""
     SELECT doc_id,
