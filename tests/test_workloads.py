@@ -115,3 +115,35 @@ def test_bench_tagged_queries_have_oracles():
 
     missing = [s.name for s in bench_specs() if s.oracle is None]
     assert not missing, f"bench queries without oracle: {missing}"
+
+
+def test_sql_surface_parity_with_dataframe_api(spark, sf_dir):
+    # the engine's queries are DataFrame-first, but users also write
+    # raw spark.sql — prove both surfaces produce identical results on
+    # the flagship aggregate (same Catalyst plan space)
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+
+    df_result = REGISTRY["q1_pricing_summary"].fn(spark, sf_dir)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("li_sql")
+    sql_result = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(sum(CAST(l_quantity AS DECIMAL(30,8))), 2) AS DOUBLE)      AS sum_qty,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,8))), 2) AS DOUBLE) AS sum_base_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) AS DOUBLE)
+                                                                                     AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,8))), 2) AS DOUBLE)
+                                                                                     AS sum_charge,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4)      AS avg_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4) AS avg_price,
+               round(CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(*), 4)      AS avg_disc,
+               count(*) AS count_order
+        FROM li_sql
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+    assert set(df_result.columns) == set(sql_result.columns)
+    left = {tuple(r) for r in df_result.collect()}
+    right = {tuple(r[c] for c in df_result.columns) for r in sql_result.collect()}
+    assert left == right
