@@ -158,3 +158,41 @@ def merge_cow_table(
     if result_parts:
         merged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
     return touched
+
+
+def vacuum_cow_table(spark: SparkSession, path: str) -> list[str]:
+    """Remove orphaned job-attempt artifacts under a CoW table root.
+
+    A merge that crashes between Spark committing its files and the
+    job finishing can leave ``_temporary`` attempt directories (and
+    ``.crc``/``._*`` metadata strays) inside partition directories;
+    parquet readers ignore them, but they accumulate on every crash
+    and, on object stores, cost real list/storage overhead. Walks the
+    table via the Hadoop FileSystem API (local/HDFS/S3A alike) and
+    deletes them. Returns the deleted paths (observability/tests).
+
+    Data files are NEVER touched: only ``_temporary`` directories and
+    dot/underscore-prefixed stray files outside the root's own
+    ``_SUCCESS`` marker.
+    """
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
+    deleted: list[str] = []
+
+    def walk(p):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if name == "_temporary":
+                    fs.delete(st.getPath(), True)
+                    deleted.append(st.getPath().toString())
+                else:
+                    walk(st.getPath())
+            elif (name.startswith(".") or name.startswith("_")) and name != "_SUCCESS":
+                fs.delete(st.getPath(), False)
+                deleted.append(st.getPath().toString())
+
+    walk(root)
+    return deleted

@@ -174,3 +174,26 @@ def test_change_feed_recovered_via_snapshot_diff(spark, table, tmp_path):
     )
     got = {r.id: r.change_type for r in feed.collect()}
     assert got == {2: "update", 3: "delete", 9: "insert"}
+
+
+def test_vacuum_removes_orphan_attempt_artifacts(spark, table):
+    import os
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.cowtable import (
+        vacuum_cow_table,
+    )
+
+    # simulate a crashed merge: a _temporary attempt dir + a stray
+    # hidden file inside a partition directory
+    os.makedirs(os.path.join(table, "country=DE", "_temporary", "0"), exist_ok=True)
+    # (not a .crc name: Hadoop local FS hides checksum shadows from listing)
+    stray = os.path.join(table, "country=AT", "_orphan_attempt_marker")
+    open(stray, "w").write("x")
+    before = _rows(spark, table)
+    deleted = vacuum_cow_table(spark, table)
+    assert any("_temporary" in d for d in deleted)
+    assert any("_orphan_attempt_marker" in d for d in deleted)
+    assert not os.path.isdir(os.path.join(table, "country=DE", "_temporary"))
+    assert not os.path.exists(stray)
+    # data untouched
+    assert _rows(spark, table) == before

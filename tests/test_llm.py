@@ -617,3 +617,40 @@ def test_pq_topk_adc_matches_manual_tables(spark):
     # query 0 codes to [0,0]; ADC dist to codes of 2 ([0,1]) = 0 + 200;
     # to codes of 1 ([1,1]) = 200 + 200 — deterministic ordering
     assert got == [(2, 200.0), (1, 400.0)]
+
+
+def test_subword_encoder_property_against_reference():
+    # hypothesis: greedy longest-match against a brute-force reference
+    # (try all vocab pieces at each position, longest then lexicographic)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.tokenizer import _encoder
+
+    alphabet = "abc"
+    pieces = st.text(alphabet, min_size=1, max_size=3)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        vocab=st.lists(pieces, min_size=1, max_size=10, unique=True),
+        word=st.text(alphabet + "z", max_size=12),  # 'z' exercises <unk>
+    )
+    def check(vocab, word):
+        enc = _encoder(vocab)
+
+        def reference(w):
+            n_p = n_u = i = 0
+            while i < len(w):
+                cands = [p for p in vocab if w.startswith(p, i)]
+                n_p += 1
+                if not cands:
+                    n_u += 1
+                    i += 1
+                else:
+                    best = sorted(cands, key=lambda p: (-len(p), p))[0]
+                    i += len(best)
+            return n_p, n_u
+
+        assert enc(word) == reference(word)
+
+    check()
