@@ -74,3 +74,19 @@ def add_literal_columns(df: DataFrame, values: Mapping[str, object], types: Mapp
             col = col.cast(types[name])
         out = out.withColumn(name, col)
     return out
+
+
+def md5_prefix_int(col: Column | str, n_hex: int = 8) -> Column:
+    """First ``n_hex`` md5 hex digits of ``col`` (cast to string) as an
+    integer-valued column (via ``conv`` — returns a numeric STRING;
+    callers cast to the width they need: ``decimal(10,0)`` for exact
+    32-bit, ``bigint`` for fingerprints, ``double`` for fractions).
+
+    THE deterministic uniform hash every sampler/splitter in this repo
+    builds on; keep every call site on this helper — its cross-engine
+    parity (DuckDB twin: ``CAST(concat('0x', substr(md5(CAST(x AS
+    VARCHAR)), 1, n)) AS UBIGINT)``) is one of the registry's
+    load-bearing invariants (see the verify skill's gotchas).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, n_hex), 16, 10)

@@ -83,7 +83,12 @@ def expectation_suite(
             F.col(name).alias("value"),
             F.lit(float(lo)).alias("lo"),
             F.lit(float(hi)).alias("hi"),
-            ((F.col(name) >= float(lo)) & (F.col(name) <= float(hi))).alias("passed"),
+            # NULL metric (empty slice, all-NULL column) fails CLOSED,
+            # same principle as with_violations: an unevaluable
+            # expectation must not read as passing
+            F.coalesce(
+                (F.col(name) >= float(lo)) & (F.col(name) <= float(hi)), F.lit(False)
+            ).alias("passed"),
         )
         for name, (_m, lo, hi) in expectations.items()
     ]

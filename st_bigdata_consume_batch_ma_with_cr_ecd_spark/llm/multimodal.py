@@ -120,11 +120,17 @@ def resize_images(
                     lambda b: (b or b"\x00")[:size].ljust(size, b"\x00")
                 )
             else:
-                out = pdf[payload_col].map(
-                    lambda b: None
-                    if b is None
-                    else encode_bmp(resize_nearest(decode_image(b)[..., :3], target_w, target_h))
-                )
+                def real_resize(b):
+                    if b is None:
+                        return None
+                    px = decode_image(b)
+                    if px.shape[2] == 1:  # gray PNG -> replicate to RGB
+                        import numpy as np
+
+                        px = np.repeat(px, 3, axis=2)
+                    return encode_bmp(resize_nearest(px[..., :3], target_w, target_h))
+
+                out = pdf[payload_col].map(real_resize)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
@@ -176,6 +182,8 @@ def sample_video_frames(
                         ids.append(doc)
                         idxs.append(i)
                         frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+                elif not b:
+                    continue  # NULL/empty payload: no frames to sample
                 elif b.startswith(b"YUV4MPEG2"):
                     _w, _h, lumas = decode_y4m(b)
                     for i in range(0, len(lumas), every_n):

@@ -611,7 +611,11 @@ def pq_topk(
     coded = pq_encode(corpus, vec_col, id_col, codebooks=codebooks).withColumnRenamed(
         id_col, "neighbor_id"
     )
-    qrows = queries.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v")).collect()
+    qrows = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+        .collect()
+    )
     table_rows = []
     for r in qrows:
         q = np.asarray(r["__v"], dtype=np.float64)

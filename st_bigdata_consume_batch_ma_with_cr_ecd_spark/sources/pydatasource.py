@@ -33,7 +33,11 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -69,12 +73,23 @@ class SyntheticEventsReader(DataSourceReader):
         self.hi = self.n_rows
 
     def pushFilters(self, filters):
-        # Narrow the generated range for row_id equality; everything
-        # else (yielded back) is applied by Spark after the scan.
+        # Narrow the generated range for row_id equality AND range
+        # predicates; everything else (yielded back) is applied by
+        # Spark after the scan.
         for f in filters:
-            if isinstance(f, EqualTo) and f.attribute == ("row_id",):
+            if getattr(f, "attribute", None) != ("row_id",):
+                yield f
+            elif isinstance(f, EqualTo):
                 v = int(f.value)
                 self.lo, self.hi = max(self.lo, v), min(self.hi, v + 1)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, int(f.value) + 1)
             else:
                 yield f
 
@@ -157,15 +172,30 @@ class JsonLinesWriter(DataSourceWriter):
                 n += 1
         return _WroteFile(temp, os.path.join(self.path, f"part-{part}.jsonl"), n)
 
+    def _sweep_orphan_temps(self) -> None:
+        # a task that DIED mid-write never produced a commit message, so
+        # its temp file is invisible to commit/abort via `messages` —
+        # sweep the naming convention instead. Single-writer-per-path
+        # assumption (same as FileOutputCommitter's _temporary dir).
+        if os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                if name.startswith("_temp_") and name.endswith(".jsonl"):
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
+
     def commit(self, messages) -> None:
         for m in messages:
             if m is not None:
                 os.replace(m.temp_path, m.final_path)
+        self._sweep_orphan_temps()  # leftovers from retried attempts
 
     def abort(self, messages) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.temp_path):
                 os.remove(m.temp_path)
+        self._sweep_orphan_temps()
 
 
 class JsonLinesDataSource(DataSource):

@@ -33,6 +33,7 @@ from ..llm.similarity import (
     hyperplane_tables,
     lsh_bucketed_topk,
 )
+from ..functions.columns import md5_prefix_int
 from ..llm.text import fingerprint, lang_scores, text_stats, tokenize
 from ..sources.readers import read_testdata
 from .registry import register
@@ -1151,9 +1152,7 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import top_n_per_group
 
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
-    u = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "double"
-    ) / F.lit(4294967296.0)
+    u = md5_prefix_int("doc_id").cast("double") / F.lit(4294967296.0)
     keyed = docs.withColumn(
         "sample_key", F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
     )
@@ -1329,9 +1328,7 @@ def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = docs.select("doc_id", "lang").join(
         F.broadcast(counts.crossJoin(cmin)), "lang"
     )
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
-        "decimal(10,0)"
-    )
+    h = md5_prefix_int("doc_id").cast("decimal(10,0)")
     # h^2 -> decimal(21,0); * c_l(9,0) -> decimal(31,0); RHS 2^64(20,0)
     # * c_min(9,0) -> decimal(30,0): all within DECIMAL(38), no
     # precision loss, no doubles in the keep decision

@@ -20,7 +20,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.columns import add_literal_columns, bulk_rename, changelog_columns, prefix_select
+from ..functions.columns import add_literal_columns, bulk_rename, changelog_columns, md5_prefix_int, prefix_select
 from ..functions.nesting import flatten_structs, nest_columns
 from ..functions.whenchain import when_chain
 from ..operators.aggregates import exact_sum, rounded_sum
@@ -760,7 +760,7 @@ def _skew_rollup(joined: DataFrame) -> DataFrame:
     s = F.concat_ws(
         "-", F.col("k").cast("string"), F.col("c").cast("string"), F.col("w").cast("string")
     )
-    fp = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+    fp = md5_prefix_int(s).cast("bigint")
     return joined.groupBy("k").agg(
         F.count(F.lit(1)).alias("n"), F.sum(fp).alias("fp_sum")
     )

@@ -287,6 +287,21 @@ def test_y4m_roundtrip_and_rejections():
         encode_y4m([np.zeros((3, 6), dtype=np.uint8)])
 
 
+def test_resize_real_decode_handles_gray_png(spark):
+    import numpy as np
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import decode_bmp, encode_png
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import resize_images
+
+    gray = np.arange(16, dtype=np.uint8).reshape(4, 4, 1) * 16
+    df = spark.createDataFrame([(1, bytes(encode_png(gray)))], "doc_id long, payload binary")
+    out = resize_images(df, 2, 2, fake_decode=False).collect()[0]
+    px = decode_bmp(bytes(out.payload))
+    assert px.shape == (2, 2, 3)
+    # replicated channels: every pixel has r == g == b
+    assert (px[..., 0] == px[..., 1]).all() and (px[..., 1] == px[..., 2]).all()
+
+
 def test_video_frame_sampling_real_y4m(spark):
     import numpy as np
 
@@ -299,7 +314,12 @@ def test_video_frame_sampling_real_y4m(spark):
     df = spark.createDataFrame(
         [(1, bytes(encode_y4m(frames)))], "doc_id long, payload binary"
     )
+    # a NULL payload row yields no frames instead of failing the job
+    df = df.unionByName(
+        spark.createDataFrame([(2, None)], "doc_id long, payload binary")
+    )
     out = sample_video_frames(df, every_n=2, fake_decode=False).collect()
+    assert {r.doc_id for r in out} == {1}
     # frames 0, 2, 4 kept; each sampled frame is the 8-byte luma plane
     assert [(r.frame_idx, bytes(r.frame)) for r in sorted(out, key=lambda r: r.frame_idx)] == [
         (0, bytes([0] * 8)),

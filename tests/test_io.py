@@ -349,6 +349,9 @@ def test_python_datasource_rowid_pushdown_narrows_generation(spark):
     got = df.where(df.row_id == 123456).collect()
     assert len(got) == 1
     assert tuple(got[0]) == synth_row(123456, 100, 1_700_000_000)
+    # range predicates narrow generation too (lo/hi clamps)
+    rng = df.where((df.row_id >= 999_990) & (df.row_id < 999_995)).collect()
+    assert sorted(r.row_id for r in rng) == list(range(999_990, 999_995))
     # non-pushable predicates still evaluate correctly post-scan
     small = spark.read.format("synthetic_events").option("n_rows", 500).load()
     assert small.where(small.event_type == "view").count() > 0
@@ -398,6 +401,9 @@ def test_python_datasink_abort_leaves_no_partial_output(spark, tmp_path):
     # all-or-nothing contract: nothing committed
     leftover = [f for f in (_os.listdir(out) if _os.path.isdir(out) else [])]
     assert not [f for f in leftover if f.startswith("part-")]
+    # the DEAD task's temp file (it never reported a commit message)
+    # must be swept too — a *.jsonl glob must see no partial data
+    assert not [f for f in leftover if f.endswith(".jsonl")]
 
 
 def test_python_streaming_source_drains_with_offset_protocol(spark):

@@ -577,5 +577,12 @@ def test_expectation_suite_single_pass_bands(spark):
     assert out["rows"] == (3.0, True)
     assert out["null_rate"] == (round(1 / 3, 6), False)  # 0.333 > 0.1 band
     assert out["max_v"] == (15.0, False)
+    # NULL metric (empty input) fails CLOSED, like with_violations
+    empty = spark.createDataFrame([], "id int, v double")
+    nulled = {
+        r.expectation: (r.value, r.passed)
+        for r in expectation_suite(empty, {"max_v": (F.max("v"), 0, 10)}).collect()
+    }
+    assert nulled["max_v"] == (None, False)
     with pytest.raises(ValueError):
         expectation_suite(df, {})
