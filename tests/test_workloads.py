@@ -147,3 +147,49 @@ def test_sql_surface_parity_with_dataframe_api(spark, sf_dir):
     left = {tuple(r) for r in df_result.collect()}
     right = {tuple(r[c] for c in df_result.columns) for r in sql_result.collect()}
     assert left == right
+
+
+def test_tws_user_stats(spark, sf_dir):
+    # Spark 4's transformWithStateInPandas successor API: runs (and
+    # must equal the batch GROUP BY) where protobuf is available; in
+    # protobuf-less environments the operator's preflight must raise
+    # the documented ImportError, never an opaque runner crash
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.pipelines import (
+        run_stream_to_memory,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.stateful import (
+        running_user_stats_tws,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError, match="protobuf"):
+            running_user_stats_tws(
+                read_testdata(spark, sf_dir, "events").select("user_id", "value")
+            )
+        return
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def transform(s):
+        return running_user_stats_tws(s.select("user_id", "value"))
+
+    out = run_stream_to_memory(
+        spark, f"{sf_dir}/events.parquet", transform, output_mode="update"
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.dedup import top_n_per_group
+    from pyspark.sql import functions as F
+
+    latest = top_n_per_group(out, ["user_id"], [F.col("n_events").desc()])
+    batch = (
+        read_testdata(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {r.user_id: r.n_events for r in latest.collect()}
+    want = {r.user_id: r.n_events for r in batch.collect()}
+    assert got == want
