@@ -60,6 +60,24 @@ def streaming_dedup(events: DataFrame, *, ts_col: str = "ts", id_col: str = "eve
     return src.dropDuplicates([id_col])
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame, *, ts_col: str = "ts", id_col: str = "event_id", watermark: str = "1 hour"
+) -> DataFrame:
+    """Modern (Spark 3.5+) dedup: ``dropDuplicatesWithinWatermark``
+    EVICTS a key's state once the watermark passes its first sighting —
+    bounded state even when the key space is unbounded, which plain
+    ``dropDuplicates`` (state kept forever unless the event-time column
+    is part of the key) cannot guarantee. The semantic trade: a
+    duplicate arriving later than the watermark delay is re-emitted, so
+    this is at-most-once-per-horizon, the right contract for replayed
+    logs where duplicates cluster near each other in time."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [id_col]
+        )
+    return events.dropDuplicates([id_col])  # batch: horizon is infinite
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     parquet_path: str,

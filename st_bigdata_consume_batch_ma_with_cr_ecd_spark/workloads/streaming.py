@@ -86,6 +86,33 @@ def streaming_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup_bounded_state",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM events
+    """,
+    doc="Bounded-state streaming dedup (Spark 3.5+ "
+    "dropDuplicatesWithinWatermark): per-key state is EVICTED once the "
+    "watermark passes its first sighting — the production answer to "
+    "dropDuplicates' forever-growing state on unbounded key spaces. "
+    "event_id is unique in the testdata, so the drained stream equals the "
+    "batch table exactly (duplicates beyond the horizon would re-emit — "
+    "documented at-most-once-per-horizon semantics).",
+)
+def streaming_dedup_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipelines import streaming_dedup_within_watermark
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def transform(s: DataFrame) -> DataFrame:
+        s = normalize_event_ts(s)
+        return streaming_dedup_within_watermark(s, watermark="1 hour").select(
+            "event_id", "user_id", "event_type"
+        )
+
+    return run_stream_to_memory(spark, f"{sf_dir}/events.parquet", transform, output_mode="append")
+
+
+@register(
     "session_windows",
     oracle="""
     WITH ordered AS (
