@@ -1293,6 +1293,48 @@ def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_filter_threshold",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS tokens FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               round(len(list_distinct(tokens)) * 1.0 / len(tokens), 4) AS quality
+        FROM tok
+    ),
+    thr AS (
+        SELECT lang, round(quantile_cont(quality, 0.25), 4) AS q25
+        FROM scored GROUP BY lang
+    )
+    SELECT s.doc_id, s.lang, s.quality, t.q25
+    FROM scored s JOIN thr t USING (lang)
+    WHERE s.quality >= t.q25
+    """,
+    doc="THE scale shape of percentile quality filtering (the swap "
+    "quality_filter_percentile's docstring promises): per-language "
+    "quartile thresholds computed in ONE aggregate (exact type-7 "
+    "percentile — both engines interpolate identically, proven by "
+    "stats_percentiles), broadcast back, pure filter — no window over "
+    "the corpus, no per-language sort. Value-based membership (>= q25) "
+    "vs ntile's count-based split; both rounded to 4 so the boundary "
+    "compare is engine-exact. At 100 TB swap percentile for "
+    "approx_percentile and keep the identical plan.",
+)
+def quality_filter_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = text_stats("text")
+    scored = _docs(spark, sf_dir).select(
+        "doc_id", "lang", stats["type_token_ratio"].alias("quality")
+    )
+    thr = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(quality, 0.25)"), 4).alias("q25")
+    )
+    return (
+        scored.join(F.broadcast(thr), "lang")
+        .where(F.col("quality") >= F.col("q25"))
+        .select("doc_id", "lang", "quality", "q25")
+    )
+
+
+@register(
     "sample_temperature_rebalance",
     # keep-rule arithmetic is EXACT integers on both engines: keep iff
     # h^2 * c_lang < 2^64 * c_min  (h = first 8 md5 hex digits), which
