@@ -1293,6 +1293,94 @@ def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_lm_perplexity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    vocab AS (SELECT token, count(*) AS c FROM t2 GROUP BY token),
+    n AS (SELECT count(*) AS total FROM t2),
+    scored AS (
+        SELECT t2.doc_id, -ln(vocab.c * 1.0 / n.total) AS nlp
+        FROM t2 JOIN vocab USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(nlp), 4) AS avg_neg_logp
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Unigram language-model scoring (the CCNet-style perplexity "
+    "quality signal, self-trained): token probabilities from one corpus "
+    "count aggregate, each document scored by its mean negative log "
+    "probability — high = unusual token mix (gibberish or rare domain), "
+    "the standard ranking signal for perplexity-bucketed corpus "
+    "filtering. Two shuffles total (vocab agg + doc agg); the vocab "
+    "re-join broadcasts at test scale and hash-joins at corpus scale — "
+    "same plan text either way. ln() is libm on both engines; rounded "
+    "to 4 like every float aggregate in the registry.",
+)
+def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))
+    scored = (
+        tok.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", (-F.log(F.col("c") * 1.0 / F.col("total"))).alias("nlp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("nlp"), 4).alias("avg_neg_logp"),
+    )
+
+
+@register(
+    "stats_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    vocab AS (SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token),
+    top AS (
+        SELECT token, freq,
+               row_number() OVER (ORDER BY freq DESC, token ASC) AS rank
+        FROM vocab
+        ORDER BY freq DESC, token ASC LIMIT 100
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(freq), ln(rank)), 4) AS zipf_slope
+    FROM top
+    """,
+    doc="Zipf-slope corpus health metric: regress ln(frequency) on "
+    "ln(rank) over the top-100 terms — natural corpora sit near -1; a "
+    "flat slope flags template/boilerplate floods, a cliff flags "
+    "near-duplicate spam. The top-k is TakeOrderedAndProject (never a "
+    "global sort) and ranking windows only the 100 surviving rows; the "
+    "regression is one tiny aggregate. Both engines implement the same "
+    "least-squares regr_slope.",
+)
+def stats_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("token")).where(
+        F.col("token") != ""
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    top = vocab.orderBy(F.desc("freq"), F.asc("token")).limit(100)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token")))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 4).alias("zipf_slope"),
+    )
+
+
+@register(
     "quality_filter_threshold",
     oracle=f"""
     WITH tok AS (SELECT doc_id, lang, {_DUCK_TOKENS} AS tokens FROM documents),
