@@ -1873,6 +1873,40 @@ def ann_topk_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, queries, k=5, n_probe=2, centroids=_IVF_FIXED_CENTROIDS)
 
 
+def _minhash_incremental_oracle() -> str:
+    # the standard minhash oracle restricted to pairs touching the
+    # "new batch" (doc_id % 5 = 0): incremental-dedup semantics
+    base = _minhash_oracle()
+    return base.replace(
+        "AND a.doc_id < b.doc_id",
+        "AND a.doc_id < b.doc_id AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)",
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_minhash_incremental_oracle(),
+    doc="Incremental near-dedup (the nightly-ingest shape): candidate "
+    "pairs restricted to those touching the NEW batch (doc_id % 5 = 0 as "
+    "the arrival stand-in) — new-vs-corpus and new-vs-new, never "
+    "old-vs-old. The restriction applies INSIDE grouped-bucket pair "
+    "generation (a filter() in the upper-triangle transform), so "
+    "rejected pairs are never emitted or shuffled: per-batch dedup cost "
+    "tracks the batch, not the corpus. In production the historic "
+    "signatures are read from a stored signature table instead of "
+    "recomputed — the banding/bucketing/pair machinery is identical.",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), k_shingle=3, num_hashes=_NUM_HASHES)
+    return lsh_candidate_pairs(
+        sigs,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+        max_bucket_size=_MINHASH_BUCKET_CAP,
+        pair_filter_sql="x % 5 = 0 OR y % 5 = 0",
+    )
+
+
 # PQ codebooks: fixed literals (offline-trained stand-in), distinct
 # seed from the IVF/LSH/SemDeDup constants.
 def _pq_books():
