@@ -2224,6 +2224,95 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "cluster_topic_terms",
+    oracle=f"""
+    WITH clusters AS ({_CLUSTER_ORACLE}),
+    multi AS (
+        SELECT cluster_id FROM clusters GROUP BY cluster_id HAVING count(*) >= 2
+    ),
+    tok AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    ct AS (
+        SELECT c.cluster_id, t2.token, count(*) AS tf
+        FROM t2 JOIN clusters c USING (doc_id) JOIN multi USING (cluster_id)
+        GROUP BY 1, 2
+    ),
+    ctot AS (SELECT cluster_id, sum(tf) AS toks FROM ct GROUP BY 1),
+    dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT ct.cluster_id, ct.token,
+               round((ct.tf * 1.0 / ctot.toks) * ln(n.n_docs * 1.0 / dfreq.df), 4) AS score
+        FROM ct JOIN ctot USING (cluster_id) JOIN dfreq USING (token) CROSS JOIN n
+    )
+    SELECT cluster_id, token, score, rk FROM (
+        SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY score DESC, token ASC) AS rk
+        FROM scored
+    ) WHERE rk <= 2
+    """,
+    doc="Cluster topic terms (c-TF-IDF, the BERTopic-style labeling "
+    "step): near-dup clusters from the MinHash-LSH + connected-components "
+    "chain, then each multi-document cluster labeled by its top-2 terms "
+    "under cluster-level TF x corpus IDF — what turns an opaque "
+    "cluster_id into a triage-able group. Composition proof: the oracle "
+    "replays the ENTIRE chain (signatures -> banded LSH -> recursive-CTE "
+    "components -> c-TF-IDF) symbolically.",
+)
+def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import assign_cluster_ids
+
+    docs, pairs = _lsh_pairs(spark, sf_dir)
+    clusters = assign_cluster_ids(
+        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b", pairs_distinct=True
+    ).select("doc_id", "cluster_id")
+    multi = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("cluster_id")
+    )
+    tok = docs.select(
+        "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
+    ).where(F.col("token") != "")
+    ct = (
+        tok.join(clusters, "doc_id")
+        .join(F.broadcast(multi), "cluster_id")
+        .groupBy("cluster_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ctot = ct.groupBy("cluster_id").agg(F.sum("tf").alias("toks"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        ct.join(ctot, "cluster_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cluster_id",
+            "token",
+            F.round(
+                (F.col("tf") * 1.0 / F.col("toks"))
+                * F.log(F.col("n_docs") * 1.0 / F.col("df")),
+                4,
+            ).alias("score"),
+        )
+    )
+    from ..operators.dedup import top_n_per_group
+
+    return top_n_per_group(
+        scored,
+        ["cluster_id"],
+        [F.col("score").desc(), F.col("token").asc()],
+        n=2,
+        rank_col="rk",
+        keep_rank=True,
+    )
+
+
+@register(
     "sample_split_leakage_safe",
     oracle=f"""
     WITH clusters AS ({_CLUSTER_ORACLE})
