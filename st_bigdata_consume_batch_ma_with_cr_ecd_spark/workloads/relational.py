@@ -1661,6 +1661,48 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_volume_anomaly",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT round(avg(n_events), 4) AS mu,
+               round(stddev_pop(n_events), 4) AS sigma
+        FROM daily
+    )
+    SELECT d.day, d.n_events,
+           round((d.n_events - s.mu) / nullif(s.sigma, 0), 4) AS z_score,
+           abs((d.n_events - s.mu) / nullif(s.sigma, 0)) > 3 AS is_anomaly
+    FROM daily d CROSS JOIN stats s
+    """,
+    doc="Ingest-volume anomaly monitor (the pipeline-ops alert every "
+    "nightly job needs): per-day event counts, population z-score against "
+    "the window's own mean/stddev, |z| > 3 flagged. One aggregate for the "
+    "daily counts, a 1-row stats broadcast back — no second scan, no "
+    "window over the corpus. stddev_pop (not sample) so both engines "
+    "agree exactly; round-then-divide keeps the z-score hash-stable.",
+)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    stats = daily.agg(
+        F.round(F.avg("n_events"), 4).alias("mu"),
+        F.round(F.stddev_pop("n_events"), 4).alias("sigma"),
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0))
+    return daily.crossJoin(F.broadcast(stats)).select(
+        "day",
+        "n_events",
+        F.round(z, 4).alias("z_score"),
+        (F.abs(z) > 3).alias("is_anomaly"),
+    )
+
+
+@register(
     "dq_quarantine_summary",
     oracle="""
     WITH labeled AS (
