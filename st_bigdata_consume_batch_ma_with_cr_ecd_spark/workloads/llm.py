@@ -1338,6 +1338,53 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_token_gini",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
+    vocab AS (SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token),
+    ranked AS (
+        SELECT freq, row_number() OVER (ORDER BY freq ASC, token ASC) AS rank
+        FROM vocab
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           round(2.0 * sum(rank * freq) / (count(*) * sum(freq))
+                 - (count(*) + 1.0) / count(*), 4) AS gini
+    FROM ranked
+    """,
+    doc="Token-frequency Gini coefficient (corpus concentration: ~0 = "
+    "uniform vocabulary use, ->1 = a few tokens dominate — the "
+    "boilerplate/template-flood scalar next to the Zipf slope). The "
+    "ascending frequency rank comes from operators.rowids."
+    "assign_contiguous_ids — the two-phase range-partitioned id "
+    "machinery — so there is NO single-partition window anywhere even "
+    "when the vocabulary is billions of terms; the Gini rank formula "
+    "then needs only integer sums (exact on both engines, one rounded "
+    "division at the end).",
+)
+def stats_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rowids import assign_contiguous_ids
+
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(tokenize(F.col("text"))).alias("token")).where(
+        F.col("token") != ""
+    )
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = assign_contiguous_ids(
+        vocab, [F.col("freq").asc(), F.col("token").asc()], id_col="__id"
+    ).select((F.col("__id") + 1).alias("rank"), "freq")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("freq").cast("long").alias("total_tokens"),
+        F.round(
+            2.0 * F.sum(F.col("rank") * F.col("freq")) / (F.count(F.lit(1)) * F.sum("freq"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+    )
+
+
+@register(
     "stats_zipf_slope",
     oracle=f"""
     WITH tok AS (
