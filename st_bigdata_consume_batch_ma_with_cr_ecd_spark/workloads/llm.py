@@ -1293,6 +1293,74 @@ def quality_filter_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_content_defined",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    pos AS (
+        SELECT doc_id, generate_subscripts(tokens, 1) - 1 AS p, unnest(tokens) AS token
+        FROM tok
+    ),
+    p2 AS (SELECT doc_id, p, token FROM pos WHERE token <> ''),
+    grams AS (
+        SELECT doc_id, p, token,
+               CASE WHEN p >= 2 AND
+                    CAST(concat('0x', substr(md5(
+                        lag(token, 2) OVER w || ' ' || lag(token, 1) OVER w || ' ' || token
+                    ), 1, 8)) AS UBIGINT) % 16 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM p2
+        WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    chunked AS (
+        SELECT doc_id, token, p,
+               sum(boundary) OVER (PARTITION BY doc_id ORDER BY p
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS chunk_idx
+        FROM grams
+    )
+    SELECT doc_id, CAST(coalesce(chunk_idx, 0) AS INT) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(token, ' ' ORDER BY p)) AS chunk_fp
+    FROM chunked GROUP BY doc_id, coalesce(chunk_idx, 0)
+    """,
+    doc="Content-defined chunking (the rsync/FastCDC idea at token "
+    "granularity): a chunk boundary falls AFTER any position whose "
+    "trailing 3-gram hashes to 0 mod 16 — boundaries move WITH the "
+    "content, so an insertion reshuffles only the chunk it lands in, "
+    "where fixed-stride windows shift every later chunk (the property "
+    "that makes CDC the right granularity for incremental substring "
+    "dedup). Emits (doc, chunk_idx, n_tokens, chunk md5). Per-doc "
+    "windows only — partitioned by doc_id, never corpus-wide.",
+)
+def text_chunk_content_defined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    pos = docs.select(
+        "doc_id", F.posexplode(tokenize(F.col("text"))).alias("p", "token")
+    ).where(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    gram = F.concat_ws(
+        " ", F.lag("token", 2).over(w), F.lag("token", 1).over(w), F.col("token")
+    )
+    boundary = (
+        F.when(
+            (F.col("p") >= 2)
+            & (md5_prefix_int(gram).cast("long") % 16 == 0),
+            1,
+        ).otherwise(0)
+    )
+    grams = pos.withColumn("boundary", boundary)
+    chunk_idx = F.coalesce(
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ).cast("int")
+    chunked = grams.withColumn("chunk_idx", chunk_idx)
+    return chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.array_sort(F.collect_list(F.struct("p", "token"))).getField("token"))).alias("chunk_fp"),
+    )
+
+
+@register(
     "quality_lm_perplexity",
     oracle=f"""
     WITH tok AS (
