@@ -1661,6 +1661,60 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dq_join_fanout_estimate",
+    oracle="""
+    WITH l AS (SELECT l_orderkey AS k, count(*) AS m FROM lineitem GROUP BY 1),
+    o AS (SELECT o_orderkey AS k, count(*) AS m FROM orders GROUP BY 1),
+    ls AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(max(m) AS BIGINT) AS max_mult,
+                  round(quantile_cont(m, 0.99), 4) AS p99_mult FROM l),
+    os AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(max(m) AS BIGINT) AS max_mult,
+                  round(quantile_cont(m, 0.99), 4) AS p99_mult FROM o),
+    x AS (SELECT CAST(coalesce(sum(l.m * o.m), 0) AS BIGINT) AS exact_rows
+          FROM l JOIN o USING (k))
+    SELECT 'lineitem' AS side, ls.n_keys, ls.max_mult, ls.p99_mult, x.exact_rows
+    FROM ls CROSS JOIN x
+    UNION ALL
+    SELECT 'orders', os.n_keys, os.max_mult, os.p99_mult, x.exact_rows
+    FROM os CROSS JOIN x
+    """,
+    doc="Pre-join fan-out guardrail (the check that catches a 100-TB "
+    "join explosion BEFORE it runs): per-side key multiplicity profile "
+    "(distinct keys, max, exact p99) plus the exact output cardinality "
+    "of the join computed from the two thin (key, count) aggregates — "
+    "sum of per-key multiplicity products, a join of two key-counted "
+    "summaries, NEVER the wide tables. A nightly job compares exact_rows "
+    "against budget and aborts/alerts before shuffling terabytes.",
+)
+def dq_join_fanout_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("m"))
+    o = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderkey").alias("k")
+    ).agg(F.count(F.lit(1)).alias("m"))
+
+    def profile(side: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(side).alias("side"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("m").cast("long").alias("max_mult"),
+            F.round(F.expr("percentile(m, 0.99)"), 4).alias("p99_mult"),
+        )
+
+    exact = (
+        li.alias("l")
+        .join(o.alias("o"), "k")
+        .agg(F.coalesce(F.sum(F.col("l.m") * F.col("o.m")), F.lit(0)).cast("long").alias("exact_rows"))
+    )
+    return (
+        profile("lineitem", li)
+        .unionByName(profile("orders", o))
+        .crossJoin(F.broadcast(exact))
+        .select("side", "n_keys", "max_mult", "p99_mult", "exact_rows")
+    )
+
+
+@register(
     "dq_volume_anomaly",
     oracle="""
     WITH daily AS (
