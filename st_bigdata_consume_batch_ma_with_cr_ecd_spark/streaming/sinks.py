@@ -58,3 +58,40 @@ def run_stream_with_batch_sink(
         .start()
         .awaitTermination()
     )
+
+
+def cow_merge_batch_writer(
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    *,
+    delete_col: str | None = None,
+    compact: Callable[[DataFrame], DataFrame] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callback that MERGEs each micro-batch into a
+    copy-on-write parquet table — the streaming CDC-apply pattern
+    (Kafka change feed -> continuously maintained table) on plain
+    parquet, no lakehouse library.
+
+    Exactly-once story: ``merge_cow_table`` is idempotent for a given
+    batch (re-applying converges — the crash-retry property pinned by
+    tests/test_cow_table.py), and the stream checkpoint replays at
+    micro-batch granularity, so a crashed epoch re-merges to the same
+    state instead of double-applying.
+
+    ``compact``: optional pre-merge reduction (e.g. latest-per-key via
+    ``operators.dedup.top_n_per_group``) — a CDC batch must carry at
+    most one row per key before merging.
+    """
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks.cowtable import merge_cow_table
+
+        out = compact(batch) if compact is not None else batch
+        if out.isEmpty():
+            return
+        merge_cow_table(
+            batch.sparkSession, path, out, keys, partition_by, delete_col=delete_col
+        )
+
+    return write

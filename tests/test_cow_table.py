@@ -197,3 +197,76 @@ def test_vacuum_removes_orphan_attempt_artifacts(spark, table):
     assert not os.path.exists(stray)
     # data untouched
     assert _rows(spark, table) == before
+
+
+def test_streaming_cdc_apply_maintains_cow_table(spark, tmp_path):
+    # the capstone integration: a change stream MERGEs into the CoW
+    # table per micro-batch (foreachBatch); the continuously-maintained
+    # table must equal the batch-computed latest-per-key state
+    from pyspark.sql import functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.dedup import top_n_per_group
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.cowtable import (
+        create_cow_table,
+        read_cow_table,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.sinks import (
+        cow_merge_batch_writer,
+    )
+
+    table = str(tmp_path / "cow_stream")
+    src_dir = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+
+    # initial snapshot: ids 0..4 in two countries
+    snap = spark.createDataFrame(
+        [(i, "DE" if i % 2 == 0 else "AT", float(i)) for i in range(5)],
+        "id long, country string, amount double",
+    )
+    create_cow_table(snap, table, ["country"])
+
+    # a change log with multiple versions per key across two files
+    # (files arrive as separate micro-batches under maxFilesPerTrigger)
+    changes1 = spark.createDataFrame(
+        [(1, "AT", 100.0, 1), (2, "DE", 200.0, 1), (7, "CH", 700.0, 1)],
+        "id long, country string, amount double, seq int",
+    )
+    changes2 = spark.createDataFrame(
+        [(1, "DE", 111.0, 2), (7, "CH", 777.0, 2)],  # 1 moves AT -> DE
+        "id long, country string, amount double, seq int",
+    )
+    changes1.coalesce(1).write.parquet(src_dir)
+    changes2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("id long, country string, amount double, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    writer = cow_merge_batch_writer(
+        table,
+        ["id"],
+        ["country"],
+        compact=lambda b: top_n_per_group(
+            b, ["id"], [F.col("seq").desc()]
+        ).drop("seq"),
+    )
+    (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    got = {(r.id, r.country, r.amount) for r in read_cow_table(spark, table).collect()}
+    # latest state: 0,3,4 untouched; 1 -> DE/111 (second version wins);
+    # 2 -> DE/200; 7 inserted with its latest version
+    assert got == {
+        (0, "DE", 0.0),
+        (3, "AT", 3.0),
+        (4, "DE", 4.0),
+        (1, "DE", 111.0),
+        (2, "DE", 200.0),
+        (7, "CH", 777.0),
+    }
