@@ -654,3 +654,52 @@ def test_subword_encoder_property_against_reference():
         assert enc(word) == reference(word)
 
     check()
+
+
+def test_semantic_dedup_property_against_reference(spark):
+    # random small vector sets, one centroid (single cell): the min-id
+    # survivor rule must match a brute-force pairwise reference
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import semantic_dedup
+
+    vec = st.lists(
+        st.floats(min_value=-1, max_value=1, allow_nan=False).map(lambda x: round(x, 3)),
+        min_size=3,
+        max_size=3,
+    ).filter(lambda v: any(abs(x) > 1e-6 for x in v))
+
+    @settings(max_examples=10, deadline=None)
+    @given(vs=st.lists(vec, min_size=1, max_size=6))
+    def check(vs):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vs)], "vec_id long, embedding array<float>"
+        )
+        got = {
+            r.vec_id: r.kept
+            for r in semantic_dedup(
+                df, centroids=[[1.0, 0.0, 0.0]], threshold=0.8, max_cell_size=None
+            ).collect()
+        }
+
+        def cos(a, b):
+            # float32 storage first (Spark stores array<float>), like the op reads
+            import struct as _s
+
+            a = [_s.unpack("f", _s.pack("f", x))[0] for x in a]
+            b = [_s.unpack("f", _s.pack("f", x))[0] for x in b]
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return round(d / (na * nb), 6)
+
+        want = {
+            i: not any(cos(vs[j], vs[i]) >= 0.8 for j in range(i))
+            for i in range(len(vs))
+        }
+        assert got == want
+
+    check()
