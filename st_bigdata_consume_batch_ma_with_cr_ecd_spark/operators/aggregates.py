@@ -34,7 +34,13 @@ def sum_coalesce(col: str | Column, default: object = 0) -> Column:
     return F.sum(F.coalesce(c, F.lit(default)))
 
 
-DECIMAL_SUM_TYPE = "decimal(30,8)"
+# 38 digits (the max) leaves 30 integer digits: inputs up to 1e30 cast
+# exactly. Under ANSI-off (session default) a value BEYOND the cast
+# range becomes NULL and would be silently DROPPED from the "exact"
+# sum — the widest representable type pushes that cliff from 1e22
+# (the old decimal(30,8)) to 1e30, far past any real metric; values
+# beyond that need a narrower scale chosen at the call site.
+DECIMAL_SUM_TYPE = "decimal(38,8)"
 
 
 def exact_sum(col: str | Column) -> Column:

@@ -170,12 +170,27 @@ def asof_join_cogrouped(
             for c in payload:
                 out[c] = pd.Series(dtype="float64")
             return out[out_cols]
+        # pd.merge_asof REJECTS null merge keys; the JVM asof_join keeps
+        # a null-ts left row with null payload (left-join semantics) and
+        # ignores null-ts right rows — replicate both before merging
+        null_left = ldf[ldf[left_ts].isna()].copy()
+        ldf = ldf[ldf[left_ts].notna()]
+        rdf = rdf[rdf[right_ts].notna()]
+        if ldf.empty:
+            out = null_left
+            for c in payload:
+                out[c] = pd.Series([None] * len(out), index=out.index, dtype="float64")
+            return out[out_cols]
         ldf = ldf.sort_values(left_ts, kind="mergesort")
         rdf = rdf[[right_ts, *payload]].sort_values(right_ts, kind="mergesort")
         out = pd.merge_asof(
             ldf, rdf, left_on=left_ts, right_on=right_ts,
             direction="backward", allow_exact_matches=True,
         )
+        if len(null_left):
+            for c in payload:
+                null_left[c] = None
+            out = pd.concat([out, null_left.reindex(columns=out.columns)], ignore_index=True)
         for c in int_payload:
             out[c] = out[c].astype("Int64")
         return out[out_cols]

@@ -69,6 +69,33 @@ def _bin(col: Column, temporal: bool, width: int | float) -> Column:
     return F.floor(base / F.lit(width)).cast("long")
 
 
+MAX_BUCKETS_PER_INTERVAL = 100_000
+
+
+def _bucket_seq(start: Column, end: Column, temporal: bool, width, *, what: str) -> Column:
+    """The interval's bucket sequence, guarded: one open-ended/sentinel
+    interval (end = 9999-12-31 against a minute-wide grid) would explode
+    into billions of rows — the blow-up this operator exists to prevent.
+    Exceeding the cap fails LOUDLY with the offending span instead of
+    hanging a task."""
+    lo, hi = _bin(start, temporal, width), _bin(end, temporal, width)
+    span = hi - lo + 1
+    guarded_hi = F.when(
+        span > MAX_BUCKETS_PER_INTERVAL,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{what}: interval spans more than {MAX_BUCKETS_PER_INTERVAL} "
+                    "buckets (span="
+                ),
+                span.cast("string"),
+                F.lit(") — widen bucket_width or clean sentinel end values"),
+            )
+        ).cast("long"),
+    ).otherwise(hi)
+    return F.sequence(lo, guarded_hi)
+
+
 def _prefixed(df: DataFrame, prefix: str) -> DataFrame:
     return df.select([F.col(c).alias(f"{prefix}{c}") for c in df.columns])
 
@@ -113,8 +140,9 @@ def point_in_interval_join(
     i = i.withColumn(
         _BUCKET,
         F.explode(
-            F.sequence(
-                _bin(F.col(start_c), temporal, width), _bin(F.col(end_c), temporal, width)
+            _bucket_seq(
+                F.col(start_c), F.col(end_c), temporal, width,
+                what="point_in_interval_join",
             )
         ),
     )
@@ -158,11 +186,11 @@ def interval_overlap_join(
 
     lf = lf.withColumn(
         _BUCKET,
-        F.explode(F.sequence(_bin(F.col(ls), temporal, width), _bin(F.col(le), temporal, width))),
+        F.explode(_bucket_seq(F.col(ls), F.col(le), temporal, width, what="interval_overlap_join")),
     )
     rf = rf.withColumn(
         _BUCKET,
-        F.explode(F.sequence(_bin(F.col(rs), temporal, width), _bin(F.col(re_), temporal, width))),
+        F.explode(_bucket_seq(F.col(rs), F.col(re_), temporal, width, what="interval_overlap_join")),
     )
     anchor = _bin(F.greatest(F.col(ls), F.col(rs)), temporal, width)
     joined = (

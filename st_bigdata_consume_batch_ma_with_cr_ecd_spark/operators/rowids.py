@@ -125,7 +125,11 @@ def running_total(
     """
 
     def assign(grp, base):
-        run = grp[value_col].astype("int64").cumsum()
+        # NULL values contribute 0 to the running total (matching the
+        # partition_stat's F.sum, which skips nulls) — Arrow hands a
+        # nullable int column over as float64 with NaN, and a bare
+        # astype('int64') would raise on the first NULL
+        run = grp[value_col].fillna(0).astype("int64").cumsum()
         consumed = int(run.iloc[-1]) if len(run) else 0
         return run + base, consumed
 

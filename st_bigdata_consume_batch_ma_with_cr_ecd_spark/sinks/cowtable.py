@@ -145,22 +145,33 @@ def merge_cow_table(
         conf = spark._jsc.hadoopConfiguration()
         root = jvm.org.apache.hadoop.fs.Path(path)
         fs = root.getFileSystem(conf)
+        # values must use the SAME escaping Spark used when writing the
+        # directories (spaces, ':', '%', ... are percent-encoded) — a
+        # raw f"{col}={value}" path silently misses the directory and
+        # the "deleted" rows resurface on the next read
+        escape = jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
         for p in emptied:
             # null partition values live in Hive's default-partition dir
             subdir = "/".join(
-                f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else p[c]}"
+                f"{c}={'__HIVE_DEFAULT_PARTITION__' if p[c] is None else escape(str(p[c]))}"
                 for c in partition_by
             )
             fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{subdir}"), True)
 
-    # 4b. rewrite exactly the non-empty touched partitions (session conf
-    # pins spark.sql.sources.partitionOverwriteMode=dynamic)
+    # 4b. rewrite exactly the non-empty touched partitions via the
+    # shared dynamic-overwrite writer (sinks.writers), which asserts
+    # partitionOverwriteMode=dynamic — a static-mode session here would
+    # wipe the whole table
     if result_parts:
-        merged.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+        from .writers import overwrite_partitions
+
+        overwrite_partitions(merged, path, partition_by)
     return touched
 
 
-def vacuum_cow_table(spark: SparkSession, path: str) -> list[str]:
+def vacuum_cow_table(
+    spark: SparkSession, path: str, *, min_age_seconds: int = 3600
+) -> list[str]:
     """Remove orphaned job-attempt artifacts under a CoW table root.
 
     A merge that crashes between Spark committing its files and the
@@ -173,24 +184,39 @@ def vacuum_cow_table(spark: SparkSession, path: str) -> list[str]:
 
     Data files are NEVER touched: only ``_temporary`` directories and
     dot/underscore-prefixed stray files outside the root's own
-    ``_SUCCESS`` marker.
+    ``_SUCCESS`` marker — and only when older than ``min_age_seconds``
+    (default 1h): a ``_temporary`` directory younger than that may be
+    the LIVE staging dir of a concurrent write to the same table, and
+    deleting it would fail that job at commit. Pass ``0`` only when no
+    writer can be running.
     """
+    import time
+
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(conf)
     deleted: list[str] = []
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
+
+    def old_enough(st) -> bool:
+        return st.getModificationTime() <= cutoff_ms
 
     def walk(p):
         for st in fs.listStatus(p):
             name = st.getPath().getName()
             if st.isDirectory():
                 if name == "_temporary":
-                    fs.delete(st.getPath(), True)
-                    deleted.append(st.getPath().toString())
+                    if old_enough(st):
+                        fs.delete(st.getPath(), True)
+                        deleted.append(st.getPath().toString())
                 else:
                     walk(st.getPath())
-            elif (name.startswith(".") or name.startswith("_")) and name != "_SUCCESS":
+            elif (
+                (name.startswith(".") or name.startswith("_"))
+                and name != "_SUCCESS"
+                and old_enough(st)
+            ):
                 fs.delete(st.getPath(), False)
                 deleted.append(st.getPath().toString())
 

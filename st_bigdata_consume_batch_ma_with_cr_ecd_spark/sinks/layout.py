@@ -63,16 +63,34 @@ def write_zordered(
     output file covers a compact hyper-rectangle of the key space."""
     if not 1 <= len(zorder_cols) <= 4:
         raise ValueError("zorder_cols must name 1-4 columns")
-    nums = {
-        c: F.unix_micros(F.col(c).cast("timestamp"))
-        if str(df.schema[c].dataType).startswith("Timestamp")
-        else F.col(c).cast("double")
-        for c in zorder_cols
-    }
+    if bits * len(zorder_cols) > 63:
+        # bit 63 is the sign bit of long: letting the interleave reach
+        # it makes high-range rows NEGATIVE codes that sort before
+        # everything, silently breaking the Morton order
+        raise ValueError(
+            f"bits * len(zorder_cols) = {bits * len(zorder_cols)} exceeds 63 "
+            f"(the sign bit); use bits <= {63 // len(zorder_cols)} for "
+            f"{len(zorder_cols)} columns"
+        )
+
+    def to_num(c: str) -> Column:
+        t = str(df.schema[c].dataType)
+        if t.startswith("Timestamp"):
+            return F.unix_micros(F.col(c).cast("timestamp"))
+        if t.startswith("Date"):
+            return F.datediff(F.col(c), F.lit("1970-01-01").cast("date"))
+        return F.col(c).cast("double")
+
+    nums = {c: to_num(c) for c in zorder_cols}
     stats = df.agg(
         *[F.min(e).alias(f"lo_{c}") for c, e in nums.items()],
         *[F.max(e).alias(f"hi_{c}") for c, e in nums.items()],
     ).collect()[0]
+    for c in zorder_cols:
+        if stats[f"lo_{c}"] is None:
+            raise ValueError(
+                f"zorder column {c!r} has no non-NULL values — cannot quantize"
+            )
     cells = [
         _quantize(
             e.cast("double"),
@@ -117,8 +135,22 @@ def compact_small_files(
     total = sum(f.stat().st_size for f in src.rglob("*.parquet"))
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(str(src))
+    # A hive-partitioned root (date=.../ subdirs) must compact INTO the
+    # same layout — a flat rewrite would silently fold the partition
+    # columns into the data files and break partition pruning and every
+    # directory-addressed maintenance op. Partition columns are read
+    # off the first data file's directory chain (the same inference the
+    # reader used).
+    part_cols: list[str] = []
+    sample = next(src.rglob("*.parquet"), None)
+    if sample is not None:
+        for d in sample.relative_to(src).parts[:-1]:
+            if "=" in d:
+                part_cols.append(d.split("=", 1)[0])
     tmp = src.parent / f".compact_{uuid.uuid4().hex[:8]}"
     writer = df.repartition(n_files).write.mode("overwrite")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(str(tmp))

@@ -121,6 +121,14 @@ def overwrite_partitions(
     is about to rewrite, the open equivalent of Glue ``purge_table`` +
     append (reference ``script/main.py:395-416``).
     """
+    mode = df.sparkSession.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    if mode.lower() != "dynamic":
+        raise RuntimeError(
+            "overwrite_partitions requires spark.sql.sources."
+            "partitionOverwriteMode=dynamic (session factory sets it); in "
+            f"{mode!r} mode this write would DELETE every partition of the "
+            "target, not just the ones being rewritten"
+        )
     if as_table:
         # saveAsTable(mode=overwrite) REPLACES the whole table regardless
         # of partitionOverwriteMode; only insertInto honors dynamic

@@ -190,7 +190,10 @@ def test_vacuum_removes_orphan_attempt_artifacts(spark, table):
     stray = os.path.join(table, "country=AT", "_orphan_attempt_marker")
     open(stray, "w").write("x")
     before = _rows(spark, table)
-    deleted = vacuum_cow_table(spark, table)
+    # default min-age spares FRESH artifacts (they may belong to a live
+    # concurrent writer); explicit 0 reclaims them
+    assert vacuum_cow_table(spark, table) == []
+    deleted = vacuum_cow_table(spark, table, min_age_seconds=0)
     assert any("_temporary" in d for d in deleted)
     assert any("_orphan_attempt_marker" in d for d in deleted)
     assert not os.path.isdir(os.path.join(table, "country=DE", "_temporary"))
@@ -270,3 +273,29 @@ def test_streaming_cdc_apply_maintains_cow_table(spark, tmp_path):
         (2, "DE", 200.0),
         (7, "CH", 777.0),
     }
+
+
+def test_emptied_partition_with_escaped_value_is_deleted(spark, tmp_path):
+    # partition values Spark percent-encodes on write (spaces, ':') must
+    # be deleted via the SAME escaping — a raw f"{col}={value}" path
+    # silently misses the dir and deleted rows resurface
+    import os
+
+    path = str(tmp_path / "cow_esc")
+    snap = spark.createDataFrame(
+        [(1, "North America", 1.0), (2, "EU", 2.0)],
+        "id long, region string, amount double",
+    )
+    create_cow_table(snap, path, ["region"])
+    assert os.path.isdir(os.path.join(path, "region=North America"))
+    changes = spark.createDataFrame(
+        [(1, "North America", 0.0, True)],
+        "id long, region string, amount double, is_deleted boolean",
+    )
+    merge_cow_table(spark, path, changes, ["id"], ["region"], delete_col="is_deleted")
+    assert not os.path.isdir(os.path.join(path, "region=North America"))
+    assert _idless_rows(spark, path) == {(2, "EU", 2.0)}
+
+
+def _idless_rows(spark, path):
+    return {tuple(r) for r in read_cow_table(spark, path).select("id", "region", "amount").collect()}

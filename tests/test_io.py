@@ -481,3 +481,50 @@ def test_python_streaming_source_checkpoint_restart_exactly_once(spark, tmp_path
     ids = [r.row_id for r in spark.read.parquet(out).select("row_id").collect()]
     assert len(ids) == 2000
     assert sorted(ids) == list(range(2000))
+
+
+def test_compact_small_files_preserves_hive_partition_layout(spark, tmp_path):
+    import os
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.layout import (
+        compact_small_files,
+    )
+
+    path = str(tmp_path / "parts")
+    df = spark.createDataFrame(
+        [(i, "DE" if i % 2 == 0 else "AT", float(i)) for i in range(100)],
+        "id long, country string, v double",
+    )
+    df.repartition(8).write.partitionBy("country").parquet(path)
+    compact_small_files(spark, path, target_file_bytes=10**9)
+    # the hive layout survives compaction (a flat rewrite would fold
+    # the partition column into the files and break pruning)
+    assert os.path.isdir(os.path.join(path, "country=DE"))
+    assert os.path.isdir(os.path.join(path, "country=AT"))
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert {r.country for r in back.select("country").distinct().collect()} == {"AT", "DE"}
+
+
+def test_zorder_rejects_sign_bit_overflow_and_handles_dates(spark, tmp_path):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.layout import write_zordered
+
+    df = spark.createDataFrame(
+        [(dt.date(2024, 1, 1) + dt.timedelta(days=i), i) for i in range(10)],
+        "d date, v int",
+    )
+    # 4 dims x 16 bits would reach bit 63 (the long sign bit) -> refuse
+    with _pytest.raises(ValueError, match="sign bit"):
+        write_zordered(df.withColumn("a", df.v).withColumn("b", df.v).withColumn("c", df.v),
+                       str(tmp_path / "z1"), ["v", "a", "b", "c"], bits=16)
+    # DateType quantizes via days-since-epoch (was: unsupported cast)
+    write_zordered(df, str(tmp_path / "z2"), ["d", "v"], n_files=2)
+    assert spark.read.parquet(str(tmp_path / "z2")).count() == 10
+    # all-NULL zorder column fails loudly, not with float(None)
+    nulls = spark.createDataFrame([(None, 1)], "x double, v int")
+    with _pytest.raises(ValueError, match="non-NULL"):
+        write_zordered(nulls, str(tmp_path / "z3"), ["x"])

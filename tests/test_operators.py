@@ -586,3 +586,63 @@ def test_expectation_suite_single_pass_bands(spark):
     assert nulled["max_v"] == (None, False)
     with pytest.raises(ValueError):
         expectation_suite(df, {})
+
+
+def test_exact_sum_survives_large_magnitudes(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.aggregates import exact_sum
+
+    # decimal(38,8) casts values up to 1e30 exactly; the old (30,8)
+    # overflowed to NULL at 1e22 and silently DROPPED the value under
+    # ANSI-off — the worst possible failure for a function named exact
+    df = spark.createDataFrame([(1e25,), (5.0,)], "v double")
+    got = df.agg(exact_sum("v").alias("s")).collect()[0].s
+    assert got == 1e25 + 5.0
+
+
+def test_running_total_treats_nulls_as_zero(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.rowids import running_total
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 5)], "ts int, qty int"
+    )
+    got = {r.ts: r.cum_sum for r in running_total(df, ["ts"], "qty").collect()}
+    # NULL contributes 0, matching F.sum's null-skipping
+    assert got == {1: 10, 2: 10, 3: 15}
+
+
+def test_range_join_rejects_sentinel_intervals(spark):
+    import pytest as _pytest
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.rangejoin import (
+        point_in_interval_join,
+    )
+
+    points = spark.createDataFrame([(5,)], "p long")
+    # one open-ended sentinel interval would explode into ~1e9 buckets
+    intervals = spark.createDataFrame([(0, 1_000_000_000)], "s long, e long")
+    with _pytest.raises(Exception, match="spans more than"):
+        point_in_interval_join(
+            points, intervals, "p", "s", "e", bucket_width=1
+        ).collect()
+
+
+def test_asof_cogrouped_keeps_null_ts_left_rows(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.asof import (
+        asof_join_cogrouped,
+    )
+
+    left = spark.createDataFrame(
+        [("X", 6), ("X", None)], "sym string, t int"
+    )
+    right = spark.createDataFrame(
+        [("X", 5, 105.0), ("X", None, -1.0)], "sym string, t int, px double"
+    )
+    out = asof_join_cogrouped(
+        left, right, left_key="sym", right_key="sym",
+        left_ts="t", right_ts="t", payload=["px"],
+        schema="sym string, t int, px double",
+    )
+    got = {(r.sym, r.t): r.px for r in out.collect()}
+    # null-ts left row kept with null payload (JVM asof_join parity);
+    # null-ts right row ignored as a donor
+    assert got == {("X", 6): 105.0, ("X", None): None}
