@@ -111,6 +111,13 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # a declared size past the end means a truncated stream —
+            # decoding the partial bytes would be a silent wrong result
+            raise ValueError(
+                f"WAV truncated: chunk {cid!r} declares {size} bytes, "
+                f"{len(payload) - pos - 8} remain"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = body
@@ -119,6 +126,8 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"WAV fmt chunk too short: {len(fmt)} bytes (need 16)")
     audio_format, n_channels, sample_rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     if audio_format != 1 or bits not in (8, 16):
         raise ValueError(f"unsupported WAV: format={audio_format} bits={bits}")

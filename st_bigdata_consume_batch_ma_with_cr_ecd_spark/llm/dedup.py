@@ -277,8 +277,25 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
+    # bands * rows_per_band beyond the signature width would index NULL
+    # elements; concat_ws skips them and the constant band hash puts
+    # EVERY doc in one bucket — a silent O(n²) explosion. Fail loudly
+    # on the first mismatched row instead.
+    need = bands * rows_per_band
+    guarded = F.when(
+        F.size("signature") < need,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"lsh_candidate_pairs needs bands*rows_per_band={need} "
+                    "signature values, got "
+                ),
+                F.size("signature").cast("string"),
+            )
+        ).cast("array<string>"),
+    ).otherwise(band_hashes)
     buckets = signatures.select(
-        F.col(id_col).alias("doc"), F.posexplode(band_hashes).alias("band", "bucket")
+        F.col(id_col).alias("doc"), F.posexplode(guarded).alias("band", "bucket")
     )
     return _bucket_pairs(
         buckets,
@@ -411,18 +428,39 @@ def simhash_candidate_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     *,
+    bits: int = 64,
     band_hex_width: int = 4,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidates: docs sharing any aligned 16-bit block of the
-    SimHash (4 hex chars) — the standard hamming-LSH trick.
+    """Near-dup candidates: docs sharing any aligned block of the
+    SimHash (``band_hex_width`` hex chars) — the standard hamming-LSH
+    trick. ``bits`` must match the signature width the ``simhash``
+    column was built with: an out-of-range block would be an empty
+    ``substring`` shared by EVERY doc — one universal bucket, silent
+    O(n²) pair explosion — so the mismatch is rejected up front.
     ``max_bucket_size`` caps degenerate blocks (e.g. the all-zero block
     of empty docs), the corpus-scale skew guard."""
+    hex_chars = bits // 4
+    if bits % 4 or hex_chars % band_hex_width:
+        raise ValueError(
+            f"bits={bits} must be a multiple of 4 and of band_hex_width*4="
+            f"{band_hex_width * 4}"
+        )
     blocks = F.array(
         *[
             F.concat(F.lit(str(i)), F.lit(":"), F.substring("simhash", i * band_hex_width + 1, band_hex_width))
-            for i in range(16 // band_hex_width)
+            for i in range(hex_chars // band_hex_width)
         ]
     )
-    b = sigs.select(F.col(id_col).alias("doc"), F.explode(blocks).alias("block"))
+    guard = F.when(
+        F.length("simhash") != hex_chars,
+        F.raise_error(
+            F.concat(
+                F.lit(f"simhash_candidate_pairs(bits={bits}) expects {hex_chars}-hex "
+                      "signatures, got length "),
+                F.length("simhash").cast("string"),
+            )
+        ).cast("array<string>"),
+    ).otherwise(blocks)
+    b = sigs.select(F.col(id_col).alias("doc"), F.explode(guard).alias("block"))
     return _bucket_pairs(b, "block", max_bucket_size=max_bucket_size)

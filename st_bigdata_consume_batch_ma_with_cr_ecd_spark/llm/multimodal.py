@@ -224,6 +224,11 @@ def extract_audio_features(
         from .codecs import decode_wav
 
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: zip(*[]) would raise
+                yield pd.DataFrame(
+                    {"doc_id": [], "n_samples": [], "mean_level": [], "peak_level": []}
+                )
+                continue
             stats = []
             for b in pdf[payload_col]:
                 if fake_decode:

@@ -342,6 +342,7 @@ def semantic_dedup(
     """
     import pandas as pd  # noqa: F811 — local for the UDF closure
 
+    id_type = df.schema[id_col].dataType.simpleString()
     e = _with_norm(
         ensure_min_partitions(df.where(F.col(vec_col).isNotNull())), vec_col, id_col
     )
@@ -364,6 +365,11 @@ def semantic_dedup(
         else:
             m = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
             nrm = pdf["__norm"].to_numpy(dtype=np.float64)
+            # zero-norm (all-zero embedding) guard: without it the NaN
+            # sims poison np.max and every later row reads kept=False;
+            # with norm->1 a zero vector has cosine 0 vs everything
+            # (similar to nothing), matching _np_normalize's convention
+            nrm = np.where(nrm == 0.0, 1.0, nrm)
             sims = np.round((m @ m.T) / np.outer(nrm, nrm), round_to)
             prior = np.tril(np.ones((n, n), dtype=bool), k=-1)  # j < i
             max_prior = np.max(np.where(prior, sims, -np.inf), axis=1)
@@ -373,7 +379,7 @@ def semantic_dedup(
         )
 
     out = e.groupBy("__cell").applyInPandas(
-        dedup_cell, schema="__id long, __cell int, kept boolean"
+        dedup_cell, schema=f"__id {id_type}, __cell int, kept boolean"
     )
     return out.select(
         F.col("__id").alias(id_col), F.col("__cell").alias("cell"), "kept"
@@ -628,8 +634,9 @@ def pq_topk(
         ]
         table_rows.append((r[id_col], table))
     spark = corpus.sparkSession
+    id_type = queries.schema[id_col].dataType.simpleString()
     tables = spark.createDataFrame(
-        table_rows, "query_id long, table array<array<double>>"
+        table_rows, f"query_id {id_type}, table array<array<double>>"
     )
     score = F.round(
         F.aggregate(

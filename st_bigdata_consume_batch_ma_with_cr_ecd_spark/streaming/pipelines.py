@@ -25,6 +25,7 @@ def windowed_event_counts(
     *,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
     window: str = "1 hour",
     slide: str | None = None,
     watermark: str = "1 hour",
@@ -40,7 +41,7 @@ def windowed_event_counts(
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     # decimal sum, rounded while still decimal -> order- and engine-
     # independent total (see operators.aggregates.rounded_sum)
-    total = F.round(F.sum(F.col("value").cast("decimal(30,8)")), 2).cast("double")
+    total = F.round(F.sum(F.col(value_col).cast("decimal(30,8)")), 2).cast("double")
     w = (
         F.window(F.col(ts_col), window, slide)
         if slide is not None
@@ -54,8 +55,13 @@ def windowed_event_counts(
 
 
 def streaming_dedup(events: DataFrame, *, ts_col: str = "ts", id_col: str = "event_id", watermark: str = "1 hour") -> DataFrame:
-    """Stateful exactly-once-per-id dedup within the watermark horizon
-    (``dropDuplicates`` keeps per-key state until the watermark passes)."""
+    """Stateful exactly-once-per-id dedup. State caveat (the r3 review
+    caught the original docstring overclaiming): ``dropDuplicates``
+    without the event-time column in the key NEVER evicts state — the
+    watermark here bounds lateness, not state size. For bounded drains
+    and bounded id spaces that's fine; for unbounded key spaces use
+    :func:`streaming_dedup_within_watermark`, which evicts a key at the
+    horizon (the production default)."""
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return src.dropDuplicates([id_col])
 
