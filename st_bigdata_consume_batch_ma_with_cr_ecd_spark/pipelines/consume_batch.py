@@ -149,7 +149,12 @@ def merge_delete(filtered: DataFrame, first_day_past: str) -> DataFrame:
         (F.col("operation") != "Delete") & F.col("classified_metaData_classifiedId").isNotNull()
     )
 
-    donors = non_deleted.select("globalObjectKey", F.col("changeDate"), *payload)
+    # donors carry id so the latest-donor pick is TOTAL under equal
+    # changeDates (same-timestamp updates are routine in change logs);
+    # matches the e2e oracle's ORDER BY changeDate DESC, id DESC
+    donors = non_deleted.select(
+        "globalObjectKey", F.col("changeDate"), F.col("id"), *payload
+    )
     backfilled = asof_join(
         deleted,
         donors,
@@ -158,8 +163,8 @@ def merge_delete(filtered: DataFrame, first_day_past: str) -> DataFrame:
         right_ts="changeDate",
         how="inner",
         left_id="id",
-        tiebreak="id" if "id" in donors.columns else None,
-    ).drop("changeDate_right")
+        tiebreak="id",
+    ).drop("changeDate_right").drop("id_right")
 
     healthy = non_deleted.where(date_ok).select(*_CORE, *payload)
     return union_slices([backfilled.select(*_CORE, *payload), healthy], "ALL")
@@ -211,7 +216,14 @@ def basedata_enrich(
     fraud = (
         fraud_events.where(F.col("operation") != "Delete")
         .groupBy("globalObjectKey")
-        .agg(F.max_by(F.col("controlData.FraudLevelId"), F.col("changeDate")).alias("fraudLevelId"))
+        .agg(
+            F.max_by(
+                F.col("controlData.FraudLevelId"),
+                # struct order = (changeDate, FraudLevelId): total under
+                # equal changeDates, so the <= 0 gate is deterministic
+                F.struct(F.col("changeDate"), F.col("controlData.FraudLevelId")),
+            ).alias("fraudLevelId")
+        )
     )
     out = oc.join(fraud, oc[cid] == fraud.globalObjectKey, "left").drop(fraud.globalObjectKey)
 
@@ -313,7 +325,7 @@ def modify_data(
         "cleaned_classified_structure_rooms_numberofrooms",
         F.round(F.col("cleaned_classified_structure_rooms_numberofrooms")).cast("int"),
     ).withColumn(
-        "classified_geo_city", F.regexp_replace(F.col("classified_geo_city"), r"\\\\", "")
+        "classified_geo_city", F.regexp_replace(F.col("classified_geo_city"), r"\\", "")
     )
     df = strip_prefix(df, "cleaned_")
 

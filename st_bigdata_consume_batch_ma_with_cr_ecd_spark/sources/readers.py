@@ -127,7 +127,15 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 def load_nanos_events(spark: SparkSession, path: str, ts_col: str = "ts") -> DataFrame:
     """Read a parquet events file, normalizing ``ts_col`` to TIMESTAMP
     via :func:`normalize_event_ts` (handles NANOS-as-long, NTZ, and
-    plain timestamp encodings)."""
+    plain timestamp encodings).
+
+    Deliberately leaves ``nanosAsLong`` set SESSION-WIDE: the conf is
+    read at execution (not plan) time, so a save/restore around this
+    lazy read would break it. The trade: any later raw parquet read of
+    a NANOS column in the same session also decodes as long — in this
+    engine every NANOS read goes through this helper (which then
+    normalizes), so route new NANOS sources here too.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return normalize_event_ts(spark.read.parquet(path), ts_col)
 

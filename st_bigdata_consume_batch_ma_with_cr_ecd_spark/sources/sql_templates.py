@@ -11,7 +11,10 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-_PLACEHOLDER = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+# negative lookaround keeps the documented ``{{``/``}}`` escapes from
+# reading as placeholders: in "'{{tag}}'" the inner {tag} is preceded
+# by '{' and followed by '}', so it is a literal, not a parameter
+_PLACEHOLDER = re.compile(r"(?<!\{)\{([A-Za-z_][A-Za-z0-9_]*)\}(?!\})")
 
 
 def render_sql(template: str, **params: object) -> str:

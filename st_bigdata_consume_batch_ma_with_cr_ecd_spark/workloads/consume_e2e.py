@@ -26,6 +26,7 @@ broadcast. The sinks are ``files=1`` gzip per the reference's contract
 
 from __future__ import annotations
 
+import os
 import tempfile
 from datetime import date
 
@@ -507,11 +508,18 @@ def _e2e_oracle() -> str:
     "JSON sinks per slice, dynamic-partition-overwrite parquet for the "
     "union, result read back FROM THE PARQUET SINK. Oracle replays the "
     "derivation and every stage in DuckDB (reference script/main.py:300-416).",
-    tags=("bench",),
+    tags=("bench", "eager"),
 )
 def pipeline_consume_batch_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
     t = derive_consume_inputs(spark, sf_dir)
-    out_root = tempfile.mkdtemp(prefix="consume_e2e_")
+    # ONE stable output tree per process, replaced on each invocation:
+    # a fresh mkdtemp per call leaked a full three-sink output copy per
+    # bench iteration (r3 review finding)
+    out_root = os.path.join(tempfile.gettempdir(), "spark_graft_consume_e2e")
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
 
     # materialize the shared stage-0 merge FIRST (count() scans the
     # InMemoryRelation, which caches whole rows), then run the four

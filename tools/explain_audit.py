@@ -40,6 +40,11 @@ def main() -> int:
         [REGISTRY[n] for n in args.names] if args.names else bench_specs()
     )
     for spec in specs:
+        if "eager" in spec.tags and spec.name not in args.names:
+            # runs the whole job (sinks included) just to build a plan
+            # of the read-back — skip unless explicitly requested
+            print(f"== {spec.name}: eager job, skipped (pass its name to force)")
+            continue
         try:
             df = spec.fn(spark, args.sf)
         except Exception as e:  # streaming queries execute eagerly; skip cleanly

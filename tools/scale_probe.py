@@ -49,10 +49,15 @@ def amplify(df: DataFrame, mult: int, key_cols: list[str]) -> DataFrame:
     return out
 
 
+_BASE_COUNTS: dict[str, tuple[int, int]] = {}
+
+
 def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataFrame, int]]:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    n_li, n_o = li.count(), orders.count()
+    if sf_dir not in _BASE_COUNTS:  # constant across mults — count once
+        _BASE_COUNTS[sf_dir] = (li.count(), orders.count())
+    n_li, n_o = _BASE_COUNTS[sf_dir]
     li_m = amplify(li, mult, ["l_orderkey"])
     o_m = amplify(orders, mult, ["o_orderkey", "o_custkey"])
 
