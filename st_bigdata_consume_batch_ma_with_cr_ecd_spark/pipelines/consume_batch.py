@@ -446,3 +446,57 @@ def consume_batch(
             modify_data(final, spec.geoid, dates.partition_month, bundeslaender, stadtlandkreise)
         )
     return union_slices(parts, "ALL")
+
+
+def run_slices_concurrent(
+    tables: dict[str, DataFrame],
+    merged: DataFrame,
+    dates: "JobDates",
+    out_root: str,
+    *,
+    slices=DEFAULT_SLICES,
+    json_clock: str | None = None,
+    count_rows: bool = False,
+) -> tuple[list[DataFrame], dict[str, int] | None]:
+    """The shared slice orchestration both the CLI job driver and the
+    e2e workload run (previously two hand-copied loops — r3 review):
+    build stages 1-3 + modify_data for each slice FROM the already
+    cached stage-0 ``merged``, sink each slice to single-file gzip CSV
+    + gzip JSON, all four chains CONCURRENTLY from a driver thread pool
+    (Spark schedules jobs from multiple threads onto one session;
+    measured ~1.9x over the reference's serial loop at sf0.1).
+
+    Returns the cached slice frames (callers union + parquet-sink them
+    and must unpersist) and, with ``count_rows``, per-slice row counts.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..sinks.writers import write_csv_gzip, write_json_gzip
+
+    def build_and_sink(spec):
+        first = basedata_first(merged, tables["texts"], spec.geoid, spec.distribution_type)
+        base = basedata_enrich(
+            first, tables["visibility"], tables["fraud"], tables["contacts"],
+            tables["visits"], dates,
+        )
+        final = basedata_final(base, first, dates, spec.price_amount_column)
+        sliced = modify_data(
+            final, spec.geoid, dates.partition_month,
+            tables["bundeslaender"], tables["stadtlandkreise"],
+        ).cache()
+        tag = f"{spec.geoid}_{spec.distribution_type}"
+        n = sliced.count() if count_rows else None
+        write_csv_gzip(sliced, f"{out_root}/csv/{tag}", files=1)
+        shaped = (
+            shape_json_output(sliced, spec.distribution_type, clock=json_clock)
+            if json_clock is not None
+            else shape_json_output(sliced, spec.distribution_type)
+        )
+        write_json_gzip(shaped, f"{out_root}/json/{tag}", files=1)
+        return tag, n, sliced
+
+    with ThreadPoolExecutor(max_workers=len(slices)) as pool:
+        results = list(pool.map(build_and_sink, slices))
+    parts = [sliced for _, _, sliced in results]
+    counts = {tag: n for tag, n, _ in results} if count_rows else None
+    return parts, counts

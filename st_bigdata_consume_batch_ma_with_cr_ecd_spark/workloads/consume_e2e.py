@@ -42,6 +42,7 @@ from ..pipelines.consume_batch import (
     filter_changelog,
     merge_delete,
     modify_data,
+    run_slices_concurrent,
     shape_json_output,
 )
 from ..operators.setops import union_slices
@@ -532,28 +533,9 @@ def pipeline_consume_batch_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_delete(filter_changelog(t["changelog"]), _DATES.first_day_past).cache()
     merged.count()
 
-    def build_and_sink(spec) -> DataFrame:
-        first = basedata_first(merged, t["texts"], spec.geoid, spec.distribution_type)
-        base = basedata_enrich(
-            first, t["visibility"], t["fraud"], t["contacts"], t["visits"], _DATES
-        )
-        final = basedata_final(base, first, _DATES, spec.price_amount_column)
-        sliced = modify_data(
-            final, spec.geoid, _DATES.partition_month, t["bundeslaender"], t["stadtlandkreise"]
-        ).cache()
-        tag = f"{spec.geoid}_{spec.distribution_type}"
-        write_csv_gzip(sliced, f"{out_root}/csv/{tag}", files=1)
-        write_json_gzip(
-            shape_json_output(sliced, spec.distribution_type, clock="2024-01-30 00:00:00"),
-            f"{out_root}/json/{tag}",
-            files=1,
-        )
-        return sliced
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(DEFAULT_SLICES)) as pool:
-        parts = list(pool.map(build_and_sink, DEFAULT_SLICES))
+    parts, _ = run_slices_concurrent(
+        t, merged, _DATES, out_root, json_clock="2024-01-30 00:00:00"
+    )
 
     union = union_slices(parts, "ALL")
     overwrite_partitions(union, f"{out_root}/parquet", ["partitionMonth"])

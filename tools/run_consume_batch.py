@@ -78,29 +78,13 @@ def main(argv: list[str] | None = None) -> int:
 
     out_root = Path(args.output_dir)
 
-    def build_and_sink(spec):
-        first = basedata_first(merged, t["texts"], spec.geoid, spec.distribution_type)
-        base = basedata_enrich(
-            first, t["visibility"], t["fraud"], t["contacts"], t["visits"], dates
-        )
-        final = basedata_final(base, first, dates, spec.price_amount_column)
-        sliced = modify_data(
-            final, spec.geoid, dates.partition_month, t["bundeslaender"], t["stadtlandkreise"]
-        ).cache()
-        tag = f"{spec.geoid}_{spec.distribution_type}"
-        n = sliced.count()
-        write_csv_gzip(sliced, str(out_root / "csv" / tag), files=1)
-        write_json_gzip(
-            shape_json_output(sliced, spec.distribution_type), str(out_root / "json" / tag), files=1
-        )
-        return tag, n, sliced
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.pipelines.consume_batch import (
+        run_slices_concurrent,
+    )
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(DEFAULT_SLICES)) as pool:
-        results = list(pool.map(build_and_sink, DEFAULT_SLICES))
-    rows_per_slice = {tag: n for tag, n, _ in results}
-    parts = [sliced for _, _, sliced in results]
+    parts, rows_per_slice = run_slices_concurrent(
+        t, merged, dates, str(out_root), count_rows=True
+    )
 
     union = union_slices(parts, "ALL")
     overwrite_partitions(union, str(out_root / "parquet"), ["partitionMonth"])
