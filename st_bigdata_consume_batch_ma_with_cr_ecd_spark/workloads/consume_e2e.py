@@ -36,17 +36,13 @@ from pyspark.sql import functions as F
 from ..pipelines.consume_batch import (
     DEFAULT_SLICES,
     JobDates,
-    basedata_enrich,
-    basedata_final,
-    basedata_first,
     filter_changelog,
     merge_delete,
     modify_data,
     run_slices_concurrent,
-    shape_json_output,
 )
 from ..operators.setops import union_slices
-from ..sinks.writers import overwrite_partitions, write_csv_gzip, write_json_gzip
+from ..sinks.writers import overwrite_partitions
 from ..sources.readers import read_testdata
 from .registry import register
 

@@ -25,21 +25,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.setops import union_slices
 from st_bigdata_consume_batch_ma_with_cr_ecd_spark.pipelines.consume_batch import (
-    DEFAULT_SLICES,
     JobDates,
-    basedata_enrich,
-    basedata_final,
-    basedata_first,
     filter_changelog,
     merge_delete,
-    modify_data,
-    shape_json_output,
 )
 from st_bigdata_consume_batch_ma_with_cr_ecd_spark.session import get_spark
 from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.writers import (
     overwrite_partitions,
-    write_csv_gzip,
-    write_json_gzip,
 )
 
 INPUT_TABLES = (
