@@ -1406,6 +1406,48 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_exact_median_distributed",
+    oracle="""
+    WITH v AS (SELECT n_chars FROM documents),
+    r AS (
+        SELECT n_chars,
+               row_number() OVER (ORDER BY n_chars, n_chars) AS rank,
+               count(*) OVER () AS n
+        FROM v
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_docs,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) + 0.0 AS median_chars
+    FROM r WHERE rank IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+    doc="EXACT global median without any single-partition stage: values "
+    "get dense global ranks from the two-phase range-partitioned id "
+    "machinery (operators.rowids — each task ranks its slice against "
+    "broadcast per-partition counts), then only the one or two middle "
+    "ranks are selected and averaged. percentile()-style exact "
+    "aggregates buffer a whole group in one executor; this shape holds "
+    "at any cardinality — the same trick as stats_token_gini, applied "
+    "to order statistics. (Duplicate values make any same-value "
+    "tiebreak valid: ranks within a tie are interchangeable.)",
+)
+def stats_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rowids import assign_contiguous_ids
+
+    vals = _docs(spark, sf_dir).select("n_chars")
+    ranked = assign_contiguous_ids(vals, [F.col("n_chars").asc()], id_col="__r")
+    n = ranked.agg(F.count(F.lit(1)).alias("n"))
+    mid = ranked.crossJoin(F.broadcast(n)).where(
+        ((F.col("__r") + 1) == F.floor((F.col("n") + 1) / 2))
+        | ((F.col("__r") + 1) == F.floor((F.col("n") + 2) / 2))
+    )
+    return mid.agg(
+        F.max("n").cast("long").alias("n_docs"),
+        (F.round(F.avg(F.col("n_chars").cast("double")), 4) + F.lit(0.0)).alias(
+            "median_chars"
+        ),
+    )
+
+
+@register(
     "stats_token_gini",
     oracle=f"""
     WITH tok AS (SELECT unnest({_DUCK_TOKENS}) AS token FROM documents),
