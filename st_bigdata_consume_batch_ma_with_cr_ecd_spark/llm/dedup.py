@@ -94,6 +94,33 @@ def ngram_jaccard_pairs(
     dir). ``sizes`` (one short row per doc) is checkpointed too so the
     ``sa``/``sb`` join branches share one aggregation instead of two.
     """
+    counts = _pair_overlap_counts(
+        df, text_col, id_col, k=k, max_shingle_freq=max_shingle_freq, materialize=materialize
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        counts.withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _pair_overlap_counts(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int,
+    max_shingle_freq: int | None,
+    materialize: bool,
+) -> DataFrame:
+    """Shared machinery of the set-overlap dedup family: per-pair
+    ``(doc_a, doc_b, shared, na, nb)`` where ``shared`` is the count of
+    common shingles and ``na``/``nb`` the per-doc distinct-shingle
+    counts (over the possibly frequency-pruned shingle universe, so
+    numerators and denominators agree). Jaccard, containment, and
+    overlap coefficients are all pure projections of these three
+    counts."""
     sh = _doc_shingles(df, text_col, id_col, k).select(F.col(id_col).alias("doc"), "shingle")
     buckets = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("__docs"))
     if max_shingle_freq is not None:
@@ -121,13 +148,40 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return shared.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Directed near-duplicate CONTAINMENT: ``shared/|A|`` and
+    ``shared/|B|`` per candidate pair, kept when either direction
+    reaches ``threshold``.
+
+    Jaccard misses subset relationships: a short article fully quoted
+    inside a long page scores ``|A|/|B|`` (tiny) on Jaccard but 1.0 on
+    containment-of-A-in-B — the signal that catches quote extraction,
+    boilerplate-wrapped mirrors, and partial scrapes. Same bucketed
+    pair generation and skew guard as ``ngram_jaccard_pairs`` (one
+    shingle shuffle + one pair shuffle, no self-join); the two ratios
+    are free projections of the shared overlap counts."""
+    counts = _pair_overlap_counts(
+        df, text_col, id_col, k=k, max_shingle_freq=max_shingle_freq, materialize=materialize
+    )
+    c_ab = F.round(F.col("shared") / F.col("na"), 4)
+    c_ba = F.round(F.col("shared") / F.col("nb"), 4)
     return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", F.round(jac, 4))
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        counts.withColumn("cont_a_in_b", c_ab)
+        .withColumn("cont_b_in_a", c_ba)
+        .where((F.col("cont_a_in_b") >= threshold) | (F.col("cont_b_in_a") >= threshold))
+        .select("doc_a", "doc_b", "shared", "cont_a_in_b", "cont_b_in_a")
     )
 
 

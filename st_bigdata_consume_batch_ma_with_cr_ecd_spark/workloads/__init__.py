@@ -8,7 +8,7 @@ Importing this package registers every workload module's queries into
 # driver's bounded check window by least-recently-checked): the SURVEY
 # §2 relational battery and the faithful pipeline first, then
 # streaming, the LLM extension surface, and the end-to-end job.
-from . import relational, pipeline, streaming, llm, consume_e2e  # noqa: F401
+from . import relational, pipeline, streaming, llm, graph_retrieval, consume_e2e  # noqa: F401
 from .registry import (  # noqa: F401
     REGISTRY,
     QuerySpec,

@@ -1,0 +1,545 @@
+"""Graph analytics, ranked retrieval, and Arrow-native batteries.
+
+Fills three capability corners a 100-TB corpus platform needs beyond
+the dedup/similarity families already registered in ``workloads/llm.py``:
+
+- **Ranked retrieval** (``retrieval_bm25_topk``): the sparse half of a
+  retrieval stack — BM25 over the corpus inverted index, scored only
+  for documents containing a query term (the classic impact-ordered
+  sparsity win; never a corpus-wide cross join).
+- **Iterative graph rank** (``graph_pagerank_fixed``): PageRank with a
+  fixed iteration budget — the influence/authority scoring pattern for
+  link graphs, run as one shuffle per iteration with decimal-exact
+  mass accounting so every engine lands on identical ranks.
+- **Arrow-native UDF surface** (``embedding_normalize_arrow``,
+  ``embedding_label_minmax_arrow``): PySpark 4's ``mapInArrow`` /
+  ``applyInArrow`` — zero pandas conversion overhead, numpy directly
+  on the Arrow buffers. The rounding contract stays JVM-side (the UDF
+  emits raw doubles; Spark rounds) so the DuckDB oracles replay
+  bit-for-bit.
+- **Directed containment dedup** (``dedup_ngram_containment``): the
+  subset-detection twin of Jaccard near-dedup (quote extraction,
+  boilerplate-wrapped mirrors) on the same bucketed pair machinery.
+- **Smoothed time series** (``stats_ewma_daily``): exponentially
+  weighted daily metrics via an order-fixed fold — the trend baseline
+  for the ingest-volume monitors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm.dedup import ngram_containment_pairs
+from ..llm.text import tokenize
+from ..operators.dedup import top_n_per_group
+from ..sources.readers import read_testdata
+from .llm import _DUCK_SHINGLES, _DUCK_TOKENS
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+# Literal query set: terms drawn from the synthetic corpus vocabulary.
+# In production this table arrives as a (query_id, token) side input —
+# always tiny relative to the corpus, hence the broadcast below.
+_BM25_QUERIES: list[tuple[str, list[str]]] = [
+    ("q_spark_join", ["spark", "join"]),
+    ("q_batch_window", ["window", "merge", "batch"]),
+    ("q_vector_scan", ["vector", "scan"]),
+]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 5
+
+
+def _bm25_oracle() -> str:
+    q_values = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
+    )
+    # Expression shapes mirror the Spark side token for token: the
+    # scalar double chain (ln, +, *, /) is IEEE-identical cross-engine;
+    # per-term scores round at 8 then sum exactly as DECIMAL so the
+    # per-document total is independent of term order.
+    return f"""
+    WITH queries(query_id, token) AS (SELECT * FROM (VALUES {q_values})),
+    tok AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
+    ),
+    t2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM t2 GROUP BY 1, 2),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+    dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM documents),
+    tot AS (SELECT sum(dl) AS total_len FROM dl),
+    term_scores AS (
+        SELECT q.query_id, tf.doc_id,
+               ln((nd.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / (tot.total_len / nd.n_docs))) AS s
+        FROM tf
+        JOIN queries q ON tf.token = q.token
+        JOIN dfreq ON tf.token = dfreq.token
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN nd CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(round(sum(CAST(round(s, 8) AS DECIMAL(30,8))), 4) AS DOUBLE) AS score
+        FROM term_scores GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+        ) AS rank
+        FROM scored
+    ) WHERE rank <= {_BM25_TOPK}
+    """
+
+
+@register(
+    "retrieval_bm25_topk",
+    oracle=_bm25_oracle(),
+    doc="BM25 (k1=1.2, b=0.75) top-5 documents per query over the corpus "
+    "inverted index. One token explode feeds tf, doclen, AND df (three "
+    "hash aggregates over the same scan); corpus stats join in as 1-row "
+    "broadcasts; the query table broadcasts onto the tf rows so only "
+    "documents containing a query term are ever scored — scoring cost "
+    "tracks posting-list length, not corpus size. Per-term scores round "
+    "at 8 and sum as exact DECIMAL (term-order independent); top-k per "
+    "query is a WindowGroupLimit with a (score DESC, doc_id) total "
+    "order.",
+    tags=("bench",),
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, token string",
+    )
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = dl.agg(F.sum("dl").alias("total_len"))
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    s = (
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    term_scores = (
+        tf.join(F.broadcast(queries), "token")
+        .join(dfreq, "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(tot))
+        .select("query_id", "doc_id", s.alias("s"))
+    )
+    scored = term_scores.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(F.round(F.col("s"), 8).cast("decimal(30,8)")), 4)
+        .cast("double")
+        .alias("score")
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        n=_BM25_TOPK,
+        rank_col="rank",
+        keep_rank=True,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# PageRank, fixed iteration budget
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_DAMPING = 0.85
+# Supplier nodes share the BIGINT key space with customers; offset them
+# into a disjoint range. At real scale use a struct/typed node id.
+_PR_SUPP_OFFSET = 1_000_000_000
+_PR_DEC = "decimal(26,12)"
+
+
+def _pagerank_oracle() -> str:
+    base = f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_PR_SUPP_OFFSET} AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    it0 AS (
+        SELECT node, CAST(round(1.0 / nn.n, 12) AS {_PR_DEC}) AS rank
+        FROM nodes CROSS JOIN nn
+    )"""
+    steps = []
+    for k in range(1, _PR_ITERS + 1):
+        p = k - 1
+        steps.append(f"""
+    m{k} AS (
+        SELECT e.dst AS node,
+               sum(CAST(round(CAST(r.rank AS DOUBLE) / o.outdeg, 12) AS {_PR_DEC})) AS in_mass
+        FROM it{p} r JOIN edges e ON r.node = e.src JOIN outdeg o ON r.node = o.src
+        GROUP BY e.dst
+    ),
+    d{k} AS (
+        SELECT coalesce(sum(r.rank), 0) AS dm
+        FROM it{p} r LEFT JOIN outdeg o ON r.node = o.src
+        WHERE o.outdeg IS NULL
+    ),
+    it{k} AS (
+        SELECT n.node,
+               CAST(round({1 - _PR_DAMPING} / nn.n + {_PR_DAMPING} *
+                    (coalesce(CAST(m.in_mass AS DOUBLE), 0.0)
+                     + CAST(d.dm AS DOUBLE) / nn.n), 12) AS {_PR_DEC}) AS rank
+        FROM nodes n
+        LEFT JOIN m{k} m ON n.node = m.node
+        CROSS JOIN d{k} d CROSS JOIN nn
+    )""")
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, CAST(rank AS DOUBLE) AS rank FROM it{_PR_ITERS}
+    """
+    )
+
+
+@register(
+    "graph_pagerank_fixed",
+    oracle=_pagerank_oracle(),
+    doc="PageRank (5 iterations, d=0.85) over the customer->supplier "
+    "purchase graph (distinct (o_custkey, l_suppkey) edges via the "
+    "orders-lineitem join). Each iteration is ONE shuffle on the edge "
+    "destination: contributions are generated from the cached edge "
+    "list joined to the current rank vector, dangling mass folds in as "
+    "a 1-row broadcast, and the rank vector localCheckpoints per round "
+    "(operators/graph.py pattern) so lineage stays flat. Mass "
+    "accounting is decimal-exact (per-edge contributions round at 12 "
+    "then sum as DECIMAL(26,12)), so ranks are bit-identical on any "
+    "partitioning and any engine — the oracle unrolls the same 5 "
+    "iterations as plain CTEs. Only the node COUNT ever reaches the "
+    "driver (model, not data).",
+    tags=("bench",),
+)
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    lineitem = read_testdata(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(_PR_SUPP_OFFSET)).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges_out = (
+        edges.join(outdeg, "src").localCheckpoint(eager=True)
+    )  # (src, dst, outdeg), reused every iteration
+    n = nodes.count()  # scalar model value, O(1) to the driver
+
+    ranks = nodes.withColumn(
+        "rank", F.round(F.lit(1.0) / F.lit(n), 12).cast(_PR_DEC)
+    ).localCheckpoint(eager=True)
+
+    for _ in range(_PR_ITERS):
+        contrib = edges_out.join(ranks, edges_out["src"] == ranks["node"]).select(
+            F.col("dst"),
+            F.round(F.col("rank").cast("double") / F.col("outdeg"), 12)
+            .cast(_PR_DEC)
+            .alias("c"),
+        )
+        in_mass = contrib.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("c").alias("in_mass")
+        )
+        dangling = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
+            .where(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
+        )
+        new_rank = F.round(
+            F.lit(1 - _PR_DAMPING) / F.lit(n)
+            + F.lit(_PR_DAMPING)
+            * (
+                F.coalesce(F.col("in_mass").cast("double"), F.lit(0.0))
+                + F.col("dm").cast("double") / F.lit(n)
+            ),
+            12,
+        ).cast(_PR_DEC)
+        ranks = (
+            nodes.join(in_mass, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select("node", new_rank.alias("rank"))
+            .localCheckpoint(eager=True)
+        )
+
+    return ranks.select("node", F.col("rank").cast("double").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Directed containment dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    sh_all AS (SELECT doc_id AS doc, unnest({_DUCK_SHINGLES}) AS shingle FROM tok),
+    keep AS (SELECT shingle FROM sh_all GROUP BY shingle HAVING count(*) <= 200),
+    sh AS (SELECT doc, sh_all.shingle FROM sh_all JOIN keep ON sh_all.shingle = keep.shingle),
+    shared AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc)
+    SELECT doc_a, doc_b, shared,
+           round(shared / x.n, 4) AS cont_a_in_b,
+           round(shared / y.n, 4) AS cont_b_in_a
+    FROM shared JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+    WHERE round(shared / x.n, 4) >= 0.5 OR round(shared / y.n, 4) >= 0.5
+    """,
+    doc="Directed containment near-dedup (shared/|A| per direction, "
+    "either >= 0.5): catches the subset relationships Jaccard "
+    "structurally misses — a short doc fully quoted inside a long one "
+    "scores ~|A|/|B| on Jaccard but 1.0 on containment. Same bucketed "
+    "pair generation, stop-shingle cap, and single materialized "
+    "shingle aggregate as dedup_ngram_jaccard (llm/dedup.py shares the "
+    "overlap-count core between both metrics).",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, k=3, threshold=0.5, max_shingle_freq=200)
+
+
+# ---------------------------------------------------------------------------
+# EWMA daily smoothing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_ewma_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               max(day) AS last_day,
+               list(v ORDER BY day) AS vals
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days, last_day,
+           round(list_reduce(vals, (acc, x) -> (x + acc) / 2.0), 6) + 0.0 AS ewma
+    FROM series
+    """,
+    doc="Exponentially smoothed daily metric per event type (EWMA, "
+    "alpha=0.5): daily totals via order-independent DECIMAL sums, then "
+    "one ordered fold s_t = (x_t + s_{t-1})/2 per type — the trend "
+    "baseline the volume-anomaly monitor compares against. alpha=0.5 "
+    "keeps every fold step an exact halving (binary-exact), and the "
+    "fold order is pinned by the date sort, so the result is "
+    "bit-identical on any engine. The per-type day count is calendar-"
+    "bounded (not data-bounded), so the collected array stays O(days) "
+    "at any corpus size.",
+)
+def stats_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(38,8)")).cast("double").alias("v"))
+    series = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max("day").alias("last_day"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "v"))), lambda x: x["v"]
+        ).alias("vals"),
+    )
+    ewma = F.expr(
+        "aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1),"
+        " (acc, x) -> (x + acc) / 2.0)"
+    )
+    return series.select(
+        "event_type",
+        "n_days",
+        "last_day",
+        (F.round(ewma, 6) + F.lit(0.0)).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native embedding ops (mapInArrow / applyInArrow)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_arrow_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:  # noqa: F821
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        if batch.num_rows == 0:
+            continue
+        vec_ids = batch.column("vec_id")
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):  # pragma: no cover - single chunk per batch
+            emb = emb.combine_chunks()
+        offsets = emb.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offsets)
+        dim = int(widths[0]) if len(widths) else 0
+        # nulls are filtered upstream; ragged rows would break the
+        # reshape, so assert the fixed-width contract loudly
+        if not (widths == dim).all():
+            raise ValueError("embedding_normalize_arrow requires fixed-width vectors")
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        m = flat.reshape(-1, dim)
+        # accumulate dim-by-dim: sequential left-to-right adds, the
+        # same order DuckDB's list_aggregate('sum') uses — numpy's
+        # pairwise np.sum would round differently
+        acc = np.zeros(m.shape[0], dtype=np.float64)
+        for j in range(dim):
+            acc += m[:, j] * m[:, j]
+        norm = np.sqrt(acc)
+        safe = np.where(norm == 0.0, 1.0, norm)
+        unit = m / safe[:, None]
+        unit_list = [None if norm[i] == 0.0 else unit[i] for i in range(m.shape[0])]
+        yield pa.RecordBatch.from_arrays(
+            [
+                vec_ids,
+                pa.array(unit_list, type=pa.list_(pa.float64())),
+                pa.array(norm, type=pa.float64()),
+            ],
+            names=["vec_id", "unit", "norm"],
+        )
+
+
+@register(
+    "embedding_normalize_arrow",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_aggregate(
+                   list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                   'sum') AS s2
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    n AS (SELECT vec_id, sqrt(s2) AS norm FROM base)
+    SELECT e.vec_id,
+           CASE WHEN n.norm = 0 THEN NULL
+                ELSE list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) / n.norm, 6))
+           END AS unit,
+           round(n.norm, 6) AS norm
+    FROM embeddings e JOIN n ON e.vec_id = n.vec_id
+    """,
+    doc="L2 normalization over Arrow buffers (PySpark 4 mapInArrow): "
+    "numpy reads the list<float> column zero-copy, squares exactly in "
+    "float64 (24-bit mantissas square within 53 bits), and accumulates "
+    "dimension-by-dimension so the add order matches a sequential list "
+    "fold. The UDF emits RAW doubles; all rounding happens JVM-side "
+    "(F.round) so the cross-engine rounding contract stays in one "
+    "place. No pandas conversion anywhere — this is the narrow-waist "
+    "pattern for putting real encoder/codec kernels on the hot path.",
+)
+def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    out = emb.select("vec_id", "embedding").mapInArrow(
+        _normalize_arrow_batches, "vec_id long, unit array<double>, norm double"
+    )
+    return out.select(
+        "vec_id",
+        F.transform("unit", lambda x: F.round(x, 6)).alias("unit"),
+        F.round("norm", 6).alias("norm"),
+    )
+
+
+def _label_minmax_arrow(tbl: "pa.Table") -> "pa.Table":  # noqa: F821
+    import numpy as np
+    import pyarrow as pa
+
+    label = tbl.column("label")[0].as_py()
+    emb = tbl.column("embedding").combine_chunks()
+    offsets = emb.offsets.to_numpy(zero_copy_only=False)
+    widths = np.diff(offsets)
+    dim = int(widths[0]) if len(widths) else 0
+    if not (widths == dim).all():
+        raise ValueError("embedding_label_minmax_arrow requires fixed-width vectors")
+    m = emb.values.to_numpy(zero_copy_only=False).reshape(-1, dim)
+    return pa.table(
+        {
+            "label": pa.array([label] * dim, type=pa.int32()),
+            "dim": pa.array(np.arange(1, dim + 1, dtype=np.int32)),
+            "min_v": pa.array(m.min(axis=0).astype(np.float64)),
+            "max_v": pa.array(m.max(axis=0).astype(np.float64)),
+            "n": pa.array([m.shape[0]] * dim, type=pa.int64()),
+        }
+    )
+
+
+@register(
+    "embedding_label_minmax_arrow",
+    oracle="""
+    SELECT label, CAST(i AS INT) AS dim,
+           CAST(min(v) AS DOUBLE) AS min_v,
+           CAST(max(v) AS DOUBLE) AS max_v,
+           count(*) AS n
+    FROM (
+        SELECT label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE embedding IS NOT NULL
+    )
+    GROUP BY label, i
+    """,
+    doc="Per-label, per-dimension [min, max] envelopes (PySpark 4 "
+    "applyInArrow): each label group lands in the UDF as ONE Arrow "
+    "table, numpy reduces columns without any pandas detour — the "
+    "grouped-kernel pattern (quantizer ranges, feature clipping "
+    "bounds) on exact comparisons only, so no rounding contract is "
+    "needed at all. Min/max/count are order-independent; float32 "
+    "values cast to float64 exactly on both engines.",
+)
+def embedding_label_minmax_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_testdata(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull()
+    )
+    return (
+        emb.select("label", "embedding")
+        .groupBy("label")
+        .applyInArrow(
+            _label_minmax_arrow,
+            "label int, dim int, min_v double, max_v double, n long",
+        )
+    )

@@ -1,0 +1,136 @@
+"""Unit tests for the graph/retrieval/Arrow battery
+(workloads/graph_retrieval.py) — semantics the DuckDB oracle can't
+isolate: containment vs Jaccard divergence, PageRank invariants,
+Arrow UDF edge cases (zero vectors, null filtering)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+    ngram_containment_pairs,
+    ngram_jaccard_pairs,
+)
+from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+    _normalize_arrow_batches,
+    graph_pagerank_fixed,
+    retrieval_bm25_topk,
+)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    # doc 2 = doc 1's text embedded in a much longer page: containment
+    # of 1-in-2 is 1.0 while Jaccard is far below any dedup threshold.
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    cont = ngram_containment_pairs(df, k=3, threshold=0.9).collect()
+    assert len(cont) == 1
+    row = cont[0]
+    assert (row.doc_a, row.doc_b) == (1, 2)
+    assert row.cont_a_in_b == 1.0  # every shingle of the short doc is shared
+    assert row.cont_b_in_a < 0.1
+    jac = ngram_jaccard_pairs(df, k=3, threshold=0.5).collect()
+    assert jac == []  # Jaccard never reaches a dedup-grade threshold
+
+
+def test_containment_symmetric_pair_shares_overlap_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(df, k=3, threshold=0.5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b, r.cont_a_in_b, r.cont_b_in_a) == (1, 2, 1.0, 1.0)
+
+
+def test_pagerank_mass_conserved_and_positive(spark, sf_dir):
+    ranks = graph_pagerank_fixed(spark, sf_dir).collect()
+    total = sum(r.rank for r in ranks)
+    # with dangling-mass redistribution total rank stays ~1 (only the
+    # per-round 1e-12 roundings drift it)
+    assert total == pytest.approx(1.0, abs=1e-6)
+    assert all(r.rank > 0 for r in ranks)
+
+
+def test_pagerank_sinks_outrank_uniform(spark, sf_dir):
+    # suppliers only RECEIVE mass, so every supplier node should sit
+    # above the uniform 1/N floor and customers at/below their initial
+    ranks = graph_pagerank_fixed(spark, sf_dir)
+    n = ranks.count()
+    supp = ranks.where(F.col("node") >= 1_000_000_000)
+    assert supp.where(F.col("rank") <= 1.0 / n).count() == 0
+
+
+def test_bm25_scores_rank_term_frequency(spark, tmp_path):
+    # build a tiny corpus parquet so the registered query runs on it
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = [
+        (1, "spark join spark join spark", "en", "s", 5),
+        (2, "spark filter scan table row", "en", "s", 5),
+        (3, "window batch merge value key", "en", "s", 5),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": [d[1] for d in docs],
+            "lang": [d[2] for d in docs],
+            "source": [d[3] for d in docs],
+            "n_chars": pa.array([d[4] for d in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    out = retrieval_bm25_topk(spark, str(tmp_path)).collect()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r.query_id, []).append(r)
+    sj = sorted(by_query["q_spark_join"], key=lambda r: r.rank)
+    # doc 1 carries both terms with high tf -> must outrank doc 2
+    assert sj[0].doc_id == 1 and sj[0].score > sj[1].score
+    assert all(r.doc_id != 3 for r in sj)  # no query term, never scored
+
+
+def test_normalize_arrow_zero_vector_yields_null_unit():
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2], pa.int64()),
+            pa.array([[0.0, 0.0], [3.0, 4.0]], pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    out = list(_normalize_arrow_batches(iter([batch])))
+    assert len(out) == 1
+    rows = out[0].to_pylist()
+    assert rows[0]["unit"] is None and rows[0]["norm"] == 0.0
+    assert rows[1]["norm"] == 5.0
+    assert rows[1]["unit"] == pytest.approx([0.6, 0.8])
+
+
+def test_normalize_arrow_skips_empty_batches():
+    import pyarrow as pa
+
+    empty = pa.RecordBatch.from_arrays(
+        [pa.array([], pa.int64()), pa.array([], pa.list_(pa.float32()))],
+        names=["vec_id", "embedding"],
+    )
+    assert list(_normalize_arrow_batches(iter([empty]))) == []
+
+
+def test_normalize_arrow_rejects_ragged_vectors():
+    import pyarrow as pa
+
+    ragged = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2], pa.int64()),
+            pa.array([[1.0, 2.0], [1.0]], pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="fixed-width"):
+        list(_normalize_arrow_batches(iter([ragged])))
