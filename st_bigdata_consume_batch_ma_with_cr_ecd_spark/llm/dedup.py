@@ -185,6 +185,85 @@ def ngram_containment_pairs(
     )
 
 
+def jaccard_prefix_filtered_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (SSJoin /
+    PPJoin family: Chaudhuri et al. ICDE'06, Xiao et al. WWW'08).
+
+    Returns the same (doc_a, doc_b, jaccard) rows as
+    ``ngram_jaccard_pairs`` at the same threshold — no approximation —
+    but generates candidates only from each document's PREFIX: under a
+    global rarest-first shingle order, a pair with ``J(A,B) >= t`` must
+    share a shingle within the first ``n - ceil(t*n) + 1`` shingles of
+    both docs. Everything outside the prefixes never reaches the
+    pair-generation shuffle, and because the order is rarest-first the
+    hottest (boilerplate) shingles are precisely the ones excluded —
+    the candidate volume drops by orders of magnitude at corpus scale
+    WITHOUT the lossy stop-shingle cap. Candidates are then verified
+    with true overlap counts (a join that touches only candidate
+    pairs).
+
+    The ``(doc, shingle)`` table fans out to five consumers (frequency
+    order, prefix, both verification sides, sizes), so ``materialize``
+    checkpoints it once — same rationale as ``ngram_jaccard_pairs``.
+    """
+    sh = _doc_shingles(df, text_col, id_col, k).select(F.col(id_col).alias("doc"), "shingle")
+    if materialize:
+        sh = sh.localCheckpoint(eager=True)
+
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__freq"))
+    w = Window.partitionBy("doc").orderBy(F.asc("__freq"), F.asc("shingle"))
+    ordered = (
+        sh.join(freq, "shingle")
+        .withColumn("__rank", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
+    prefix = ordered.where(F.col("__rank") <= prefix_len).select("doc", "shingle")
+
+    pair_structs = F.expr(
+        "transform(__docs, (x, i) ->"
+        " transform(slice(__docs, i + 2, size(__docs)), y -> struct(x AS doc_a, y AS doc_b)))"
+    )
+    candidates = (
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc")).alias("__docs"))
+        .select(F.explode(F.flatten(pair_structs)).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+    # verification: true overlap counts, computed only for candidates
+    sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
+    shared = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", F.round(jac, 4))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

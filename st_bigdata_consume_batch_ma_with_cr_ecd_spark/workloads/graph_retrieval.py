@@ -124,9 +124,20 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token")).where(
         F.col("token") != ""
     )
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # tf fans out to THREE consumers (dl, dfreq, scoring); checkpoint it
+    # so the tokenize/explode/aggregate subtree runs once (the
+    # ngram_jaccard_pairs lesson — Catalyst does not reuse the subtree)
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint(eager=True)
+    # document frequency is only ever consumed for query terms, so the
+    # broadcast query filter pushes BELOW the aggregate: df values for
+    # the filtered tokens are identical to corpus-wide df
+    tf_q = tf.join(F.broadcast(queries.select("token").distinct()), "token")
+    dfreq = tf_q.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     tot = dl.agg(F.sum("dl").alias("total_len"))
 
@@ -145,7 +156,7 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     term_scores = (
-        tf.join(F.broadcast(queries), "token")
+        tf_q.join(F.broadcast(queries), "token")
         .join(dfreq, "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(nd))

@@ -219,6 +219,37 @@ def dedup_ngram_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_prefix_filter",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    sh AS (SELECT doc_id AS doc, unnest({_DUCK_SHINGLES}) AS shingle FROM tok),
+    shared AS (
+        SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc)
+    SELECT doc_a, doc_b, round(shared / (x.n + y.n - shared), 4) AS jaccard
+    FROM shared JOIN sizes x ON doc_a = x.doc JOIN sizes y ON doc_b = y.doc
+    WHERE round(shared / (x.n + y.n - shared), 4) >= 0.5
+    """,
+    doc="EXACT Jaccard join at t=0.5 via prefix filtering (SSJoin/PPJoin): "
+    "candidates only from each doc's rarest n-ceil(t*n)+1 shingles under "
+    "a global rarest-first order — provably lossless, so the oracle is "
+    "the plain all-pairs formulation, while the Spark plan's "
+    "pair-generation shuffle shrinks by orders of magnitude (hot "
+    "boilerplate shingles are exactly the ones the prefix excludes). The "
+    "lossless alternative to the stop-shingle cap when exactness is "
+    "contractual.",
+    tags=("bench",),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import jaccard_prefix_filtered_pairs
+
+    return jaccard_prefix_filtered_pairs(_docs(spark, sf_dir), k=3, threshold=0.5)
+
+
+@register(
     "dedup_minhash_lsh",
     oracle=_minhash_oracle(),
     doc="MinHash(16 md5-hex perms) + LSH(4 bands x 4 rows) candidate pairs — the O(n^2)-free near-dedup scale path.",

