@@ -299,3 +299,27 @@ def test_temperature_rebalance_broadcasts_counts_no_data_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sample_temperature_rebalance")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_query_join_broadcasts_and_topk_is_group_limited(spark, sf_dir):
+    # the query table must broadcast onto the tf rows (scoring cost
+    # tracks posting-list length), and the per-query top-k must run as
+    # a partial WindowGroupLimit before its Exchange
+    # (the tf-to-doclen join on doc_id legitimately sort-merge-joins:
+    # both sides are corpus-sized aggregates at scale — only the QUERY
+    # table join must broadcast)
+    plan = plan_of(spark, sf_dir, "retrieval_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit") < plan.rindex("Exchange")
+
+
+def test_prefix_filter_candidates_generated_not_self_joined(spark, sf_dir):
+    # pair generation must come from grouped prefix buckets (no
+    # shingle-on-shingle self-join); the only joins in the plan are the
+    # candidate-verification equi joins. A cartesian/nested-loop pair
+    # path must never appear.
+    plan = plan_of(spark, sf_dir, "dedup_jaccard_prefix_filter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
