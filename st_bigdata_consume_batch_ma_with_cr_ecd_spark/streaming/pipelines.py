@@ -130,10 +130,12 @@ def stream_interval_join_pairs(
     left_ts: str = "ts",
     right_ts: str = "ts",
     lookback_seconds: int = 600,
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each left row pairs with right rows in
-    ``[left_ts - lookback, left_ts)``.
+    """Stream-stream join: each left row pairs with right rows in
+    ``[left_ts - lookback, left_ts)``; ``how='left_outer'`` keeps
+    unmatched left rows (right columns null).
 
     Structured Streaming refuses stream-stream joins without an
     EQUALITY predicate (state would be all-pairs); the same bucket-grid
@@ -145,29 +147,79 @@ def stream_interval_join_pairs(
     condition grows state forever, the #1 stream-stream join failure
     at production scale. Works identically on batch frames (watermarks
     are no-ops) — one graph, two runtimes.
+
+    Which side explodes onto the grid depends on ``how``: inner joins
+    explode the LEFT side (either works — pairs are identical), but a
+    LEFT OUTER join must keep each left row single-rowed, otherwise an
+    unmatched left event would emit one null row per touched bucket.
+    So for ``left_outer`` the RIGHT side explodes to the ≤2 buckets
+    whose left-windows it could serve, and each (left, right) pair
+    still matches in exactly one bucket (the left's own). Outer null
+    emission happens at watermark advance: a left row is released once
+    the watermark passes ``left_ts`` (no future right row can satisfy
+    ``right_ts < left_ts``) — rows at the stream's current frontier
+    are correctly WITHHELD awaiting more data, so bounded drains
+    should scope the left side to events strictly before the frontier.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     width = lookback_seconds * 1_000_000  # grid in micros
-    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
-    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    # Outer-emission boundary: the GLOBAL watermark is the MIN across
+    # all watermark operators, and outer emission of a left row needs
+    # `watermark > left_ts` STRICTLY. If the left branch gets its OWN
+    # watermark node downstream of a filter, its watermark tops out at
+    # the latest SURVIVING left event — which is exactly the unmatched
+    # row most likely to need null emission, so it is withheld forever
+    # (and moving the filter just moves the stuck boundary with it).
+    # Pass ``watermark=None`` and watermark the SHARED upstream stream
+    # once, BEFORE any filtering: the event-time column survives
+    # filters and renames, both join inputs ride one watermark node,
+    # and the boundary sits at the full stream's frontier. (Dropping
+    # the left watermark entirely does NOT work either: without an
+    # event-time column in left state, null rows never emit at all.)
+    if watermark is None:
+        lw, rw = left, right
+    else:
+        lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+        rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
 
     def bucket(col: str) -> F.Column:
         return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / F.lit(width)).cast("long")
 
-    lb = lw.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(
-                    (F.unix_micros(F.col(left_ts).cast("timestamp")) - F.lit(width))
-                    / F.lit(width)
-                ).cast("long"),
-                F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / F.lit(width)).cast(
-                    "long"
-                ),
-            )
-        ),
-    )
-    rb = rw.withColumn("__bucket", bucket(right_ts))
+    if how == "inner":
+        lb = lw.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        (F.unix_micros(F.col(left_ts).cast("timestamp")) - F.lit(width))
+                        / F.lit(width)
+                    ).cast("long"),
+                    F.floor(
+                        F.unix_micros(F.col(left_ts).cast("timestamp")) / F.lit(width)
+                    ).cast("long"),
+                )
+            ),
+        )
+        rb = rw.withColumn("__bucket", bucket(right_ts))
+    else:
+        lb = lw.withColumn("__bucket", bucket(left_ts))
+        rb = rw.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(
+                        F.unix_micros(F.col(right_ts).cast("timestamp")) / F.lit(width)
+                    ).cast("long"),
+                    (
+                        F.floor(
+                            F.unix_micros(F.col(right_ts).cast("timestamp")) / F.lit(width)
+                        )
+                        + 1
+                    ).cast("long"),
+                )
+            ),
+        )
     cond = (
         (F.col("l.__bucket") == F.col("r.__bucket"))
         & (
@@ -176,4 +228,4 @@ def stream_interval_join_pairs(
         )
         & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}"))
     )
-    return lb.alias("l").join(rb.alias("r"), cond).drop("__bucket")
+    return lb.alias("l").join(rb.alias("r"), cond, how).drop("__bucket")

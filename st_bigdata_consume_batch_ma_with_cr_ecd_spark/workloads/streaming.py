@@ -216,6 +216,66 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_interval_join_outer",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS m FROM events)
+    SELECT a.event_id, count(b.ts) AS n_preceding
+    FROM events a
+    CROSS JOIN mx
+    LEFT JOIN events b
+      ON CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+     AND CAST(b.ts AS TIMESTAMP) <  CAST(a.ts AS TIMESTAMP)
+    WHERE a.event_type = 'purchase' AND CAST(a.ts AS TIMESTAMP) < mx.m
+    GROUP BY a.event_id
+    """,
+    doc="Stream-stream LEFT OUTER interval join: purchases keep a row even "
+    "with NO preceding event (n_preceding = 0) — the semantics the inner "
+    "join structurally cannot give. Outer null emission is watermark-"
+    "driven: a purchase is released once the watermark passes its event "
+    "time (the two-sided range bound proves no future match can arrive), "
+    "so rows at the stream frontier are correctly withheld awaiting more "
+    "data. BOTH join inputs ride ONE watermark node applied to the "
+    "shared stream BEFORE the purchase filter (the event-time column "
+    "survives filters/renames), so the boundary sits at the FULL "
+    "stream's frontier — a per-branch watermark downstream of the "
+    "filter would top out at the last surviving purchase and withhold "
+    "exactly the unmatched row this query exists to emit "
+    "(pipelines.py documents the trap). The drain scopes purchases to "
+    "strictly before the frontier and the oracle mirrors that bound. "
+    "The bucket-grid equality key explodes the RIGHT side here (a "
+    "single-rowed left is what makes outer emission emit exactly once).",
+)
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.readers import read_testdata
+    from ..streaming.pipelines import stream_interval_join_pairs
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    frontier = read_testdata(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+
+    def transform(s: DataFrame) -> DataFrame:
+        s = normalize_event_ts(s).withWatermark("ts", "0 seconds")
+        purchases = s.where(
+            (F.col("event_type") == "purchase") & (F.col("ts") < F.lit(frontier))
+        ).select(F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+        others = s.select(F.col("ts").alias("o_ts"))
+        return stream_interval_join_pairs(
+            purchases,
+            others,
+            left_ts="p_ts",
+            right_ts="o_ts",
+            watermark=None,  # the shared upstream watermark governs both sides
+            how="left_outer",
+        ).select("p_id", "o_ts")
+
+    pairs = run_stream_to_memory(
+        spark, f"{sf_dir}/events.parquet", transform, output_mode="append"
+    )
+    return pairs.groupBy(F.col("p_id").alias("event_id")).agg(
+        F.count("o_ts").alias("n_preceding")
+    )
+
+
+@register(
     "streaming_static_enrich",
     oracle="""
     WITH tiers AS (

@@ -193,3 +193,25 @@ def test_tws_user_stats(spark, sf_dir):
     got = {r.user_id: r.n_events for r in latest.collect()}
     want = {r.user_id: r.n_events for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_outer_join_emits_unmatched_purchases(spark, sf_dir):
+    # the outer join's whole point: purchases with NO preceding event
+    # appear with n_preceding = 0, and the matched groups agree with
+    # the inner join's counts
+    outer = {
+        (r.event_id, r.n_preceding)
+        for r in REGISTRY["streaming_interval_join_outer"].fn(spark, sf_dir).collect()
+    }
+    inner = {
+        (r.event_id, r.n_preceding)
+        for r in REGISTRY["streaming_interval_join"].fn(spark, sf_dir).collect()
+    }
+    zeros = {e for e, n in outer if n == 0}
+    assert zeros, "expected at least one unmatched purchase"
+    # every inner group reappears identically in the outer result
+    # (minus any purchase at the stream frontier, which the outer
+    # variant scopes out)
+    frontier_scoped = {e for e, _ in inner} - {e for e, _ in outer}
+    assert inner - outer == {(e, n) for e, n in inner if e in frontier_scoped}
+    assert all(n == 0 for e, n in outer if e not in {e for e, _ in inner})
