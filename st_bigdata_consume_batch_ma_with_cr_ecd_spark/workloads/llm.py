@@ -137,6 +137,36 @@ def _minhash_km_oracle() -> str:
     """
 
 
+def _minhash_verified_oracle(min_agreement: float = 0.5) -> str:
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(sh, s -> CAST(('0x' || substr(md5('{j}:' || s), 1, 16))::UBIGINT"
+        f" AS DECIMAL(20,0)))) AS h{j}"
+        for j in range(_NUM_HASHES)
+    )
+    agree = " + ".join(
+        f"CASE WHEN a.h{j} = b.h{j} THEN 1 ELSE 0 END" for j in range(_NUM_HASHES)
+    )
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    tok2 AS (SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents),
+    sh_t2 AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM tok2),
+    sig2 AS (
+        SELECT doc_id,
+           {sig_exprs}
+        FROM sh_t2 WHERE len(sh) > 0
+    ),
+    scored AS (
+        SELECT p.doc_a, p.doc_b, CAST({agree} AS INT) AS n_agree
+        FROM pairs p
+        JOIN sig2 a ON p.doc_a = a.doc_id
+        JOIN sig2 b ON p.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, n_agree, round(n_agree / {_NUM_HASHES}, 4) AS est_jaccard
+    FROM scored
+    WHERE round(n_agree / {_NUM_HASHES}, 4) >= {min_agreement}
+    """
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_testdata(spark, sf_dir, "documents")
 
@@ -259,6 +289,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(_docs(spark, sf_dir), k_shingle=3, num_hashes=_NUM_HASHES)
     return lsh_candidate_pairs(
         sigs, bands=_BANDS, rows_per_band=_ROWS_PER_BAND, max_bucket_size=_MINHASH_BUCKET_CAP
+    )
+
+
+@register(
+    "dedup_minhash_verified",
+    oracle=_minhash_verified_oracle(0.5),
+    doc="The verification stage between LSH banding and clustering: each "
+    "candidate pair is scored by component-wise signature agreement (an "
+    "unbiased Jaccard estimate — E[minhash agree] = J); only pairs at "
+    ">= 0.5 survive to the cluster step. Banded LSH alone admits any "
+    "one-band coincidence, and connected components CHAIN false "
+    "positives into merged mega-clusters — this filter is what keeps "
+    "the cluster graph honest. The signatures already exist "
+    "(checkpointed once, feeding banding AND both verify sides), and "
+    "the verify join's cost tracks the candidate count, not n².",
+    tags=("bench",),
+)
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(
+        _docs(spark, sf_dir),
+        k_shingle=3,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+        max_bucket_size=_MINHASH_BUCKET_CAP,
+        min_agreement=0.5,
     )
 
 
