@@ -321,6 +321,70 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_near_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE verified AS ({_minhash_verified_oracle(0.5)}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    comp(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, c.label FROM comp c JOIN edges e ON c.node = e.src
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM comp GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS cluster_size FROM assigned GROUP BY 1)
+    SELECT a.doc_id, a.cluster_id, s.cluster_size,
+           a.doc_id = a.cluster_id AS is_survivor
+    FROM assigned a JOIN sizes s ON a.cluster_id = s.cluster_id
+    """,
+    doc="The COMPLETE near-dedup chain under one value hash — the "
+    "RefinedWeb/SlimPajama production shape: MinHash signatures -> "
+    "banded LSH candidates (hot-bucket capped) -> signature-agreement "
+    "verification (>= 0.5, keeps one-band coincidences out of the "
+    "cluster graph) -> connected components -> min-id survivor per "
+    "cluster. Output is the per-document dedup verdict (cluster id, "
+    "cluster size, survivor flag); the cleaned corpus is "
+    "where(is_survivor). Signatures checkpoint once and feed banding + "
+    "verification; components localCheckpoint per round; every stage "
+    "shuffles on keys, never pairs beyond the verified candidate set.",
+    tags=("bench",),
+)
+def corpus_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import minhash_verified_pairs
+    from ..operators.graph import assign_cluster_ids
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_verified_pairs(
+        docs,
+        k_shingle=3,
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+        max_bucket_size=_MINHASH_BUCKET_CAP,
+        min_agreement=0.5,
+    ).select("doc_a", "doc_b")
+    assigned = assign_cluster_ids(
+        docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b", pairs_distinct=True
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+@register(
     "dedup_minhash_lsh_km",
     oracle=_minhash_km_oracle(),
     doc="MinHash+LSH with Kirsch-Mitzenmacher double hashing: the 16 hash "
