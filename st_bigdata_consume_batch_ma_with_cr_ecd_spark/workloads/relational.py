@@ -1566,6 +1566,78 @@ def merge_cow_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_versioned_time_travel",
+    # Both VERSIONS of the table under one value hash: v1 must still
+    # read its original immutable files after the v2 merge rewrote the
+    # touched partitions — the property hive-layout CoW cannot offer.
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'F' ELSE o_orderstatus END AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 17 <> 3
+    )
+    SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE) AS sum_total
+    FROM v1
+    UNION ALL
+    SELECT 2, CAST(count(*) AS BIGINT),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE)
+    FROM v2
+    """,
+    doc="Versioned parquet table (sinks.versioned): manifest-pinned "
+    "immutable commits, atomic version swap via rename, time travel. "
+    "Creates v1 from orders partitioned by status, MERGEs a CDC batch "
+    "(cross-partition moves + deletes) into v2, then aggregates BOTH "
+    "versions read back from disk — v1's numbers prove historical reads "
+    "survive the rewrite untouched. The multi-partition merge is "
+    "all-or-nothing (one manifest rename), which the hive-layout CoW "
+    "table documents it cannot guarantee.",
+)
+def merge_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.aggregates import rounded_sum
+    from ..sinks.versioned import (
+        create_versioned_table,
+        merge_versioned_table,
+        read_versioned_table,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="versioned_orders_") + "/t"
+    create_versioned_table(o, path, ["o_orderstatus"])
+    updates = (
+        o.where((k % 10 == 0) & (k % 17 != 3))
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("is_deleted", F.lit(False))
+    )
+    deletes = o.where(k % 17 == 3).withColumn("is_deleted", F.lit(True))
+    merge_versioned_table(
+        spark,
+        path,
+        updates.unionByName(deletes),
+        ["o_orderkey"],
+        ["o_orderstatus"],
+        delete_col="is_deleted",
+    )
+
+    def stats(version: int) -> DataFrame:
+        return read_versioned_table(spark, path, version=version).agg(
+            F.lit(version).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            rounded_sum("o_totalprice", 2).alias("sum_total"),
+        )
+
+    return stats(1).unionByName(stats(2))
+
+
+@register(
     "dq_expectation_suite",
     oracle="""
     WITH m AS (
