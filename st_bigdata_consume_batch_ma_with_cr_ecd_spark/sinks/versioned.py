@@ -190,6 +190,7 @@ def create_versioned_table(
         "schema": df.schema.json(),
         "partition_by": list(partition_by),
         "entries": entries,
+        "txns": {},
     }
     if not _write_manifest(spark, path, manifest):
         raise VersionedTableError(f"table already exists at {path}")
@@ -233,6 +234,7 @@ def merge_versioned_table(
     *,
     delete_col: str | None = None,
     max_retries: int = 3,
+    txn: tuple[str, int] | None = None,
 ) -> list[dict]:
     """MERGE ``changes`` into the table as a new atomic version; returns
     the rewritten partition-value dicts.
@@ -244,6 +246,14 @@ def merge_versioned_table(
     every touched partition. On a concurrency loss the merge recomputes
     against the new latest version (optimistic retry); the orphaned
     attempt dir stays invisible until vacuum.
+
+    ``txn=(app_id, epoch)`` makes the merge TRANSACTIONALLY idempotent
+    (the Delta ``txn`` pattern): each manifest records the highest
+    epoch applied per app_id, and a merge whose epoch is <= the
+    recorded one is skipped entirely — because the check and the
+    version swap are the same atomic rename, a crashed-and-replayed
+    writer (e.g. a streaming foreachBatch epoch) can never
+    double-apply, even under concurrent writers.
     """
     partition_by = list(partition_by)
     if delete_col is not None and delete_col in partition_by:
@@ -252,6 +262,10 @@ def merge_versioned_table(
     for _ in range(max_retries):
         v = latest_version(spark, path)
         manifest = _read_manifest(spark, path, v)
+        if txn is not None:
+            app_id, epoch = txn
+            if manifest.get("txns", {}).get(app_id, -1) >= epoch:
+                return []  # this epoch already committed — replay is a no-op
         if manifest["partition_by"] != partition_by:
             raise VersionedTableError(
                 f"partition_by mismatch: table has {manifest['partition_by']}"
@@ -295,12 +309,16 @@ def merge_versioned_table(
             result_entries: list[dict] = []
         else:
             _, result_entries = _commit_data(merged, path, partition_by)
+        txns = dict(manifest.get("txns", {}))
+        if txn is not None:
+            txns[txn[0]] = txn[1]
         candidate = {
             "version": v + 1,
             "ts": time.time(),
             "schema": manifest["schema"],
             "partition_by": partition_by,
             "entries": new_entries + result_entries,
+            "txns": txns,
         }
         if _write_manifest(spark, path, candidate):
             return touched

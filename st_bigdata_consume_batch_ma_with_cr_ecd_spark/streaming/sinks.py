@@ -95,3 +95,46 @@ def cow_merge_batch_writer(
         )
 
     return write
+
+
+def versioned_merge_batch_writer(
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    *,
+    delete_col: str | None = None,
+    compact: Callable[[DataFrame], DataFrame] | None = None,
+    app_id: str = "stream",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` CDC-apply into the VERSIONED table
+    (sinks.versioned): each micro-batch lands as one atomic table
+    version, so the stream's history becomes a queryable audit log —
+    ``read_versioned_table(version=N)`` is the table exactly as of
+    micro-batch N's commit.
+
+    Exactly-once here is TRANSACTIONAL, not merely convergent: the
+    merge records ``(app_id, epoch_id)`` in the manifest it publishes,
+    and a replayed epoch (crash between the table commit and the
+    checkpoint commit) is detected inside the same atomic rename that
+    would publish it — skipped outright rather than re-applied. That
+    is strictly stronger than the CoW writer's idempotent-re-merge
+    story and holds even with concurrent writers on the same table.
+    """
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks.versioned import merge_versioned_table
+
+        out = compact(batch) if compact is not None else batch
+        if out.isEmpty():
+            return
+        merge_versioned_table(
+            batch.sparkSession,
+            path,
+            out,
+            keys,
+            partition_by,
+            delete_col=delete_col,
+            txn=(app_id, epoch_id),
+        )
+
+    return write

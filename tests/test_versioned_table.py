@@ -135,3 +135,105 @@ def test_no_op_merge_writes_no_version(spark, tmp_path):
 
 def test_manifest_path_is_zero_padded_for_ordering():
     assert _manifest_path("/t", 7).endswith("v0000000007.json")
+
+
+def test_streaming_cdc_apply_versions_every_micro_batch(spark, tmp_path):
+    # the versioned twin of the CoW streaming capstone: each micro-batch
+    # commits as one atomic version, so the stream's history is a
+    # queryable audit log
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.dedup import (
+        top_n_per_group,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.sinks import (
+        versioned_merge_batch_writer,
+    )
+
+    table = str(tmp_path / "vt_stream")
+    src_dir = str(tmp_path / "changes")
+    ckpt = str(tmp_path / "ckpt")
+
+    snap = spark.createDataFrame(
+        [(i, "DE" if i % 2 == 0 else "AT", float(i)) for i in range(5)],
+        "id long, country string, amount double",
+    )
+    create_versioned_table(snap, table, ["country"])
+
+    changes1 = spark.createDataFrame(
+        [(1, "AT", 100.0, 1), (2, "DE", 200.0, 1), (7, "CH", 700.0, 1)],
+        "id long, country string, amount double, seq int",
+    )
+    changes2 = spark.createDataFrame(
+        [(1, "DE", 111.0, 2), (7, "CH", 777.0, 2)],  # 1 moves AT -> DE
+        "id long, country string, amount double, seq int",
+    )
+    changes1.coalesce(1).write.parquet(src_dir)
+    changes2.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema("id long, country string, amount double, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    writer = versioned_merge_batch_writer(
+        table,
+        ["id"],
+        ["country"],
+        compact=lambda b: top_n_per_group(b, ["id"], [F.col("seq").desc()]).drop("seq"),
+    )
+    (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    # one version per micro-batch on top of the snapshot
+    assert list_versions(spark, table) == [1, 2, 3]
+    final = rows(read_versioned_table(spark, table))
+    assert final == {
+        (0, "DE", 0.0),
+        (1, "DE", 111.0),
+        (2, "DE", 200.0),
+        (3, "AT", 3.0),
+        (4, "DE", 4.0),
+        (7, "CH", 777.0),
+    }
+    # the audit log: version 2 is the table exactly after micro-batch 0
+    mid = rows(read_versioned_table(spark, table, version=2))
+    assert (1, "AT", 100.0) in mid and (7, "CH", 700.0) in mid
+
+
+def test_txn_epoch_replay_is_skipped_atomically(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_versioned_table(_base(spark), path, ["part"])
+    c1 = spark.createDataFrame(
+        [(1, "A", 11.0, False)], "id long, part string, val double, is_deleted boolean"
+    )
+    assert merge_versioned_table(
+        spark, path, c1, ["id"], ["part"], delete_col="is_deleted", txn=("app", 0)
+    )
+    # a crashed-and-replayed epoch arrives again — with DIFFERENT data;
+    # the txn gate must skip it entirely (no new version, no change)
+    c1_replay = spark.createDataFrame(
+        [(1, "A", 999.0, False)], "id long, part string, val double, is_deleted boolean"
+    )
+    assert (
+        merge_versioned_table(
+            spark,
+            path,
+            c1_replay,
+            ["id"],
+            ["part"],
+            delete_col="is_deleted",
+            txn=("app", 0),
+        )
+        == []
+    )
+    assert latest_version(spark, path) == 2
+    assert (1, "A", 11.0) in rows(read_versioned_table(spark, path))
+    # the NEXT epoch applies normally
+    assert merge_versioned_table(
+        spark, path, c1_replay, ["id"], ["part"], delete_col="is_deleted", txn=("app", 1)
+    )
+    assert (1, "A", 999.0) in rows(read_versioned_table(spark, path))
