@@ -323,3 +323,51 @@ def test_prefix_filter_candidates_generated_not_self_joined(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_jaccard_prefix_filter")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # the runtime half of the skew story (operators/skew.py is the
+    # manual half): AQE must detect an oversized join partition and
+    # split it — SortMergeJoin(skew=true) + an AQEShuffleRead marked
+    # skewed in the FINAL adaptive plan. Thresholds are lowered so the
+    # toy volume crosses them; production crosses the defaults.
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in overrides.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 400_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(7))
+            .otherwise((F.col("id") % 1000) + 100)
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 3000).select(
+            (F.col("id") % 1500).alias("k"), (F.col("id") * 2).alias("r")
+        )
+        j = (
+            left.join(right, "k")
+            .select((F.col("payload") + F.col("r")).alias("v"))
+            .agg(F.sum("v"))
+        )
+        j.collect()  # the final adaptive plan only exists after execution
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+        assert "skewed" in plan  # the AQEShuffleRead marker
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
