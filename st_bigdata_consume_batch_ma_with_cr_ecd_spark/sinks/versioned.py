@@ -198,17 +198,37 @@ def create_versioned_table(
 
 
 def read_versioned_table(
-    spark: SparkSession, path: str, *, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    *,
+    version: int | None = None,
+    partition_filter: dict | None = None,
 ) -> DataFrame:
     """Read the table AS OF ``version`` (default: latest). Historical
-    versions read their original immutable files — time travel."""
+    versions read their original immutable files — time travel.
+
+    ``partition_filter`` prunes at the MANIFEST: only entries whose
+    partition values match every given column are read — no
+    file-system listing, no scan of non-matching partitions (the
+    manifest is the table's statistics layer, same as a lakehouse
+    format's metadata pruning)."""
     v = latest_version(spark, path) if version is None else version
     m = _read_manifest(spark, path, v)
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if not m["entries"]:
+    entries = m["entries"]
+    if partition_filter:
+        unknown = set(partition_filter) - set(m["partition_by"])
+        if unknown:
+            raise VersionedTableError(f"not partition columns: {sorted(unknown)}")
+        entries = [
+            e
+            for e in entries
+            if all(e["partition"].get(c) == v_ for c, v_ in partition_filter.items())
+        ]
+    if not entries:
         return spark.createDataFrame([], schema)
     by_commit: dict[str, list[str]] = {}
-    for e in m["entries"]:
+    for e in entries:
         commit_root = "/".join(e["dir"].split("/")[:2])  # data/<commit>
         by_commit.setdefault(commit_root, []).append(e["dir"])
     parts_df: DataFrame | None = None

@@ -237,3 +237,17 @@ def test_txn_epoch_replay_is_skipped_atomically(spark, tmp_path):
         spark, path, c1_replay, ["id"], ["part"], delete_col="is_deleted", txn=("app", 1)
     )
     assert (1, "A", 999.0) in rows(read_versioned_table(spark, path))
+
+
+def test_partition_filter_prunes_at_the_manifest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_versioned_table(_base(spark), path, ["part"])
+    pruned = read_versioned_table(spark, path, partition_filter={"part": "A"})
+    assert rows(pruned) == {(1, "A", 10.0), (2, "A", 20.0)}
+    # pruning happened at the manifest: only partition A's files are
+    # inputs to the scan — partition B never touches the file system
+    assert all("part=A" in f for f in pruned.inputFiles())
+    with pytest.raises(VersionedTableError):
+        read_versioned_table(spark, path, partition_filter={"nope": 1})
+    empty = read_versioned_table(spark, path, partition_filter={"part": "Z"})
+    assert empty.count() == 0 and empty.schema == _base(spark).schema
