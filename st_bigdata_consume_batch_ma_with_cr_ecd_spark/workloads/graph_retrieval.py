@@ -316,6 +316,119 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("rank").cast("double").alias("rank"))
 
 
+_HITS_ITERS = 3
+_HITS_DEC = "decimal(38,12)"
+
+
+def _hits_oracle() -> str:
+    sq = "CAST(round(CAST({col} AS DOUBLE) * CAST({col} AS DOUBLE), 12) AS DECIMAL(38,12))"
+    steps = []
+    prev_a = "a0"
+    for i in range(1, _HITS_ITERS + 1):
+        steps.append(f"""
+    hraw{i} AS (
+        SELECT e.src AS node, CAST(sum(a.score) AS DECIMAL(38,12)) AS raw
+        FROM edges e JOIN {prev_a} a ON e.dst = a.node GROUP BY e.src
+    ),
+    hn{i} AS (SELECT sqrt(CAST(sum({sq.format(col='raw')}) AS DOUBLE)) AS nrm FROM hraw{i}),
+    h{i} AS (
+        SELECT node, CAST(round(CAST(raw AS DOUBLE) / nrm, 12) AS {_HITS_DEC}) AS score
+        FROM hraw{i} CROSS JOIN hn{i}
+    ),
+    araw{i} AS (
+        SELECT e.dst AS node, CAST(sum(h.score) AS DECIMAL(38,12)) AS raw
+        FROM edges e JOIN h{i} h ON e.src = h.node GROUP BY e.dst
+    ),
+    an{i} AS (SELECT sqrt(CAST(sum({sq.format(col='raw')}) AS DOUBLE)) AS nrm FROM araw{i}),
+    a{i} AS (
+        SELECT node, CAST(round(CAST(raw AS DOUBLE) / nrm, 12) AS {_HITS_DEC}) AS score
+        FROM araw{i} CROSS JOIN an{i}
+    )""")
+        prev_a = f"a{i}"
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_PR_SUPP_OFFSET} AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    a0 AS (SELECT DISTINCT dst AS node, CAST(1 AS {_HITS_DEC}) AS score FROM edges),
+    {",".join(steps)}
+    SELECT 'hub' AS role, node, CAST(score AS DOUBLE) AS score FROM h{_HITS_ITERS}
+    UNION ALL
+    SELECT 'authority', node, CAST(score AS DOUBLE) FROM a{_HITS_ITERS}
+    """
+
+
+@register(
+    "graph_hits_fixed",
+    oracle=_hits_oracle(),
+    doc="HITS hubs & authorities (3 iterations, L2-normalized) over the "
+    "customer->supplier purchase graph — on a bipartite graph hubs "
+    "score the buyers and authorities the suppliers, the natural "
+    "influence split PageRank's single score conflates. Same "
+    "decimal-exact iterative template as graph_pagerank_fixed: each "
+    "half-step is one shuffle (join the score vector to the cached "
+    "edge list, decimal-sum per endpoint), the L2 norm is a 1-row "
+    "broadcast (squares rounded at 12 into exact DECIMAL sums, one "
+    "deterministic sqrt), scores re-round at 12 per half-step so every "
+    "engine and every partitioning lands on identical numbers.",
+)
+def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    lineitem = read_testdata(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(_PR_SUPP_OFFSET)).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def normalized(raw: DataFrame) -> DataFrame:
+        sq = F.round(
+            F.col("raw").cast("double") * F.col("raw").cast("double"), 12
+        ).cast("decimal(38,12)")
+        nrm = raw.agg(F.sqrt(F.sum(sq).cast("double")).alias("nrm"))
+        return (
+            raw.crossJoin(F.broadcast(nrm))
+            .select(
+                "node",
+                F.round(F.col("raw").cast("double") / F.col("nrm"), 12)
+                .cast(_HITS_DEC)
+                .alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    auth = edges.select(F.col("dst").alias("node")).distinct().withColumn(
+        "score", F.lit(1).cast(_HITS_DEC)
+    )
+    hubs = None
+    for _ in range(_HITS_ITERS):
+        hraw = (
+            edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("score").cast("decimal(38,12)").alias("raw"))
+        )
+        hubs = normalized(hraw)
+        araw = (
+            edges.join(hubs.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score").cast("decimal(38,12)").alias("raw"))
+        )
+        auth = normalized(araw)
+
+    return (
+        hubs.select(F.lit("hub").alias("role"), "node", F.col("score").cast("double").alias("score"))
+        .unionByName(
+            auth.select(
+                F.lit("authority").alias("role"), "node", F.col("score").cast("double").alias("score")
+            )
+        )
+    )
+
+
 @register(
     "graph_triangle_count",
     oracle="""
