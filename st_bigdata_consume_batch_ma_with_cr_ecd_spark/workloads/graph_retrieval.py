@@ -553,6 +553,105 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(docs, k=3, threshold=0.5, max_shingle_freq=200)
 
 
+_CF_BASKET_CAP = 1000  # hot-basket guard: a B-part basket emits B(B-1)/2 pairs
+_CF_TOPK = 3
+
+
+@register(
+    "recsys_item_cooccurrence_topk",
+    oracle=f"""
+    WITH cp AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    sz AS (SELECT c, count(*) AS n FROM cp GROUP BY c),
+    keep AS (SELECT cp.c, cp.p FROM cp JOIN sz ON cp.c = sz.c WHERE sz.n <= {_CF_BASKET_CAP}),
+    pairs AS (
+        SELECT a.p AS pa, b.p AS pb, count(*) AS cij
+        FROM keep a JOIN keep b ON a.c = b.c AND a.p < b.p
+        GROUP BY 1, 2
+    ),
+    ci AS (SELECT p, count(*) AS n FROM keep GROUP BY p),
+    sym AS (
+        SELECT pa AS item, pb AS other, cij FROM pairs
+        UNION ALL
+        SELECT pb, pa, cij FROM pairs
+    ),
+    scored AS (
+        SELECT s.item, s.other,
+               round(s.cij / sqrt(x.n * y.n), 6) AS cosine
+        FROM sym s JOIN ci x ON s.item = x.p JOIN ci y ON s.other = y.p
+    )
+    SELECT item, other, cosine, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY item ORDER BY cosine DESC, other ASC
+        ) AS rank FROM scored
+    ) WHERE rank <= {_CF_TOPK}
+    """,
+    doc="Item-item collaborative filtering (the Amazon item2item shape): "
+    "customers' purchase baskets -> co-occurrence counts -> binary "
+    "cosine sim(i,j) = c_ij / sqrt(c_i*c_j) -> top-3 neighbors per "
+    "item. Pairs come from GROUPED per-basket generation (sorted "
+    "collect_set -> upper-triangle transform, one shuffle on the "
+    "customer, never a self-join of the exploded basket table), with a "
+    "basket-size cap as the hot-user guard — a B-part basket emits "
+    "B(B-1)/2 pairs, and power users are exactly the baskets that blow "
+    "up at corpus scale (the cap also keeps c_i on the same pruned "
+    "universe, so numerator and denominator agree). Top-k per item is "
+    "a WindowGroupLimit.",
+    tags=("bench",),
+)
+def recsys_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_testdata(spark, sf_dir, "orders")
+    lineitem = read_testdata(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    baskets = (
+        cp.groupBy("c")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .where(F.size("ps") <= _CF_BASKET_CAP)
+    )
+    # c_i on the same capped universe as the pair counts
+    keep = baskets.select("c", F.explode("ps").alias("p")).localCheckpoint(eager=True)
+    ci = keep.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    pair_structs = F.expr(
+        "transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+    )
+    pairs = (
+        baskets.select(F.explode(F.flatten(pair_structs)).alias("e"))
+        .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("cij"))
+    )
+    sym = pairs.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "cij"
+    ).unionByName(
+        pairs.select(F.col("pb").alias("item"), F.col("pa").alias("other"), "cij")
+    )
+    cx = ci.select(F.col("p").alias("item"), F.col("n").alias("nx"))
+    cy = ci.select(F.col("p").alias("other"), F.col("n").alias("ny"))
+    scored = (
+        sym.join(cx, "item")
+        .join(cy, "other")
+        .select(
+            "item",
+            "other",
+            F.round(F.col("cij") / F.sqrt(F.col("nx") * F.col("ny")), 6).alias("cosine"),
+        )
+    )
+    return top_n_per_group(
+        scored,
+        ["item"],
+        [F.col("cosine").desc(), F.col("other").asc()],
+        n=_CF_TOPK,
+        rank_col="rank",
+        keep_rank=True,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 # ---------------------------------------------------------------------------
 # EWMA daily smoothing
 # ---------------------------------------------------------------------------
