@@ -553,6 +553,65 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(docs, k=3, threshold=0.5, max_shingle_freq=200)
 
 
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type <> 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           coalesce(b.event_type, 'direct') AS touch_type,
+           b.ts AS touch_ts
+    FROM p LEFT JOIN LATERAL (
+        SELECT event_type, ts FROM t
+        WHERE t.user_id = p.user_id AND t.ts < p.ts
+        ORDER BY t.ts DESC, t.event_id DESC LIMIT 1
+    ) b ON true
+    """,
+    doc="Last-touch attribution: each purchase credits the user's most "
+    "recent preceding non-purchase event ('direct' when none exists) — "
+    "the marketing-attribution shape, expressed as a strict-backward "
+    "AS-OF join (operators.asof: one equi-shuffle on user_id, range "
+    "residual, top-1 window riding the join's partitioning — the "
+    "WindowGroupLimit/4-exchange contract merge_delete_backfill "
+    "already pins). The oracle is the LATERAL top-1 formulation; "
+    "event_id tiebreak makes simultaneous touches deterministic.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = read_testdata(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = ev.where(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    joined = asof_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="backward",
+        strict=True,
+        tiebreak="event_id",
+        how="left",
+        left_id="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("event_type"), F.lit("direct")).alias("touch_type"),
+        F.col("ts_right").alias("touch_ts"),
+    )
+
+
 _CF_BASKET_CAP = 1000  # hot-basket guard: a B-part basket emits B(B-1)/2 pairs
 _CF_TOPK = 3
 
