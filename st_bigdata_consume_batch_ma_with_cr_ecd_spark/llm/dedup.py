@@ -227,20 +227,20 @@ def jaccard_prefix_filtered_pairs(
         .withColumn("__rank", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
     )
-    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")) + 1
-    prefix = ordered.where(F.col("__rank") <= prefix_len).select("doc", "shingle")
+    # Two exactness traps at the threshold boundary, both handled with
+    # EXACT decimal arithmetic:
+    # - the output filter is round(J, 4) >= t, which admits true
+    #   Jaccard down to t - 0.00005 (half-up) — the prefix bound must
+    #   use that EFFECTIVE threshold or boundary pairs lose their
+    #   candidates;
+    # - ceil(t * n) in doubles overshoots for exact products
+    #   (math.ceil(0.28 * 25) == 8, exact ceil is 7), shortening the
+    #   prefix by one — DECIMAL multiply/ceil is exact.
+    t_eff = F.lit(threshold).cast("decimal(12,6)") - F.lit(0.00005).cast("decimal(12,6)")
+    prefix_len = F.col("__n") - F.ceil(t_eff * F.col("__n")) + 1
+    prefix = ordered.where(F.col("__rank") <= prefix_len).select("shingle", "doc")
 
-    pair_structs = F.expr(
-        "transform(__docs, (x, i) ->"
-        " transform(slice(__docs, i + 2, size(__docs)), y -> struct(x AS doc_a, y AS doc_b)))"
-    )
-    candidates = (
-        prefix.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc")).alias("__docs"))
-        .select(F.explode(F.flatten(pair_structs)).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _bucket_pairs(prefix, "shingle")
 
     # verification: true overlap counts, computed only for candidates
     sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
@@ -408,6 +408,7 @@ def _bucket_pairs(
     *key_cols: str,
     max_bucket_size: int | None = None,
     pair_filter_sql: str | None = None,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs, doc_a < doc_b, from a (doc, key...)
     bucket table: group by key -> sorted doc list -> emit the upper
@@ -422,7 +423,12 @@ def _bucket_pairs(
     pair row materializes — the incremental-dedup hook: restrict to
     pairs touching the new batch and per-batch dedup cost tracks the
     batch, not the corpus (pairs the filter rejects are never emitted,
-    shuffled, or distinct'ed)."""
+    shuffled, or distinct'ed).
+
+    ``distinct_pairs=False`` keeps one row per (bucket, pair) instead
+    of deduplicating across buckets — for counting consumers
+    (co-occurrence strength, triangle support) where the multiplicity
+    IS the signal."""
     grouped = buckets.groupBy(*key_cols).agg(F.sort_array(F.collect_list("doc")).alias("__docs"))
     if max_bucket_size is not None:
         grouped = grouped.where(F.size("__docs") <= max_bucket_size)
@@ -433,11 +439,11 @@ def _bucket_pairs(
         "transform(__docs, (x, i) ->"
         f" transform({inner}, y -> struct(x AS doc_a, y AS doc_b)))"
     )
-    return (
+    pairs = (
         grouped.select(F.explode(F.flatten(pair_structs)).alias("p"))
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
-        .distinct()
     )
+    return pairs.distinct() if distinct_pairs else pairs
 
 
 def lsh_candidate_pairs(

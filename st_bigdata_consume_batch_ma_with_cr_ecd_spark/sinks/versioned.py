@@ -11,13 +11,16 @@ properties with nothing but parquet + a JSON manifest per version
   ``data/<commit-uuid>/``; nothing is ever modified or deleted by a
   write (only :func:`vacuum_versioned_table` removes unreferenced
   commits).
-- **atomic version swap**: a commit becomes visible by renaming a
-  temp manifest to ``_manifests/v<N>.json``. Rename-without-overwrite
-  is atomic on local/HDFS file systems, so readers see either version
+- **atomic version swap**: a commit becomes visible by publishing
+  ``_manifests/v<N>.json`` through an atomic-exclusive primitive —
+  hard-link creation on ``file://`` (POSIX ``link(2)`` fails EEXIST
+  atomically; plain ``rename(2)`` would silently REPLACE a concurrent
+  winner's manifest) and rename-without-overwrite on HDFS (where
+  rename refuses existing destinations). Readers see either version
   N-1 or N, never a half-merged table — multi-partition merges are
   transactions here, which the CoW module explicitly cannot offer.
-  (On S3, swap the rename for a conditional PUT — the protocol is
-  unchanged.)
+  (On S3, swap the publication for a conditional PUT — the protocol
+  is unchanged.)
 - **optimistic concurrency**: two concurrent merges both prepare data
   dirs, but only one wins the rename; the loser re-reads the new
   latest version and retries its merge against it. The orphaned data
@@ -33,9 +36,10 @@ Manifest entries map partition values to the commit-relative
 directory holding exactly that partition's files (one partition per
 directory — the ``partitionBy`` write layout guarantees it), so
 partition pruning is a manifest filter, no file-system listing.
-Reads group entries by commit and union per-commit scans (partition
-columns come back via basePath inference, then cast to the schema
-pinned in the manifest). Partition values must be JSON-serializable
+Reads union one plain scan per manifest entry and attach the entry's
+partition values as typed literals — directory-name inference is never
+consulted (it types by value: a string partition '01' would come back
+as the number 1). Partition values must be JSON-serializable
 primitives (str/int/bool/None).
 """
 
@@ -113,11 +117,36 @@ def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> bool:
         out.write(bytearray(json.dumps(manifest).encode("utf-8")))
     finally:
         out.close()
-    # rename-without-overwrite: atomic visibility, doubles as the
-    # optimistic lock (False when the target appeared concurrently)
-    ok = bool(fs.rename(tmp, target))
-    if not ok:
+    # Atomic publication + optimistic lock. The obvious fs.rename is
+    # NOT safe on LocalFileSystem: it bottoms out in POSIX rename(2),
+    # which silently REPLACES an existing destination and returns
+    # true — two racing writers would both "win" and one commit would
+    # vanish. On file:// we therefore claim the version with a hard
+    # LINK (link(2) fails with EEXIST atomically); on HDFS rename
+    # refuses existing destinations and is the sanctioned primitive.
+    # On S3, swap this for a conditional PUT (If-None-Match).
+    scheme = fs.getUri().getScheme()
+    if scheme == "file":
+        # java.nio.file.Paths.get is varargs (py4j can't call it);
+        # java.io.File(...).toPath() reaches the same Path
+        def nio_path(p):
+            return jvm.java.io.File(p.toUri().getPath()).toPath()
+
+        try:
+            jvm.java.nio.file.Files.createLink(nio_path(target), nio_path(tmp))
+            ok = True
+        except Exception as e:
+            jexc = getattr(e, "java_exception", None)
+            name = jexc.getClass().getName() if jexc is not None else ""
+            if name != "java.nio.file.FileAlreadyExistsException":
+                fs.delete(tmp, False)
+                raise
+            ok = False  # lost the race
         fs.delete(tmp, False)
+    else:
+        ok = bool(fs.rename(tmp, target))
+        if not ok:
+            fs.delete(tmp, False)
     return ok
 
 
@@ -179,11 +208,17 @@ def _commit_data(
 def create_versioned_table(
     df: DataFrame, path: str, partition_by: Sequence[str]
 ) -> int:
-    """Write the initial snapshot as version 1."""
+    """Write the initial snapshot as version 1.
+
+    The input is materialized (``localCheckpoint``) before the commit:
+    ``_commit_data`` computes the frame twice (files + partition set),
+    and a non-deterministic input (sampling, rand-derived columns)
+    could otherwise produce a manifest that disagrees with the files
+    on disk."""
     if not partition_by:
         raise VersionedTableError("partition_by must be non-empty")
     spark = df.sparkSession
-    _, entries = _commit_data(df, path, partition_by)
+    _, entries = _commit_data(df.localCheckpoint(eager=True), path, partition_by)
     manifest = {
         "version": 1,
         "ts": time.time(),
@@ -227,19 +262,23 @@ def read_versioned_table(
         ]
     if not entries:
         return spark.createDataFrame([], schema)
-    by_commit: dict[str, list[str]] = {}
-    for e in entries:
-        commit_root = "/".join(e["dir"].split("/")[:2])  # data/<commit>
-        by_commit.setdefault(commit_root, []).append(e["dir"])
+    # Partition values come from the MANIFEST, never from directory-name
+    # inference: Spark's basePath inference types by value, so a STRING
+    # partition value like '01' would come back as long 1 and a cast to
+    # the recorded schema would yield '1' — silent corruption. Each
+    # entry's dir is read plain (data files carry no partition columns)
+    # and the entry's recorded values attach as typed literals.
+    part_cols = list(m["partition_by"])
+    field_by_name = {f.name: f for f in schema.fields}
     parts_df: DataFrame | None = None
-    for commit_root, dirs in sorted(by_commit.items()):
-        piece = (
-            spark.read.option("basePath", f"{path}/{commit_root}")
-            .parquet(*[f"{path}/{d}" for d in dirs])
-        )
+    for e in sorted(entries, key=lambda x: x["dir"]):
+        piece = spark.read.parquet(f"{path}/{e['dir']}")
+        for c in part_cols:
+            piece = piece.withColumn(
+                c, F.lit(e["partition"][c]).cast(field_by_name[c].dataType)
+            )
+        piece = piece.select(*[F.col(f.name) for f in schema.fields])
         parts_df = piece if parts_df is None else parts_df.unionByName(piece)
-    # basePath inference types partition columns by VALUE; pin them
-    # back to the schema the manifest recorded at write time
     return parts_df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
@@ -356,12 +395,18 @@ def table_history(spark: SparkSession, path: str) -> list[dict]:
 
 
 def vacuum_versioned_table(
-    spark: SparkSession, path: str, *, keep_last: int = 2
+    spark: SparkSession, path: str, *, keep_last: int = 2, min_age_seconds: int = 3600
 ) -> list[str]:
     """Reclaim storage: keep the newest ``keep_last`` manifests, delete
     older manifests and every ``data/<commit>`` directory no retained
     manifest references (covers both superseded commits and orphaned
-    dirs from lost merge races). Returns the deleted paths."""
+    dirs from lost merge races). Returns the deleted paths.
+
+    ``min_age_seconds`` (default 1h) is the in-flight-writer guard: a
+    commit dir younger than this may belong to a merge that has
+    written its data but not yet published its manifest — deleting it
+    would break the version that is about to appear. Pass ``0`` only
+    when no writer can be running."""
     if keep_last < 1:
         raise VersionedTableError("keep_last must be >= 1")
     versions = list_versions(spark, path)
@@ -372,11 +417,16 @@ def vacuum_versioned_table(
             live_commits.add(e["dir"].split("/")[1])
     jvm, fs = _jfs(spark, path)
     deleted: list[str] = []
+    cutoff_ms = (time.time() - min_age_seconds) * 1000.0
     data_root = jvm.org.apache.hadoop.fs.Path(f"{path}/{_DATA_DIR}")
     if fs.exists(data_root):
         for st in fs.listStatus(data_root):
             name = st.getPath().getName()
-            if st.isDirectory() and name not in live_commits:
+            if (
+                st.isDirectory()
+                and name not in live_commits
+                and st.getModificationTime() <= cutoff_ms
+            ):
                 fs.delete(st.getPath(), True)
                 deleted.append(st.getPath().toString())
     for v in versions[:-keep_last] if keep_last < len(versions) else []:

@@ -464,21 +464,16 @@ def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bench",),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import _bucket_pairs
+
     li = (
         read_testdata(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
         .distinct()
-    )
-    pair_structs = F.expr(
-        "transform(ps, (x, i) ->"
-        " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v)))"
     )
     edges = (
-        li.groupBy("o")
-        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
-        .select(F.explode(F.flatten(pair_structs)).alias("e"))
-        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
-        .distinct()
+        _bucket_pairs(li, "o")
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
         .localCheckpoint(eager=True)  # feeds degrees, orientation, closure
     )
     deg = (
@@ -663,26 +658,24 @@ _CF_TOPK = 3
 def recsys_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders")
     lineitem = read_testdata(spark, sf_dir, "lineitem")
+    from ..llm.dedup import _bucket_pairs
+
     cp = (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
     )
-    baskets = (
-        cp.groupBy("c")
-        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
-        .where(F.size("ps") <= _CF_BASKET_CAP)
-    )
     # c_i on the same capped universe as the pair counts
-    keep = baskets.select("c", F.explode("ps").alias("p")).localCheckpoint(eager=True)
+    sizes = cp.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    keep = cp.join(sizes.where(F.col("n") <= _CF_BASKET_CAP), "c").select(
+        "c", "p"
+    ).localCheckpoint(eager=True)
     ci = keep.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
-    pair_structs = F.expr(
-        "transform(ps, (x, i) ->"
-        " transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
-    )
     pairs = (
-        baskets.select(F.explode(F.flatten(pair_structs)).alias("e"))
-        .groupBy(F.col("e.pa").alias("pa"), F.col("e.pb").alias("pb"))
+        _bucket_pairs(
+            keep.select("c", F.col("p").alias("doc")), "c", distinct_pairs=False
+        )
+        .groupBy(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
         .agg(F.count(F.lit(1)).alias("cij"))
     )
     sym = pairs.select(
@@ -787,28 +780,40 @@ def _normalize_arrow_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.Rec
             emb = emb.combine_chunks()
         offsets = emb.offsets.to_numpy(zero_copy_only=False)
         widths = np.diff(offsets)
-        dim = int(widths[0]) if len(widths) else 0
-        # nulls are filtered upstream; ragged rows would break the
-        # reshape, so assert the fixed-width contract loudly
-        if not (widths == dim).all():
+        # an EMPTY vector (not null — nulls are filtered upstream) has
+        # no norm: emit unit=[] / norm=null, matching the SQL twin
+        # (sum over an empty list is NULL). dim comes from the
+        # non-empty rows; ragged non-empty rows break the reshape
+        # contract loudly.
+        nonempty = widths > 0
+        dims = np.unique(widths[nonempty])
+        if len(dims) > 1:
             raise ValueError("embedding_normalize_arrow requires fixed-width vectors")
-        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
-        m = flat.reshape(-1, dim)
-        # accumulate dim-by-dim: sequential left-to-right adds, the
-        # same order DuckDB's list_aggregate('sum') uses — numpy's
-        # pairwise np.sum would round differently
-        acc = np.zeros(m.shape[0], dtype=np.float64)
-        for j in range(dim):
-            acc += m[:, j] * m[:, j]
-        norm = np.sqrt(acc)
-        safe = np.where(norm == 0.0, 1.0, norm)
-        unit = m / safe[:, None]
-        unit_list = [None if norm[i] == 0.0 else unit[i] for i in range(m.shape[0])]
+        n_rows = batch.num_rows
+        norm_out = np.full(n_rows, None, dtype=object)
+        unit_out = [[] for _ in range(n_rows)]
+        if len(dims):
+            dim = int(dims[0])
+            flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat.reshape(-1, dim)
+            # accumulate dim-by-dim: sequential left-to-right adds, the
+            # same order DuckDB's list_aggregate('sum') uses — numpy's
+            # pairwise np.sum would round differently
+            acc = np.zeros(m.shape[0], dtype=np.float64)
+            for j in range(dim):
+                acc += m[:, j] * m[:, j]
+            norm = np.sqrt(acc)
+            safe = np.where(norm == 0.0, 1.0, norm)
+            unit = m / safe[:, None]
+            full_rows = np.flatnonzero(nonempty)
+            for k, i in enumerate(full_rows):
+                norm_out[i] = norm[k]
+                unit_out[i] = None if norm[k] == 0.0 else unit[k]
         yield pa.RecordBatch.from_arrays(
             [
                 vec_ids,
-                pa.array(unit_list, type=pa.list_(pa.float64())),
-                pa.array(norm, type=pa.float64()),
+                pa.array(unit_out, type=pa.list_(pa.float64())),
+                pa.array(norm_out, type=pa.float64()),
             ],
             names=["vec_id", "unit", "norm"],
         )

@@ -170,3 +170,20 @@ def test_normalize_arrow_rejects_ragged_vectors():
     )
     with pytest.raises(ValueError, match="fixed-width"):
         list(_normalize_arrow_batches(iter([ragged])))
+
+
+def test_normalize_arrow_empty_vector_matches_sql_null_semantics():
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array([1, 2, 3], pa.int64()),
+            pa.array([[], [3.0, 4.0], []], pa.list_(pa.float32())),
+        ],
+        names=["vec_id", "embedding"],
+    )
+    out = list(_normalize_arrow_batches(iter([batch])))[0].to_pylist()
+    # empty list -> unit=[] / norm=None, the oracle's sum-over-empty-is-NULL
+    assert out[0]["unit"] == [] and out[0]["norm"] is None
+    assert out[1]["norm"] == 5.0
+    assert out[2]["unit"] == [] and out[2]["norm"] is None

@@ -112,7 +112,10 @@ def test_vacuum_reclaims_unreferenced_commits(spark, tmp_path):
             spark, path, changes, ["id"], ["part"], delete_col="is_deleted"
         )
     assert list_versions(spark, path) == [1, 2, 3]
-    deleted = vacuum_versioned_table(spark, path, keep_last=1)
+    # min_age_seconds=0: the fixture's commits are seconds old and no
+    # writer is running; the default 1h window exists to protect
+    # in-flight merges that wrote data but not yet their manifest
+    deleted = vacuum_versioned_table(spark, path, keep_last=1, min_age_seconds=0)
     assert deleted, "expected superseded commits and manifests to be deleted"
     assert list_versions(spark, path) == [3]
     # the retained version still reads completely
@@ -251,3 +254,21 @@ def test_partition_filter_prunes_at_the_manifest(spark, tmp_path):
         read_versioned_table(spark, path, partition_filter={"nope": 1})
     empty = read_versioned_table(spark, path, partition_filter={"part": "Z"})
     assert empty.count() == 0 and empty.schema == _base(spark).schema
+
+
+def test_numeric_looking_string_partition_values_survive_reads(spark, tmp_path):
+    # regression: directory-name inference types by VALUE ('01' -> 1);
+    # the reader must take partition values from the manifest instead
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "01", 1.0), (2, "007", 2.0), (3, "1e5", 3.0)],
+        "id long, part string, val double",
+    )
+    create_versioned_table(df, path, ["part"])
+    assert rows(read_versioned_table(spark, path)) == {
+        (1, "01", 1.0),
+        (2, "007", 2.0),
+        (3, "1e5", 3.0),
+    }
+    pruned = read_versioned_table(spark, path, partition_filter={"part": "01"})
+    assert rows(pruned) == {(1, "01", 1.0)}
