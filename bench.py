@@ -58,6 +58,16 @@ def main() -> int:
         _run("corpus_prep_pipeline", warm_dir)
         _run("dedup_cluster_components", warm_dir)
         _run("pipeline_consume_batch_e2e", warm_dir)
+        # r3-late heavy entries: the iterative graph queries compile
+        # distinct per-iteration plans, the pair-generation family its
+        # higher-order transforms, BM25/CF their multi-join chains
+        _run("graph_pagerank_fixed", warm_dir)
+        _run("graph_triangle_count", warm_dir)
+        _run("recsys_item_cooccurrence_topk", warm_dir)
+        _run("retrieval_bm25_topk", warm_dir)
+        _run("dedup_jaccard_prefix_filter", warm_dir)
+        _run("dedup_minhash_verified", warm_dir)
+        _run("corpus_near_dedup_pipeline", warm_dir)
 
     timings: dict[str, float] = {}
     for spec in bench_specs():
@@ -65,6 +75,20 @@ def main() -> int:
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[spec.name] = round(time.perf_counter() - t0, 3)
         print(f"# {spec.name}: {timings[spec.name]:.3f}s", file=sys.stderr)
+        # UNTIMED inter-query cleanup: localCheckpoint blocks from the
+        # pair-generation / iterative queries are only released when
+        # their RDDs are garbage-collected, and the async ContextCleaner
+        # lags Python's refcounts — without this, late bench entries run
+        # against executors carrying every earlier query's blocks and
+        # measure 2-3x slower than the same query in a fresh session
+        # (verified standalone: recsys 34s in-run vs 16s standalone).
+        # Unpersisting the finished queries' persistent RDDs directly is
+        # deterministic and — unlike System.gc() — cannot spray GCLocker
+        # warnings onto stdout (which must stay one JSON line).
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -608,6 +608,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CF_BASKET_CAP = 1000  # hot-basket guard: a B-part basket emits B(B-1)/2 pairs
+_CF_MIN_SUPPORT = 2  # singleton co-occurrences are noise AND ~30x the volume
 _CF_TOPK = 3
 
 
@@ -624,6 +625,7 @@ _CF_TOPK = 3
         SELECT a.p AS pa, b.p AS pb, count(*) AS cij
         FROM keep a JOIN keep b ON a.c = b.c AND a.p < b.p
         GROUP BY 1, 2
+        HAVING count(*) >= {_CF_MIN_SUPPORT}
     ),
     ci AS (SELECT p, count(*) AS n FROM keep GROUP BY p),
     sym AS (
@@ -660,10 +662,13 @@ def recsys_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     lineitem = read_testdata(spark, sf_dir, "lineitem")
     from ..llm.dedup import _bucket_pairs
 
+    # cp feeds the size profile AND the capped-universe join — one
+    # orders-lineitem join, materialized once (the multi-consumer rule)
     cp = (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # c_i on the same capped universe as the pair counts
     sizes = cp.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
@@ -677,6 +682,7 @@ def recsys_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .groupBy(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
         .agg(F.count(F.lit(1)).alias("cij"))
+        .where(F.col("cij") >= _CF_MIN_SUPPORT)
     )
     sym = pairs.select(
         F.col("pa").alias("item"), F.col("pb").alias("other"), "cij"
