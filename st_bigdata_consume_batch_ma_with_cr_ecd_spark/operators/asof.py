@@ -47,7 +47,8 @@ def asof_join(
     left_id: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the closest right row at-or-before
-    (``backward``) / at-or-after (``forward``) its timestamp.
+    (``backward``), at-or-after (``forward``), or in either direction
+    (``nearest`` — equidistant candidates prefer the earlier right row).
 
     Right columns that collide with left column names are suffixed
     ``_right``. ``tiebreak`` (a right column) makes the pick total when
@@ -55,8 +56,8 @@ def asof_join(
     rows with duplicate (key, ts) distinct in the candidate ranking —
     pass it whenever the left grain is finer than (on, left_ts).
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError("direction must be 'backward' or 'forward'")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
 
     l = left.alias("l")
     r = right.alias("r")
@@ -67,9 +68,27 @@ def asof_join(
     if direction == "backward":
         cond = cond & (lts > rts if strict else lts >= rts)
         order = [F.col(f"r.{right_ts}").desc()]
-    else:
+    elif direction == "forward":
         cond = cond & (lts < rts if strict else lts <= rts)
         order = [F.col(f"r.{right_ts}").asc()]
+    else:
+        # nearest: closest right row in EITHER direction (sensor/series
+        # alignment). Distance compares in exact integers for
+        # timestamps (unix micros) — a double delta could tie-break
+        # wrong in the last ulp. Equidistant candidates prefer the
+        # EARLIER right row (the backward one), then ``tiebreak``.
+        if strict:
+            cond = cond & (lts != rts)
+
+        def as_num(c: Column, df: DataFrame, name: str) -> Column:
+            return (
+                F.unix_micros(c)
+                if dict(df.dtypes)[name].startswith("timestamp")
+                else c.cast("double")
+            )
+
+        delta = F.abs(as_num(lts, left, left_ts) - as_num(rts, right, right_ts))
+        order = [delta.asc(), F.col(f"r.{right_ts}").asc()]
     if tiebreak:
         order.append(F.col(f"r.{tiebreak}").desc())
 

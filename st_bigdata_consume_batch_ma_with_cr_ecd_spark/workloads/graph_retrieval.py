@@ -607,6 +607,64 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_nearest_alignment",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'view'
+    )
+    SELECT p.event_id, p.user_id,
+           b.ts AS nearest_view_ts,
+           b.delta_us
+    FROM p LEFT JOIN LATERAL (
+        SELECT v.ts, abs(epoch_us(v.ts) - epoch_us(p.ts)) AS delta_us
+        FROM v WHERE v.user_id = p.user_id
+        ORDER BY delta_us ASC, v.ts ASC, v.event_id DESC LIMIT 1
+    ) b ON true
+    """,
+    doc="Nearest-neighbor time alignment (operators.asof "
+    "direction='nearest'): each purchase pairs with the user's CLOSEST "
+    "view in either direction — the sensor/series alignment semantics "
+    "backward/forward as-of joins cannot express. Distance compares in "
+    "exact integer microseconds (a double delta could tie-break wrong "
+    "in the last ulp); equidistant candidates prefer the earlier view. "
+    "Same single-shuffle + partial-top-1 plan as the other as-of "
+    "directions.",
+)
+def asof_nearest_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = read_testdata(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        direction="nearest",
+        tiebreak="event_id",
+        how="left",
+        left_id="event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("ts_right").alias("nearest_view_ts"),
+        F.abs(F.unix_micros("ts_right") - F.unix_micros("ts")).alias("delta_us"),
+    )
+
+
 _CF_BASKET_CAP = 1000  # hot-basket guard: a B-part basket emits B(B-1)/2 pairs
 _CF_MIN_SUPPORT = 2  # singleton co-occurrences are noise AND ~30x the volume
 _CF_TOPK = 3
