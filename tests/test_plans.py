@@ -371,3 +371,20 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_triangle_count_never_nested_loops_the_closure(spark, sf_dir):
+    # wedge closure and degree joins must stay hash joins; the only
+    # nested-loop nodes allowed are the 1-row stat crossJoins at the top
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in plan
+    # the 1-row BroadcastNestedLoopJoin stat assembly is benign; the
+    # closure join itself must be a hash join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_recsys_topk_is_group_limited_before_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "recsys_item_cooccurrence_topk")
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit") < plan.rindex("Exchange")
+    assert "CartesianProduct" not in plan
