@@ -83,10 +83,41 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         .agg(rounded_sum("l_extendedprice", 2).alias("rev"))
     )
 
+    # the dedup/CF family's core: grouped per-bucket pair generation
+    # (pairs per bucket stay constant; bucket count scales with data)
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import _bucket_pairs
+
+    pair_gen = _bucket_pairs(
+        li_m.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
+        .distinct(),
+        "o",
+        distinct_pairs=False,
+    )
+
+    # one iteration of the graph-rank template: contribution join +
+    # destination aggregate (node cardinality scales with the data —
+    # supplier keys shift too, or replicas would concentrate mass on a
+    # fixed hot dst set and measure growing skew instead of scale)
+    li_g = amplify(li, mult, ["l_orderkey", "l_suppkey"])
+    edges = (
+        o_m.join(li_g, o_m.o_orderkey == li_g.l_orderkey)
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    rank_iter = (
+        edges.join(deg, "src")
+        .select("dst", F.round(F.lit(1.0) / F.col("outdeg"), 12).cast("decimal(26,12)").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("in_mass"))
+    )
+
     return {
         "scan_agg": (agg, n_li * mult),
         "window_top1": (topn, n_li * mult),
         "shuffle_join_agg": (join, (n_li + n_o) * mult),
+        "pair_generation": (pair_gen, n_li * mult),
+        "graph_rank_iter": (rank_iter, (n_li + n_o) * mult),
     }
 
 
