@@ -608,6 +608,106 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_dimension_build",
+    oracle="""
+    WITH ordered AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               lag(o_orderpriority) OVER w AS prev_prio
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+        FROM ordered
+        WHERE prev_prio IS NULL OR o_orderpriority <> prev_prio
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           lead(o_orderdate) OVER w2 AS valid_to,
+           lead(o_orderdate) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="SCD Type-2 dimension build from a change log: each customer's "
+    "priority history collapses consecutive duplicates (no spurious "
+    "versions), then every surviving change opens a validity interval "
+    "closed by the next change's date (valid_to NULL = current row) — "
+    "the warehouse-dimension pattern the reference's changelog columns "
+    "(X8/X9) feed into. Two windows over ONE shuffle on the business "
+    "key (both windows partition by custkey, Spark reuses the "
+    "partitioning); total order via the orderkey tiebreak.",
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_testdata(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+        .withColumn("prev_prio", F.lag("o_orderpriority").over(w))
+        .where(
+            F.col("prev_prio").isNull()
+            | (F.col("o_orderpriority") != F.col("prev_prio"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "incremental_join_maintenance",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(38,8))), 2) AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Incremental JOIN-view maintenance: with both sides split into "
+    "(old, delta), the maintained join updates as old_join UNION "
+    "dA><B_old UNION A_old><dB UNION dA><dB — three delta-scoped joins "
+    "whose cost tracks the DELTAS, never a recompute of the TB-scale "
+    "old><old (at 100 TB the nightly delta is GBs; this is the "
+    "join-side sibling of incremental_agg_maintenance). The oracle is "
+    "the full recompute, so the driver hash PROVES the incremental "
+    "algebra reconstitutes it exactly.",
+)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregates import rounded_sum
+
+    cutoff = "1997-01-01"
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_shipdate"
+    )
+    a_old = o.where(F.col("o_orderdate") < cutoff)
+    da = o.where(F.col("o_orderdate") >= cutoff)
+    b_old = li.where(F.col("l_shipdate") < cutoff)
+    db = li.where(F.col("l_shipdate") >= cutoff)
+
+    cond_old = a_old["o_orderkey"] == b_old["l_orderkey"]
+    maintained = (
+        a_old.join(b_old, a_old["o_orderkey"] == b_old["l_orderkey"])
+        .unionByName(da.join(b_old, da["o_orderkey"] == b_old["l_orderkey"]))
+        .unionByName(a_old.join(db, a_old["o_orderkey"] == db["l_orderkey"]))
+        .unionByName(da.join(db, da["o_orderkey"] == db["l_orderkey"]))
+    )
+    return maintained.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rounded_sum("l_extendedprice", 2).alias("revenue"),
+    )
+
+
+@register(
     "asof_nearest_alignment",
     oracle="""
     WITH p AS (
