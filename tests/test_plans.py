@@ -388,3 +388,11 @@ def test_recsys_topk_is_group_limited_before_exchange(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert plan.index("WindowGroupLimit") < plan.rindex("Exchange")
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_windows_share_one_business_key_shuffle(spark, sf_dir):
+    # lag-collapse and lead-interval windows both partition by custkey:
+    # the plan must carry exactly ONE Exchange (formatted explain lists
+    # each physical node twice)
+    plan = plan_of(spark, sf_dir, "scd2_dimension_build")
+    assert plan.count("Exchange") == 2
