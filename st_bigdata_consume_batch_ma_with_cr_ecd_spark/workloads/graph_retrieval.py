@@ -608,6 +608,84 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "intervals_merge_overlapping",
+    oracle="""
+    WITH iv AS (
+        SELECT l_suppkey AS suppkey,
+               l_shipdate AS s,
+               l_shipdate + CAST(l_linenumber * 3 AS INTEGER) * INTERVAL 1 DAY AS e,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    flagged AS (
+        SELECT suppkey, s, e, l_orderkey, l_linenumber,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY suppkey ORDER BY s, e, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) >= s THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT suppkey, s, e,
+               sum(new_island) OVER (
+                   PARTITION BY suppkey ORDER BY s, e, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island
+        FROM flagged
+    )
+    SELECT suppkey, CAST(island AS BIGINT) AS island,
+           min(s) AS cover_start, max(e) AS cover_end,
+           count(*) AS n_intervals
+    FROM islands GROUP BY suppkey, island
+    """,
+    doc="Merge overlapping intervals per key (coverage-window union, the "
+    "gaps-and-islands generalization): intervals sorted per supplier, a "
+    "new island opens when a start clears the running max end "
+    "(ROWS-framed window over the totally ordered partition — ties "
+    "broken to the row grain so both engines walk the identical "
+    "sequence), island ids by running sum, one aggregate per island. "
+    "Two windows + one aggregate, all riding a single supplier-key "
+    "shuffle. Interval ends derive deterministically from shipdate + "
+    "3*linenumber days (the synthetic schema carries no end column).",
+)
+def intervals_merge_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.col("l_shipdate").alias("s"),
+        # timestampadd, not date_add: shipdate is a TIMESTAMP and
+        # date_add would silently truncate it to a DATE
+        F.expr("timestampadd(DAY, l_linenumber * 3, l_shipdate)").alias("e"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = (
+        Window.partitionBy("suppkey")
+        .orderBy("s", "e", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.max("e").over(w) >= F.col("s"), F.lit(0)).otherwise(F.lit(1)),
+    )
+    # the SAME total order as the flag window: tied rows must walk in
+    # one sequence or the running island sum assigns ties differently
+    w2 = (
+        Window.partitionBy("suppkey")
+        .orderBy("s", "e", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w2))
+    return islands.groupBy("suppkey", "island").agg(
+        F.min("s").alias("cover_start"),
+        F.max("e").alias("cover_end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@register(
     "scd2_dimension_build",
     oracle="""
     WITH ordered AS (
