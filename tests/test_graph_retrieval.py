@@ -187,3 +187,46 @@ def test_normalize_arrow_empty_vector_matches_sql_null_semantics():
     assert out[0]["unit"] == [] and out[0]["norm"] is None
     assert out[1]["norm"] == 5.0
     assert out[2]["unit"] == [] and out[2]["norm"] is None
+
+
+def test_interval_merge_islands_on_crafted_case(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime as dt
+
+    # supplier 1: [1,4] [2,5] overlap -> island; [7,8] separate;
+    # touching boundary [5,6] extends the first island (>= is overlap)
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1), 1),   # e = +3d  -> Jan 4
+        (2, 1, dt.datetime(2024, 1, 2), 1),   # e = +3d  -> Jan 5
+        (3, 1, dt.datetime(2024, 1, 5), 1),   # s = prior max end -> same island, e Jan 8
+        (4, 1, dt.datetime(2024, 1, 20), 1),  # new island
+    ]
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([1] * 4, pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_linenumber": pa.array([r[3] for r in rows], pa.int64()),
+            "l_quantity": pa.array([1.0] * 4),
+            "l_extendedprice": pa.array([1.0] * 4),
+            "l_discount": pa.array([0.0] * 4),
+            "l_tax": pa.array([0.0] * 4),
+            "l_returnflag": ["N"] * 4,
+            "l_linestatus": ["O"] * 4,
+            "l_shipdate": pa.array([r[2] for r in rows], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(tbl, tmp_path / "lineitem.parquet", coerce_timestamps="us")
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+        intervals_merge_overlapping,
+    )
+
+    out = sorted(
+        (r.island, r.cover_start, r.cover_end, r.n_intervals)
+        for r in intervals_merge_overlapping(spark, str(tmp_path)).collect()
+    )
+    assert len(out) == 2
+    assert out[0][1] == dt.datetime(2024, 1, 1) and out[0][2] == dt.datetime(2024, 1, 8)
+    assert out[0][3] == 3  # three intervals merged into the first island
+    assert out[1][3] == 1
