@@ -69,6 +69,14 @@ def main() -> int:
         _run("dedup_minhash_verified", warm_dir)
         _run("corpus_near_dedup_pipeline", warm_dir)
 
+    def _drop_persistent_blocks() -> None:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        it = jmap.entrySet().iterator()
+        while it.hasNext():
+            it.next().getValue().unpersist(False)
+
+    _drop_persistent_blocks()  # warm-up queries checkpoint too
+
     timings: dict[str, float] = {}
     for spec in bench_specs():
         t0 = time.perf_counter()
@@ -85,10 +93,7 @@ def main() -> int:
         # Unpersisting the finished queries' persistent RDDs directly is
         # deterministic and — unlike System.gc() — cannot spray GCLocker
         # warnings onto stdout (which must stay one JSON line).
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        it = jmap.entrySet().iterator()
-        while it.hasNext():
-            it.next().getValue().unpersist(False)
+        _drop_persistent_blocks()
 
     total = round(sum(timings.values()), 3)
     print(

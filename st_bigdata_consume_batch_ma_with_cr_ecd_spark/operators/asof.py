@@ -73,19 +73,26 @@ def asof_join(
         order = [F.col(f"r.{right_ts}").asc()]
     else:
         # nearest: closest right row in EITHER direction (sensor/series
-        # alignment). Distance compares in exact integers for
-        # timestamps (unix micros) — a double delta could tie-break
-        # wrong in the last ulp. Equidistant candidates prefer the
-        # EARLIER right row (the backward one), then ``tiebreak``.
+        # alignment). Distance compares in exact integers (unix micros
+        # for timestamps, day numbers for dates; integral columns stay
+        # integral) — a double delta could tie-break wrong in the last
+        # ulp. Equidistant candidates prefer the EARLIER right row (the
+        # backward one), then ``tiebreak``. Null timestamps are
+        # excluded EXPLICITLY: backward/forward filter them through
+        # their comparisons, but nearest's key-only condition would
+        # otherwise match them, and a NULL delta sorts FIRST under
+        # asc() — a null-ts right row would beat every real candidate.
+        cond = cond & lts.isNotNull() & rts.isNotNull()
         if strict:
             cond = cond & (lts != rts)
 
         def as_num(c: Column, df: DataFrame, name: str) -> Column:
-            return (
-                F.unix_micros(c)
-                if dict(df.dtypes)[name].startswith("timestamp")
-                else c.cast("double")
-            )
+            dt = dict(df.dtypes)[name]
+            if dt.startswith("timestamp"):
+                return F.unix_micros(c)
+            if dt == "date":
+                return F.unix_date(c)
+            return c  # numeric: compare in the column's own exact type
 
         delta = F.abs(as_num(lts, left, left_ts) - as_num(rts, right, right_ts))
         order = [delta.asc(), F.col(f"r.{right_ts}").asc()]

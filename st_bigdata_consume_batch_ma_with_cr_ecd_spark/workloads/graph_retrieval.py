@@ -130,9 +130,9 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         tok.groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: plan inspection stays job-free
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint(eager=True)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).localCheckpoint(eager=False)
     # document frequency is only ever consumed for query terms, so the
     # broadcast query filter pushes BELOW the aggregate: df values for
     # the filtered tokens are identical to corpus-wide df
@@ -474,7 +474,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         _bucket_pairs(li, "o")
         .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .localCheckpoint(eager=True)  # feeds degrees, orientation, closure
+        .localCheckpoint(eager=False)  # feeds degrees, orientation, closure; lazy
     )
     deg = (
         edges.select(F.col("u").alias("x"))
@@ -729,13 +729,12 @@ def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("o_orderpriority") != F.col("prev_prio"))
         )
     )
-    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return changes.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderpriority").alias("priority"),
         F.col("o_orderdate").alias("valid_from"),
-        F.lead("o_orderdate").over(w2).alias("valid_to"),
-        F.lead("o_orderdate").over(w2).isNull().alias("is_current"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
 
 
@@ -772,7 +771,6 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b_old = li.where(F.col("l_shipdate") < cutoff)
     db = li.where(F.col("l_shipdate") >= cutoff)
 
-    cond_old = a_old["o_orderkey"] == b_old["l_orderkey"]
     maintained = (
         a_old.join(b_old, a_old["o_orderkey"] == b_old["l_orderkey"])
         .unionByName(da.join(b_old, da["o_orderkey"] == b_old["l_orderkey"]))
@@ -904,13 +902,13 @@ def recsys_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)  # lazy: plan inspection stays job-free
     )
     # c_i on the same capped universe as the pair counts
     sizes = cp.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
     keep = cp.join(sizes.where(F.col("n") <= _CF_BASKET_CAP), "c").select(
         "c", "p"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     ci = keep.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         _bucket_pairs(

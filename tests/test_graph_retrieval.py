@@ -230,3 +230,30 @@ def test_interval_merge_islands_on_crafted_case(spark, tmp_path):
     assert out[0][1] == dt.datetime(2024, 1, 1) and out[0][2] == dt.datetime(2024, 1, 8)
     assert out[0][3] == 3  # three intervals merged into the first island
     assert out[1][3] == 1
+
+
+def test_asof_nearest_ignores_null_timestamps(spark):
+    # the review-caught trap: nearest's key-only join condition would
+    # otherwise match null-ts rows, and a NULL delta sorts FIRST under
+    # asc() — a null-ts right row would beat every real candidate
+    import datetime as dt
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.asof import asof_join
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, "u", t), (2, "u", None)], "event_id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, "u", None, "null-ts"), (11, "u", t.replace(hour=13), "real")],
+        "event_id long, k string, ts timestamp, tag string",
+    )
+    out = {
+        r.event_id: r.tag
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            direction="nearest", tiebreak="event_id", how="left", left_id="event_id",
+        ).collect()
+    }
+    assert out[1] == "real"  # the null-ts right row never wins
+    assert out[2] is None  # null-ts left rows keep a null payload

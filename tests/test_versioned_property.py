@@ -66,13 +66,13 @@ def test_versioned_merges_match_dict_model_at_every_version(spark, tmp_path_fact
         touched = merge_versioned_table(
             spark, path, changes, ["id"], ["part"], delete_col="is_deleted"
         )
+        assert touched  # every nonempty batch names partitions -> commits
         for i, part, val, deleted in rows:
             if deleted:
                 model.pop(i, None)
             else:
                 model[i] = (part, val)
-        if touched:  # a no-op batch (deletes of absent keys) writes no version
-            v += 1
+        v += 1  # every nonempty batch commits a version (touched proven above)
         versions.append(v)
         states.append(dict(model))
 
