@@ -260,20 +260,30 @@ def read_versioned_table(
             for e in entries
             if all(e["partition"].get(c) == v_ for c, v_ in partition_filter.items())
         ]
+    return _read_entries(spark, path, entries, schema, list(m["partition_by"]))
+
+
+def _read_entries(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    schema: StructType,
+    partition_by: list[str],
+) -> DataFrame:
+    """Union one plain scan per manifest entry. Partition values come
+    from the MANIFEST, never from directory-name inference: Spark's
+    basePath inference types by value, so a STRING partition value like
+    '01' would come back as long 1 and a cast to the recorded schema
+    would yield '1' — silent corruption. Each entry's dir is read plain
+    (data files carry no partition columns) and the entry's recorded
+    values attach as typed literals."""
     if not entries:
         return spark.createDataFrame([], schema)
-    # Partition values come from the MANIFEST, never from directory-name
-    # inference: Spark's basePath inference types by value, so a STRING
-    # partition value like '01' would come back as long 1 and a cast to
-    # the recorded schema would yield '1' — silent corruption. Each
-    # entry's dir is read plain (data files carry no partition columns)
-    # and the entry's recorded values attach as typed literals.
-    part_cols = list(m["partition_by"])
     field_by_name = {f.name: f for f in schema.fields}
     parts_df: DataFrame | None = None
     for e in sorted(entries, key=lambda x: x["dir"]):
         piece = spark.read.parquet(f"{path}/{e['dir']}")
-        for c in part_cols:
+        for c in partition_by:
             piece = piece.withColumn(
                 c, F.lit(e["partition"][c]).cast(field_by_name[c].dataType)
             )
@@ -282,6 +292,52 @@ def read_versioned_table(
     return parts_df.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
+
+
+def versioned_change_feed(
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str],
+    *,
+    from_version: int,
+    to_version: int,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """CDC change feed between two table versions (the lakehouse
+    ``table_changes`` surface): every key classified insert / update /
+    delete with ``<col>_before`` / ``<col>_after`` payloads.
+
+    The manifests make this cheap: partitions whose entry points at the
+    SAME immutable directory in both versions cannot differ and are
+    never read — the diff's cost tracks the partitions the intervening
+    merges touched, not the table. The changed slices then diff with
+    ``operators.merge.snapshot_diff`` (one key-shuffled full outer
+    join)."""
+    m_from = _read_manifest(spark, path, from_version)
+    m_to = _read_manifest(spark, path, to_version)
+    if m_from["partition_by"] != m_to["partition_by"]:
+        raise VersionedTableError("partition_by changed between versions")
+    schema = StructType.fromJson(json.loads(m_from["schema"]))
+    part_cols = list(m_from["partition_by"])
+
+    def emap(m: dict) -> dict[str, dict]:
+        return {json.dumps(e["partition"], sort_keys=True): e for e in m["entries"]}
+
+    fm, tm = emap(m_from), emap(m_to)
+    changed = [
+        k
+        for k in sorted(set(fm) | set(tm))
+        if (fm.get(k) or {}).get("dir") != (tm.get(k) or {}).get("dir")
+    ]
+    before = _read_entries(
+        spark, path, [fm[k] for k in changed if k in fm], schema, part_cols
+    )
+    after = _read_entries(
+        spark, path, [tm[k] for k in changed if k in tm], schema, part_cols
+    )
+    from ..operators.merge import snapshot_diff
+
+    return snapshot_diff(before, after, list(keys), compare_cols=compare_cols)
 
 
 def merge_versioned_table(

@@ -1638,6 +1638,71 @@ def merge_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_change_feed_cdc",
+    # the oracle derives the expected change feed symbolically from the
+    # same CDC recipe merge_versioned_time_travel applies: %10 keys
+    # update (status -> F, price +1), %17 keys delete, nothing inserts
+    oracle="""
+    SELECT o_orderkey, 'update' AS change_type,
+           o_orderstatus AS o_orderstatus_before,
+           'F' AS o_orderstatus_after,
+           o_totalprice AS o_totalprice_before,
+           o_totalprice + 1.0 AS o_totalprice_after
+    FROM orders WHERE o_orderkey % 10 = 0 AND o_orderkey % 17 <> 3
+    UNION ALL
+    SELECT o_orderkey, 'delete',
+           o_orderstatus, CAST(NULL AS VARCHAR),
+           o_totalprice, CAST(NULL AS DOUBLE)
+    FROM orders WHERE o_orderkey % 17 = 3
+    """,
+    doc="Change-data-feed between table versions (the lakehouse "
+    "table_changes surface, sinks.versioned.versioned_change_feed): "
+    "manifest diff selects ONLY the partitions the merge touched "
+    "(identical immutable dirs cannot differ and are never read), then "
+    "snapshot_diff classifies each key insert/update/delete with "
+    "before/after payloads in one key-shuffled full outer join. The "
+    "oracle replays the CDC recipe symbolically — updates carry old and "
+    "new status/price, deletes carry nulls after.",
+)
+def versioned_change_feed_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.versioned import (
+        create_versioned_table,
+        merge_versioned_table,
+        versioned_change_feed,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="versioned_cdf_") + "/t"
+    create_versioned_table(o, path, ["o_orderstatus"])
+    updates = (
+        o.where((k % 10 == 0) & (k % 17 != 3))
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("is_deleted", F.lit(False))
+    )
+    deletes = o.where(k % 17 == 3).withColumn("is_deleted", F.lit(True))
+    merge_versioned_table(
+        spark,
+        path,
+        updates.unionByName(deletes),
+        ["o_orderkey"],
+        ["o_orderstatus"],
+        delete_col="is_deleted",
+    )
+    return versioned_change_feed(
+        spark,
+        path,
+        ["o_orderkey"],
+        from_version=1,
+        to_version=2,
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+@register(
     "dq_expectation_suite",
     oracle="""
     WITH m AS (

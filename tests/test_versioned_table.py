@@ -272,3 +272,25 @@ def test_numeric_looking_string_partition_values_survive_reads(spark, tmp_path):
     }
     pruned = read_versioned_table(spark, path, partition_filter={"part": "01"})
     assert rows(pruned) == {(1, "01", 1.0)}
+
+
+def test_change_feed_reads_only_touched_partitions(spark, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        versioned_change_feed,
+    )
+
+    path = str(tmp_path / "t")
+    create_versioned_table(_base(spark), path, ["part"])
+    changes = spark.createDataFrame(
+        [(1, "A", 11.0, False), (3, "B", 0.0, True)],
+        "id long, part string, val double, is_deleted boolean",
+    )
+    merge_versioned_table(spark, path, changes, ["id"], ["part"], delete_col="is_deleted")
+    feed = versioned_change_feed(
+        spark, path, ["id"], from_version=1, to_version=2
+    )
+    got = {(r.id, r.change_type) for r in feed.collect()}
+    assert got == {(1, "update"), (3, "delete")}
+    # identical version -> empty feed, zero partitions read
+    empty = versioned_change_feed(spark, path, ["id"], from_version=2, to_version=2)
+    assert empty.count() == 0 and empty.inputFiles() == []
