@@ -441,6 +441,72 @@ def merge_versioned_table(
     raise VersionedTableError(f"merge failed after {max_retries} attempts: {last_err}")
 
 
+def compact_versioned_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    max_files_per_partition: int = 1,
+    max_retries: int = 3,
+) -> list[dict]:
+    """OPTIMIZE: rewrite fragmented partitions into few large files and
+    publish the repointed manifest as a new version. Returns the
+    partition-value dicts that were compacted (empty = nothing to do,
+    no version written).
+
+    Small files accumulate from parallel writes (every write task emits
+    one file per partition value it holds) and kill scan throughput on
+    object stores (per-file open cost, tiny row groups). Compaction is
+    just another commit here: read ONLY the fragmented partitions,
+    cluster by the partition columns so each lands in one task, write
+    a fresh immutable commit dir, and swap the manifest — readers never
+    see a half-compacted table, time travel still serves the old
+    layout, and vacuum reclaims it later. Data content is unchanged,
+    so a concurrent merge losing the race against a compaction (or
+    vice versa) simply retries against the new manifest."""
+    last_err = ""
+    for _ in range(max_retries):
+        v = latest_version(spark, path)
+        m = _read_manifest(spark, path, v)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        part_cols = list(m["partition_by"])
+        jvm, fs = _jfs(spark, path)
+        fragmented = []
+        for e in m["entries"]:
+            d = jvm.org.apache.hadoop.fs.Path(f"{path}/{e['dir']}")
+            n_files = sum(
+                1
+                for st in fs.listStatus(d)
+                if st.getPath().getName().endswith(".parquet")
+            )
+            if n_files > max_files_per_partition:
+                fragmented.append(e)
+        if not fragmented:
+            return []
+        slice_df = _read_entries(spark, path, fragmented, schema, part_cols)
+        # one task per partition value -> max_files_per_partition files
+        # per dir (hash collisions between partition values still write
+        # separate files per dir)
+        clustered = slice_df.repartition(
+            max(len(fragmented) * max_files_per_partition, 1), *part_cols
+        )
+        _, new_entries = _commit_data(
+            clustered.localCheckpoint(eager=True), path, part_cols
+        )
+        keep = [e for e in m["entries"] if e not in fragmented]
+        candidate = {
+            "version": v + 1,
+            "ts": time.time(),
+            "schema": m["schema"],
+            "partition_by": part_cols,
+            "entries": keep + new_entries,
+            "txns": dict(m.get("txns", {})),
+        }
+        if _write_manifest(spark, path, candidate):
+            return [e["partition"] for e in fragmented]
+        last_err = f"lost commit race for version {v + 1}"
+    raise VersionedTableError(f"compaction failed after {max_retries} attempts: {last_err}")
+
+
 def table_history(spark: SparkSession, path: str) -> list[dict]:
     """Version lineage: (version, commit wall-clock, partition count)."""
     out = []

@@ -294,3 +294,46 @@ def test_change_feed_reads_only_touched_partitions(spark, tmp_path):
     # identical version -> empty feed, zero partitions read
     empty = versioned_change_feed(spark, path, ["id"], from_version=2, to_version=2)
     assert empty.count() == 0 and empty.inputFiles() == []
+
+
+def test_compaction_coalesces_files_and_preserves_time_travel(spark, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        compact_versioned_table,
+    )
+
+    path = str(tmp_path / "t")
+    # force fragmentation: many write tasks -> many files per partition
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B", float(i)) for i in range(40)],
+        "id long, part string, val double",
+    ).repartition(8)
+    create_versioned_table(df, path, ["part"])
+
+    def files_per_partition():
+        import collections
+        import glob
+
+        counts = collections.Counter()
+        for f in glob.glob(f"{path}/data/*/part=*/*.parquet"):
+            counts[f.split("/")[-2]] += 1
+        return counts
+
+    before = read_versioned_table(spark, path)
+    before_rows = rows(before)
+    assert max(files_per_partition().values()) > 1  # fragmented fixture
+
+    compacted = compact_versioned_table(spark, path)
+    assert {p["part"] for p in compacted} == {"A", "B"}
+    assert latest_version(spark, path) == 2
+    # content identical, layout coalesced
+    assert rows(read_versioned_table(spark, path)) == before_rows
+    latest_files = read_versioned_table(spark, path).inputFiles()
+    per_dir = {}
+    for f in latest_files:
+        per_dir.setdefault(f.rsplit("/", 2)[-2], []).append(f)
+    assert all(len(v) == 1 for v in per_dir.values())
+    # the old fragmented layout still serves version 1 (time travel)
+    assert rows(read_versioned_table(spark, path, version=1)) == before_rows
+    # idempotent: nothing fragmented -> no-op, no new version
+    assert compact_versioned_table(spark, path) == []
+    assert latest_version(spark, path) == 2
