@@ -287,6 +287,12 @@ def _read_entries(
             piece = piece.withColumn(
                 c, F.lit(e["partition"][c]).cast(field_by_name[c].dataType)
             )
+        # schema evolution: files written before a column was added
+        # simply lack it — read it as typed nulls (add-only evolution,
+        # the same contract parquet mergeSchema provides)
+        for f in schema.fields:
+            if f.name not in piece.columns:
+                piece = piece.withColumn(f.name, F.lit(None).cast(f.dataType))
         piece = piece.select(*[F.col(f.name) for f in schema.fields])
         parts_df = piece if parts_df is None else parts_df.unionByName(piece)
     return parts_df.select(
@@ -350,6 +356,7 @@ def merge_versioned_table(
     delete_col: str | None = None,
     max_retries: int = 3,
     txn: tuple[str, int] | None = None,
+    allow_schema_evolution: bool = False,
 ) -> list[dict]:
     """MERGE ``changes`` into the table as a new atomic version; returns
     the rewritten partition-value dicts.
@@ -361,6 +368,13 @@ def merge_versioned_table(
     every touched partition. On a concurrency loss the merge recomputes
     against the new latest version (optimistic retry); the orphaned
     attempt dir stays invisible until vacuum.
+
+    ``allow_schema_evolution=True`` admits NEW columns carried by the
+    change batch (add-only evolution): existing rows read them as
+    typed nulls, the published manifest pins the WIDER schema, and
+    historical versions keep theirs — a time-travel read of version
+    N uses version N's schema. Without the flag, unknown change
+    columns are ignored (the pre-evolution behavior).
 
     ``txn=(app_id, epoch)`` makes the merge TRANSACTIONALLY idempotent
     (the Delta ``txn`` pattern): each manifest records the highest
@@ -386,6 +400,18 @@ def merge_versioned_table(
                 f"partition_by mismatch: table has {manifest['partition_by']}"
             )
         snapshot = read_versioned_table(spark, path, version=v)
+        schema_json = manifest["schema"]
+        if allow_schema_evolution:
+            known = set(snapshot.columns) | ({delete_col} if delete_col else set())
+            new_cols = [c for c in changes.columns if c not in known]
+            if set(new_cols) & set(partition_by):
+                raise VersionedTableError("cannot evolve a partition column")
+            for c in new_cols:
+                snapshot = snapshot.withColumn(
+                    c, F.lit(None).cast(changes.schema[c].dataType)
+                )
+            if new_cols:
+                schema_json = snapshot.schema.json()
 
         batch_parts = [
             r.asDict() for r in changes.select(*partition_by).distinct().collect()
@@ -430,7 +456,7 @@ def merge_versioned_table(
         candidate = {
             "version": v + 1,
             "ts": time.time(),
-            "schema": manifest["schema"],
+            "schema": schema_json,
             "partition_by": partition_by,
             "entries": new_entries + result_entries,
             "txns": txns,

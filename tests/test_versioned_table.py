@@ -337,3 +337,49 @@ def test_compaction_coalesces_files_and_preserves_time_travel(spark, tmp_path):
     # idempotent: nothing fragmented -> no-op, no new version
     assert compact_versioned_table(spark, path) == []
     assert latest_version(spark, path) == 2
+
+
+def test_schema_evolution_adds_column_with_per_version_schemas(spark, tmp_path):
+    path = str(tmp_path / "t")
+    create_versioned_table(_base(spark), path, ["part"])
+    changes = spark.createDataFrame(
+        [(1, "A", 11.0, "eur", False), (5, "C", 50.0, "usd", False)],
+        "id long, part string, val double, currency string, is_deleted boolean",
+    )
+    merge_versioned_table(
+        spark,
+        path,
+        changes,
+        ["id"],
+        ["part"],
+        delete_col="is_deleted",
+        allow_schema_evolution=True,
+    )
+    latest = read_versioned_table(spark, path)
+    assert latest.columns == ["id", "part", "val", "currency"]
+    got = {r.id: r.currency for r in latest.collect()}
+    # evolved rows carry the value, pre-evolution rows read typed nulls
+    assert got[1] == "eur" and got[5] == "usd"
+    assert got[2] is None and got[3] is None and got[4] is None
+    # time travel serves version 1 with version 1's schema
+    v1 = read_versioned_table(spark, path, version=1)
+    assert v1.columns == ["id", "part", "val"]
+    assert rows(v1) == rows(_base(spark))
+    # without the flag, unknown columns are ignored (legacy behavior);
+    # change batches must still carry every CURRENT data column
+    more = spark.createDataFrame(
+        [(2, "A", 22.0, "chf", "zzz", False)],
+        "id long, part string, val double, currency string, bogus string, is_deleted boolean",
+    )
+    merge_versioned_table(spark, path, more, ["id"], ["part"], delete_col="is_deleted")
+    assert "bogus" not in read_versioned_table(spark, path).columns
+
+    # evolving a partition column is refused
+    bad = spark.createDataFrame(
+        [(9, "A", 1.0, False)], "id long, part2 string, val double, is_deleted boolean"
+    )
+    with pytest.raises(VersionedTableError):
+        merge_versioned_table(
+            spark, path, bad.withColumnRenamed("part2", "part").withColumn("part2", F.lit("x")),
+            ["id"], ["part2"], delete_col="is_deleted", allow_schema_evolution=True,
+        )
