@@ -86,15 +86,38 @@ def asof_join(
         if strict:
             cond = cond & (lts != rts)
 
-        def as_num(c: Column, df: DataFrame, name: str) -> Column:
+        def unit_of(df: DataFrame, name: str) -> str:
             dt = dict(df.dtypes)[name]
             if dt.startswith("timestamp"):
-                return F.unix_micros(c)
+                return "micros"
             if dt == "date":
+                return "days"
+            return "numeric"
+
+        lu, ru = unit_of(left, left_ts), unit_of(right, right_ts)
+        # A timestamp on one side and a date on the other would compare
+        # unix MICROS against unix DAYS — silently wrong nearest picks
+        # (r3 advisor finding). Normalize date->timestamp when mixed
+        # with a timestamp; refuse temporal-vs-numeric outright.
+        if {lu, ru} == {"micros", "days"}:
+            lu = ru = "micros"
+        elif lu != ru:
+            raise ValueError(
+                f"nearest needs comparable timestamp units: {left_ts} is {lu}, "
+                f"{right_ts} is {ru} — cast one side first"
+            )
+
+        def as_num(c: Column, df: DataFrame, name: str, unit: str) -> Column:
+            dt = dict(df.dtypes)[name]
+            if unit == "micros":
+                return F.unix_micros(c if dt.startswith("timestamp") else c.cast("timestamp"))
+            if unit == "days":
                 return F.unix_date(c)
             return c  # numeric: compare in the column's own exact type
 
-        delta = F.abs(as_num(lts, left, left_ts) - as_num(rts, right, right_ts))
+        delta = F.abs(
+            as_num(lts, left, left_ts, lu) - as_num(rts, right, right_ts, ru)
+        )
         order = [delta.asc(), F.col(f"r.{right_ts}").asc()]
     if tiebreak:
         order.append(F.col(f"r.{tiebreak}").desc())

@@ -323,7 +323,18 @@ def versioned_change_feed(
     m_to = _read_manifest(spark, path, to_version)
     if m_from["partition_by"] != m_to["partition_by"]:
         raise VersionedTableError("partition_by changed between versions")
-    schema = StructType.fromJson(json.loads(m_from["schema"]))
+    # Diff under the UNION of both versions' schemas, not the FROM
+    # schema: after add-only evolution the TO version is wider, and
+    # pinning the FROM schema would (a) silently drop evolved columns
+    # from insert/update payloads and (b) classify an update that only
+    # changes an evolved column as unchanged. Pre-evolution files read
+    # the evolved columns as typed nulls (r3 advisor finding).
+    s_from = StructType.fromJson(json.loads(m_from["schema"]))
+    s_to = StructType.fromJson(json.loads(m_to["schema"]))
+    from_names = {f.name for f in s_from.fields}
+    schema = StructType(
+        list(s_from.fields) + [f for f in s_to.fields if f.name not in from_names]
+    )
     part_cols = list(m_from["partition_by"])
 
     def emap(m: dict) -> dict[str, dict]:
@@ -416,10 +427,16 @@ def merge_versioned_table(
         batch_parts = [
             r.asDict() for r in changes.select(*partition_by).distinct().collect()
         ]
+        # No explicit broadcast hint on the change-key set: a large CDC
+        # batch's distinct keys can exceed driver/executor memory, and
+        # AQE already promotes the build side to broadcast when its
+        # runtime size is under the threshold — the hint would force it
+        # unconditionally (r3 advisor finding). The left-semi stays a
+        # shuffled hash join for big batches, which is the safe shape.
         key_set = changes.select(*list(keys)).distinct()
         old_parts = [
             r.asDict()
-            for r in snapshot.join(F.broadcast(key_set), on=list(keys), how="leftsemi")
+            for r in snapshot.join(key_set, on=list(keys), how="leftsemi")
             .select(*partition_by)
             .distinct()
             .collect()
@@ -509,11 +526,25 @@ def compact_versioned_table(
         if not fragmented:
             return []
         slice_df = _read_entries(spark, path, fragmented, schema, part_cols)
-        # one task per partition value -> max_files_per_partition files
-        # per dir (hash collisions between partition values still write
-        # separate files per dir)
-        clustered = slice_df.repartition(
-            max(len(fragmented) * max_files_per_partition, 1), *part_cols
+        # Repartitioning by part_cols alone hashes each partition VALUE
+        # to a single task — always one output file per dir, making the
+        # knob a pure selection threshold (r3 advisor finding). A
+        # deterministic row-content salt in [0, max_files) spreads each
+        # partition value over up to max_files_per_partition tasks, so
+        # the output layout honors the knob (and a hot partition's
+        # rewrite parallelizes instead of serializing in one task).
+        data_cols = [f.name for f in schema.fields if f.name not in part_cols]
+        salt = (
+            F.pmod(F.hash(*[F.col(c) for c in data_cols]), F.lit(max_files_per_partition))
+            if data_cols
+            else F.lit(0)
+        )
+        clustered = (
+            slice_df.withColumn("__salt", salt)
+            .repartition(
+                max(len(fragmented) * max_files_per_partition, 1), *part_cols, "__salt"
+            )
+            .drop("__salt")
         )
         _, new_entries = _commit_data(
             clustered.localCheckpoint(eager=True), path, part_cols

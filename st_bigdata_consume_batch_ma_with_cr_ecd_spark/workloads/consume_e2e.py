@@ -364,16 +364,16 @@ def _pipeline_sql() -> str:
     ),
     crs AS (
         SELECT classifiedId,
-               sum(coalesce(emailContactRequest, 0))   AS userDefined_immoWelt_contact_requests,
-               sum(coalesce(emailContactRequestIW, 0)) AS userDefined_immoWelt_iw_contact_requests,
-               sum(coalesce(emailContactRequestIN, 0)) AS userDefined_immoWelt_in_contact_requests
+               CAST(sum(coalesce(emailContactRequest, 0))   AS BIGINT) AS userDefined_immoWelt_contact_requests,
+               CAST(sum(coalesce(emailContactRequestIW, 0)) AS BIGINT) AS userDefined_immoWelt_iw_contact_requests,
+               CAST(sum(coalesce(emailContactRequestIN, 0)) AS BIGINT) AS userDefined_immoWelt_in_contact_requests
         FROM contacts GROUP BY classifiedId
     ),
     evs AS (
         SELECT classifiedId,
-               sum(coalesce(exposeVisits, 0))   AS userDefined_immoWelt_expose_visits,
-               sum(coalesce(exposeVisitsIW, 0)) AS userDefined_immoWelt_iw_expose_visits,
-               sum(coalesce(exposeVisitsIN, 0)) AS userDefined_immoWelt_in_expose_visits
+               CAST(sum(coalesce(exposeVisits, 0))   AS BIGINT) AS userDefined_immoWelt_expose_visits,
+               CAST(sum(coalesce(exposeVisitsIW, 0)) AS BIGINT) AS userDefined_immoWelt_iw_expose_visits,
+               CAST(sum(coalesce(exposeVisitsIN, 0)) AS BIGINT) AS userDefined_immoWelt_in_expose_visits
         FROM visits GROUP BY classifiedId
     )"""
 

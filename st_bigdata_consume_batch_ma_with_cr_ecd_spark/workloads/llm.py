@@ -506,11 +506,13 @@ def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, len({_DUCK_TOKENS}) AS n_tokens FROM documents),
     c AS (
         SELECT doc_id, n_tokens,
-               sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
-                   AS start_offset
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                    AS BIGINT) AS start_offset
         FROM t
     )
-    SELECT doc_id, n_tokens, start_offset, start_offset // 2048 AS pack_id FROM c
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(start_offset // 2048 AS BIGINT) AS pack_id
+    FROM c
     """,
     doc="Training-sequence packing (concat-and-chop): every doc gets its "
     "global token start offset and the id of the 2048-token pack its first "

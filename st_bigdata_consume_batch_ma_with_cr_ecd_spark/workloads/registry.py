@@ -56,21 +56,41 @@ REGISTRY: dict[str, QuerySpec] = {}
 # re-verifies them even if a past round checked the old behavior.
 FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # r3: default skew cap (max_shingle_freq) wired into the
-        # registered query + its oracle — output changes on capped corpora.
-        "dedup_ngram_jaccard",
-        "dedup_ngram_jaccard_pruned",
-        # r3: brand-new flagship (the end-to-end faithful job incl.
-        # sinks) — must lead the window ahead of the older never-checked
-        # tail so its first driver record lands this round.
+        # r4: the four r3 hash-red rows — root cause was DuckDB integer
+        # sums returning HUGEINT, which pandas fetch paths coerce to
+        # float64 ("3.0" vs Spark's "3"); oracles now CAST(... AS
+        # BIGINT) so the twin output dtypes are exactly symmetric.
+        # Forced so their first post-fix driver record lands this round.
         "pipeline_consume_batch_e2e",
+        "skew_join_unsalted_hot",
+        "skew_join_salted_hot",
+        "q12_priority_shipping",
     }
 )
 
+_MATCH_FLAGS = ("rows_match", "schema_match", "hash_match")
+
+
+def _entry_passed(entry: object) -> bool:
+    """A driver record row counts as "checked" only if it PASSED: any
+    ``err`` or false match flag means the row must re-enter the next
+    window (the rotation is also a retry queue for failures — r3 review
+    ask #2). Unknown shapes count as passed (conservative: don't let a
+    record-format change resurrect the whole registry at once)."""
+    if not isinstance(entry, dict):
+        return True
+    if entry.get("err"):
+        return False
+    return all(bool(entry.get(f, True)) for f in _MATCH_FLAGS)
+
+
 def _last_checked_round() -> dict[str, int]:
-    """Per-query round number of the most recent driver check, read
-    from the driver's own CORRECTNESS_r*.json records at the repo root.
-    Missing/corrupt files degrade to registration order (empty map)."""
+    """Per-query round number of the most recent PASSED driver check,
+    read from the driver's own CORRECTNESS_r*.json records at the repo
+    root. Failed rows (err set, or any match flag false) are skipped,
+    so a red row sorts as if never checked that round and automatically
+    leads the next window. Missing/corrupt files degrade to
+    registration order (empty map)."""
     last: dict[str, int] = {}
     root = Path(__file__).resolve().parents[2]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
@@ -83,8 +103,9 @@ def _last_checked_round() -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         if isinstance(record, dict):
-            for name in record:
-                last[name] = max(last.get(name, 0), rnd)
+            for name, entry in record.items():
+                if _entry_passed(entry):
+                    last[name] = max(last.get(name, 0), rnd)
     return last
 
 

@@ -726,7 +726,10 @@ def skew_salted_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # salt changes only WHERE rows meet, never the result; the bench delta
 # (SCALE.md) shows what it buys (~2.5x wall at sf0.1/local[32]).
 # floor() before the bigint cast is deliberate: double->int CAST
-# truncates in Spark but ROUNDS in DuckDB.
+# truncates in Spark but ROUNDS in DuckDB. The outer CAST(sum AS BIGINT)
+# is load-bearing too: DuckDB integer sums return HUGEINT, which pandas
+# fetch paths coerce to float64 ("3.0" vs Spark's "3") — the r3 driver
+# hash divergence on this pair.
 _SKEW_ORACLE = """
     WITH big AS (
         SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0 ELSE l_orderkey % 200 + 1 END AS k,
@@ -738,8 +741,9 @@ _SKEW_ORACLE = """
         FROM range(0, 4020) t(i)
     )
     SELECT k, count(*) AS n,
-           sum(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '-' || CAST(c AS VARCHAR)
-                                     || '-' || CAST(w AS VARCHAR)), 1, 8)) AS UBIGINT)) AS fp_sum
+           CAST(sum(CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '-' || CAST(c AS VARCHAR)
+                                         || '-' || CAST(w AS VARCHAR)), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS fp_sum
     FROM big JOIN small USING (k) GROUP BY k
 """
 
@@ -2798,10 +2802,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_priority_shipping",
     oracle="""
     SELECT l_linestatus,
-           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS high_line_count,
-           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-             AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l_linestatus

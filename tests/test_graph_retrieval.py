@@ -257,3 +257,38 @@ def test_asof_nearest_ignores_null_timestamps(spark):
     }
     assert out[1] == "real"  # the null-ts right row never wins
     assert out[2] is None  # null-ts left rows keep a null payload
+
+
+def test_asof_nearest_mixed_temporal_units(spark):
+    # timestamp-left vs date-right used to compare unix MICROS against
+    # unix DAYS — silently wrong nearest picks (r3 advisor finding).
+    # Mixed timestamp/date now normalizes both sides to micros;
+    # temporal-vs-numeric raises instead of comparing garbage.
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", dt.datetime(2024, 1, 10, 1, 0, 0))],
+        "event_id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("u", dt.date(2024, 1, 10), "same-day"), ("u", dt.date(2024, 1, 12), "later")],
+        "k string, d date, tag string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="d",
+        direction="nearest", tiebreak="tag",
+    ).collect()
+    # 2024-01-10T01:00 is 1h from midnight Jan 10 and 47h from Jan 12:
+    # under the broken micros-vs-days compare, day number 19732 beat it.
+    assert out[0].tag == "same-day"
+
+    num_right = spark.createDataFrame([("u", 5, "n")], "k string, v int, tag string")
+    with _pytest.raises(ValueError, match="comparable timestamp units"):
+        asof_join(
+            left, num_right, on=["k"], left_ts="ts", right_ts="v",
+            direction="nearest",
+        )

@@ -108,6 +108,50 @@ def test_driver_window_rotation_invariants():
         assert order[: len(stale)] == stale
 
 
+def test_rotation_treats_failed_driver_rows_as_unchecked(tmp_path):
+    # A hash_match:false (or err) row in a driver record must NOT count
+    # as "checked that round" — otherwise a failed query rotates to the
+    # back of the queue and isn't re-verified for ~3 rounds (r3 review
+    # ask #2). Synthesize a record where one row is red: it must sort
+    # ahead of every green row of the same round.
+    import json as _json
+    import re
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import registry as reg
+
+    record = {
+        "green_q": {"rows_match": True, "schema_match": True, "hash_match": True, "err": None},
+        "red_hash_q": {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+        "red_err_q": {"rows_match": False, "schema_match": False, "hash_match": False, "err": "boom"},
+    }
+    (tmp_path / "CORRECTNESS_r07.json").write_text(_json.dumps(record))
+
+    # replay the same scan _last_checked_round does, rooted at tmp_path
+    last = {}
+    for path in sorted(tmp_path.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path.name).group(1))
+        for name, entry in _json.loads(path.read_text()).items():
+            if reg._entry_passed(entry):
+                last[name] = max(last.get(name, 0), rnd)
+    assert last == {"green_q": 7}, "red rows must not register as checked"
+    # the predicate itself is the load-bearing piece:
+    assert reg._entry_passed(record["green_q"])
+    assert not reg._entry_passed(record["red_hash_q"])
+    assert not reg._entry_passed(record["red_err_q"])
+    # unknown shapes stay conservative (format change != mass recheck)
+    assert reg._entry_passed("not-a-dict")
+    # and the real repo records agree: the four r3 red rows are absent
+    # from the r3 "checked" view, so they lead the r4 window.
+    real_last = reg._last_checked_round()
+    for name in (
+        "pipeline_consume_batch_e2e",
+        "skew_join_unsalted_hot",
+        "skew_join_salted_hot",
+        "q12_priority_shipping",
+    ):
+        assert real_last.get(name, 0) < 3, f"{name} must re-enter the window"
+
+
 def test_bench_tagged_queries_have_oracles():
     # Bench queries produce the graded numbers; all of them must also be
     # hash-verifiable (no rows-only query in the bench set).
