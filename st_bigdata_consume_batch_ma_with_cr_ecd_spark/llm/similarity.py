@@ -652,3 +652,94 @@ def pq_topk(
     return top_n_per_group(
         scored, ["query_id"], [F.col("adc_dist").asc(), F.col("neighbor_id").asc()], n=k
     )
+
+
+# --------------------------------------------------------------------------
+# Gram matrix + PCA (r4): second-order embedding statistics at corpus scale
+# --------------------------------------------------------------------------
+#
+# The d x d Gram/covariance matrix is the workhorse behind PCA
+# whitening, dimensionality reduction before ANN, and embedding-drift
+# monitoring. The scale fact that makes it cheap: the matrix is a SUM
+# of per-row outer products, so each partition reduces its rows to one
+# d x d numpy block (zero-copy Arrow in, BLAS matmul) and only the
+# blocks — model-sized, d^2 floats — cross the shuffle, regardless of
+# corpus size. The same contraction shape as the sketch/centroid ops.
+
+
+def gram_matrix(df: DataFrame, vec_col: str = "embedding", *, dim: int) -> DataFrame:
+    """Upper-triangle Gram entries ``(i, j, g)`` with ``g = sum over
+    rows of v[i]*v[j]`` plus per-dimension sums ``(i, -1, s_i)`` and the
+    row count ``(-1, -1, n)`` — everything covariance/PCA needs in ONE
+    pass. Per-partition numpy blocks partial-aggregate before the
+    shuffle; float accumulation order is partition-dependent, so
+    results are exact to ~1e-9 relative, not bit-stable (the registered
+    exact-DECIMAL query covers bit-stability on a fixed slice)."""
+
+    def blocks(batches):
+        G = np.zeros((dim, dim), dtype=np.float64)
+        s = np.zeros(dim, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            vecs = pdf[vec_col].dropna()
+            if not len(vecs):
+                continue
+            M = np.stack(vecs.to_numpy()).astype(np.float64)
+            G += M.T @ M
+            s += M.sum(axis=0)
+            n += M.shape[0]
+        rows = [(i, j, G[i, j]) for i in range(dim) for j in range(i, dim)]
+        rows += [(i, -1, s[i]) for i in range(dim)]
+        rows.append((-1, -1, float(n)))
+        yield pd.DataFrame(rows, columns=["i", "j", "g"])
+
+    return (
+        df.select(vec_col)
+        .mapInPandas(blocks, schema="i int, j int, g double")
+        .groupBy("i", "j")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    dim: int,
+    k: int = 2,
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project embeddings onto the top-``k`` principal components:
+    distributed Gram pass -> driver-side d x d eigendecomposition (the
+    MODEL — d^2 floats, like the IVF centroids) -> broadcast components
+    -> one vectorized projection pass. Sign convention: each component
+    is flipped so its largest-|.| coordinate is positive, making the
+    output deterministic up to float noise (eigenvectors are otherwise
+    sign-ambiguous)."""
+    cells = {(r["i"], r["j"]): r["g"] for r in gram_matrix(df, vec_col, dim=dim).collect()}
+    n = cells[(-1, -1)]
+    if n < 2:
+        raise ValueError("PCA needs at least 2 rows")
+    mean = np.array([cells[(i, -1)] for i in range(dim)]) / n
+    G = np.zeros((dim, dim))
+    for i in range(dim):
+        for j in range(i, dim):
+            G[i, j] = G[j, i] = cells[(i, j)]
+    cov = G / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :k]  # top-k columns
+    for c in range(k):
+        m = np.argmax(np.abs(comps[:, c]))
+        if comps[m, c] < 0:
+            comps[:, c] = -comps[:, c]
+    comps_b = comps.copy()
+    mean_b = mean.copy()
+
+    @F.pandas_udf("array<double>")
+    def proj(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64) - mean_b
+        P = np.round(M @ comps_b, round_to)
+        return pd.Series(list(P))
+
+    return df.select(id_col, proj(F.col(vec_col)).alias("components"))

@@ -122,3 +122,104 @@ def subword_token_counts(
             F.round(F.col("__e.n_pieces") / F.col("__e.n_tokens"), 4),
         ).alias("pieces_per_token"),
     )
+
+
+# --------------------------------------------------------------------------
+# BPE TRAINING (r4): the corpus-statistics half, distributed
+# --------------------------------------------------------------------------
+#
+# The serving half above walks a fixed merge table; training PRODUCES
+# that table. The expensive part of BPE training is corpus statistics —
+# adjacent-symbol pair counts over the whole corpus — and that is
+# exactly the part Spark should own. The classic algorithm (Sennrich et
+# al. 2016, "Neural Machine Translation of Rare Words with Subword
+# Units") runs on the WORD-TYPE table, not the token stream: dedupe the
+# corpus to (word, freq) first — a Heaps'-law contraction, vocabulary
+# grows ~sqrt(corpus) — then each merge round needs only
+#   pair counts  = one explode + groupBy(sum) over word TYPES
+#   best pair    = a 1-row TakeOrdered collect (model, not data)
+#   apply merge  = a per-word-type rewrite (Arrow-batched pandas UDF)
+# with a localCheckpoint per round to truncate the iterative lineage
+# (the same pattern as graph_pagerank_fixed).
+
+
+def _pair_stats(syms: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over ``(s: array<string>, n)``:
+    every i -> (s[i], s[i+1]) weighted by n. Overlapping occurrences
+    all count ('aaa' contributes (a,a) twice), matching the reference
+    algorithm's get_stats."""
+    pair = F.explode(
+        F.expr(
+            "transform(sequence(1, size(s) - 1), "
+            "i -> struct(element_at(s, i) AS lft, element_at(s, i + 1) AS rgt))"
+        )
+    ).alias("p")
+    return (
+        syms.where(F.size("s") >= 2)
+        .select(pair, "n")
+        .groupBy("p.lft", "p.rgt")
+        .agg(F.sum("n").alias("pair_n"))
+    )
+
+
+def _merge_applier(a: str, b: str):
+    """Greedy left-to-right non-overlapping (a, b) -> a+b rewrite of a
+    symbol sequence — the reference algorithm's merge step."""
+
+    @F.pandas_udf("array<string>")
+    def apply_merge(col: pd.Series) -> pd.Series:
+        def rewrite(seq):
+            out, i, m = [], 0, len(seq)
+            while i < m:
+                if i + 1 < m and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            return out
+
+        return col.apply(rewrite)
+
+    return apply_merge
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_merges: int = 10,
+    min_pair_count: int = 2,
+) -> list[dict]:
+    """Train a BPE merge table on a text column; returns the learned
+    merges as ``[{rank, left, right, pair_count}, ...]`` (the MODEL —
+    a merge table is a few thousand rows at production vocab sizes, so
+    it comes back to the driver like the IVF centroids do).
+
+    Ties break (count desc, left asc, right asc) so training is
+    deterministic — same corpus, same table, any cluster layout."""
+    words = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = words.select(F.split(F.col("w"), "").alias("s"), "n").localCheckpoint(
+        eager=True
+    )
+    merges: list[dict] = []
+    for rank in range(num_merges):
+        best = (
+            _pair_stats(syms)
+            .orderBy(F.col("pair_n").desc(), F.col("lft").asc(), F.col("rgt").asc())
+            .limit(1)  # TakeOrderedAndProject: per-partition top-1, 1-row reduce
+            .collect()
+        )
+        if not best or best[0]["pair_n"] < min_pair_count:
+            break
+        a, b, n = best[0]["lft"], best[0]["rgt"], int(best[0]["pair_n"])
+        merges.append({"rank": rank, "left": a, "right": b, "pair_count": n})
+        syms = syms.withColumn("s", _merge_applier(a, b)(F.col("s"))).localCheckpoint(
+            eager=True
+        )
+    return merges

@@ -432,11 +432,20 @@ def consume_batch(
     dates: JobDates,
     *,
     slices: tuple[SliceSpec, ...] = DEFAULT_SLICES,
+    materialize: bool = False,
 ) -> DataFrame:
     """The full job (script/main.py:300-368): stage 0 once, stages 1-3 +
     modify_data per slice, UNION ALL accumulation. Cache the merged
-    change-log — every slice reads it (reference C1)."""
+    change-log — every slice reads it (reference C1).
+
+    ``materialize=True`` runs one count() job to fill the cache before
+    the slice plans are consumed: a single downstream action over the
+    union would otherwise race all four slices into the cold cache and
+    recompute stage-0 per slice subtree (the e2e workload materializes
+    the same way before its concurrent slice writes)."""
     merged = merge_delete(filter_changelog(changelog), dates.first_day_past).cache()
+    if materialize:
+        merged.count()
     parts = []
     for spec in slices:
         first = basedata_first(merged, texts, spec.geoid, spec.distribution_type)

@@ -73,8 +73,12 @@ PAYLOAD_COLS = (
 )
 
 
-def derive_consume_inputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """The eight reference-shaped inputs, derived from ``events``.
+def derive_consume_inputs(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> dict[str, DataFrame]:
+    """The eight reference-shaped inputs, derived from ``events``
+    (or from a caller-supplied events frame — the scale probe passes an
+    amplified one).
 
     Every column is a deterministic integer/floor function of
     (event_id, user_id, ts, event_type, value), chosen to exercise the
@@ -85,7 +89,7 @@ def derive_consume_inputs(spark: SparkSession, sf_dir: str) -> dict[str, DataFra
     windows that include and exclude, fraud levels that pass and trip
     the ``<= 0`` gate, NULLable contact counters.
     """
-    ev = read_testdata(spark, sf_dir, "events")
+    ev = events if events is not None else read_testdata(spark, sf_dir, "events")
     u, e = F.col("user_id"), F.col("event_id")
     gok = F.concat(F.lit("obj-"), u.cast("string"))
     geoid = F.concat(

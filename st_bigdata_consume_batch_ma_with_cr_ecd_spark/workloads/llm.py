@@ -1574,31 +1574,51 @@ def quality_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(CAST(n_chars AS DOUBLE)), 4) + 0.0 AS median_chars
     FROM r WHERE rank IN ((n + 1) // 2, (n + 2) // 2)
     """,
-    doc="EXACT global median without any single-partition stage: values "
-    "get dense global ranks from the two-phase range-partitioned id "
-    "machinery (operators.rowids — each task ranks its slice against "
-    "broadcast per-partition counts), then only the one or two middle "
-    "ranks are selected and averaged. percentile()-style exact "
-    "aggregates buffer a whole group in one executor; this shape holds "
-    "at any cardinality — the same trick as stats_token_gini, applied "
-    "to order statistics. (Duplicate values make any same-value "
-    "tiebreak valid: ranks within a tie are interchangeable.)",
+    doc="EXACT global median without any single-partition stage, via the "
+    "VALUE-COUNTS contraction: aggregate to (value, count) first — one "
+    "shuffle with map-side partial aggregation, output bounded by the "
+    "column's distinct cardinality D, not the row count N — then run "
+    "the distributed running-total (operators.rowids.running_total) "
+    "over the D-row count table to find which value(s) cover the middle "
+    "ranks; a value covers 1-based ranks (cum-c, cum]. The r3 version "
+    "ranked every ROW through the two-phase machinery (range shuffle + "
+    "checkpoint + Arrow pass over all N rows — the registry's slowest "
+    "query per input byte); contracting to counts first does the heavy "
+    "lifting JVM-side and degrades gracefully: worst case D=N recovers "
+    "the old cost, typical D<<N makes the rank pass ~free. Duplicate "
+    "values are exact (a tie covers a rank interval, and one value "
+    "covering both middle ranks gets weight 2 in the average).",
+    tags=("bench",),
 )
 def stats_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.rowids import assign_contiguous_ids
+    from ..operators.rowids import running_total
 
-    vals = _docs(spark, sf_dir).select("n_chars")
-    ranked = assign_contiguous_ids(vals, [F.col("n_chars").asc()], id_col="__r")
-    n = ranked.agg(F.count(F.lit(1)).alias("n"))
-    mid = ranked.crossJoin(F.broadcast(n)).where(
-        ((F.col("__r") + 1) == F.floor((F.col("n") + 1) / 2))
-        | ((F.col("__r") + 1) == F.floor((F.col("n") + 2) / 2))
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    cum = running_total(counts, ["n_chars"], "__c", out_col="__cum")
+    n = cum.agg(F.sum("__c").cast("long").alias("n"))
+    k1 = F.floor((F.col("n") + 1) / 2)
+    k2 = F.floor((F.col("n") + 2) / 2)
+    lo = F.col("__cum") - F.col("__c")  # value covers 1-based ranks (lo, __cum]
+    covers1 = (lo < k1) & (k1 <= F.col("__cum"))
+    covers2 = (lo < k2) & (k2 <= F.col("__cum"))
+    w = covers1.cast("int") + covers2.cast("int")
+    mid = (
+        cum.crossJoin(F.broadcast(n))
+        .withColumn("__w", w)
+        .where(F.col("__w") > 0)
     )
     return mid.agg(
         F.max("n").cast("long").alias("n_docs"),
-        (F.round(F.avg(F.col("n_chars").cast("double")), 4) + F.lit(0.0)).alias(
-            "median_chars"
-        ),
+        (
+            F.round(
+                F.sum(F.col("n_chars").cast("double") * F.col("__w")) / F.sum("__w"), 4
+            )
+            + F.lit(0.0)
+        ).alias("median_chars"),
     )
 
 
@@ -2925,3 +2945,161 @@ def stats_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_events").alias("n_events"),
     )
     return per_type.drop("sketch").unionByName(merged)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (r4): deterministic, oracle-replayable frequency sketch
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sketch_count_min_estimates",
+    oracle="""
+    WITH cells AS (
+        SELECT r.i AS row,
+               CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 32 AS bucket,
+               count(*) AS c
+        FROM events, range(0, 4) r(i)
+        GROUP BY 1, 2
+    ),
+    keys AS (SELECT DISTINCT user_id FROM events WHERE user_id < 15),
+    probes AS (
+        SELECT k.user_id, r.i AS row,
+               CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || CAST(k.user_id AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 32 AS bucket
+        FROM keys k, range(0, 4) r(i)
+    ),
+    est AS (
+        SELECT p.user_id, min(coalesce(c.c, 0)) AS est_n
+        FROM probes p LEFT JOIN cells c ON c.row = p.row AND c.bucket = p.bucket
+        GROUP BY 1
+    ),
+    tru AS (SELECT user_id, count(*) AS true_n FROM events WHERE user_id < 15 GROUP BY 1)
+    SELECT t.user_id, CAST(t.true_n AS BIGINT) AS true_n,
+           CAST(e.est_n AS BIGINT) AS est_n,
+           CAST(e.est_n - t.true_n AS BIGINT) AS overestimate
+    FROM tru t JOIN est e USING (user_id)
+    """,
+    doc="Count-Min sketch frequency estimation (llm/sketches.py): a 4x32 "
+    "counter grid built with ONE explode -> groupBy pass (map-side combine "
+    "contracts every mapper to <=128 cells before the shuffle — the sketch "
+    "is fixed memory at ANY key cardinality, unlike exact per-key counts), "
+    "then 15 point queries answered as min-over-rows with absent cells read "
+    "as 0. est_n >= true_n always (collisions only add); the width is "
+    "deliberately small so overestimates are exercised, not just asserted. "
+    "Hashes ride md5_prefix_int, so the DuckDB oracle replays the sketch "
+    "BIT-FOR-BIT — estimates, collisions and all (the HLL queries can only "
+    "bound their error; this one is exactly reproducible cross-engine).",
+)
+def sketch_count_min_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sketches import cms_estimate, count_min_cells
+
+    ev = read_testdata(spark, sf_dir, "events")
+    cells = count_min_cells(ev, "user_id", depth=4, width=32)
+    keys = ev.where(F.col("user_id") < 15).select("user_id")
+    est = cms_estimate(cells, keys, "user_id", depth=4, width=32)
+    tru = (
+        ev.where(F.col("user_id") < 15)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return tru.join(est, "user_id").select(
+        "user_id",
+        F.col("true_n").cast("long").alias("true_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") - F.col("true_n")).cast("long").alias("overestimate"),
+    )
+
+
+@register(
+    "tokenizer_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_DUCK_TOKENS}) AS word FROM documents),
+    wc AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word),
+    prs AS (
+        SELECT substr(word, i, 1) AS lft, substr(word, i + 1, 1) AS rgt,
+               CAST(sum(n) AS BIGINT) AS pair_n
+        FROM (SELECT word, n, unnest(range(1, length(word))) AS i FROM wc)
+        GROUP BY 1, 2
+    )
+    SELECT lft, rgt, pair_n, CAST(rank AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (ORDER BY pair_n DESC, lft ASC, rgt ASC) AS rank
+        FROM prs
+    ) WHERE rank <= 20
+    """,
+    doc="BPE training round 0 (llm/tokenizer.bpe_train's pair-statistics "
+    "stage, exposed for the gate): corpus -> word-TYPE table (the "
+    "Heaps'-law contraction — vocabulary ~sqrt(corpus), so every later "
+    "stage runs on types, never the token stream) -> weighted "
+    "adjacent-char pair counts -> global top-20 merge candidates with "
+    "deterministic tiebreak (count desc, pair asc). Top-k plans as "
+    "TakeOrderedAndProject; rank is assigned after the limit over 20 "
+    "rows. Overlapping pair occurrences all count, matching the "
+    "reference BPE algorithm's get_stats. The full iterative trainer "
+    "(argmax + merge-apply + per-round checkpoint) is pytest-verified "
+    "against a pure-Python reference implementation.",
+)
+def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.tokenizer import _pair_stats
+    from ..llm.text import tokenize
+
+    words = (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokenize(F.col("text"))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = words.select(F.split(F.col("w"), "").alias("s"), "n")
+    top = (
+        _pair_stats(syms)
+        .orderBy(F.col("pair_n").desc(), F.col("lft").asc(), F.col("rgt").asc())
+        .limit(20)
+    )
+    from pyspark.sql import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.col("pair_n").desc(), F.col("lft").asc(), F.col("rgt").asc())
+    )
+    return top.select("lft", "rgt", "pair_n", rank.cast("int").alias("rank"))
+
+
+@register(
+    "embedding_gram_exact8",
+    oracle="""
+    SELECT CAST(r.i AS INT) AS i, CAST(s.j AS INT) AS j,
+           CAST(round(sum(CAST(CAST(embedding[r.i + 1] AS DOUBLE)
+                               * CAST(embedding[s.j + 1] AS DOUBLE)
+                               AS DECIMAL(38,12))), 6) AS DOUBLE) AS gram
+    FROM embeddings, range(0, 8) r(i), range(0, 8) s(j)
+    WHERE s.j >= r.i
+    GROUP BY 1, 2
+    """,
+    doc="Exact Gram matrix over the first 8 embedding dimensions: each "
+    "row explodes to its 36 upper-triangle products, cast to "
+    "DECIMAL(38,12) BEFORE summation so the aggregate is "
+    "accumulation-order independent and bit-identical cross-engine "
+    "(double products have no representable half-way case at scale 12, "
+    "so the decimal cast is deterministic). Map-side combine contracts "
+    "every mapper to 36 cells — the shuffle carries the MATRIX, not the "
+    "corpus. This is the bit-stable witness for llm/similarity."
+    "gram_matrix, whose production path (per-partition numpy blocks + "
+    "BLAS, any d) is float-accumulated and pytest-bounded instead.",
+)
+def embedding_gram_exact8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = F.explode(
+        F.expr(
+            "flatten(transform(sequence(0, 7), i -> "
+            "transform(sequence(i, 7), j -> struct(i AS i, j AS j, "
+            "CAST(CAST(element_at(embedding, i + 1) AS DOUBLE) "
+            "* CAST(element_at(embedding, j + 1) AS DOUBLE) "
+            "AS DECIMAL(38,12)) AS p))))"
+        )
+    ).alias("x")
+    return (
+        _embs(spark, sf_dir)
+        .select(pairs)
+        .groupBy(F.col("x.i").cast("int").alias("i"), F.col("x.j").cast("int").alias("j"))
+        .agg(F.round(F.sum("x.p"), 6).cast("double").alias("gram"))
+    )

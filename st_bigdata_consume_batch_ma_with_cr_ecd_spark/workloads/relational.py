@@ -1707,6 +1707,92 @@ def versioned_change_feed_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_concurrent_writers",
+    # the strongest storage claim — optimistic concurrency — under a
+    # driver value hash: two writers MERGE disjoint key sets into the
+    # same table from concurrent threads; whoever loses the manifest
+    # rename race retries against the winner's version. The converged
+    # state is interleaving-independent (disjoint keys commute), so one
+    # oracle covers every schedule; n_versions = 3 proves BOTH commits
+    # landed as separate atomic versions (nobody clobbered anybody).
+    oracle="""
+    WITH survivors AS (
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice + CASE WHEN o_orderkey % 2 = 0 THEN 1000.0 ELSE 2000.0 END AS p
+        FROM orders
+        WHERE o_orderkey % 30 NOT IN (0, 15)
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(p AS DECIMAL(38,8))), 2) AS DOUBLE) AS sum_total,
+           CAST(3 AS INT) AS n_versions
+    FROM survivors GROUP BY o_orderstatus
+    """,
+    doc="Optimistic-concurrency MERGE race (sinks.versioned): writer A "
+    "updates even keys (+1000, deletes %30=0), writer B odd keys "
+    "(+2000, deletes %30=15), both submitted simultaneously from a "
+    "thread pool against one table. Atomic manifest rename means "
+    "exactly one writer wins each version; the loser recomputes "
+    "against the new snapshot and commits on retry. Read-back "
+    "aggregates the converged state per partition; n_versions "
+    "witnesses two distinct post-base commits.",
+)
+def versioned_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..operators.aggregates import rounded_sum
+    from ..sinks.versioned import (
+        create_versioned_table,
+        latest_version,
+        merge_versioned_table,
+        read_versioned_table,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    # stable per-process path, replaced per invocation (no tmp leak
+    # across bench iterations — the r3 e2e lesson)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_versioned_race")
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/t"
+    create_versioned_table(o, path, ["o_orderstatus"])
+
+    def writer(parity: int, bump: float, del_mod: int) -> None:
+        batch = (
+            o.where(k % 2 == parity)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(bump))
+            .withColumn("is_deleted", k % 30 == del_mod)
+        )
+        merge_versioned_table(
+            spark,
+            path,
+            batch,
+            ["o_orderkey"],
+            ["o_orderstatus"],
+            delete_col="is_deleted",
+            max_retries=8,
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futures = [ex.submit(writer, 0, 1000.0, 0), ex.submit(writer, 1, 2000.0, 15)]
+        for f in futures:
+            f.result()
+
+    nv = latest_version(spark, path)
+    return (
+        read_versioned_table(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            rounded_sum("o_totalprice", 2).alias("sum_total"),
+        )
+        .withColumn("n_versions", F.lit(nv).cast("int"))
+    )
+
+
+@register(
     "dq_expectation_suite",
     oracle="""
     WITH m AS (

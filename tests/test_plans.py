@@ -35,6 +35,42 @@ def test_top1_window_has_partial_group_limit(spark, sf_dir):
     assert plan.index("WindowGroupLimit") < plan.rindex("Exchange")
 
 
+def test_exact_median_contracts_to_value_counts_first(spark, sf_dir):
+    # the exact median contracts rows to (value, count) BEFORE the rank
+    # pass, so the expensive machinery sees distinct-cardinality rows,
+    # not the corpus. The running-total checkpoint hides the upstream
+    # stages from the final plan, so assert both halves separately.
+    import pyspark.sql.functions as F
+
+    # (a) final plan: no Window anywhere (the single-task trap), the
+    # only cross join is the broadcast 1-row total, and the rank pass
+    # feeds from the checkpointed contraction, not a parquet scan.
+    plan = plan_of(spark, sf_dir, "stats_exact_median_distributed")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan  # 1-row n broadcast
+    # (b) the contraction half (rebuilt exactly as the query does):
+    # partial HashAggregate between scan and exchange — map-side combine
+    # means the shuffle carries at most D rows per mapper.
+    counts = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("n_chars")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    import contextlib as _ctx
+    import io as _io
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        counts.explain("formatted")
+    cplan = buf.getvalue()
+    scan_pos = cplan.index("Scan parquet")
+    pre_scan = cplan[:scan_pos]  # tree prints root->leaf
+    assert pre_scan.count("HashAggregate") >= 2, "partial+final pair expected"
+    assert pre_scan.rindex("HashAggregate") > pre_scan.rindex("Exchange"), (
+        "a HashAggregate must sit below the exchange (map-side combine)"
+    )
+
+
 def test_expression_key_dim_join_broadcasts(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "j7_broadcast_expr_join")
     assert "BroadcastHashJoin" in plan
