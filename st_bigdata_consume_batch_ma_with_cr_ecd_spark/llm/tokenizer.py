@@ -7,8 +7,10 @@ each whitespace word by repeatedly taking the LONGEST vocab piece that
 prefixes the remaining string; a position no piece matches emits one
 ``<unk>`` and advances one character. This is the serving half of
 WordPiece/BPE (the merge-table walk), which is what corpus token
-counting, cost estimation, and sequence packing actually need — vocab
-TRAINING is an offline, non-distributed concern.
+counting, cost estimation, and sequence packing actually need; the
+TRAINING half (producing the merge table from corpus statistics) is
+:func:`bpe_train` below — its pair counting is the genuinely
+distributed part.
 
 Determinism: the match rule (longest piece, lexicographic tiebreak) is
 pure string logic, so an oracle engine can replay it exactly with a

@@ -185,11 +185,80 @@ def latest_version(spark: SparkSession, path: str) -> int:
     return versions[-1]
 
 
+#: column types that get zone-map (min/max) statistics. Orderable,
+#: JSON-serializable after _stat_norm; decimals/arrays/structs are
+#: deliberately excluded (stats are an optimization — a column without
+#: them is simply never skipped on).
+_STAT_TYPES = frozenset(
+    {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+        "string", "date", "timestamp", "timestamp_ntz",
+    }
+)
+
+
+def _stat_norm(v):
+    """Stats value -> JSON-serializable form. Temporal values become
+    ISO strings with a space separator (lexicographic order == temporal
+    order, and the format matches SQL literals like
+    '2024-01-15 00:00:00' so user bounds compare directly)."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return v
+
+
+def _attach_file_stats(
+    spark: SparkSession,
+    path: str,
+    entries: list[dict],
+    partition_by: Sequence[str],
+) -> None:
+    """Record per-FILE min/max zone maps on each new manifest entry —
+    the statistics layer behind ``read_versioned_table(range_filter=)``
+    data skipping. ONE job over the just-written commit (page-cache
+    warm); the collect is one row per file (metadata, never data).
+    Columns outside _STAT_TYPES simply get no stats."""
+    if not entries:
+        return
+    probe = spark.read.parquet(f"{path}/{entries[0]['dir']}")
+    stat_cols = [
+        f.name for f in probe.schema.fields if f.dataType.simpleString() in _STAT_TYPES
+    ]
+    for e in entries:
+        e["files"] = []
+    if not stat_cols:
+        return
+    dirs = {e["dir"]: e for e in entries}
+    df = spark.read.parquet(*[f"{path}/{d}" for d in dirs])
+    aggs = []
+    for c in stat_cols:
+        aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    for r in df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect():
+        for d, e in dirs.items():
+            marker = f"/{d}/"
+            if marker in r["__f"]:
+                e["files"].append(
+                    {
+                        "name": r["__f"].split(marker, 1)[1],
+                        "stats": {
+                            c: [_stat_norm(r[f"__mn_{c}"]), _stat_norm(r[f"__mx_{c}"])]
+                            for c in stat_cols
+                        },
+                    }
+                )
+                break
+
+
 def _commit_data(
     df: DataFrame, path: str, partition_by: Sequence[str]
 ) -> tuple[str, list[dict]]:
     """Write ``df`` as a new immutable commit dir; return (commit id,
-    manifest entries for the partitions it contains)."""
+    manifest entries — with per-file zone maps — for the partitions it
+    contains)."""
     commit = uuid.uuid4().hex
     df.write.partitionBy(*list(partition_by)).parquet(f"{path}/{_DATA_DIR}/{commit}")
     spark = df.sparkSession
@@ -202,6 +271,7 @@ def _commit_data(
         }
         for p in parts
     ]
+    _attach_file_stats(spark, path, entries, partition_by)
     return commit, entries
 
 
@@ -232,12 +302,42 @@ def create_versioned_table(
     return 1
 
 
+def _bound_norm(v):
+    """User-supplied range bound -> the zone-map comparison domain
+    (same normalization as the stored stats)."""
+    normed = _stat_norm(v)
+    if isinstance(normed, str):
+        # tolerate '2024-01-15T00:00:00' for a stat stored with ' '
+        return normed.replace("T", " ")
+    return normed
+
+
+def _file_survives(stats: dict, range_filter_norm: dict) -> bool:
+    """Conservative zone-map check: keep the file unless some bound
+    PROVES it empty. Column absent from stats -> keep (stats are an
+    optimization, never a correctness dependency); [None, None] stats
+    mean the column is entirely null in the file, and a range predicate
+    drops null rows — provably empty, skip."""
+    for c, (lo, hi) in range_filter_norm.items():
+        if c not in stats:
+            continue
+        mn, mx = stats[c]
+        if mn is None and mx is None:
+            return False
+        if lo is not None and mx is not None and mx < lo:
+            return False
+        if hi is not None and mn is not None and mn > hi:
+            return False
+    return True
+
+
 def read_versioned_table(
     spark: SparkSession,
     path: str,
     *,
     version: int | None = None,
     partition_filter: dict | None = None,
+    range_filter: dict | None = None,
 ) -> DataFrame:
     """Read the table AS OF ``version`` (default: latest). Historical
     versions read their original immutable files — time travel.
@@ -246,7 +346,18 @@ def read_versioned_table(
     partition values match every given column are read — no
     file-system listing, no scan of non-matching partitions (the
     manifest is the table's statistics layer, same as a lakehouse
-    format's metadata pruning)."""
+    format's metadata pruning).
+
+    ``range_filter`` = ``{col: (lo, hi)}`` (either bound may be None)
+    applies a BETWEEN predicate with three-level pruning: manifest
+    entries, then individual FILES via the per-file zone maps recorded
+    at commit time, then the row-level filter for exactness. Skipping
+    is conservative — a file is dropped only when its min/max PROVE it
+    cannot match — so the result is always identical to a full scan
+    plus filter; entries from pre-zone-map manifests (no ``files`` key)
+    just read whole. Pair with Z-order compaction
+    (``compact_versioned_table(zorder_by=...)``) to make the per-file
+    ranges tight on multiple columns at once."""
     v = latest_version(spark, path) if version is None else version
     m = _read_manifest(spark, path, v)
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -260,7 +371,41 @@ def read_versioned_table(
             for e in entries
             if all(e["partition"].get(c) == v_ for c, v_ in partition_filter.items())
         ]
-    return _read_entries(spark, path, entries, schema, list(m["partition_by"]))
+    use_file_lists = False
+    if range_filter:
+        known = {f.name for f in schema.fields}
+        unknown = set(range_filter) - known
+        if unknown:
+            raise VersionedTableError(f"not table columns: {sorted(unknown)}")
+        if set(range_filter) & set(m["partition_by"]):
+            raise VersionedTableError(
+                "range_filter on partition columns — use partition_filter"
+            )
+        norm = {c: (_bound_norm(lo), _bound_norm(hi)) for c, (lo, hi) in range_filter.items()}
+        pruned = []
+        for e in entries:
+            files = e.get("files")
+            if files is None:
+                pruned.append(e)  # pre-zone-map entry: read whole dir
+                continue
+            kept = [f for f in files if _file_survives(f["stats"], norm)]
+            if kept:
+                e2 = dict(e)
+                e2["files"] = kept
+                pruned.append(e2)
+        entries = pruned
+        use_file_lists = True
+    df = _read_entries(
+        spark, path, entries, schema, list(m["partition_by"]),
+        use_file_lists=use_file_lists,
+    )
+    if range_filter:
+        for c, (lo, hi) in range_filter.items():
+            if lo is not None:
+                df = df.where(F.col(c) >= F.lit(lo))
+            if hi is not None:
+                df = df.where(F.col(c) <= F.lit(hi))
+    return df
 
 
 def _read_entries(
@@ -269,6 +414,8 @@ def _read_entries(
     entries: list[dict],
     schema: StructType,
     partition_by: list[str],
+    *,
+    use_file_lists: bool = False,
 ) -> DataFrame:
     """Union one plain scan per manifest entry. Partition values come
     from the MANIFEST, never from directory-name inference: Spark's
@@ -282,7 +429,13 @@ def _read_entries(
     field_by_name = {f.name: f for f in schema.fields}
     parts_df: DataFrame | None = None
     for e in sorted(entries, key=lambda x: x["dir"]):
-        piece = spark.read.parquet(f"{path}/{e['dir']}")
+        if use_file_lists and e.get("files") is not None:
+            # zone-map skipping selected a subset of the dir's files
+            piece = spark.read.parquet(
+                *[f"{path}/{e['dir']}/{f['name']}" for f in e["files"]]
+            )
+        else:
+            piece = spark.read.parquet(f"{path}/{e['dir']}")
         for c in partition_by:
             piece = piece.withColumn(
                 c, F.lit(e["partition"][c]).cast(field_by_name[c].dataType)
@@ -484,12 +637,56 @@ def merge_versioned_table(
     raise VersionedTableError(f"merge failed after {max_retries} attempts: {last_err}")
 
 
+def _zorder_column(df: DataFrame, cols: Sequence[str], *, bits: int = 4):
+    """Z-value (Morton interleave) over rank-bucketed columns: each
+    column maps to a ``2^bits``-bucket id via approxQuantile boundaries
+    (driver-side model, robust to skew where value-based bucketing is
+    not), then the ids' bits interleave so a range on ANY of the
+    columns maps to few contiguous z-runs. Nulls bucket to 0 (they
+    cluster together at the low end)."""
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    buckets = []
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        if not (
+            dt in ("tinyint", "smallint", "int", "bigint", "float", "double", "date")
+            or dt.startswith("timestamp")
+            or dt.startswith("decimal")
+        ):
+            raise VersionedTableError(
+                f"zorder_by supports numeric/date/timestamp columns; {c} is {dt}"
+            )
+        src = F.col(c)
+        if dt == "date":
+            src = F.unix_date(src).cast("double")
+        elif dt.startswith("timestamp"):
+            src = F.unix_micros(src).cast("double")
+        qcol = f"__zq_{c}"
+        qdf = df.select(src.alias(qcol))
+        bounds = qdf.approxQuantile(qcol, probs, 0.01)
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, x: acc + F.when(src > x, 1).otherwise(0),
+        )
+        buckets.append(bucket)
+    z = F.lit(0)
+    k = len(cols)
+    for bit in range(bits):
+        for ci, b in enumerate(buckets):
+            z = z + F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + ci)
+    return z
+
+
 def compact_versioned_table(
     spark: SparkSession,
     path: str,
     *,
     max_files_per_partition: int = 1,
     max_retries: int = 3,
+    zorder_by: Sequence[str] | None = None,
 ) -> list[dict]:
     """OPTIMIZE: rewrite fragmented partitions into few large files and
     publish the repointed manifest as a new version. Returns the
@@ -533,19 +730,45 @@ def compact_versioned_table(
         # partition value over up to max_files_per_partition tasks, so
         # the output layout honors the knob (and a hot partition's
         # rewrite parallelizes instead of serializing in one task).
-        data_cols = [f.name for f in schema.fields if f.name not in part_cols]
-        salt = (
-            F.pmod(F.hash(*[F.col(c) for c in data_cols]), F.lit(max_files_per_partition))
-            if data_cols
-            else F.lit(0)
-        )
-        clustered = (
-            slice_df.withColumn("__salt", salt)
-            .repartition(
-                max(len(fragmented) * max_files_per_partition, 1), *part_cols, "__salt"
+        n_tasks = max(len(fragmented) * max_files_per_partition, 1)
+        if zorder_by:
+            unknown = [c for c in zorder_by if c not in slice_df.columns]
+            if unknown:
+                raise VersionedTableError(f"zorder_by columns not in table: {unknown}")
+            if set(zorder_by) & set(part_cols):
+                raise VersionedTableError("zorder_by cannot include partition columns")
+            # Z-ORDER clustering: range-partition + sort on the Morton
+            # z-value so each output file covers a narrow rectangle in
+            # zorder_by-space — per-file zone maps become tight on ALL
+            # the z columns at once, which is what makes
+            # range_filter skipping effective on more than one column.
+            z = _zorder_column(slice_df, list(zorder_by))
+            clustered = (
+                slice_df.withColumn("__z", z)
+                .repartitionByRange(n_tasks, *part_cols, "__z")
+                .sortWithinPartitions(*part_cols, "__z")
+                .drop("__z")
             )
-            .drop("__salt")
-        )
+        else:
+            # Plain compaction: a deterministic row-content salt in
+            # [0, max_files) spreads each partition value over up to
+            # max_files_per_partition tasks (repartitioning by
+            # part_cols alone would always yield ONE file per dir —
+            # r3 advisor finding — and serialize hot partitions).
+            data_cols = [f.name for f in schema.fields if f.name not in part_cols]
+            salt = (
+                F.pmod(
+                    F.hash(*[F.col(c) for c in data_cols]),
+                    F.lit(max_files_per_partition),
+                )
+                if data_cols
+                else F.lit(0)
+            )
+            clustered = (
+                slice_df.withColumn("__salt", salt)
+                .repartition(n_tasks, *part_cols, "__salt")
+                .drop("__salt")
+            )
         _, new_entries = _commit_data(
             clustered.localCheckpoint(eager=True), path, part_cols
         )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..sinks.writers import overwrite_partitions
 
@@ -134,6 +135,72 @@ def versioned_merge_batch_writer(
             keys,
             partition_by,
             delete_col=delete_col,
+            txn=(app_id, epoch_id),
+        )
+
+    return write
+
+
+def cms_batch_writer(
+    path: str,
+    key_col: str,
+    *,
+    depth: int = 4,
+    width: int = 1024,
+    app_id: str = "cms-stream",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` writer maintaining a LIVE Count-Min sketch
+    (llm/sketches.py) in a versioned table: each micro-batch's delta
+    sketch adds cell-wise into the stored grid, so the table always
+    holds the frequency sketch of everything streamed so far — queryable
+    mid-stream with ``cms_estimate``, time-travelable per micro-batch
+    (version N = the sketch as of batch N), and bounded at
+    depth*width cells forever no matter how many keys stream by.
+
+    Exactly-once: the ADD must not double-apply on epoch replay, so the
+    merge carries ``txn=(app_id, epoch_id)`` — the same atomic
+    manifest-rename idempotence as the CDC writer, which matters more
+    here because a replayed ADD is silently wrong (counts inflate)
+    rather than merely redundant. The table is created EMPTY up front
+    so the first data batch also rides the transactional path."""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        from ..llm.sketches import count_min_cells
+        from ..sinks.versioned import (
+            VersionedTableError,
+            create_versioned_table,
+            list_versions,
+            merge_versioned_table,
+            read_versioned_table,
+        )
+
+        spark = batch.sparkSession
+        delta = count_min_cells(batch, key_col, depth=depth, width=width)
+        if not list_versions(spark, path):
+            try:
+                empty = spark.createDataFrame([], "row int, bucket long, c long")
+                create_versioned_table(empty, path, ["row"])
+            except VersionedTableError:
+                pass  # another writer / a replay created it — fine
+        current = read_versioned_table(spark, path)
+        d = delta.select("row", "bucket", F.col("c").alias("__d"))
+        c = current.select("row", "bucket", F.col("c").alias("__c"))
+        summed = (
+            d.join(c, ["row", "bucket"], "left")
+            .select(
+                F.col("row").cast("int").alias("row"),
+                F.col("bucket").cast("long").alias("bucket"),
+                (F.col("__d") + F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("c"),
+            )
+        )
+        if summed.isEmpty():
+            return
+        merge_versioned_table(
+            spark,
+            path,
+            summed,
+            ["row", "bucket"],
+            ["row"],
             txn=(app_id, epoch_id),
         )
 

@@ -3114,3 +3114,80 @@ def asof_pandas_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["o_orderkey", "o_totalprice"],
         schema="event_id bigint, user_id bigint, ts timestamp, o_orderkey bigint, o_totalprice double",
     )
+
+
+@register(
+    "versioned_zonemap_skipping_read",
+    # correctness witness for zone-map data skipping: the skipping read
+    # (manifest -> per-file min/max -> row filter) must be EXACTLY a
+    # full scan + filter. The fixture is written repartitionByRange on
+    # the filter column, so each file carries a narrow range and the
+    # range_filter genuinely skips files (asserted by pytest; the
+    # driver hash proves the skipped files contributed nothing).
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE) AS sum_total
+    FROM orders
+    WHERE o_totalprice >= 50000.0 AND o_totalprice <= 150000.0
+    GROUP BY o_orderstatus
+    """,
+    doc="Zone-map data skipping on the versioned table "
+    "(sinks.versioned): per-FILE min/max statistics recorded at commit "
+    "time; read_versioned_table(range_filter=...) prunes manifest "
+    "entries, then files whose [min,max] cannot intersect the bound, "
+    "then applies the row filter for exactness. Skipping is "
+    "conservative by construction — this query hash-proves the "
+    "three-level pruned read equals a plain filtered scan.",
+)
+def versioned_zonemap_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators.aggregates import rounded_sum
+    from ..sinks.versioned import create_versioned_table, read_versioned_table
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_versioned_zonemap")
+    shutil.rmtree(root, ignore_errors=True)
+    path = f"{root}/t"
+    # range-cluster on the filter column so per-file zone maps are tight
+    create_versioned_table(
+        o.repartitionByRange(8, "o_totalprice"), path, ["o_orderstatus"]
+    )
+    got = read_versioned_table(
+        spark, path, range_filter={"o_totalprice": (50000.0, 150000.0)}
+    )
+    return got.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rounded_sum("o_totalprice", 2).alias("sum_total"),
+    )
+
+
+@register(
+    "fuzzy_name_matching",
+    # the oracle runs the QUADRATIC plan (cross join + levenshtein);
+    # the Spark path must produce the identical pair set from the
+    # linear deletion-neighborhood blocking — the classic
+    # exact-oracle-vs-scale-path pairing (same as the dedup family)
+    oracle="""
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    doc="Fuzzy self-matching on customer names (operators/fuzzy.py): "
+    "FastSS deletion-neighborhood blocking — candidates are pairs "
+    "sharing any delete-one-char variant (a string equi-join, linear "
+    "explode, never a cross join) — then a levenshtein verify. The "
+    "blocking is PROVABLY complete at distance 1, so the result is "
+    "bit-identical to the oracle's O(n^2) plan at any scale; the "
+    "Spark plan's cost is the candidate count, which tracks real "
+    "near-duplicates, not n^2.",
+)
+def fuzzy_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_self_pairs
+
+    return fuzzy_self_pairs(
+        _t(spark, sf_dir, "customer"), "c_name", max_distance=1
+    ).select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))

@@ -646,3 +646,46 @@ def test_asof_cogrouped_keeps_null_ts_left_rows(spark):
     # null-ts left row kept with null payload (JVM asof_join parity);
     # null-ts right row ignored as a donor
     assert got == {("X", 6): 105.0, ("X", None): None}
+
+
+def test_fuzzy_self_pairs_equals_quadratic_reference(spark):
+    # blocking completeness at distance 1: substitution, deletion,
+    # insertion, and identical-after-dedup cases all survive; the
+    # distance-2 pair never appears
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import (
+        fuzzy_self_pairs,
+    )
+
+    names = ["kitten", "mitten", "kitte", "kittens", "sitting", "axel", "axle"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {(r.name_a, r.name_b, r.dist) for r in
+           fuzzy_self_pairs(df, "name").collect()}
+
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    want = {(a, b, lev(a, b)) for a, b in itertools.combinations(sorted(names), 2)
+            if lev(a, b) <= 1}
+    assert got == want
+    assert ("axel", "axle", 2) not in got  # transposition = 2 edits, excluded
+
+
+def test_fuzzy_join_two_tables(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([(1, "spark"), (2, "flink")], "id long, name string")
+    right = spark.createDataFrame(
+        [(10, "sparc"), (11, "spark"), (12, "blink"), (13, "presto")],
+        "rid long, name string",
+    )
+    got = {(r.id, r.rid, r.dist) for r in
+           fuzzy_join(left, right, "name", "name").collect()}
+    assert got == {(1, 10, 1), (1, 11, 0), (2, 12, 1)}

@@ -445,3 +445,159 @@ def test_schema_evolution_adds_column_with_per_version_schemas(spark, tmp_path):
             spark, path, bad.withColumnRenamed("part2", "part").withColumn("part2", F.lit("x")),
             ["id"], ["part2"], delete_col="is_deleted", allow_schema_evolution=True,
         )
+
+
+def test_zone_map_skipping_prunes_files_and_preserves_results(spark, tmp_path):
+    # per-file min/max stats recorded at commit must (a) never change a
+    # result (conservative skip), (b) actually reduce the files read
+    # when the predicate is selective, (c) be ignored gracefully for
+    # pre-zone-map manifests.
+    import json as _json
+    from pathlib import Path as _P
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        _manifest_path,
+    )
+
+    path = str(tmp_path / "t")
+    # 400 rows, val correlates with write order -> repartitionByRange
+    # gives each of the 8 files a narrow val range
+    df = (
+        spark.createDataFrame(
+            [(i, "A", float(i)) for i in range(400)], "id long, part string, val double"
+        )
+        .repartitionByRange(8, "val")
+    )
+    create_versioned_table(df, path, ["part"])
+
+    full = read_versioned_table(spark, path)
+    n_files_total = len(full.inputFiles())
+    assert n_files_total == 8
+
+    got = read_versioned_table(spark, path, range_filter={"val": (100.0, 149.0)})
+    assert {r.id for r in got.collect()} == set(range(100, 150))
+    assert len(got.inputFiles()) < n_files_total  # files actually skipped
+
+    # open bounds work; result identical to a plain filter
+    lo_only = read_versioned_table(spark, path, range_filter={"val": (350.0, None)})
+    assert {r.id for r in lo_only.collect()} == set(range(350, 400))
+    assert len(lo_only.inputFiles()) <= 2
+
+    # unknown column and partition column are rejected
+    with pytest.raises(VersionedTableError):
+        read_versioned_table(spark, path, range_filter={"nope": (1, 2)})
+    with pytest.raises(VersionedTableError):
+        read_versioned_table(spark, path, range_filter={"part": ("A", "B")})
+
+    # pre-zone-map manifest (files key stripped): same results, no skip
+    mpath = _P(_manifest_path(path, 1).replace("file:", ""))
+    m = _json.loads(mpath.read_text())
+    for e in m["entries"]:
+        e.pop("files", None)
+    mpath.write_text(_json.dumps(m))
+    legacy = read_versioned_table(spark, path, range_filter={"val": (100.0, 149.0)})
+    assert {r.id for r in legacy.collect()} == set(range(100, 150))
+    assert len(legacy.inputFiles()) == n_files_total
+
+
+def test_zone_maps_survive_merge_and_skip_all_null_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "A", float(i)) for i in range(100)], "id long, part string, val double"
+    ).repartitionByRange(4, "val")
+    create_versioned_table(df, path, ["part"])
+    changes = spark.createDataFrame(
+        [(1000, "B", None, False)], "id long, part string, val double, is_deleted boolean"
+    )
+    merge_versioned_table(spark, path, changes, ["id"], ["part"], delete_col="is_deleted")
+    # the all-null-val file in partition B is provably empty under a
+    # val range predicate -> skipped entirely
+    got = read_versioned_table(spark, path, range_filter={"val": (10.0, 20.0)})
+    assert {r.id for r in got.collect()} == set(range(10, 21))
+    assert all("part=B" not in f for f in got.inputFiles())
+    # but a plain read still returns the B row
+    assert read_versioned_table(spark, path).where(F.col("id") == 1000).count() == 1
+
+
+def test_zorder_compaction_tightens_multi_column_skipping(spark, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        compact_versioned_table,
+    )
+
+    path = str(tmp_path / "t")
+    # two independent dimensions: x = i // 64, y = i % 64 over a 64x64
+    # grid; written hash-fragmented so initial per-file stats are wide
+    rows = [(i, "A", float(i // 64), float(i % 64)) for i in range(4096)]
+    df = spark.createDataFrame(rows, "id long, part string, x double, y double").repartition(16)
+    create_versioned_table(df, path, ["part"])
+
+    before = read_versioned_table(spark, path, range_filter={"y": (0.0, 7.0)})
+    before_files = len(before.inputFiles())
+    assert before_files == 16  # hash layout: every file spans all y values
+
+    compacted = compact_versioned_table(
+        spark, path, max_files_per_partition=8, zorder_by=["x", "y"]
+    )
+    assert compacted == [{"part": "A"}]
+
+    # content identical across the rewrite
+    assert read_versioned_table(spark, path).count() == 4096
+    # a narrow band on EITHER z column now skips most files
+    for col in ("x", "y"):
+        narrow = read_versioned_table(spark, path, range_filter={col: (0.0, 7.0)})
+        assert {r.id for r in narrow.collect()} == {
+            i for i in range(4096)
+            if 0 <= (i // 64 if col == "x" else i % 64) <= 7
+        }
+        n = len(narrow.inputFiles())
+        assert n < 8, f"{col}: read {n} of 8 z-ordered files"
+
+    # string zorder columns are rejected with a clear error
+    with pytest.raises(VersionedTableError):
+        compact_versioned_table(spark, path, zorder_by=["part"])
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    # the live streamed sketch (cell-wise ADD per micro-batch, txn-
+    # idempotent) must equal the one-shot batch sketch over the same
+    # data — sketch linearity carried through the streaming path — and
+    # version history audits one sketch state per micro-batch.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.sketches import (
+        count_min_cells,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.sinks import (
+        cms_batch_writer,
+    )
+
+    table = str(tmp_path / "cms")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame([(i, i % 7) for i in range(50)], "event_id long, user_id long")
+    b2 = spark.createDataFrame([(i, i % 5) for i in range(50, 90)], "event_id long, user_id long")
+    b1.coalesce(1).write.parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    (
+        stream.writeStream.foreachBatch(cms_batch_writer(table, "user_id", depth=3, width=16))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    streamed = {(r.row, r.bucket): r.c for r in
+                read_versioned_table(spark, table).collect()}
+    whole = b1.unionByName(b2)
+    batch = {(r.row, r.bucket): r.c for r in
+             count_min_cells(whole, "user_id", depth=3, width=16).collect()}
+    assert streamed == batch
+    # v1 = empty table, then one version per micro-batch
+    assert list_versions(spark, table) == [1, 2, 3]
+    assert read_versioned_table(spark, table, version=1).count() == 0
