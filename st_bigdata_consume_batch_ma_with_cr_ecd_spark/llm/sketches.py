@@ -94,3 +94,77 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
         .withColumnRenamed("__key", key_col)
     )
+
+
+# --------------------------------------------------------------------------
+# KMV (k minimum values) distinct-count sketch
+# --------------------------------------------------------------------------
+#
+# The cardinality twin of the Count-Min grid: keep only the k SMALLEST
+# md5 hash values of the keys seen. If hashes are uniform on [0, 2^32),
+# the k-th smallest value t estimates the distinct count as
+# (k-1) * 2^32 / t (the classic KMV/bottom-k estimator, Bar-Yossef et
+# al. 2002). State is k longs per group — fixed like HLL — but every
+# operation is deterministic md5 order statistics, so a SQL oracle can
+# replay estimates EXACTLY, which approx_count_distinct's HLL binaries
+# never allow. Sketches merge by unioning value sets and re-taking the
+# k smallest — the same partial-aggregate contract as the CMS cells.
+# When a group has fewer than k distinct keys the sketch is exhaustive
+# and the "estimate" is the exact distinct count.
+
+_KMV_SPACE = 1 << 32
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, *, k: int = 64, by: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group bottom-k hash sketch: ``(*by, hashes: array<long>)``
+    with at most k ascending values. Plans as distinct + per-group
+    TakeOrdered (WindowGroupLimit — never a full sort)."""
+    from ..operators.dedup import top_n_per_group
+
+    by = list(by)
+    h = (
+        md5_prefix_int(F.col(key_col).cast("string"))
+        .cast("bigint")
+        .alias("__h")
+    )
+    hashed = df.select(*by, h).where(F.col("__h").isNotNull()).distinct()
+    if by:
+        low = top_n_per_group(hashed, by, [F.col("__h").asc()], n=k)
+        grouped = low.groupBy(*by)
+    else:
+        low = hashed.orderBy(F.col("__h").asc()).limit(k)  # TakeOrderedAndProject
+        grouped = low.groupBy()
+    return grouped.agg(F.sort_array(F.collect_list("__h")).alias("hashes"))
+
+
+def kmv_estimate(sketch: DataFrame, *, k: int) -> DataFrame:
+    """Distinct-count estimate per sketch row: exact |hashes| when the
+    sketch is exhaustive (fewer than k values), else
+    ``(k-1) * 2^32 / t_k`` rounded to 4 decimals (identical arithmetic
+    on any engine: exact integer inputs, one double division)."""
+    n = F.size("hashes")
+    t_k = F.element_at("hashes", k)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.round(F.lit(float(_KMV_SPACE)) * (k - 1) / t_k.cast("double"), 4)
+    )
+    return sketch.withColumn("est_distinct", est + F.lit(0.0)).drop("hashes")
+
+
+def merge_kmv(*sketches: DataFrame, k: int) -> DataFrame:
+    """Union sketches (same grouping columns) into one: concatenate,
+    dedupe, keep the k smallest — the bottom-k set of a union is
+    computable from the bottom-k sets of its parts, which is what makes
+    KMV a partial aggregate."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    by = [c for c in out.columns if c != "hashes"]
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("hashes")))), 1, k
+    )
+    grouped = out.groupBy(*by) if by else out.groupBy()
+    return grouped.agg(merged.alias("hashes"))

@@ -211,16 +211,56 @@ def _stat_norm(v):
     return v
 
 
+#: Bloom filter shape for the per-file point-lookup index. Fixed in
+#: code (recorded per manifest so a future change stays readable):
+#: m bits / k salted md5 hashes -> ~1.5% false-positive rate at
+#: ~200 distinct keys per file, and a positions list that stays small
+#: in the manifest JSON.
+_BLOOM_M = 2048
+_BLOOM_K = 3
+
+
+def _bloom_position_cols(col, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list:
+    """The k salted-md5 bit positions of a value — the Spark twin of
+    :func:`_bloom_positions_py` (both sides MUST hash identically)."""
+    from ..functions.columns import md5_prefix_int
+
+    return [
+        (
+            md5_prefix_int(F.concat(F.lit(f"b{i}:"), col.cast("string")))
+            .cast("bigint")
+            % m
+        )
+        for i in range(k)
+    ]
+
+
+def _bloom_positions_py(value, m: int = _BLOOM_M, k: int = _BLOOM_K) -> list[int]:
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"b{i}:{value}".encode("utf-8")).hexdigest()[:8], 16) % m
+        for i in range(k)
+    ]
+
+
 def _attach_file_stats(
     spark: SparkSession,
     path: str,
     entries: list[dict],
     partition_by: Sequence[str],
+    bloom_cols: Sequence[str] = (),
 ) -> None:
-    """Record per-FILE min/max zone maps on each new manifest entry —
-    the statistics layer behind ``read_versioned_table(range_filter=)``
-    data skipping. ONE job over the just-written commit (page-cache
-    warm); the collect is one row per file (metadata, never data).
+    """Record per-FILE statistics on each new manifest entry — the
+    layer behind ``read_versioned_table`` data skipping. ONE job over
+    the just-written commit (page-cache warm); the collect is one row
+    per file (metadata, never data).
+
+    - min/max zone maps for every _STAT_TYPES column
+      (``range_filter`` skipping);
+    - for ``bloom_cols``, a Bloom bit-position set (``point_filter``
+      skipping — equality lookups on high-cardinality columns where a
+      wide [min,max] proves nothing).
     Columns outside _STAT_TYPES simply get no stats."""
     if not entries:
         return
@@ -228,37 +268,57 @@ def _attach_file_stats(
     stat_cols = [
         f.name for f in probe.schema.fields if f.dataType.simpleString() in _STAT_TYPES
     ]
+    bloom_cols = [c for c in bloom_cols if c in probe.columns]
     for e in entries:
         e["files"] = []
-    if not stat_cols:
+    if not stat_cols and not bloom_cols:
         return
     dirs = {e["dir"]: e for e in entries}
     df = spark.read.parquet(*[f"{path}/{d}" for d in dirs])
     aggs = []
     for c in stat_cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
+    for c in bloom_cols:
+        aggs.append(
+            F.sort_array(
+                F.filter(
+                    F.array_distinct(
+                        F.flatten(
+                            F.collect_list(F.array(*_bloom_position_cols(F.col(c))))
+                        )
+                    ),
+                    lambda x: x.isNotNull(),  # null values stay out of the index
+                )
+            ).alias(f"__bl_{c}")
+        )
     for r in df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect():
         for d, e in dirs.items():
             marker = f"/{d}/"
             if marker in r["__f"]:
-                e["files"].append(
-                    {
-                        "name": r["__f"].split(marker, 1)[1],
-                        "stats": {
-                            c: [_stat_norm(r[f"__mn_{c}"]), _stat_norm(r[f"__mx_{c}"])]
-                            for c in stat_cols
-                        },
+                rec = {
+                    "name": r["__f"].split(marker, 1)[1],
+                    "stats": {
+                        c: [_stat_norm(r[f"__mn_{c}"]), _stat_norm(r[f"__mx_{c}"])]
+                        for c in stat_cols
+                    },
+                }
+                if bloom_cols:
+                    rec["bloom"] = {
+                        c: [int(p) for p in (r[f"__bl_{c}"] or [])] for c in bloom_cols
                     }
-                )
+                e["files"].append(rec)
                 break
 
 
 def _commit_data(
-    df: DataFrame, path: str, partition_by: Sequence[str]
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    bloom_cols: Sequence[str] = (),
 ) -> tuple[str, list[dict]]:
     """Write ``df`` as a new immutable commit dir; return (commit id,
-    manifest entries — with per-file zone maps — for the partitions it
-    contains)."""
+    manifest entries — with per-file zone maps and Bloom indexes — for
+    the partitions it contains)."""
     commit = uuid.uuid4().hex
     df.write.partitionBy(*list(partition_by)).parquet(f"{path}/{_DATA_DIR}/{commit}")
     spark = df.sparkSession
@@ -271,14 +331,23 @@ def _commit_data(
         }
         for p in parts
     ]
-    _attach_file_stats(spark, path, entries, partition_by)
+    _attach_file_stats(spark, path, entries, partition_by, bloom_cols)
     return commit, entries
 
 
 def create_versioned_table(
-    df: DataFrame, path: str, partition_by: Sequence[str]
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    *,
+    bloom_cols: Sequence[str] = (),
 ) -> int:
     """Write the initial snapshot as version 1.
+
+    ``bloom_cols`` opts named columns into the per-file Bloom
+    point-lookup index (recorded in the manifest; every later merge and
+    compaction maintains it). Use it for high-cardinality equality-
+    lookup columns — ids, keys — where min/max zone maps prove nothing.
 
     The input is materialized (``localCheckpoint``) before the commit:
     ``_commit_data`` computes the frame twice (files + partition set),
@@ -287,8 +356,13 @@ def create_versioned_table(
     on disk."""
     if not partition_by:
         raise VersionedTableError("partition_by must be non-empty")
+    unknown = set(bloom_cols) - set(df.columns)
+    if unknown:
+        raise VersionedTableError(f"bloom_cols not in table: {sorted(unknown)}")
     spark = df.sparkSession
-    _, entries = _commit_data(df.localCheckpoint(eager=True), path, partition_by)
+    _, entries = _commit_data(
+        df.localCheckpoint(eager=True), path, partition_by, list(bloom_cols)
+    )
     manifest = {
         "version": 1,
         "ts": time.time(),
@@ -296,6 +370,7 @@ def create_versioned_table(
         "partition_by": list(partition_by),
         "entries": entries,
         "txns": {},
+        "bloom_cols": list(bloom_cols),
     }
     if not _write_manifest(spark, path, manifest):
         raise VersionedTableError(f"table already exists at {path}")
@@ -338,6 +413,7 @@ def read_versioned_table(
     version: int | None = None,
     partition_filter: dict | None = None,
     range_filter: dict | None = None,
+    point_filter: dict | None = None,
 ) -> DataFrame:
     """Read the table AS OF ``version`` (default: latest). Historical
     versions read their original immutable files — time travel.
@@ -357,7 +433,16 @@ def read_versioned_table(
     plus filter; entries from pre-zone-map manifests (no ``files`` key)
     just read whole. Pair with Z-order compaction
     (``compact_versioned_table(zorder_by=...)``) to make the per-file
-    ranges tight on multiple columns at once."""
+    ranges tight on multiple columns at once.
+
+    ``point_filter`` = ``{col: value}`` applies an equality predicate
+    with per-file BLOOM skipping for columns the table was created with
+    ``bloom_cols=[...]`` — the point-lookup complement to zone maps (a
+    scattered high-cardinality key has useless min/max but a decisive
+    Bloom test). Same conservative contract: Bloom false positives are
+    read and row-filtered away; a negative is proof of absence.
+    Columns without a Bloom index still filter correctly, just without
+    the skip."""
     v = latest_version(spark, path) if version is None else version
     m = _read_manifest(spark, path, v)
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -395,6 +480,40 @@ def read_versioned_table(
                 pruned.append(e2)
         entries = pruned
         use_file_lists = True
+    if point_filter:
+        known = {f.name for f in schema.fields}
+        unknown = set(point_filter) - known
+        if unknown:
+            raise VersionedTableError(f"not table columns: {sorted(unknown)}")
+        if set(point_filter) & set(m["partition_by"]):
+            raise VersionedTableError(
+                "point_filter on partition columns — use partition_filter"
+            )
+        indexed = set(m.get("bloom_cols", [])) & set(point_filter)
+        if indexed:
+            want = {c: _bloom_positions_py(point_filter[c]) for c in indexed}
+            pruned = []
+            for e in entries:
+                files = e.get("files")
+                if files is None:
+                    pruned.append(e)
+                    continue
+                kept = [
+                    f
+                    for f in files
+                    if all(
+                        "bloom" not in f
+                        or c not in f["bloom"]
+                        or all(p in f["bloom"][c] for p in pos)
+                        for c, pos in want.items()
+                    )
+                ]
+                if kept:
+                    e2 = dict(e)
+                    e2["files"] = kept
+                    pruned.append(e2)
+            entries = pruned
+            use_file_lists = True
     df = _read_entries(
         spark, path, entries, schema, list(m["partition_by"]),
         use_file_lists=use_file_lists,
@@ -405,6 +524,9 @@ def read_versioned_table(
                 df = df.where(F.col(c) >= F.lit(lo))
             if hi is not None:
                 df = df.where(F.col(c) <= F.lit(hi))
+    if point_filter:
+        for c, val in point_filter.items():
+            df = df.where(F.col(c) == F.lit(val))
     return df
 
 
@@ -616,10 +738,11 @@ def merge_versioned_table(
         new_entries = [
             e for e in manifest["entries"] if e["partition"] not in touched
         ]
+        bloom_cols = list(manifest.get("bloom_cols", []))
         if merged.isEmpty():
             result_entries: list[dict] = []
         else:
-            _, result_entries = _commit_data(merged, path, partition_by)
+            _, result_entries = _commit_data(merged, path, partition_by, bloom_cols)
         txns = dict(manifest.get("txns", {}))
         if txn is not None:
             txns[txn[0]] = txn[1]
@@ -630,6 +753,7 @@ def merge_versioned_table(
             "partition_by": partition_by,
             "entries": new_entries + result_entries,
             "txns": txns,
+            "bloom_cols": bloom_cols,
         }
         if _write_manifest(spark, path, candidate):
             return touched
@@ -638,12 +762,16 @@ def merge_versioned_table(
 
 
 def _zorder_column(df: DataFrame, cols: Sequence[str], *, bits: int = 4):
-    """Z-value (Morton interleave) over rank-bucketed columns: each
-    column maps to a ``2^bits``-bucket id via approxQuantile boundaries
-    (driver-side model, robust to skew where value-based bucketing is
-    not), then the ids' bits interleave so a range on ANY of the
-    columns maps to few contiguous z-runs. Nulls bucket to 0 (they
-    cluster together at the low end)."""
+    """Z-value over rank-bucketed columns: each column maps to a
+    ``2^bits``-bucket id via approxQuantile boundaries (driver-side
+    model, robust to skew where min/max-based quantization — the
+    ``sinks.layout.write_zordered`` variant — would collapse under
+    outliers), then the ids interleave with the shared
+    :func:`..sinks.layout.morton_interleave` so a range on ANY column
+    maps to few contiguous z-runs. Nulls bucket to 0 (they cluster at
+    the low end)."""
+    from .layout import morton_interleave
+
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
     buckets = []
@@ -666,18 +794,14 @@ def _zorder_column(df: DataFrame, cols: Sequence[str], *, bits: int = 4):
         qdf = df.select(src.alias(qcol))
         bounds = qdf.approxQuantile(qcol, probs, 0.01)
         barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, x: acc + F.when(src > x, 1).otherwise(0),
+        buckets.append(
+            F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, x: acc + F.when(src > x, 1).otherwise(0),
+            )
         )
-        buckets.append(bucket)
-    z = F.lit(0)
-    k = len(cols)
-    for bit in range(bits):
-        for ci, b in enumerate(buckets):
-            z = z + F.shiftleft(F.shiftright(b, bit).bitwiseAND(F.lit(1)), bit * k + ci)
-    return z
+    return morton_interleave(buckets, bits=bits)
 
 
 def compact_versioned_table(
@@ -770,7 +894,8 @@ def compact_versioned_table(
                 .drop("__salt")
             )
         _, new_entries = _commit_data(
-            clustered.localCheckpoint(eager=True), path, part_cols
+            clustered.localCheckpoint(eager=True), path, part_cols,
+            list(m.get("bloom_cols", [])),
         )
         keep = [e for e in m["entries"] if e not in fragmented]
         candidate = {
@@ -780,6 +905,7 @@ def compact_versioned_table(
             "partition_by": part_cols,
             "entries": keep + new_entries,
             "txns": dict(m.get("txns", {})),
+            "bloom_cols": list(m.get("bloom_cols", [])),
         }
         if _write_manifest(spark, path, candidate):
             return [e["partition"] for e in fragmented]

@@ -3103,3 +3103,67 @@ def embedding_gram_exact8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x.i").cast("int").alias("i"), F.col("x.j").cast("int").alias("j"))
         .agg(F.round(F.sum("x.p"), 6).cast("double").alias("gram"))
     )
+
+
+@register(
+    "sketch_kmv_distinct_union",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM h
+    ),
+    per_type AS (
+        SELECT event_type,
+               CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+                    ELSE round(4294967296.0 * 63
+                               / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE), 4)
+               END + 0.0 AS est_distinct
+        FROM ranked WHERE rn <= 64 GROUP BY event_type
+    ),
+    g AS (SELECT DISTINCT h FROM h),
+    granked AS (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn, count(*) OVER () AS n FROM g
+    ),
+    gest AS (
+        SELECT '__all__' AS event_type,
+               CASE WHEN max(n) < 64 THEN CAST(max(n) AS DOUBLE)
+                    ELSE round(4294967296.0 * 63
+                               / CAST(max(CASE WHEN rn = 64 THEN h END) AS DOUBLE), 4)
+               END + 0.0 AS est_distinct
+        FROM granked WHERE rn <= 64
+    )
+    SELECT event_type, est_distinct FROM per_type
+    UNION ALL
+    SELECT event_type, est_distinct FROM gest
+    """,
+    doc="KMV (bottom-k) distinct-count sketches (llm/sketches.py): one "
+    "64-value sketch per event type — distinct + per-group "
+    "WindowGroupLimit, state fixed at k longs per group at ANY "
+    "cardinality — then the per-type sketches MERGE into a global "
+    "estimate without touching the data again (bottom-k of a union is "
+    "computable from the parts' bottom-ks). Estimates are deterministic "
+    "md5 order statistics, so the oracle replays them EXACTLY — the "
+    "hash-verifiable counterpart to the rows-only HLL queries. Small "
+    "groups (< k distinct) take the exhaustive branch: the estimate IS "
+    "the exact count, which the sf0.001 driver run exercises while "
+    "sf0.01 exercises the estimator branch.",
+)
+def sketch_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sketches import kmv_estimate, kmv_sketch, merge_kmv
+
+    ev = read_testdata(spark, sf_dir, "events")
+    per = kmv_sketch(ev, "user_id", k=64, by=["event_type"])
+    per_est = kmv_estimate(per, k=64).select("event_type", "est_distinct")
+    merged = merge_kmv(per.select("hashes"), k=64)
+    all_est = (
+        kmv_estimate(merged, k=64)
+        .select(F.lit("__all__").alias("event_type"), "est_distinct")
+    )
+    return per_est.unionByName(all_est)

@@ -3191,3 +3191,74 @@ def fuzzy_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_self_pairs(
         _t(spark, sf_dir, "customer"), "c_name", max_distance=1
     ).select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
+    "entity_resolution_canonical",
+    # full ER chain under one hash: quadratic-lev pairs (oracle) vs
+    # deletion-neighborhood pairs (Spark) -> transitive closure
+    # (recursive CTE vs min-label propagation) -> survivorship argmax
+    oracle="""
+    WITH RECURSIVE fpairs AS (
+        SELECT a.c_name AS na, b.c_name AS nb
+        FROM customer a JOIN customer b ON a.c_name < b.c_name
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges AS (
+        SELECT na AS src, nb AS dst FROM fpairs
+        UNION
+        SELECT nb, na FROM fpairs
+    ),
+    comp(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.dst, c.label FROM comp c JOIN edges e ON c.node = e.src
+    ),
+    labels AS (SELECT node, min(label) AS cluster_id FROM comp GROUP BY node),
+    clustered AS (
+        SELECT c.c_custkey, c.c_name, c.c_acctbal,
+               coalesce(l.cluster_id, c.c_name) AS cluster_id
+        FROM customer c LEFT JOIN labels l ON c.c_name = l.node
+    ),
+    canon AS (
+        SELECT cluster_id, c_custkey AS canonical_custkey FROM (
+            SELECT cluster_id, c_custkey,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+            FROM clustered
+        ) WHERE rn = 1
+    )
+    SELECT cl.c_custkey, cl.cluster_id, cn.canonical_custkey,
+           cl.c_custkey = cn.canonical_custkey AS is_canonical
+    FROM clustered cl JOIN canon cn USING (cluster_id)
+    """,
+    doc="Entity resolution end to end (operators/fuzzy.py + "
+    "operators/graph.py): fuzzy name pairs from deletion-neighborhood "
+    "blocking (provably equal to the oracle's O(n^2) levenshtein scan), "
+    "transitive closure via min-label propagation (checkpoint per "
+    "round), then SURVIVORSHIP — each cluster elects one canonical "
+    "record (max acctbal, key tiebreak) and every row points at it. "
+    "The synthetic name space is dense (single-digit edits chain), so "
+    "the closure stresses the propagation depth, not just the pairing.",
+)
+def entity_resolution_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import top_n_per_group
+    from ..operators.fuzzy import fuzzy_self_pairs
+    from ..operators.graph import assign_cluster_ids
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    pairs = fuzzy_self_pairs(cust, "c_name", max_distance=1).select("name_a", "name_b")
+    clustered = assign_cluster_ids(
+        cust, pairs, "c_name", "name_a", "name_b", pairs_distinct=True
+    )
+    canon = top_n_per_group(
+        clustered.select("cluster_id", "c_custkey", "c_acctbal"),
+        ["cluster_id"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+    ).select("cluster_id", F.col("c_custkey").alias("canonical_custkey"))
+    return clustered.join(canon, "cluster_id").select(
+        "c_custkey",
+        "cluster_id",
+        "canonical_custkey",
+        (F.col("c_custkey") == F.col("canonical_custkey")).alias("is_canonical"),
+    )

@@ -842,3 +842,33 @@ def test_count_min_sketch_properties(spark, sf_dir):
     merged = {(r.row, r.bucket): r.c for r in merge_cms(half_a, half_b).collect()}
     whole = {(r.row, r.bucket): r.c for r in cells.collect()}
     assert merged == whole
+
+
+def test_kmv_sketch_merge_and_accuracy(spark):
+    # bottom-k mergeability: merging per-slice sketches equals the
+    # sketch of the whole; estimator lands within the KMV error bound
+    # (~1/sqrt(k-1) relative) on a cardinality well above k
+    from pyspark.sql import functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+        merge_kmv,
+    )
+
+    n_true, k = 5000, 64
+    df = spark.range(n_true).select(F.col("id").alias("user_id"))
+    whole = kmv_sketch(df, "user_id", k=k)
+    halves = [
+        kmv_sketch(df.where(F.col("user_id") % 2 == i), "user_id", k=k)
+        for i in (0, 1)
+    ]
+    merged = merge_kmv(*[h.select("hashes") for h in halves], k=k)
+    assert merged.collect()[0]["hashes"] == whole.collect()[0]["hashes"]
+
+    est = kmv_estimate(whole, k=k).collect()[0]["est_distinct"]
+    assert abs(est - n_true) / n_true < 0.5  # 3-4 sigma at k=64
+
+    # exhaustive branch: below-k cardinality estimates exactly
+    small = kmv_sketch(df.where(F.col("user_id") < 10), "user_id", k=k)
+    assert kmv_estimate(small, k=k).collect()[0]["est_distinct"] == 10.0

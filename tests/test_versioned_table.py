@@ -601,3 +601,70 @@ def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
     # v1 = empty table, then one version per micro-batch
     assert list_versions(spark, table) == [1, 2, 3]
     assert read_versioned_table(spark, table, version=1).count() == 0
+
+
+def test_bloom_point_lookup_skips_files(spark, tmp_path):
+    # per-file Bloom index: a point lookup on a high-cardinality key
+    # reads only the file(s) whose Bloom can't rule the value out;
+    # results always equal a plain filter; absent keys read 0 files.
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "A", float(i)) for i in range(400)], "id long, part string, val double"
+    ).repartition(8)  # hash layout: ids scattered, min/max useless
+    create_versioned_table(df, path, ["part"], bloom_cols=["id"])
+
+    total = len(read_versioned_table(spark, path).inputFiles())
+    assert total == 8
+
+    hit = read_versioned_table(spark, path, point_filter={"id": 123})
+    assert [(r.id, r.val) for r in hit.collect()] == [(123, 123.0)]
+    assert len(hit.inputFiles()) < total  # bloom actually skipped files
+
+    miss = read_versioned_table(spark, path, point_filter={"id": 10**9})
+    assert miss.count() == 0
+    assert len(miss.inputFiles()) == 0  # proof of absence: zero files read
+
+    # un-indexed column still filters correctly, no skip
+    v = read_versioned_table(spark, path, point_filter={"val": 7.0})
+    assert v.count() == 1
+
+    # zone-map comparison on the same layout: range_filter can't skip
+    # scattered ids (every file spans ~the full range)
+    r = read_versioned_table(spark, path, range_filter={"val": (123.0, 123.0)})
+    assert len(r.inputFiles()) == total
+
+    # errors: unknown / partition columns
+    with pytest.raises(VersionedTableError):
+        read_versioned_table(spark, path, point_filter={"nope": 1})
+    with pytest.raises(VersionedTableError):
+        read_versioned_table(spark, path, point_filter={"part": "A"})
+    with pytest.raises(VersionedTableError):
+        create_versioned_table(_base(spark), str(tmp_path / "t2"), ["part"],
+                               bloom_cols=["missing"])
+
+
+def test_bloom_index_survives_merge_and_compaction(spark, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        compact_versioned_table,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "A", float(i)) for i in range(200)], "id long, part string, val double"
+    ).repartition(6)
+    create_versioned_table(df, path, ["part"], bloom_cols=["id"])
+    changes = spark.createDataFrame(
+        [(1000, "A", 1.5, False), (5, "A", 5.5, False)],
+        "id long, part string, val double, is_deleted boolean",
+    )
+    merge_versioned_table(spark, path, changes, ["id"], ["part"], delete_col="is_deleted")
+    # the merged commit carries a fresh bloom: new key found, updated value seen
+    got = read_versioned_table(spark, path, point_filter={"id": 1000})
+    assert [(r.id, r.val) for r in got.collect()] == [(1000, 1.5)]
+    assert (5, 5.5) in {(r.id, r.val) for r in
+                        read_versioned_table(spark, path, point_filter={"id": 5}).collect()}
+
+    compact_versioned_table(spark, path, max_files_per_partition=2)
+    after = read_versioned_table(spark, path, point_filter={"id": 1000})
+    assert [(r.id, r.val) for r in after.collect()] == [(1000, 1.5)]
+    assert read_versioned_table(spark, path).count() == 201
