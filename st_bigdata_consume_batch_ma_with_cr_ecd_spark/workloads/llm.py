@@ -3167,3 +3167,60 @@ def sketch_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("__all__").alias("event_type"), "est_distinct")
     )
     return per_est.unionByName(all_est)
+
+
+@register(
+    "stats_exact_quantiles_distributed",
+    oracle="""
+    WITH c AS (
+        SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT n_chars, cnt,
+               sum(cnt) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER () AS n
+        FROM c
+    ),
+    qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.95, 0.99]) AS DOUBLE) AS q),
+    targets AS (SELECT q, CAST(ceil(q * max(n)) AS BIGINT) AS k FROM cum, qs GROUP BY q),
+    hits AS (
+        SELECT t.q, min(c.n_chars) AS v
+        FROM targets t JOIN cum c ON c.cum >= t.k
+        GROUP BY t.q
+    )
+    SELECT q, CAST(v AS DOUBLE) AS value FROM hits
+    """,
+    doc="EXACT multi-quantile (p25/p50/p75/p95/p99) in ONE pass over "
+    "the same value-counts contraction as the median rewrite: "
+    "groupBy(value).count() (map-side combined, output bounded by "
+    "distinct cardinality), distributed running total over the count "
+    "table, then every requested quantile reads off the same cumulative "
+    "column — adding quantiles costs nothing. Quantile definition: the "
+    "smallest value whose cumulative count reaches ceil(q*n) (lower "
+    "step interpolation — integer-exact, no float midpoints). The "
+    "contrast query is stats_approx_sketches' percentile_approx, whose "
+    "sketch error this one bounds exactly.",
+    tags=("bench",),
+)
+def stats_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rowids import running_total
+
+    qs = [0.25, 0.5, 0.75, 0.95, 0.99]
+    counts = (
+        _docs(spark, sf_dir).groupBy("n_chars").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    cum = running_total(counts, ["n_chars"], "__c", out_col="__cum")
+    n = cum.agg(F.sum("__c").cast("long").alias("n"))
+    targets = (
+        spark.createDataFrame([(q,) for q in qs], "q double")
+        .crossJoin(F.broadcast(n))
+        .select("q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("k"))
+    )
+    # every (quantile, covering values) pair, then min value per q:
+    # the broadcast targets frame is 5 rows — the join fans each count
+    # row to at most 5, and min() contracts immediately
+    hit = cum.join(F.broadcast(targets), F.col("__cum") >= F.col("k"))
+    return (
+        hit.groupBy("q")
+        .agg(F.min("n_chars").cast("double").alias("value"))
+    )
