@@ -742,4 +742,10 @@ def pca_project(
         P = np.round(M @ comps_b, round_to)
         return pd.Series(list(P))
 
-    return df.select(id_col, proj(F.col(vec_col)).alias("components"))
+    # null vectors are excluded from the fit (gram's dropna) AND the
+    # projection — np.stack on a column containing None would throw
+    # inside the UDF (r4 review finding); callers wanting those rows
+    # back can left-join on id_col
+    return df.where(F.col(vec_col).isNotNull()).select(
+        id_col, proj(F.col(vec_col)).alias("components")
+    )

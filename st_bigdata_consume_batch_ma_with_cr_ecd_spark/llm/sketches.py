@@ -25,6 +25,8 @@ sketch bit-for-bit (no RNG, no engine-specific sketch internals, unlike
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

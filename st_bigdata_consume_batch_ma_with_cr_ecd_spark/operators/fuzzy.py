@@ -92,16 +92,21 @@ def fuzzy_join(
     colliding with left names get a ``_right`` suffix) plus ``dist``."""
     if max_distance != 1:
         raise ValueError("fuzzy_join supports max_distance=1 only")
-    lv = left.select(
+    # row-identity keys (not full-row distinct): two IDENTICAL input
+    # rows must each produce their pairs — deduping on row content
+    # would silently merge them (r4 review finding). The ids only key
+    # the multi-variant-candidate dedup and are dropped before return.
+    lv = left.withColumn("__lid", F.monotonically_increasing_id()).select(
         "*", F.explode(deletion_variants(F.col(left_col))).alias("__v")
     )
-    rv = right.select(
+    rv = right.withColumn("__rid", F.monotonically_increasing_id()).select(
         "*", F.explode(deletion_variants(F.col(right_col))).alias("__v")
     )
     l, r = lv.alias("l"), rv.alias("r")
     joined = l.join(r, F.col("l.__v") == F.col("r.__v")).drop("__v")
     left_cols = set(left.columns)
-    proj = [F.col(f"l.{c}") for c in left.columns]
+    proj = [F.col("l.__lid"), F.col("r.__rid")]
+    proj += [F.col(f"l.{c}") for c in left.columns]
     for c in right.columns:
         out = f"{c}_right" if c in left_cols else c
         proj.append(F.col(f"r.{c}").alias(out))
@@ -109,7 +114,8 @@ def fuzzy_join(
     dist = F.levenshtein(F.col(left_col), F.col(rc))
     return (
         joined.select(*proj)
-        .distinct()
+        .dropDuplicates(["__lid", "__rid"])
+        .drop("__lid", "__rid")
         .withColumn("dist", dist)
         .where(F.col("dist") <= max_distance)
     )

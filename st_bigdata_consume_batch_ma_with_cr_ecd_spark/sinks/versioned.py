@@ -269,45 +269,64 @@ def _attach_file_stats(
         f.name for f in probe.schema.fields if f.dataType.simpleString() in _STAT_TYPES
     ]
     bloom_cols = [c for c in bloom_cols if c in probe.columns]
-    for e in entries:
-        e["files"] = []
     if not stat_cols and not bloom_cols:
+        # record NOTHING rather than empty lists: the read path treats
+        # a missing/empty files list as "no information, read the whole
+        # dir" — an empty list must never look like "all files skipped"
+        # (r4 review finding: silent zero-row reads on stat-less tables)
         return
     dirs = {e["dir"]: e for e in entries}
+    for e in entries:
+        e["files"] = []
     df = spark.read.parquet(*[f"{path}/{d}" for d in dirs])
-    aggs = []
+    file_recs: dict[str, dict] = {}
+    # count(*) seeds the record for EVERY file, so a file whose bloom
+    # column is entirely null (absent from the bloom pass) still gets a
+    # manifest record — an unlisted file would silently vanish from
+    # filtered reads
+    aggs = [F.count(F.lit(1)).alias("__n")]
     for c in stat_cols:
         aggs += [F.min(c).alias(f"__mn_{c}"), F.max(c).alias(f"__mx_{c}")]
-    for c in bloom_cols:
-        aggs.append(
-            F.sort_array(
-                F.filter(
-                    F.array_distinct(
-                        F.flatten(
-                            F.collect_list(F.array(*_bloom_position_cols(F.col(c))))
-                        )
-                    ),
-                    lambda x: x.isNotNull(),  # null values stay out of the index
-                )
-            ).alias(f"__bl_{c}")
-        )
     for r in df.groupBy(F.input_file_name().alias("__f")).agg(*aggs).collect():
+        file_recs[r["__f"]] = {
+            "stats": {
+                c: [_stat_norm(r[f"__mn_{c}"]), _stat_norm(r[f"__mx_{c}"])]
+                for c in stat_cols
+            }
+        }
+    # Bloom positions via explode -> collect_set: partial aggregation
+    # bounds the per-file buffer at _BLOOM_M distinct positions, where
+    # collect_list of per-row arrays would buffer O(rows) before the
+    # dedup (r4 review finding — the opposite of a fixed-size sketch).
+    for c in bloom_cols:
+        pos = (
+            df.select(
+                F.input_file_name().alias("__f"),
+                F.explode(F.array(*_bloom_position_cols(F.col(c)))).alias("__p"),
+            )
+            .where(F.col("__p").isNotNull())
+            .groupBy("__f")
+            .agg(F.sort_array(F.collect_set("__p")).alias("__ps"))
+        )
+        for r in pos.collect():
+            file_recs.setdefault(r["__f"], {"stats": {}}).setdefault("bloom", {})[c] = [
+                int(p) for p in r["__ps"]
+            ]
+        # files whose column is entirely null get an empty position set
+        # (present-but-empty = proof of absence for every probe value)
+        for fpath, rec in file_recs.items():
+            rec.setdefault("bloom", {}).setdefault(c, [])
+    for fpath, rec in file_recs.items():
         for d, e in dirs.items():
             marker = f"/{d}/"
-            if marker in r["__f"]:
-                rec = {
-                    "name": r["__f"].split(marker, 1)[1],
-                    "stats": {
-                        c: [_stat_norm(r[f"__mn_{c}"]), _stat_norm(r[f"__mx_{c}"])]
-                        for c in stat_cols
-                    },
-                }
+            if marker in fpath:
+                entry_rec = {"name": fpath.split(marker, 1)[1], "stats": rec["stats"]}
                 if bloom_cols:
-                    rec["bloom"] = {
-                        c: [int(p) for p in (r[f"__bl_{c}"] or [])] for c in bloom_cols
-                    }
-                e["files"].append(rec)
+                    entry_rec["bloom"] = rec["bloom"]
+                e["files"].append(entry_rec)
                 break
+    for e in entries:
+        e["files"].sort(key=lambda f: f["name"])
 
 
 def _commit_data(
@@ -359,6 +378,21 @@ def create_versioned_table(
     unknown = set(bloom_cols) - set(df.columns)
     if unknown:
         raise VersionedTableError(f"bloom_cols not in table: {sorted(unknown)}")
+    # the probe-side hash renders values with Python str() while the
+    # build side uses Spark's cast-to-string; those agree ONLY for
+    # strings and integers (booleans: 'True' vs 'true'; large doubles:
+    # '10000000.0' vs '1.0E7') — a mismatch silently turns "proof of
+    # absence" into false absence, so refuse other types up front
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    bad = [
+        c for c in bloom_cols
+        if types[c] not in ("string", "tinyint", "smallint", "int", "bigint")
+    ]
+    if bad:
+        raise VersionedTableError(
+            f"bloom_cols must be string/integer columns: {bad} "
+            f"({[types[c] for c in bad]})"
+        )
     spark = df.sparkSession
     _, entries = _commit_data(
         df.localCheckpoint(eager=True), path, partition_by, list(bloom_cols)
@@ -377,13 +411,26 @@ def create_versioned_table(
     return 1
 
 
-def _bound_norm(v):
+def _bound_norm(v, col_type: str = ""):
     """User-supplied range bound -> the zone-map comparison domain
-    (same normalization as the stored stats)."""
+    (same normalization as the stored stats). ``col_type`` is the
+    column's Spark type: a DATE-grained bound against a TIMESTAMP
+    column must normalize to midnight ('2024-01-15 00:00:00'), because
+    the bare day string sorts BELOW the column's midnight stat
+    lexicographically and would falsely skip boundary files (r4 review
+    finding). The reverse (datetime bound, date column) is already
+    order-compatible: a date stat is a prefix of its midnight string,
+    and prefix < longer matches midnight < any later time."""
+    import datetime as _dt
+
+    if col_type.startswith("timestamp") and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+        v = _dt.datetime.combine(v, _dt.time())
     normed = _stat_norm(v)
     if isinstance(normed, str):
         # tolerate '2024-01-15T00:00:00' for a stat stored with ' '
-        return normed.replace("T", " ")
+        normed = normed.replace("T", " ")
+        if col_type.startswith("timestamp") and len(normed) == 10:
+            normed += " 00:00:00"  # day-grained string bound, same rule
     return normed
 
 
@@ -466,10 +513,14 @@ def read_versioned_table(
             raise VersionedTableError(
                 "range_filter on partition columns — use partition_filter"
             )
-        norm = {c: (_bound_norm(lo), _bound_norm(hi)) for c, (lo, hi) in range_filter.items()}
+        col_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+        norm = {
+            c: (_bound_norm(lo, col_types[c]), _bound_norm(hi, col_types[c]))
+            for c, (lo, hi) in range_filter.items()
+        }
         pruned = []
         for e in entries:
-            files = e.get("files")
+            files = e.get("files") or None  # empty list = no info, read whole dir
             if files is None:
                 pruned.append(e)  # pre-zone-map entry: read whole dir
                 continue
@@ -494,7 +545,7 @@ def read_versioned_table(
             want = {c: _bloom_positions_py(point_filter[c]) for c in indexed}
             pruned = []
             for e in entries:
-                files = e.get("files")
+                files = e.get("files") or None  # empty list = no info, read whole dir
                 if files is None:
                     pruned.append(e)
                     continue
@@ -774,7 +825,7 @@ def _zorder_column(df: DataFrame, cols: Sequence[str], *, bits: int = 4):
 
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    buckets = []
+    sources = {}
     for c in cols:
         dt = dict(df.dtypes)[c]
         if not (
@@ -790,17 +841,18 @@ def _zorder_column(df: DataFrame, cols: Sequence[str], *, bits: int = 4):
             src = F.unix_date(src).cast("double")
         elif dt.startswith("timestamp"):
             src = F.unix_micros(src).cast("double")
-        qcol = f"__zq_{c}"
-        qdf = df.select(src.alias(qcol))
-        bounds = qdf.approxQuantile(qcol, probs, 0.01)
+        sources[c] = src
+    # ONE multi-column quantile pass (one job), not one per column
+    qcols = [f"__zq_{c}" for c in cols]
+    qdf = df.select(*[sources[c].alias(q) for c, q in zip(cols, qcols)])
+    all_bounds = qdf.approxQuantile(qcols, probs, 0.01)
+    def bucket_of(src, bounds):
         barr = F.array(*[F.lit(float(b)) for b in bounds])
-        buckets.append(
-            F.aggregate(
-                barr,
-                F.lit(0),
-                lambda acc, x: acc + F.when(src > x, 1).otherwise(0),
-            )
+        return F.aggregate(
+            barr, F.lit(0), lambda acc, x: acc + F.when(src > x, 1).otherwise(0)
         )
+
+    buckets = [bucket_of(sources[c], bounds) for c, bounds in zip(cols, all_bounds)]
     return morton_interleave(buckets, bits=bits)
 
 

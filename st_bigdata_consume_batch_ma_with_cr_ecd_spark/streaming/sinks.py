@@ -175,6 +175,8 @@ def cms_batch_writer(
         )
 
         spark = batch.sparkSession
+        if batch.isEmpty():
+            return  # nothing to add; also skips the manifest listing
         delta = count_min_cells(batch, key_col, depth=depth, width=width)
         if not list_versions(spark, path):
             try:
@@ -185,6 +187,9 @@ def cms_batch_writer(
         current = read_versioned_table(spark, path)
         d = delta.select("row", "bucket", F.col("c").alias("__d"))
         c = current.select("row", "bucket", F.col("c").alias("__c"))
+        # no isEmpty() pre-check here: a non-empty batch guarantees a
+        # non-empty delta, and materializing `summed` twice (guard +
+        # merge) would pay the table read + join twice per micro-batch
         summed = (
             d.join(c, ["row", "bucket"], "left")
             .select(
@@ -193,8 +198,6 @@ def cms_batch_writer(
                 (F.col("__d") + F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("c"),
             )
         )
-        if summed.isEmpty():
-            return
         merge_versioned_table(
             spark,
             path,

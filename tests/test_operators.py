@@ -689,3 +689,14 @@ def test_fuzzy_join_two_tables(spark):
     got = {(r.id, r.rid, r.dist) for r in
            fuzzy_join(left, right, "name", "name").collect()}
     assert got == {(1, 10, 1), (1, 11, 0), (2, 12, 1)}
+
+
+def test_fuzzy_join_keeps_duplicate_input_rows(spark):
+    # r4 review: full-row distinct used to merge identical input rows;
+    # dedup must key on row identity so each duplicate emits its pairs
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import fuzzy_join
+
+    left = spark.createDataFrame([(1, "spark"), (1, "spark")], "id long, name string")
+    right = spark.createDataFrame([(10, "sparc")], "rid long, name string")
+    got = fuzzy_join(left, right, "name", "name").collect()
+    assert len(got) == 2  # one pair per duplicate left row

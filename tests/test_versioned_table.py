@@ -668,3 +668,56 @@ def test_bloom_index_survives_merge_and_compaction(spark, tmp_path):
     after = read_versioned_table(spark, path, point_filter={"id": 1000})
     assert [(r.id, r.val) for r in after.collect()] == [(1000, 1.5)]
     assert read_versioned_table(spark, path).count() == 201
+
+
+def test_range_filter_on_statless_table_still_returns_rows(spark, tmp_path):
+    # r4 review: a table whose data columns are all outside _STAT_TYPES
+    # (decimal/boolean) used to record files=[] and the skipping read
+    # dropped every entry -> silent zero rows.
+    from decimal import Decimal
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(Decimal("1.50"), True, "A"), (Decimal("2.50"), False, "A")],
+        "amount decimal(10,2), flag boolean, part string",
+    )
+    create_versioned_table(df, path, ["part"])
+    got = read_versioned_table(spark, path, range_filter={"amount": (2, 3)})
+    assert [(r.amount, r.flag) for r in got.collect()] == [(Decimal("2.50"), False)]
+
+
+def test_range_filter_date_bound_on_timestamp_column_keeps_boundary(spark, tmp_path):
+    # r4 review: a date-grained bound used to compare lexicographically
+    # below the file's midnight timestamp stat and falsely skip the file
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, "A", dt.datetime(2024, 1, 15, 0, 0, 0)),   # exactly midnight
+            (2, "A", dt.datetime(2024, 1, 16, 12, 0, 0)),
+        ],
+        "id long, part string, ts timestamp",
+    ).repartitionByRange(2, "ts")
+    create_versioned_table(df, path, ["part"])
+    # upper bound as a DATE: must keep the midnight row (date promotes
+    # to midnight in the row filter, so skipping must agree)
+    got = read_versioned_table(
+        spark, path, range_filter={"ts": (None, dt.date(2024, 1, 15))}
+    )
+    assert [r.id for r in got.collect()] == [1]
+    # same day-grained STRING bound takes the same normalization
+    got2 = read_versioned_table(
+        spark, path, range_filter={"ts": ("2024-01-15", None)}
+    )
+    assert {r.id for r in got2.collect()} == {1, 2}
+
+
+def test_bloom_cols_reject_nonstring_noninteger_types(spark, tmp_path):
+    # r4 review: Python str() and Spark cast-to-string disagree for
+    # booleans/doubles, which would turn proof-of-absence into false
+    # absence — such columns are refused at create time.
+    with pytest.raises(VersionedTableError, match="bloom_cols must be"):
+        create_versioned_table(
+            _base(spark), str(tmp_path / "t"), ["part"], bloom_cols=["val"]
+        )
