@@ -749,3 +749,107 @@ def pca_project(
     return df.where(F.col(vec_col).isNotNull()).select(
         id_col, proj(F.col(vec_col)).alias("components")
     )
+
+
+# --------------------------------------------------------------------------
+# K-means TRAINING (r4): Lloyd iterations, the trainer behind IVF/SemDeDup
+# --------------------------------------------------------------------------
+#
+# The IVF index and the SemDeDup cells above consume FIXED centroids
+# (the production serving shape). This is the trainer that produces
+# them: Lloyd's algorithm with every per-row step JVM-side —
+# assignment is k whole-stage-codegen distance expressions + argmin
+# (no Python in the row path), the centroid update is one
+# map-side-combined groupBy whose output is k*dim cells (the MODEL,
+# collected like the gram matrix), and each iteration's new centroids
+# re-enter as literals. Cost per iteration: one scan + one k*dim-cell
+# shuffle; nothing grows with the corpus except the scan.
+#
+# Determinism contract (same as the rest of the registry): per-dim
+# sums are DECIMAL(38,12)-exact (order-independent), means divide once
+# in double, distance ties break on the lowest cluster id — so two
+# runs (or two engines) produce bit-identical centroids.
+
+
+def _assign_cluster(vec: Column, cents: list[list[float]]) -> Column:
+    """Argmin-distance cluster id as a pure JVM expression: one
+    squared-L2 aggregate per centroid, array_position(min) for the
+    argmin (first match = lowest cluster id on ties)."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec, F.array(*[F.lit(float(x)) for x in c]), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in cents
+    ]
+    darr = F.array(*dists)
+    return (F.array_position(darr, F.array_min(darr)) - 1).cast("int")
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    *,
+    k: int,
+    dim: int,
+    iters: int = 5,
+    init: list[list[float]] | None = None,
+) -> list[list[float]]:
+    """Train k-means centroids; returns the k x dim centroid list (the
+    model). ``init`` defaults to the first k rows in the DataFrame's
+    deterministic order — pass explicit seeds for reproducibility
+    across differently-ordered inputs. Empty clusters keep their
+    previous centroid (the deterministic convention the oracle twin
+    mirrors)."""
+    vec = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")
+    ).alias("__v")
+    data = df.where(F.col(vec_col).isNotNull()).select(vec)
+    if init is None:
+        init = [list(r["__v"]) for r in data.limit(k).collect()]
+    if len(init) != k:
+        raise ValueError(f"need {k} init centroids, got {len(init)}")
+    cents = [list(map(float, c)) for c in init]
+    sum_aggs = [
+        F.sum(F.element_at("__v", i + 1).cast("decimal(38,12)")).alias(f"__s{i}")
+        for i in range(dim)
+    ]
+    for _ in range(iters):
+        assigned = data.withColumn("__c", _assign_cluster(F.col("__v"), cents))
+        rows = (
+            assigned.groupBy("__c")
+            .agg(F.count(F.lit(1)).alias("__n"), *sum_aggs)
+            .collect()
+        )  # k rows: the model, never the data
+        by_c = {r["__c"]: r for r in rows}
+        new_cents = []
+        for c in range(k):
+            r = by_c.get(c)
+            if r is None:
+                new_cents.append(cents[c])  # empty cluster: keep centroid
+            else:
+                n = r["__n"]
+                # float(Decimal) == CAST(dec AS DOUBLE): nearest double
+                # of the exact decimal sum; one double division after
+                new_cents.append([float(r[f"__s{i}"]) / n for i in range(dim)])
+        cents = new_cents
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    cents: list[list[float]],
+    vec_col: str = "embedding",
+    *,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every row to its nearest trained centroid (the serving
+    step IVF uses) — JVM-only, ties to the lowest cluster id."""
+    dim = len(cents[0])
+    vec = F.transform(F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double"))
+    return df.where(F.col(vec_col).isNotNull()).select(
+        id_col, _assign_cluster(vec, cents).alias("cluster")
+    )

@@ -3224,3 +3224,94 @@ def stats_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataF
         hit.groupBy("q")
         .agg(F.min("n_chars").cast("double").alias("value"))
     )
+
+
+def _kmeans_oracle(k: int = 4, dim: int = 8) -> str:
+    """Two fully-unrolled Lloyd iterations in SQL, generated so the
+    arithmetic ORDER matches the Spark operator exactly: squared-L2
+    terms accumulate left-to-right in dimension order (bit-identical
+    doubles on both engines), centroid means are CAST(exact-decimal-sum
+    AS DOUBLE)/n, argmin ties break on the lowest cluster id, and an
+    empty cluster keeps its previous centroid."""
+    vlist = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(dim))
+    dist = " + ".join(f"(v[{i + 1}] - cv[{i + 1}]) * (v[{i + 1}] - cv[{i + 1}])" for i in range(dim))
+    means = ", ".join(
+        f"CAST(sum(CAST(v[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m{i + 1}"
+        for i in range(dim)
+    )
+    cent2 = ", ".join(f"coalesce(m.m{i + 1}, i.cv[{i + 1}])" for i in range(dim))
+    out_sums = ", ".join(
+        f"CAST(round(sum(CAST(v[{i + 1}] AS DECIMAL(38,12))), 6) AS DOUBLE) AS s{i + 1}"
+        for i in range(dim)
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, [{vlist}] AS v FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    init AS (SELECT CAST(vec_id AS INT) AS c, v AS cv FROM e WHERE vec_id < {k}),
+    d1 AS (
+        SELECT e.vec_id, e.v, i.c, {dist} AS d FROM e CROSS JOIN init i
+    ),
+    a1 AS (
+        SELECT vec_id, v, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ),
+    m1 AS (SELECT c, {means} FROM a1 GROUP BY c),
+    cent2 AS (
+        SELECT i.c, [{cent2}] AS cv FROM init i LEFT JOIN m1 m ON i.c = m.c
+    ),
+    d2 AS (
+        SELECT e.vec_id, e.v, i.c, {dist} AS d FROM e CROSS JOIN cent2 i
+    ),
+    a2 AS (
+        SELECT vec_id, v, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    )
+    SELECT c, CAST(count(*) AS BIGINT) AS n, {out_sums} FROM a2 GROUP BY c
+    """
+
+
+@register(
+    "kmeans_lloyd_2iter",
+    oracle=_kmeans_oracle(),
+    doc="K-means TRAINING (llm/similarity.kmeans_lloyd), the trainer "
+    "behind the fixed-centroid IVF/SemDeDup serving ops, under a driver "
+    "value hash: seeds = the first 4 vectors' 8-dim slices, ONE Lloyd "
+    "update (JVM argmin-distance assignment + decimal-exact per-dim "
+    "mean), then the second assignment's per-cluster counts and "
+    "decimal-rounded dimension sums — which pin the iteration-2 "
+    "centroids exactly. Determinism contract: distance terms accumulate "
+    "in dimension order (bit-identical doubles), means are "
+    "CAST(exact-decimal AS DOUBLE)/n, ties take the lowest cluster id, "
+    "empty clusters keep their centroid. Per iteration the cluster "
+    "sees one scan plus a k*dim-cell shuffle — the model crosses the "
+    "driver, never the data.",
+)
+def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import _assign_cluster, kmeans_lloyd
+
+    k, dim = 4, 8
+    embs = _embs(spark, sf_dir).where(F.col("embedding").isNotNull())
+    vec = F.transform(F.slice(F.col("embedding"), 1, dim), lambda x: x.cast("double"))
+    seeds = [
+        list(r["__v"])
+        for r in embs.where(F.col("vec_id") < k)
+        .select("vec_id", vec.alias("__v"))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    cents1 = kmeans_lloyd(embs, "embedding", k=k, dim=dim, iters=1, init=seeds)
+    assigned = embs.select(vec.alias("__v")).withColumn(
+        "c", _assign_cluster(F.col("__v"), cents1)
+    )
+    sum_cols = [
+        F.round(F.sum(F.element_at("__v", i + 1).cast("decimal(38,12)")), 6)
+        .cast("double")
+        .alias(f"s{i + 1}")
+        for i in range(dim)
+    ]
+    return assigned.groupBy("c").agg(F.count(F.lit(1)).alias("n"), *sum_cols)

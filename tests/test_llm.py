@@ -872,3 +872,57 @@ def test_kmv_sketch_merge_and_accuracy(spark):
     # exhaustive branch: below-k cardinality estimates exactly
     small = kmv_sketch(df.where(F.col("user_id") < 10), "user_id", k=k)
     assert kmv_estimate(small, k=k).collect()[0]["est_distinct"] == 10.0
+
+
+def test_kmeans_lloyd_matches_numpy_reference(spark, sf_dir):
+    # the distributed trainer must reproduce plain-numpy Lloyd exactly
+    # under the shared determinism contract (decimal-exact means,
+    # lowest-id ties, empty clusters keep their centroid)
+    from decimal import Decimal
+
+    import numpy as np
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        kmeans_assign,
+        kmeans_lloyd,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim, k, iters = 16, 3, 4
+    rows = sorted(
+        (r.vec_id, [float(x) for x in r.embedding[:dim]])
+        for r in embs.collect()
+    )
+    ids = [r[0] for r in rows]
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    seeds = [rows[i][1] for i in range(k)]
+
+    got = kmeans_lloyd(embs, "embedding", k=k, dim=dim, iters=iters, init=seeds)
+
+    cents = [list(c) for c in seeds]
+    for _ in range(iters):
+        d = ((M[:, None, :] - np.array(cents)[None, :, :]) ** 2)
+        # accumulate in dimension order to match the engines' fold
+        dist = np.zeros((len(M), k))
+        for i in range(dim):
+            dist += d[:, :, i]
+        assign = dist.argmin(axis=1)  # argmin takes the first (lowest id)
+        new = []
+        for c in range(k):
+            members = M[assign == c]
+            if len(members) == 0:
+                new.append(cents[c])
+            else:
+                # decimal-exact per-dim sums, one double division
+                sums = [
+                    float(sum(Decimal(repr(x)).quantize(Decimal("1E-12")) for x in members[:, i]))
+                    for i in range(dim)
+                ]
+                new.append([s / len(members) for s in sums])
+        cents = new
+
+    assert np.allclose(np.array(got), np.array(cents), atol=1e-9)
+    # assignment serving step: every id gets a cluster in [0, k)
+    asg = kmeans_assign(embs, got, "embedding")
+    vals = {r.cluster for r in asg.collect()}
+    assert vals <= set(range(k)) and asg.count() == len(ids)
