@@ -295,27 +295,35 @@ def _attach_file_stats(
             }
         }
     # Bloom positions via explode -> collect_set: partial aggregation
-    # bounds the per-file buffer at _BLOOM_M distinct positions, where
-    # collect_list of per-row arrays would buffer O(rows) before the
-    # dedup (r4 review finding — the opposite of a fixed-size sketch).
-    for c in bloom_cols:
+    # bounds the per-(file, column) buffer at _BLOOM_M distinct
+    # positions, where collect_list of per-row arrays would buffer
+    # O(rows) before the dedup (r4 review finding). ALL bloom columns
+    # ride ONE job — tagged (column, position) structs in a single
+    # explode — instead of one commit-dir scan per column.
+    if bloom_cols:
+        tagged = [
+            F.struct(F.lit(c).alias("c"), p.alias("p"))
+            for c in bloom_cols
+            for p in _bloom_position_cols(F.col(c))
+        ]
         pos = (
             df.select(
                 F.input_file_name().alias("__f"),
-                F.explode(F.array(*_bloom_position_cols(F.col(c)))).alias("__p"),
+                F.explode(F.array(*tagged)).alias("__cp"),
             )
-            .where(F.col("__p").isNotNull())
-            .groupBy("__f")
-            .agg(F.sort_array(F.collect_set("__p")).alias("__ps"))
+            .where(F.col("__cp.p").isNotNull())
+            .groupBy("__f", "__cp.c")
+            .agg(F.sort_array(F.collect_set("__cp.p")).alias("__ps"))
         )
         for r in pos.collect():
-            file_recs.setdefault(r["__f"], {"stats": {}}).setdefault("bloom", {})[c] = [
-                int(p) for p in r["__ps"]
-            ]
+            file_recs.setdefault(r["__f"], {"stats": {}}).setdefault("bloom", {})[
+                r["c"]
+            ] = [int(p) for p in r["__ps"]]
         # files whose column is entirely null get an empty position set
         # (present-but-empty = proof of absence for every probe value)
-        for fpath, rec in file_recs.items():
-            rec.setdefault("bloom", {}).setdefault(c, [])
+        for rec in file_recs.values():
+            for c in bloom_cols:
+                rec.setdefault("bloom", {}).setdefault(c, [])
     for fpath, rec in file_recs.items():
         for d, e in dirs.items():
             marker = f"/{d}/"
@@ -412,25 +420,45 @@ def create_versioned_table(
 
 
 def _bound_norm(v, col_type: str = ""):
-    """User-supplied range bound -> the zone-map comparison domain
-    (same normalization as the stored stats). ``col_type`` is the
-    column's Spark type: a DATE-grained bound against a TIMESTAMP
-    column must normalize to midnight ('2024-01-15 00:00:00'), because
-    the bare day string sorts BELOW the column's midnight stat
-    lexicographically and would falsely skip boundary files (r4 review
-    finding). The reverse (datetime bound, date column) is already
-    order-compatible: a date stat is a prefix of its midnight string,
-    and prefix < longer matches midnight < any later time."""
+    """User-supplied range bound -> the zone-map comparison domain,
+    matching BOTH the stored stats format and the row filter's implicit
+    cast semantics (``col <op> lit(bound)``). The trap is strict-prefix
+    lexicographic comparisons (r4 review findings):
+
+    - TIMESTAMP column: stats are 'YYYY-MM-DD HH:MM:SS[.ffffff]'. A
+      coarser bound (date, or a day/minute-grained string) must pad to
+      full seconds, or '2024-01-15' sorts BELOW the file's midnight
+      stat and falsely skips it. Spark's row filter promotes date ->
+      midnight timestamp and parses partial strings the same way.
+    - DATE column: stats are 'YYYY-MM-DD'. Spark compares date-vs-
+      string by casting the STRING TO DATE (truncating any time part),
+      so string bounds truncate to the day here too; a datetime bound
+      keeps its time (date promotes to timestamp in the row filter)
+      EXCEPT exact midnight, which must collapse to the day string or
+      it sorts above the equal date stat and falsely skips."""
     import datetime as _dt
 
     if col_type.startswith("timestamp") and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
         v = _dt.datetime.combine(v, _dt.time())
+    if (
+        col_type == "date"
+        and isinstance(v, _dt.datetime)
+        and v.time() == _dt.time()
+    ):
+        v = v.date()
     normed = _stat_norm(v)
     if isinstance(normed, str):
         # tolerate '2024-01-15T00:00:00' for a stat stored with ' '
         normed = normed.replace("T", " ")
-        if col_type.startswith("timestamp") and len(normed) == 10:
-            normed += " 00:00:00"  # day-grained string bound, same rule
+        if col_type.startswith("timestamp"):
+            if len(normed) == 10:
+                normed += " 00:00:00"
+            elif len(normed) == 13:  # 'YYYY-MM-DD HH'
+                normed += ":00:00"
+            elif len(normed) == 16:  # 'YYYY-MM-DD HH:MM'
+                normed += ":00"
+        elif col_type == "date":
+            normed = normed[:10]  # the row filter casts string -> date
     return normed
 
 
@@ -503,67 +531,73 @@ def read_versioned_table(
             for e in entries
             if all(e["partition"].get(c) == v_ for c, v_ in partition_filter.items())
         ]
-    use_file_lists = False
-    if range_filter:
-        known = {f.name for f in schema.fields}
-        unknown = set(range_filter) - known
+    def _check_filter_cols(cols, which: str) -> None:
+        unknown = set(cols) - {f.name for f in schema.fields}
         if unknown:
             raise VersionedTableError(f"not table columns: {sorted(unknown)}")
-        if set(range_filter) & set(m["partition_by"]):
+        if set(cols) & set(m["partition_by"]):
             raise VersionedTableError(
-                "range_filter on partition columns — use partition_filter"
+                f"{which} on partition columns — use partition_filter"
             )
-        col_types = {f.name: f.dataType.simpleString() for f in schema.fields}
-        norm = {
-            c: (_bound_norm(lo, col_types[c]), _bound_norm(hi, col_types[c]))
-            for c, (lo, hi) in range_filter.items()
-        }
+
+    def _prune(entries_in: list[dict], survives) -> list[dict]:
+        """Shared skip loop: missing/EMPTY file lists mean 'no
+        information, read the whole dir'; an entry survives with the
+        subset of files the predicate cannot rule out."""
         pruned = []
-        for e in entries:
-            files = e.get("files") or None  # empty list = no info, read whole dir
+        for e in entries_in:
+            files = e.get("files") or None
             if files is None:
-                pruned.append(e)  # pre-zone-map entry: read whole dir
+                pruned.append(e)
                 continue
-            kept = [f for f in files if _file_survives(f["stats"], norm)]
+            kept = [f for f in files if survives(f)]
             if kept:
                 e2 = dict(e)
                 e2["files"] = kept
                 pruned.append(e2)
-        entries = pruned
+        return pruned
+
+    use_file_lists = False
+    col_types = {f.name: f.dataType.simpleString() for f in schema.fields}
+    if range_filter:
+        _check_filter_cols(range_filter, "range_filter")
+        norm = {
+            c: (_bound_norm(lo, col_types[c]), _bound_norm(hi, col_types[c]))
+            for c, (lo, hi) in range_filter.items()
+        }
+        entries = _prune(entries, lambda f: _file_survives(f["stats"], norm))
         use_file_lists = True
     if point_filter:
-        known = {f.name for f in schema.fields}
-        unknown = set(point_filter) - known
-        if unknown:
-            raise VersionedTableError(f"not table columns: {sorted(unknown)}")
-        if set(point_filter) & set(m["partition_by"]):
-            raise VersionedTableError(
-                "point_filter on partition columns — use partition_filter"
-            )
+        _check_filter_cols(point_filter, "point_filter")
         indexed = set(m.get("bloom_cols", [])) & set(point_filter)
         if indexed:
-            want = {c: _bloom_positions_py(point_filter[c]) for c in indexed}
-            pruned = []
-            for e in entries:
-                files = e.get("files") or None  # empty list = no info, read whole dir
-                if files is None:
-                    pruned.append(e)
-                    continue
-                kept = [
-                    f
-                    for f in files
-                    if all(
-                        "bloom" not in f
-                        or c not in f["bloom"]
-                        or all(p in f["bloom"][c] for p in pos)
-                        for c, pos in want.items()
+            # the probe hash must render the value EXACTLY as the build
+            # side's cast-to-string did: require the probe's Python type
+            # to match the column type (a float probe on a bigint column
+            # or a zero-padded string would hash differently and turn
+            # proof-of-absence into false absence — r4 review finding)
+            for c in indexed:
+                val, dt = point_filter[c], col_types[c]
+                if dt == "string" and not isinstance(val, str):
+                    raise VersionedTableError(
+                        f"point_filter[{c!r}] must be a str (column is string)"
                     )
-                ]
-                if kept:
-                    e2 = dict(e)
-                    e2["files"] = kept
-                    pruned.append(e2)
-            entries = pruned
+                if dt != "string" and not (
+                    isinstance(val, int) and not isinstance(val, bool)
+                ):
+                    raise VersionedTableError(
+                        f"point_filter[{c!r}] must be an int (column is {dt})"
+                    )
+            want = {c: _bloom_positions_py(point_filter[c]) for c in indexed}
+            entries = _prune(
+                entries,
+                lambda f: all(
+                    "bloom" not in f
+                    or c not in f["bloom"]
+                    or all(p in f["bloom"][c] for p in pos)
+                    for c, pos in want.items()
+                ),
+            )
             use_file_lists = True
     df = _read_entries(
         spark, path, entries, schema, list(m["partition_by"]),

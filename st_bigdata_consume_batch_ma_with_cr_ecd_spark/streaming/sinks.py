@@ -175,15 +175,18 @@ def cms_batch_writer(
         )
 
         spark = batch.sparkSession
-        if batch.isEmpty():
-            return  # nothing to add; also skips the manifest listing
-        delta = count_min_cells(batch, key_col, depth=depth, width=width)
+        # create-before-empty-check: the table must exist from batch 0
+        # even when the stream cold-starts empty — mid-stream consumers
+        # read the (empty) sketch rather than hitting a missing manifest
         if not list_versions(spark, path):
             try:
                 empty = spark.createDataFrame([], "row int, bucket long, c long")
                 create_versioned_table(empty, path, ["row"])
             except VersionedTableError:
                 pass  # another writer / a replay created it — fine
+        if batch.isEmpty():
+            return  # nothing to add this epoch
+        delta = count_min_cells(batch, key_col, depth=depth, width=width)
         current = read_versioned_table(spark, path)
         d = delta.select("row", "bucket", F.col("c").alias("__d"))
         c = current.select("row", "bucket", F.col("c").alias("__c"))

@@ -3111,7 +3111,7 @@ def embedding_gram_exact8(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (
         SELECT DISTINCT event_type,
                CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS h
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
     ),
     ranked AS (
         SELECT event_type, h,
@@ -3210,7 +3210,10 @@ def stats_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataF
         _docs(spark, sf_dir).groupBy("n_chars").agg(F.count(F.lit(1)).alias("__c"))
     )
     cum = running_total(counts, ["n_chars"], "__c", out_col="__cum")
-    n = cum.agg(F.sum("__c").cast("long").alias("n"))
+    # total from the cheap pre-contraction frame: summing over `cum`
+    # would re-run the whole two-phase running-total pipeline just to
+    # add up counts (r4 review finding)
+    n = counts.agg(F.sum("__c").cast("long").alias("n"))
     targets = (
         spark.createDataFrame([(q,) for q in qs], "q double")
         .crossJoin(F.broadcast(n))

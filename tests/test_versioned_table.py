@@ -721,3 +721,70 @@ def test_bloom_cols_reject_nonstring_noninteger_types(spark, tmp_path):
         create_versioned_table(
             _base(spark), str(tmp_path / "t"), ["part"], bloom_cols=["val"]
         )
+
+
+def test_range_filter_boundary_normalizations(spark, tmp_path):
+    # r4 review round 2: midnight datetime on a DATE column and
+    # minute-grained string on a TIMESTAMP column used to false-skip
+    # boundary files via strict-prefix lexicographic compares
+    import datetime as dt
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [
+            (1, "A", dt.date(2024, 1, 16), dt.datetime(2024, 1, 15, 12, 0, 0)),
+            (2, "A", dt.date(2024, 1, 20), dt.datetime(2024, 1, 20, 9, 30, 0)),
+        ],
+        "id long, part string, d date, ts timestamp",
+    ).repartitionByRange(2, "d")
+    create_versioned_table(df, path, ["part"])
+
+    # datetime at exact midnight vs date stat: equality must keep the file
+    got = read_versioned_table(
+        spark, path, range_filter={"d": (dt.datetime(2024, 1, 16, 0, 0), None)}
+    )
+    assert {r.id for r in got.collect()} == {1, 2}
+    # minute-grained string bound on timestamp: equal row must survive
+    got2 = read_versioned_table(
+        spark, path, range_filter={"ts": (None, "2024-01-15 12:00")}
+    )
+    assert {r.id for r in got2.collect()} == {1}
+    # string with a time part on a DATE column truncates to the day
+    # (matching Spark's string->date cast in the row filter)
+    got3 = read_versioned_table(
+        spark, path, range_filter={"d": ("2024-01-16 12:00:00", None)}
+    )
+    assert {r.id for r in got3.collect()} == {1, 2}
+
+
+def test_bloom_point_filter_rejects_mistyped_probe(spark, tmp_path):
+    # r4 review round 2: a float probe on a bigint bloom column hashes
+    # 'b0:123.0' vs the build side's 'b0:123' — false absence; the read
+    # now refuses mistyped probes instead of silently returning nothing
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "A", float(i)) for i in range(50)], "id long, part string, val double"
+    )
+    create_versioned_table(df, path, ["part"], bloom_cols=["id"])
+    with pytest.raises(VersionedTableError, match="must be an int"):
+        read_versioned_table(spark, path, point_filter={"id": 123.0})
+    with pytest.raises(VersionedTableError, match="must be an int"):
+        read_versioned_table(spark, path, point_filter={"id": True})
+    assert read_versioned_table(spark, path, point_filter={"id": 7}).count() == 1
+
+
+def test_cms_writer_creates_table_on_empty_first_batch(spark, tmp_path):
+    # r4 review round 2: an empty batch-0 must still create the empty
+    # v1 table so mid-stream consumers never hit a missing manifest
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.sinks import (
+        cms_batch_writer,
+    )
+
+    table = str(tmp_path / "cms")
+    writer = cms_batch_writer(table, "user_id", depth=3, width=16)
+    empty = spark.createDataFrame([], "event_id long, user_id long")
+    writer(empty, 0)
+    assert list_versions(spark, table) == [1]
+    assert read_versioned_table(spark, table).count() == 0
+    writer(spark.createDataFrame([(1, 5)], "event_id long, user_id long"), 1)
+    assert read_versioned_table(spark, table).agg(F.sum("c")).collect()[0][0] == 3
