@@ -38,18 +38,20 @@ class QuerySpec:
 REGISTRY: dict[str, QuerySpec] = {}
 
 # The external driver's correctness gate evaluates a bounded PREFIX of
-# the queries() map (50 of 131 per round). Rounds 1-2 hand-curated that
-# prefix; the round-2 review correctly called the curation out as a
-# sampling bias (regressions outside the window escape the gate). The
-# fix is a self-maintaining ROTATION: order queries by the round in
-# which the driver last checked them (never-checked first, then stalest,
-# ties broken by registration order). Each round the driver's record
-# files (CORRECTNESS_r*.json at the repo root) advance the rotation
-# automatically, so over ceil(131/50) = 3 rounds every query gets a
-# driver-green row, and newly added queries always enter the next
-# window. tools/check_correctness.py still covers the FULL registry
-# locally every round — the rotation only decides which slice lands in
-# the driver's own record.
+# the queries() map (~50 of the registry per round). Rounds 1-2
+# hand-curated that prefix; the round-2 review correctly called the
+# curation out as a sampling bias (regressions outside the window
+# escape the gate). The fix is a self-maintaining ROTATION: order
+# queries by the round in which the driver last checked them
+# (never-checked first, then stalest, ties broken by registration
+# order); since r4 a FAILED driver row (err or any false match flag)
+# counts as never-checked, so failures re-enter the very next window.
+# Each round the driver's record files (CORRECTNESS_r*.json at the
+# repo root) advance the rotation automatically, so over a few rounds
+# every query gets a driver-green row, and newly added queries always
+# enter a subsequent window. tools/check_correctness.py still covers
+# the FULL registry locally every round — the rotation only decides
+# which slice lands in the driver's own record.
 
 # Queries whose registered semantics changed THIS round (output-visible
 # behavior, not refactors): treated as never-checked so the driver
