@@ -254,3 +254,70 @@ def extract_audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(op, AUDIO_SCHEMA)
+
+
+AUGMENT_SCHEMA = "doc_id long, payload binary, aug string"
+
+
+def augment_images(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    *,
+    ops: tuple[str, ...] = ("hflip", "vflip"),
+    crop: int | None = None,
+) -> DataFrame:
+    """Deterministic image augmentation for training pipelines: each
+    input image fans out to one row per requested op (plus the
+    original, tagged ``orig``) — horizontal/vertical flips and an
+    optional center crop — decoded and re-encoded with the pure-numpy
+    BMP codec (:mod:`..codecs`), so the output payloads are real
+    decodable images. Augmentation multiplies the corpus, so the op is
+    a row-per-op ``mapInPandas`` fan-out (Arrow-batched, no driver
+    involvement); at 100 TB the output partition count scales with
+    ``len(ops)+1`` times the input — repartition downstream if the
+    write layout matters. Deterministic (no RNG): random-aug policies
+    belong in the caller as seeded op lists, keeping this operator
+    replayable.
+
+    NULL payloads pass through as a single ``orig`` row with a NULL
+    payload (the fan-out never invents data)."""
+    valid = {"hflip", "vflip"}
+    bad = set(ops) - valid
+    if bad:
+        raise ValueError(f"unknown augmentation ops: {sorted(bad)} (valid: {sorted(valid)})")
+
+    def op(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .codecs import decode_image, encode_bmp
+
+        for pdf in batches:
+            out_ids, out_payloads, out_tags = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                out_ids.append(doc_id)
+                out_payloads.append(payload)
+                out_tags.append("orig")
+                if payload is None:
+                    continue
+                img = decode_image(bytes(payload))
+                base = img
+                if crop is not None:
+                    h, w = img.shape[:2]
+                    ch, cw = min(crop, h), min(crop, w)
+                    y0, x0 = (h - ch) // 2, (w - cw) // 2
+                    base = img[y0 : y0 + ch, x0 : x0 + cw]
+                    out_ids.append(doc_id)
+                    out_payloads.append(encode_bmp(np.ascontiguousarray(base)))
+                    out_tags.append(f"crop{crop}")
+                for tag in ops:
+                    aug = base[:, ::-1] if tag == "hflip" else base[::-1, :]
+                    out_ids.append(doc_id)
+                    out_payloads.append(encode_bmp(np.ascontiguousarray(aug)))
+                    out_tags.append(tag)
+            yield pd.DataFrame(
+                {"doc_id": out_ids, "payload": out_payloads, "aug": out_tags}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, AUGMENT_SCHEMA)

@@ -3303,3 +3303,49 @@ def variant_semistructured_analytics(spark: SparkSession, sf_dir: str) -> DataFr
         F.max("k").cast("int").alias("k_max"),
         F.count("missing").alias("n_missing_field"),
     )
+
+
+@register(
+    "stats_rolling_range_window",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               sum(CAST(value AS DECIMAL(30,8))) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day,
+           CAST(count(*) OVER w AS BIGINT) AS n_days,
+           CAST(round(sum(v) OVER w, 2) AS DOUBLE) AS rolling_3d
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN INTERVAL 2 DAYS PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-RANGE window frame (the feature rowsBetween cannot fake): "
+    "per-user rolling 3-DAY totals where the frame is defined by VALUE "
+    "distance on the time axis — gaps in the series shrink the frame "
+    "instead of silently widening it the way a row-count frame would. "
+    "Spark side: daily decimal pre-aggregation (map-side combined), "
+    "then rangeBetween(-2, 0) over unix_date per user — partitioned by "
+    "user, so no single-task window; decimal sums keep the frame "
+    "content order-independent. DuckDB replays with RANGE BETWEEN "
+    "INTERVAL 2 DAYS PRECEDING.",
+)
+def stats_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(30,8)")).alias("v"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-2, 0)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n_days"),
+        F.round(F.sum("v").over(w), 2).cast("double").alias("rolling_3d"),
+    )

@@ -926,3 +926,40 @@ def test_kmeans_lloyd_matches_numpy_reference(spark, sf_dir):
     asg = kmeans_assign(embs, got, "embedding")
     vals = {r.cluster for r in asg.collect()}
     assert vals <= set(range(k)) and asg.count() == len(ids)
+
+
+def test_augment_images_flips_crops_and_roundtrips(spark):
+    # augmentation fan-out: each image yields orig + crop + flips, every
+    # payload a REAL decodable BMP whose pixels are the exact numpy
+    # transform of the source; nulls pass through as a single orig row
+    import numpy as np
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import (
+        decode_image,
+        encode_bmp,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
+        augment_images,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 255, size=(6, 8, 3)).astype(np.uint8)
+    rows = [(1, bytearray(encode_bmp(img))), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+    out = augment_images(df, ops=("hflip", "vflip"), crop=4)
+    got = {(r.doc_id, r.aug): r.payload for r in out.collect()}
+    assert set(got) == {
+        (1, "orig"), (1, "crop4"), (1, "hflip"), (1, "vflip"), (2, "orig"),
+    }
+    assert got[(2, "orig")] is None
+    assert np.array_equal(decode_image(bytes(got[(1, "orig")])), img)
+    cropped = img[1:5, 2:6]  # center 4x4 of 6x8
+    assert np.array_equal(decode_image(bytes(got[(1, "crop4")])), cropped)
+    assert np.array_equal(decode_image(bytes(got[(1, "hflip")])), cropped[:, ::-1])
+    assert np.array_equal(decode_image(bytes(got[(1, "vflip")])), cropped[::-1, :])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown augmentation"):
+        augment_images(df, ops=("rotate",)).collect()
