@@ -3154,6 +3154,7 @@ def embedding_gram_exact8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "groups (< k distinct) take the exhaustive branch: the estimate IS "
     "the exact count, which the sf0.001 driver run exercises while "
     "sf0.01 exercises the estimator branch.",
+    tags=("bench",),
 )
 def sketch_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.sketches import kmv_estimate, kmv_sketch, merge_kmv
@@ -3293,6 +3294,7 @@ def _kmeans_oracle(k: int = 4, dim: int = 8) -> str:
     "empty clusters keep their centroid. Per iteration the cluster "
     "sees one scan plus a k*dim-cell shuffle — the model crosses the "
     "driver, never the data.",
+    tags=("bench",),
 )
 def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.similarity import _assign_cluster, kmeans_lloyd

@@ -3184,6 +3184,7 @@ def versioned_zonemap_skipping_read(spark: SparkSession, sf_dir: str) -> DataFra
     "bit-identical to the oracle's O(n^2) plan at any scale; the "
     "Spark plan's cost is the candidate count, which tracks real "
     "near-duplicates, not n^2.",
+    tags=("bench",),
 )
 def fuzzy_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy import fuzzy_self_pairs
@@ -3240,6 +3241,7 @@ def fuzzy_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     "record (max acctbal, key tiebreak) and every row points at it. "
     "The synthetic name space is dense (single-digit edits chain), so "
     "the closure stresses the propagation depth, not just the pairing.",
+    tags=("bench",),
 )
 def entity_resolution_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import top_n_per_group
@@ -3287,6 +3289,7 @@ def entity_resolution_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "registry demonstrate). Absent paths return NULL (counted here to "
     "pin the semantics); the oracle replays via DuckDB's JSON "
     "extraction on the same column.",
+    tags=("bench",),
 )
 def variant_semistructured_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
