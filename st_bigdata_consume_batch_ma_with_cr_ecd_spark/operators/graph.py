@@ -233,3 +233,42 @@ def assign_cluster_ids(
     return joined.withColumn(
         "cluster_id", F.coalesce(F.col("label"), F.col(id_col))
     ).drop("label")
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``rounds`` peel steps toward the k-core of a SYMMETRIC edge list
+    (every undirected edge present in both directions): each round
+    drops nodes whose current degree is below ``k``, which lowers their
+    neighbors' degrees and cascades into the next round — pendant
+    chains peel one node per round, so ``rounds`` bounds the cascade
+    depth exactly like the fixed iteration budget on PageRank
+    (monotone: state only ever shrinks, so per-round cost falls).
+
+    Per round: one map-side-combined degree aggregate plus two
+    equi-joins of the edge list against the shrinking keep-set, with an
+    eager ``localCheckpoint`` to keep lineage flat (the iterative-loop
+    contract shared with :func:`connected_components`). Returns the
+    surviving edge list (same columns, still symmetric).
+    """
+    if k < 1 or rounds < 0:
+        raise ValueError("kcore_peel requires k >= 1 and rounds >= 0")
+    for _ in range(rounds):
+        keep = (
+            edges.groupBy(src)
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") >= k)
+            .select(F.col(src).alias("__node"))
+        )
+        edges = (
+            edges.join(keep.select(F.col("__node").alias(src)), src)
+            .join(keep.select(F.col("__node").alias(dst)), dst)
+            .select(src, dst)
+            .localCheckpoint(eager=True)
+        )
+    return edges

@@ -1157,3 +1157,88 @@ def embedding_label_minmax_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label int, dim int, min_v double, max_v double, n long",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed peel rounds)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+_KCORE_MIN_SHARED = 2
+
+
+def _kcore_oracle() -> str:
+    base = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    und AS (
+        SELECT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING count(*) >= {_KCORE_MIN_SHARED}
+    ),
+    e0 AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und)"""
+    steps = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""
+    k{r} AS (SELECT src AS node FROM e{p} GROUP BY src HAVING count(*) >= {_KCORE_K}),
+    e{r} AS (
+        SELECT e.src, e.dst FROM e{p} e
+        JOIN k{r} a ON e.src = a.node JOIN k{r} b ON e.dst = b.node
+    )""")
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{_KCORE_ROUNDS} GROUP BY src
+    """
+    )
+
+
+@register(
+    "graph_kcore_fixed",
+    oracle=_kcore_oracle(),
+    doc=f"k-core peeling ({_KCORE_ROUNDS} rounds toward the {_KCORE_K}-core) "
+    "over the repeat co-purchase graph (parts sharing >= "
+    f"{_KCORE_MIN_SHARED} distinct orders): each round drops every node "
+    f"whose current degree is < {_KCORE_K}, which lowers its neighbors' "
+    "degrees and cascades — the standard dense-subgraph / spam-cluster "
+    "extractor, and (with PageRank's fixed-iteration contract) the "
+    "monotone-shrinkage member of the iterative-graph family: state "
+    "only ever gets SMALLER, so per-round cost falls. Edges come from "
+    "GROUPED per-order pair generation with multiplicity "
+    "(llm.dedup._bucket_pairs, never an exploded self-join), the "
+    "shared-order count is one map-side-combined aggregate, and each "
+    "peel round is one degree aggregate plus two semi-style equi-joins "
+    "on the shrinking keep-set, localCheckpointed so lineage stays "
+    "flat. Output (node, final-round degree) is pure integers — "
+    "bit-stable on any partitioning; the oracle unrolls the identical "
+    "rounds as plain CTEs.",
+)
+def graph_kcore_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import _bucket_pairs
+
+    li = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
+        .distinct()
+    )
+    und = (
+        _bucket_pairs(li, "o", distinct_pairs=False)  # multiplicity = shared orders
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _KCORE_MIN_SHARED)
+    )
+    from ..operators.graph import kcore_peel
+
+    edges = (
+        und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    core = kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)
+    return core.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )

@@ -2247,6 +2247,94 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_linear_regression",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6) + 0.0     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT)     AS n_obs
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Per-group ordinary least squares via the SQL-standard regr_* "
+    "aggregate family (price ~ quantity per return flag): slope, "
+    "intercept, R², observation count. Like corr/covar these reduce to "
+    "partial-aggregable moment sums (n, Σx, Σy, Σxy, Σx²), so the "
+    "shuffle carries a 5-float moment vector per group — a distributed "
+    "closed-form model fit with no iteration and no Python in the row "
+    "path. DuckDB's regr_count returns UINT32 (pandas uint32), so the "
+    "oracle casts to BIGINT for dtype symmetry with Spark's long.",
+)
+def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    # + 0.0 folds IEEE -0.0 (see stats_corr_covar)
+    return li.groupBy("l_returnflag").agg(
+        (F.round(F.regr_slope(y, x), 6) + F.lit(0.0)).alias("slope"),
+        (F.round(F.regr_intercept(y, x), 4) + F.lit(0.0)).alias("intercept"),
+        (F.round(F.regr_r2(y, x), 6) + F.lit(0.0)).alias("r2"),
+        F.regr_count(y, x).cast("long").alias("n_obs"),
+    )
+
+
+@register(
+    "dq_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        FROM events GROUP BY 1
+    ),
+    med AS (
+        SELECT round(quantile_cont(n_events, 0.5), 4) AS med FROM daily
+    ),
+    mad AS (
+        SELECT round(quantile_cont(abs(d.n_events - m.med), 0.5), 4) AS mad
+        FROM daily d CROSS JOIN med m
+    )
+    SELECT d.day, d.n_events,
+           round(0.6745 * (d.n_events - m.med) / nullif(a.mad, 0), 4) + 0.0
+             AS robust_z,
+           abs(0.6745 * (d.n_events - m.med) / nullif(a.mad, 0)) > 3.5
+             AS is_anomaly
+    FROM daily d CROSS JOIN med m CROSS JOIN mad a
+    """,
+    doc="Robust volume-anomaly monitor: median/MAD (median absolute "
+    "deviation) replace mean/stddev so a single huge spike cannot mask "
+    "itself by inflating the baseline — the standard complement to the "
+    "z-score monitor (dq_volume_anomaly), flagging |0.6745·(x-med)/MAD| "
+    "> 3.5 (Iglewicz-Hoaglin modified z). Shape: one map-side-combined "
+    "aggregate to the per-day counts (bounded by distinct days, the "
+    "value-counts contraction), then two 1-row median aggregates over "
+    "that SMALL table broadcast back — the corpus is scanned once. "
+    "Exact interpolated medians (Spark percentile == DuckDB "
+    "quantile_cont), rounded pre-division for hash stability.",
+)
+def dq_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    med = daily.agg(F.round(F.percentile("n_events", F.lit(0.5)), 4).alias("med"))
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.round(
+            F.percentile(F.abs(F.col("n_events") - F.col("med")), F.lit(0.5)), 4
+        ).alias("mad")
+    )
+    z = (
+        F.lit(0.6745)
+        * (F.col("n_events") - F.col("med"))
+        / F.nullif(F.col("mad"), F.lit(0))
+    )
+    return with_med.crossJoin(F.broadcast(mad)).select(
+        "day",
+        "n_events",
+        (F.round(z, 4) + F.lit(0.0)).alias("robust_z"),
+        (F.abs(z) > 3.5).alias("is_anomaly"),
+    )
+
+
+@register(
     "q15_top_supplier",
     oracle="""
     WITH revenue AS (

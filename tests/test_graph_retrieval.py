@@ -292,3 +292,34 @@ def test_asof_nearest_mixed_temporal_units(spark):
             left, num_right, on=["k"], left_ts="ts", right_ts="v",
             direction="nearest",
         )
+
+
+def test_kcore_peel_cascades_one_chain_node_per_round(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import kcore_peel
+
+    # triangle (1,2,3) with a pendant chain 3-4-5: the 2-core is the
+    # triangle alone, but node 4 only becomes peelable AFTER round 1
+    # removes the chain tip 5 — the cascade the fixed rounds bound.
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    sym = und + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src long, dst long")
+
+    def nodes(df):
+        return {r.src for r in df.select("src").distinct().collect()}
+
+    assert nodes(kcore_peel(edges, 2, 0)) == {1, 2, 3, 4, 5}
+    assert nodes(kcore_peel(edges, 2, 1)) == {1, 2, 3, 4}  # tip 5 gone
+    assert nodes(kcore_peel(edges, 2, 2)) == {1, 2, 3}  # then 4 cascades
+    assert nodes(kcore_peel(edges, 2, 3)) == {1, 2, 3}  # fixed point
+    # k=3: the triangle (degree 2 everywhere) cannot survive
+    assert nodes(kcore_peel(edges, 3, 1)) == set()
+
+
+def test_kcore_peel_rejects_bad_parameters(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import kcore_peel
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        kcore_peel(edges, 0, 1)
+    with pytest.raises(ValueError):
+        kcore_peel(edges, 2, -1)
