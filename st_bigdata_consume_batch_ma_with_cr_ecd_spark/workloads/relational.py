@@ -2247,6 +2247,59 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recursive_cte_hierarchy",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS part, p_partkey AS ancestor, 0 AS depth,
+               CAST(p_retailprice AS DECIMAL(30,8)) AS price
+        FROM part
+        UNION ALL
+        SELECT part, ancestor // 2, depth + 1, price
+        FROM anc WHERE ancestor > 1
+    )
+    SELECT ancestor,
+           CAST(count(*) AS BIGINT)                          AS n_subtree,
+           CAST(max(depth) AS INT)                           AS max_depth,
+           CAST(round(sum(price), 2) AS DOUBLE)              AS subtree_price
+    FROM anc
+    WHERE ancestor <= 31
+    GROUP BY ancestor
+    """,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE) transitive closure: "
+    "every part climbs a derived binary hierarchy (parent = key DIV 2) "
+    "to the root, and the closure rolls up per-ancestor subtree size, "
+    "max depth, and DECIMAL-exact subtree price — the BOM-explosion / "
+    "org-rollup shape SQL engines historically pushed to clients. "
+    "Iterations = tree depth (log2 of the key space, ~11-15 at any "
+    "SF), each one a JVM-side self-union step — no driver loop, no "
+    "Python; the rollup output is bounded by the ancestor filter. "
+    "DuckDB replays the identical recursion (// is Spark's DIV).",
+)
+def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    part.createOrReplaceTempView("part_hierarchy_src")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS part, p_partkey AS ancestor, 0 AS depth,
+                   CAST(p_retailprice AS DECIMAL(30,8)) AS price
+            FROM part_hierarchy_src
+            UNION ALL
+            SELECT part, ancestor DIV 2, depth + 1, price
+            FROM anc WHERE ancestor > 1
+        )
+        SELECT ancestor,
+               CAST(count(*) AS BIGINT)             AS n_subtree,
+               CAST(max(depth) AS INT)              AS max_depth,
+               CAST(round(sum(price), 2) AS DOUBLE) AS subtree_price
+        FROM anc
+        WHERE ancestor <= 31
+        GROUP BY ancestor
+        """
+    )
+
+
+@register(
     "stats_linear_regression",
     oracle="""
     SELECT l_returnflag,

@@ -207,6 +207,29 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         )
         df.write.format("noop").mode("overwrite").save()
 
+    # k-core peel on the thresholded (>= 2 shared orders) co-purchase
+    # graph: replicas are disjoint components, so the cascade runs
+    # per-replica and cost tracks edge volume. Wrapped as a callable —
+    # kcore_peel's eager per-round checkpoints ARE the measured work.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import kcore_peel
+
+    def kcore_compute() -> None:
+        und = (
+            _bucket_pairs(li_t, "o", distinct_pairs=False)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("ns"))
+            .where(F.col("ns") >= 2)
+        )
+        e = (
+            und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+            .localCheckpoint(eager=True)
+        )
+        core = kcore_peel(e, 3, 2)
+        core.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     return {
         "scan_agg": (agg, n_li * mult),
         "window_top1": (topn, n_li * mult),
@@ -216,6 +239,7 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         "recsys_cooccur": (recsys, (n_li + n_o) * mult),
         "triangle_count": (triangles, n_li * mult),
         "consume_e2e_compute": (e2e_compute, n_ev * mult),
+        "kcore_peel": (kcore_compute, n_li * mult),
     }
 
 
@@ -223,8 +247,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--mults", default="1,4,8")
+    ap.add_argument("--only", default="", help="comma-separated probe names to run")
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
+    only = {n for n in args.only.split(",") if n}
 
     spark = get_spark()
 
@@ -234,14 +260,18 @@ def main() -> int:
         else:
             obj.write.format("noop").mode("overwrite").save()
 
+    def selected(spark, sf, mult):
+        items = probes(spark, sf, mult)
+        return {n: v for n, v in items.items() if not only or n in only}
+
     # warm codegen/scan caches so mult=1 is not penalized by startup
-    for obj, _ in probes(spark, args.sf, 1).values():
+    for obj, _ in selected(spark, args.sf, 1).values():
         run(obj)
         spark.catalog.clearCache()
 
     results: dict[str, dict[int, float]] = {}
     for mult in mults:
-        for name, (obj, rows) in probes(spark, args.sf, mult).items():
+        for name, (obj, rows) in selected(spark, args.sf, mult).items():
             t0 = time.time()
             run(obj)
             dt = time.time() - t0
