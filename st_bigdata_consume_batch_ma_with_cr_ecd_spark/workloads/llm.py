@@ -876,6 +876,56 @@ def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Literal logistic-regression weights for classifier_lr_inference:
+# computed ONCE in Python and embedded as the same numeric literals in
+# both engines, so no engine-side math shapes the model itself.
+import math as _math
+
+_LR_DIM = 64
+_LR_BIAS = -0.05
+_LR_W = [round(_math.sin(i + 1) * 0.3, 6) for i in range(_LR_DIM)]
+
+
+@register(
+    "classifier_lr_inference",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id, label,
+               round(1.0 / (1.0 + exp(-({_LR_BIAS} + list_dot_product(
+                   CAST(embedding AS DOUBLE[]),
+                   [{", ".join(f"{w!r}" for w in _LR_W)}]
+               )))), 6) AS score
+        FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT vec_id, label, score, score >= 0.5 AS predicted_positive
+    FROM scored
+    """,
+    doc="Distributed model inference, the quality-classifier pass every "
+    "corpus pipeline runs (fastText-style doc scoring): a trained "
+    "logistic-regression head applied to every embedding as sigmoid(w·x "
+    "+ b). The weight vector is a broadcast-sized LITERAL (model "
+    "crosses the plan as constants, exactly the IVF-centroid pattern), "
+    "the dot product is the JVM-side zip_with/aggregate fold — no "
+    "Python, no UDF, no shuffle at all: a map-only scan that scales "
+    "embarrassingly. Both engines fold the product sequentially over "
+    "the same literals (the ann_topk_bruteforce determinism contract), "
+    "so scores hash-match at 6 decimals.",
+)
+def classifier_lr_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import _dot, _to_double
+
+    emb = _embs(spark, sf_dir).where(F.col("embedding").isNotNull())
+    w = F.array(*[F.lit(x) for x in _LR_W])
+    margin = F.lit(_LR_BIAS) + _dot(_to_double(F.col("embedding")), w)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    return emb.select(
+        "vec_id",
+        "label",
+        score.alias("score"),
+        (score >= 0.5).alias("predicted_positive"),
+    )
+
+
 # The exact planes lsh_bucketed_topk uses by default (n_tables=8,
 # n_planes=4, seed=42) — shared so the oracle replays the bucketing.
 _ANN_LSH_TABLES = hyperplane_tables(n_tables=8, n_planes=4, dim=64, seed=42)
