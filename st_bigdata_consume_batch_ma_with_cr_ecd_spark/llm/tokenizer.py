@@ -225,3 +225,68 @@ def bpe_train(
             eager=True
         )
     return merges
+
+
+# --------------------------------------------------------------------------
+# BPE ENCODING (r4): the serving half of bpe_train, pure JVM
+# --------------------------------------------------------------------------
+#
+# Applying a trained merge table does NOT need Python: represent a
+# word's symbol sequence as a '||'-delimited string ('||h||i||') and
+# each merge (a, b) -> ab becomes one non-regex replace of '|a||b|'
+# with '|ab|'. The double delimiter makes boundary checks exact (a
+# pattern can only align on whole symbols — '|a||b|' cannot match
+# inside '||xa||by||') while adjacent occurrences share no characters,
+# so the engine's leftmost-non-overlapping replace IS the greedy
+# left-to-right merge pass. Folding the merge table in rank order
+# yields one whole-stage-codegen expression chain — no UDF, no shuffle,
+# and any SQL engine with replace() replays it bit-for-bit.
+#
+# Rank-order application is the standard sequential BPE encode
+# (Sennrich et al. 2016): a merge learned at rank r references only
+# symbols that existed at training step r, so by the time rank r is
+# applied every constituent merge has already run. (The iterative
+# lowest-rank-first formulation can differ only when two different
+# merge paths produce the same symbol string — excluded by
+# construction in tables from bpe_train, which never relearns an
+# existing symbol pair.)
+
+# Offline-trained stand-in merge table (rank order), chaining through
+# multi-level merges (t+h -> th, th+e -> the, i+n -> in, in+g -> ing).
+DEFAULT_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("an", "d"),
+    ("e", "r"), ("o", "n"), ("r", "e"), ("o", "u"), ("s", "t"),
+    ("in", "g"), ("e", "d"), ("a", "t"), ("o", "r"), ("e", "s"),
+)
+
+
+def bpe_symbols_expr(word: Column) -> Column:
+    """A word as its '||'-delimited character-symbol string."""
+    return F.concat(F.lit("||"), F.array_join(F.split(word, ""), "||"), F.lit("||"))
+
+
+def bpe_encode_expr(
+    word: Column, merges: Sequence[tuple[str, str]] = DEFAULT_MERGES
+) -> Column:
+    """The encoded symbol string after applying ``merges`` in rank
+    order — a pure JVM replace() chain (see module note). Words must
+    not contain the reserved delimiter character '|'."""
+    s = bpe_symbols_expr(word)
+    for a, b in merges:
+        if "|" in a or "|" in b:
+            raise ValueError("merge symbols must not contain the '|' delimiter")
+        s = F.replace(s, F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|"))
+    return s
+
+
+def bpe_pieces_expr(encoded: Column) -> Column:
+    """The piece array of a '||'-delimited encoded string."""
+    trimmed = F.regexp_replace(encoded, r"^\|\||\|\|$", "")
+    return F.split(trimmed, r"\|\|")
+
+
+def bpe_piece_count_expr(encoded: Column) -> Column:
+    """Piece count of an encoded string: pipes/2 - 1 (every piece
+    boundary, including both ends, is exactly '||')."""
+    pipes = F.length(encoded) - F.length(F.replace(encoded, F.lit("|"), F.lit("")))
+    return (pipes / 2 - 1).cast("int")

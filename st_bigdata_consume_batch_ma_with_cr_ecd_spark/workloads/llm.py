@@ -1284,6 +1284,71 @@ def tokenize_subword_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subword_token_counts(_docs(spark, sf_dir))
 
 
+def _bpe_encode_oracle() -> str:
+    from ..llm.tokenizer import DEFAULT_MERGES
+
+    enc = "'||' || list_aggregate(string_split(w, ''), 'string_agg', '||') || '||'"
+    for a, b in DEFAULT_MERGES:
+        enc = f"replace({enc}, '|{a}||{b}|', '|{a}{b}|')"
+    return f"""
+    WITH words AS (
+        SELECT doc_id, unnest({_DUCK_TOKENS}) AS w FROM documents
+    ),
+    clean AS (SELECT doc_id, w FROM words WHERE w <> '' AND w NOT LIKE '%|%'),
+    types AS (SELECT DISTINCT w FROM clean),
+    pieces AS (
+        SELECT w,
+               CAST((length(s) - length(replace(s, '|', ''))) / 2 - 1 AS INT) AS n_p
+        FROM (SELECT w, {enc} AS s FROM types)
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT)  AS n_words,
+           CAST(sum(p.n_p) AS BIGINT) AS n_pieces,
+           round(sum(p.n_p) * 1.0 / count(*), 4) AS pieces_per_word
+    FROM clean c JOIN pieces p ON c.w = p.w
+    GROUP BY c.doc_id
+    """
+
+
+@register(
+    "tokenize_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    doc="BPE ENCODING with zero Python (llm/tokenizer.bpe_encode_expr): "
+    "the trained merge table (a literal, like the IVF centroids) folds "
+    "into a whole-stage-codegen replace() chain over '||'-delimited "
+    "symbol strings — the double delimiter makes every replace a "
+    "boundary-exact greedy left-to-right merge pass, so rank-order "
+    "application IS the Sennrich sequential encode. Scale shape: the "
+    "corpus contracts to word TYPES first (Heaps' law: vocabulary ~ "
+    "sqrt(corpus)), each type encodes once, and a broadcast-friendly "
+    "join fans piece counts back to the token stream for per-doc "
+    "accounting. The oracle replays the identical replace chain — "
+    "bit-equal encodes on both engines with no recursion needed. "
+    "Complements tokenize_subword_greedy (vocab longest-match serving) "
+    "and bpe_train (the distributed trainer this table comes from).",
+)
+def tokenize_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.tokenizer import bpe_encode_expr, bpe_piece_count_expr
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select("doc_id", F.explode(tokenize(F.col("text"))).alias("w")).where(
+        (F.col("w") != "") & (~F.col("w").contains("|"))
+    )
+    types = words.select("w").distinct()
+    enc = types.select(
+        "w", bpe_piece_count_expr(bpe_encode_expr(F.col("w"))).alias("n_p")
+    )
+    return (
+        words.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_p").cast("long").alias("n_pieces"),
+        )
+        .withColumn("pieces_per_word", F.round(F.col("n_pieces") / F.col("n_words"), 4))
+    )
+
+
 @register(
     "sample_reservoir_per_group",
     oracle="""
