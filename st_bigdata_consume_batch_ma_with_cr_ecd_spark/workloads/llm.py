@@ -1310,6 +1310,75 @@ def _bpe_encode_oracle() -> str:
     """
 
 
+_BPE_TRAIN_MERGES = 6
+
+
+def _bpe_train_oracle(num_merges: int = _BPE_TRAIN_MERGES, min_pair: int = 2) -> str:
+    """Unrolled replay of bpe_train: each round computes weighted
+    adjacent-pair stats over the word-TYPE symbol table, picks the
+    argmax under the (count desc, lft asc, rgt asc) tie order, and
+    rewrites via the boundary-exact '||' replace (the same greedy
+    left-to-right pass as the trainer's Arrow rewrite). A round with no
+    pair over the support floor empties best_i, which empties every
+    later round — exactly the trainer's break. The string encoding
+    assumes '|'-free words (true of this corpus; the trainer itself has
+    no such restriction)."""
+    base = r"""
+    WITH words AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+    ),
+    wt AS (SELECT w, count(*) AS n FROM words WHERE w <> '' GROUP BY w),
+    s0 AS (SELECT '||' || list_aggregate(string_split(w, ''), 'string_agg', '||')
+                  || '||' AS s, n FROM wt)"""
+    steps = []
+    for r in range(1, num_merges + 1):
+        p = r - 1
+        steps.append(f"""
+    p{r} AS (
+        SELECT pr.lft AS lft, pr.rgt AS rgt, CAST(sum(n) AS BIGINT) AS pair_n
+        FROM (
+            SELECT list_filter(string_split(s, '||'), x -> x <> '') AS sy, n FROM s{p}
+        ), unnest(list_transform(generate_series(1, len(sy) - 1),
+                                 i -> {{'lft': sy[i], 'rgt': sy[i + 1]}})) AS t{r}(pr)
+        GROUP BY 1, 2
+    ),
+    best{r} AS (SELECT lft, rgt, pair_n FROM p{r} WHERE pair_n >= {min_pair}
+                ORDER BY pair_n DESC, lft ASC, rgt ASC LIMIT 1),
+    m{r} AS (SELECT CAST({p} AS INT) AS rank, lft, rgt, pair_n AS pair_count
+             FROM best{r}),
+    s{r} AS (
+        SELECT replace(s0.s, '|' || b.lft || '||' || b.rgt || '|',
+                       '|' || b.lft || b.rgt || '|') AS s, s0.n
+        FROM s{p} s0 CROSS JOIN best{r} b
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{r}" for r in range(1, num_merges + 1))
+    return base + "," + ",".join(steps) + f" SELECT * FROM ({union})"
+
+
+@register(
+    "tokenizer_bpe_train_merges",
+    oracle=_bpe_train_oracle(),
+    doc="The DISTRIBUTED BPE TRAINER itself under the driver's value "
+    "hash (llm/tokenizer.bpe_train, the kmeans_lloyd_2iter precedent "
+    "for iterative training): 6 merge rounds over the word-type table, "
+    "each one explode+sum pair stats (map-side combined), a 1-row "
+    "TakeOrdered argmax (the model crossing the driver), and an "
+    "Arrow-batched greedy rewrite with a per-round localCheckpoint. "
+    "Deterministic by the (count desc, left asc, right asc) tie order, "
+    "so the learned merge table is bit-identical on any partitioning — "
+    "the oracle unrolls the same 6 rounds with scalar-subquery argmax "
+    "and the '||' boundary-exact replace standing in for the rewrite.",
+)
+def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.tokenizer import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), num_merges=_BPE_TRAIN_MERGES)
+    rows = [(m["rank"], m["left"], m["right"], m["pair_count"]) for m in merges]
+    return spark.createDataFrame(
+        rows, "rank int, lft string, rgt string, pair_count bigint"
+    )
+
+
 @register(
     "tokenize_bpe_encode",
     oracle=_bpe_encode_oracle(),
