@@ -1160,16 +1160,18 @@ def embedding_label_minmax_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k-core decomposition (fixed peel rounds)
+# k-core decomposition (fixed peel rounds) + label-propagation
+# communities, both over the REPEAT co-purchase graph (parts sharing
+# >= 2 distinct orders — the thresholded, sparse sibling of the
+# triangle-count graph, where iterative structure actually emerges)
 # ---------------------------------------------------------------------------
 
 _KCORE_K = 3
 _KCORE_ROUNDS = 4
 _KCORE_MIN_SHARED = 2
 
-
-def _kcore_oracle() -> str:
-    base = f"""
+# Shared CTE prefix: li -> thresholded undirected pairs -> symmetric e0
+_COPURCHASE_E0_SQL = f"""
     WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
     und AS (
         SELECT a.p AS u, b.p AS v
@@ -1177,6 +1179,35 @@ def _kcore_oracle() -> str:
         GROUP BY 1, 2 HAVING count(*) >= {_KCORE_MIN_SHARED}
     ),
     e0 AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und)"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark twin of _COPURCHASE_E0_SQL: grouped per-order pair
+    generation with multiplicity (never an exploded self-join), one
+    map-side-combined shared-order count, symmetric union, eagerly
+    checkpointed for iterative consumers."""
+    from ..llm.dedup import _bucket_pairs
+
+    li = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
+        .distinct()
+    )
+    und = (
+        _bucket_pairs(li, "o", distinct_pairs=False)  # multiplicity = shared orders
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= _KCORE_MIN_SHARED)
+    )
+    return (
+        und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+
+
+def _kcore_oracle() -> str:
+    base = _COPURCHASE_E0_SQL
     steps = []
     for r in range(1, _KCORE_ROUNDS + 1):
         p = r - 1
@@ -1218,27 +1249,94 @@ def _kcore_oracle() -> str:
     "rounds as plain CTEs.",
 )
 def graph_kcore_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llm.dedup import _bucket_pairs
-
-    li = (
-        read_testdata(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
-        .distinct()
-    )
-    und = (
-        _bucket_pairs(li, "o", distinct_pairs=False)  # multiplicity = shared orders
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .where(F.col("n_shared") >= _KCORE_MIN_SHARED)
-    )
     from ..operators.graph import kcore_peel
 
-    edges = (
-        und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     core = kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)
     return core.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (fixed synchronous rounds)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    base = (
+        _COPURCHASE_E0_SQL
+        + """,
+    l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e0)"""
+    )
+    steps = []
+    for r in range(1, _LPA_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""
+    v{r} AS (
+        SELECT e.src AS node, l.lab, count(*) AS c
+        FROM e0 e JOIN l{p} l ON e.dst = l.node
+        GROUP BY 1, 2
+    ),
+    l{r} AS (
+        SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab ASC) AS rn
+            FROM v{r}
+        ) WHERE rn = 1
+    )""")
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(node) AS BIGINT) AS min_node
+    FROM l{_LPA_ROUNDS} GROUP BY lab
+    """
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=f"Synchronous label propagation ({_LPA_ROUNDS} fixed rounds) on "
+    "the repeat co-purchase graph — community DETECTION, the "
+    "assortative-cluster complement to connected components (which "
+    "only finds reachability islands) and k-core (which finds density "
+    "floors). Every node starts labeled with itself; each round it "
+    "adopts its neighbors' modal label (ties to the smallest label — "
+    "the determinism contract that lets fixed-round LPA hash-match "
+    "across engines, since free-tie LPA is famously run-dependent). "
+    "Per round: ONE shuffle for the (node, label) vote counts (edges "
+    "join the label vector, map-side combined) and a WindowGroupLimit "
+    "argmax — the per-iteration cost profile of graph_pagerank_fixed, "
+    "with per-round localCheckpoints keeping lineage flat. Output is "
+    "per-community membership (size + smallest member), pure integers.",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import top_n_per_group
+
+    edges = _copurchase_edges(spark, sf_dir)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = top_n_per_group(
+            votes, ["node"], [F.col("c").desc(), F.col("lab").asc()], n=1
+        ).select("node", "lab").localCheckpoint(eager=True)
+    return labels.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("node").cast("long").alias("min_node"),
     )
