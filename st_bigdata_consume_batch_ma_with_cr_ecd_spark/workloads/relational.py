@@ -2331,6 +2331,62 @@ def stats_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_welch_ttest",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               round(avg(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 6) AS m1,
+               round(avg(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 6) AS m2,
+               round(var_samp(CASE WHEN l_returnflag = 'R' THEN l_extendedprice END), 4) AS v1,
+               round(var_samp(CASE WHEN l_returnflag = 'N' THEN l_extendedprice END), 4) AS v2
+        FROM lineitem
+    )
+    SELECT n1, n2,
+           round(m1 - m2, 6) + 0.0 AS mean_diff,
+           round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) + 0.0 AS t_stat,
+           round(pow(v1 / n1 + v2 / n2, 2)
+                 / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2)
+             AS df_welch
+    FROM m
+    """,
+    doc="Distributed two-sample hypothesis test (Welch's unequal-variance "
+    "t): returned vs non-returned line item prices compared via the "
+    "t statistic and Welch-Satterthwaite degrees of freedom — the A/B "
+    "significance readout every experimentation pipeline needs, computed "
+    "from ONE scan of partial-aggregable moments (conditional count/ "
+    "avg/var_samp; the shuffle carries six numbers). Determinism: the "
+    "statistic is derived from PRE-ROUNDED moments, so the only "
+    "engine-order-sensitive values are rounded before any division.",
+)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x_r = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice"))
+    x_n = F.when(F.col("l_returnflag") == "N", F.col("l_extendedprice"))
+    m = li.agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0)).cast("long").alias("n2"),
+        F.round(F.avg(x_r), 6).alias("m1"),
+        F.round(F.avg(x_n), 6).alias("m2"),
+        F.round(F.var_samp(x_r), 4).alias("v1"),
+        F.round(F.var_samp(x_n), 4).alias("v2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(se2)
+    df_w = F.pow(se2, 2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return m.select(
+        "n1",
+        "n2",
+        (F.round(F.col("m1") - F.col("m2"), 6) + F.lit(0.0)).alias("mean_diff"),
+        (F.round(t, 4) + F.lit(0.0)).alias("t_stat"),
+        F.round(df_w, 2).alias("df_welch"),
+    )
+
+
+@register(
     "dq_anomaly_mad",
     oracle="""
     WITH daily AS (
