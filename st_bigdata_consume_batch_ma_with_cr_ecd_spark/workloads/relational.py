@@ -2387,6 +2387,65 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(count(*) AS BIGINT) AS o
+        FROM lineitem GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT rf, CAST(sum(o) AS BIGINT) AS r_tot FROM obs GROUP BY rf),
+    cols_m AS (SELECT ls, CAST(sum(o) AS BIGINT) AS c_tot FROM obs GROUP BY ls),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+        SELECT obs.rf, obs.ls, obs.o,
+               round(r.r_tot * c.c_tot * 1.0 / t.n, 6) AS expected
+        FROM obs JOIN rows_m r ON obs.rf = r.rf
+                 JOIN cols_m c ON obs.ls = c.ls
+                 CROSS JOIN tot t
+    )
+    SELECT rf, ls, o AS observed, expected,
+           round(pow(o - expected, 2) / expected, 6) AS cell_chi2
+    FROM cells
+    """,
+    doc="Chi-square test of independence (return flag x line status), "
+    "the categorical complement to stats_welch_ttest: observed "
+    "contingency cells from ONE map-side-combined scan, marginals as "
+    "two tiny re-aggregations of the CELL table (never a second corpus "
+    "scan), expected = row x col / n broadcast back, per-cell chi2 "
+    "contribution rounded from pre-rounded expecteds. The contingency "
+    "table is bounded by category cardinality, so every join input "
+    "after the first aggregate is model-sized.",
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    obs = li.groupBy(
+        F.col("l_returnflag").alias("rf"), F.col("l_linestatus").alias("ls")
+    ).agg(F.count(F.lit(1)).cast("long").alias("o"))
+    rows_m = obs.groupBy("rf").agg(F.sum("o").cast("long").alias("r_tot"))
+    cols_m = obs.groupBy("ls").agg(F.sum("o").cast("long").alias("c_tot"))
+    tot = obs.agg(F.sum("o").cast("long").alias("n"))
+    cells = (
+        obs.join(F.broadcast(rows_m), "rf")
+        .join(F.broadcast(cols_m), "ls")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "expected",
+            F.round(F.col("r_tot") * F.col("c_tot") / F.col("n"), 6),
+        )
+    )
+    return cells.select(
+        "rf",
+        "ls",
+        F.col("o").alias("observed"),
+        "expected",
+        F.round(F.pow(F.col("o") - F.col("expected"), 2) / F.col("expected"), 6).alias(
+            "cell_chi2"
+        ),
+    )
+
+
+@register(
     "dq_anomaly_mad",
     oracle="""
     WITH daily AS (
