@@ -272,3 +272,46 @@ def kcore_peel(
             .localCheckpoint(eager=True)
         )
     return edges
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """``rounds`` SYNCHRONOUS label-propagation steps over a symmetric
+    edge list: every node starts labeled with itself; each round it
+    adopts the modal label among its neighbors, ties to the SMALLEST
+    label. The tie rule is the determinism contract — free-tie LPA is
+    famously run-dependent, but min-tie synchronous LPA is a pure
+    function of the graph, so fixed-round results replay bit-for-bit
+    on any engine or partitioning.
+
+    Per round: one shuffle for the (node, label) vote counts (edge
+    list joined to the label vector, map-side combined) plus a
+    WindowGroupLimit argmax, localCheckpointed to keep the iterative
+    lineage flat. Returns (node, lab). Isolated nodes never appear in
+    a symmetric edge list, so every node has >= 1 neighbor vote."""
+    from .dedup import top_n_per_group
+
+    if rounds < 0:
+        raise ValueError("label_propagation requires rounds >= 0")
+    labels = (
+        edges.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        votes = (
+            edges.join(labels.withColumnRenamed("node", dst), dst)
+            .groupBy(F.col(src).alias("node"), "lab")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        labels = (
+            top_n_per_group(votes, ["node"], [F.col("__c").desc(), F.col("lab").asc()])
+            .select("node", "lab")
+            .localCheckpoint(eager=True)
+        )
+    return labels

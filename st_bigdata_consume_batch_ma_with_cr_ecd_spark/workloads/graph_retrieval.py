@@ -1318,24 +1318,10 @@ def _lpa_oracle() -> str:
     "per-community membership (size + smallest member), pure integers.",
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import top_n_per_group
+    from ..operators.graph import label_propagation
 
     edges = _copurchase_edges(spark, sf_dir)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"), "lab")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        labels = top_n_per_group(
-            votes, ["node"], [F.col("c").desc(), F.col("lab").asc()], n=1
-        ).select("node", "lab").localCheckpoint(eager=True)
+    labels = label_propagation(edges, _LPA_ROUNDS)
     return labels.groupBy(F.col("lab").alias("community")).agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),
