@@ -886,15 +886,29 @@ _LR_BIAS = -0.05
 _LR_W = [round(_math.sin(i + 1) * 0.3, 6) for i in range(_LR_DIM)]
 
 
+def _lr_score_sql() -> str:
+    """DuckDB expression for the rounded sigmoid score (same literals,
+    same sequential fold as the Spark twin)."""
+    w = ", ".join(f"{x!r}" for x in _LR_W)
+    return (
+        f"round(1.0 / (1.0 + exp(-({_LR_BIAS} + list_dot_product("
+        f"CAST(embedding AS DOUBLE[]), [{w}])))), 6)"
+    )
+
+
+def _lr_score_col():
+    from ..llm.similarity import _dot, _to_double
+
+    w = F.array(*[F.lit(x) for x in _LR_W])
+    margin = F.lit(_LR_BIAS) + _dot(_to_double(F.col("embedding")), w)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+
+
 @register(
     "classifier_lr_inference",
     oracle=f"""
     WITH scored AS (
-        SELECT vec_id, label,
-               round(1.0 / (1.0 + exp(-({_LR_BIAS} + list_dot_product(
-                   CAST(embedding AS DOUBLE[]),
-                   [{", ".join(f"{w!r}" for w in _LR_W)}]
-               )))), 6) AS score
+        SELECT vec_id, label, {_lr_score_sql()} AS score
         FROM embeddings WHERE embedding IS NOT NULL
     )
     SELECT vec_id, label, score, score >= 0.5 AS predicted_positive
@@ -912,17 +926,101 @@ _LR_W = [round(_math.sin(i + 1) * 0.3, 6) for i in range(_LR_DIM)]
     "so scores hash-match at 6 decimals.",
 )
 def classifier_lr_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..llm.similarity import _dot, _to_double
-
     emb = _embs(spark, sf_dir).where(F.col("embedding").isNotNull())
-    w = F.array(*[F.lit(x) for x in _LR_W])
-    margin = F.lit(_LR_BIAS) + _dot(_to_double(F.col("embedding")), w)
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    score = _lr_score_col()
     return emb.select(
         "vec_id",
         "label",
         score.alias("score"),
         (score >= 0.5).alias("predicted_positive"),
+    )
+
+
+@register(
+    "eval_auc_mann_whitney",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_lr_score_sql()} AS score, CAST(label % 2 AS INT) AS y
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    vc AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS n_tot,
+               CAST(sum(y) AS BIGINT) AS n_pos
+        FROM scored GROUP BY score
+    ),
+    ranked AS (
+        SELECT n_tot, n_pos,
+               CAST(sum(n_tot) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM vc
+    ),
+    agg AS (
+        SELECT CAST(sum(n_pos) AS BIGINT) AS np,
+               CAST(sum(n_tot - n_pos) AS BIGINT) AS nn,
+               CAST(sum(n_pos * (2 * cum - n_tot + 1)) AS BIGINT) AS ranksum2
+        FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           round((ranksum2 / 2.0 - np * (np + 1) / 2.0) / (np * nn), 6) AS auc,
+           round(2.0 * (ranksum2 / 2.0 - np * (np + 1) / 2.0) / (np * nn) - 1.0, 6)
+             + 0.0 AS gini
+    FROM agg
+    """,
+    doc="EXACT distributed ROC-AUC via the Mann-Whitney rank-sum "
+    "identity (AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) with "
+    "midrank ties) — model evaluation at corpus scale without ever "
+    "materializing a sorted score list: the score column contracts to "
+    "VALUE COUNTS first (the exact-median machinery), and because "
+    "scores are rounded to 6 decimals the distinct-value table is "
+    "BOUNDED at ~1e6 rows at ANY corpus size, so the cumulative-rank "
+    "window runs on a model-sized table. Midranks stay in INTEGER "
+    "arithmetic (2*avg_rank = 2*cum - n_tot + 1) until the final "
+    "division, so the rank sum is exact on any partitioning. Truth = "
+    "odd label; scores from the classifier_lr_inference head. (At "
+    ">2^52 rank-sums move the final division to DECIMAL.)",
+)
+def eval_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir).where(F.col("embedding").isNotNull())
+    scored = emb.select(
+        _lr_score_col().alias("score"),
+        (F.col("label") % 2).cast("int").alias("y"),
+    )
+    return exact_auc(scored)
+
+
+def exact_auc(scored: DataFrame, score_col: str = "score", y_col: str = "y") -> DataFrame:
+    """Exact midrank ROC-AUC of a (score, y∈{0,1}) DataFrame via the
+    Mann-Whitney rank-sum identity on the VALUE-COUNTS contraction —
+    see eval_auc_mann_whitney. Returns 1 row (n_pos, n_neg, auc, gini)."""
+    from pyspark.sql import Window
+
+    vc = scored.groupBy(score_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum(y_col).cast("long").alias("n_pos"),
+    )
+    # global window over the BOUNDED value-counts table (<= 1e6+1 rows
+    # when scores are rounded to 6 decimals), never over the corpus
+    w = Window.orderBy(score_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vc.select(
+        "n_tot", "n_pos", F.sum("n_tot").over(w).cast("long").alias("cum")
+    )
+    agg = ranked.agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum(F.col("n_tot") - F.col("n_pos")).cast("long").alias("nn"),
+        F.sum(F.col("n_pos") * (2 * F.col("cum") - F.col("n_tot") + 1))
+        .cast("long")
+        .alias("ranksum2"),
+    )
+    u = F.col("ranksum2") / 2.0 - F.col("np") * (F.col("np") + 1) / 2.0
+    auc = u / (F.col("np") * F.col("nn"))
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        (F.round(2.0 * auc - 1.0, 6) + F.lit(0.0)).alias("gini"),
     )
 
 

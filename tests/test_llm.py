@@ -963,3 +963,37 @@ def test_augment_images_flips_crops_and_roundtrips(spark):
 
     with _pytest.raises(ValueError, match="unknown augmentation"):
         augment_images(df, ops=("rotate",)).collect()
+
+
+def test_exact_auc_matches_pairwise_probability(spark):
+    # AUC == P(score_pos > score_neg) + 0.5 * P(tie), computed by brute
+    # force over all (pos, neg) pairs — an independent derivation from
+    # the Mann-Whitney rank-sum identity the operator (and its oracle)
+    # use, including midrank tie handling.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import exact_auc
+
+    data = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.7, 1), (0.5, 0),
+        (0.5, 1), (0.5, 0), (0.3, 0), (0.2, 1), (0.1, 0),
+    ]
+    pos = [s for s, y in data if y == 1]
+    neg = [s for s, y in data if y == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+    df = spark.createDataFrame(data, "score double, y int")
+    row = exact_auc(df).collect()[0]
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    assert abs(row.auc - round(expected, 6)) < 1e-9
+    assert abs(row.gini - round(2 * expected - 1, 6)) < 1e-9
+
+
+def test_exact_auc_degenerate_perfect_separation(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import exact_auc
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "score double, y int"
+    )
+    row = exact_auc(df).collect()[0]
+    assert row.auc == 1.0 and row.gini == 1.0

@@ -33,7 +33,7 @@ def canon_cell(v) -> str:
     import numpy as np
     import pandas as pd
 
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
         return "∅"
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
         ts = pd.Timestamp(v)
