@@ -989,6 +989,46 @@ def eval_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_auc(scored)
 
 
+@register(
+    "eval_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_lr_score_sql()} AS score, CAST(label % 2 AS INT) AS y
+        FROM embeddings WHERE embedding IS NOT NULL
+    )
+    SELECT least(CAST(floor(score * 10) AS INT), 9) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS mean_score,
+           round(CAST(sum(y) AS BIGINT) * 1.0 / count(*), 6) AS pos_rate
+    FROM scored GROUP BY 1
+    """,
+    doc="Classifier calibration (reliability diagram data): scores "
+    "bucketed into deciles, per-bucket mean predicted probability vs "
+    "observed positive rate — the companion readout to "
+    "eval_auc_mann_whitney (AUC measures ranking, calibration measures "
+    "probability truthfulness). One map-side-combined aggregate; the "
+    "mean score sums in DECIMAL so bucket means are accumulation-order "
+    "exact, and the observed rate is an integer ratio.",
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir).where(F.col("embedding").isNotNull())
+    scored = emb.select(
+        _lr_score_col().alias("score"),
+        (F.col("label") % 2).cast("int").alias("y"),
+    )
+    bucket = F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9))
+    return scored.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(
+            F.sum(F.col("score").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_score"),
+        F.round(F.sum("y").cast("long") / F.count(F.lit(1)), 6).alias("pos_rate"),
+    )
+
+
 def exact_auc(scored: DataFrame, score_col: str = "score", y_col: str = "y") -> DataFrame:
     """Exact midrank ROC-AUC of a (score, y∈{0,1}) DataFrame via the
     Mann-Whitney rank-sum identity on the VALUE-COUNTS contraction —
