@@ -1247,6 +1247,7 @@ def _kcore_oracle() -> str:
     "flat. Output (node, final-round degree) is pure integers — "
     "bit-stable on any partitioning; the oracle unrolls the identical "
     "rounds as plain CTEs.",
+    tags=("bench",)
 )
 def graph_kcore_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import kcore_peel
@@ -1316,6 +1317,7 @@ def _lpa_oracle() -> str:
     "argmax — the per-iteration cost profile of graph_pagerank_fixed, "
     "with per-round localCheckpoints keeping lineage flat. Output is "
     "per-community membership (size + smallest member), pure integers.",
+    tags=("bench",)
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import label_propagation
@@ -1326,3 +1328,81 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.min("node").cast("long").alias("min_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-source BFS shortest paths (fixed relaxation rounds)
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 4
+_BFS_SOURCE_MAX = 3  # sources = nodes with id <= this
+
+
+def _bfs_oracle() -> str:
+    base = (
+        _COPURCHASE_E0_SQL
+        + f""",
+    d0 AS (SELECT DISTINCT src AS node, 0 AS dist FROM e0
+           WHERE src <= {_BFS_SOURCE_MAX})"""
+    )
+    steps = []
+    for r in range(1, _BFS_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""
+    relax{r} AS (
+        SELECT e.dst AS node, min(d.dist) + 1 AS dist
+        FROM e0 e JOIN d{p} d ON e.src = d.node
+        GROUP BY e.dst
+    ),
+    d{r} AS (
+        SELECT node, CAST(min(dist) AS INT) AS dist FROM (
+            SELECT node, dist FROM d{p} UNION ALL SELECT node, dist FROM relax{r}
+        ) GROUP BY node
+    )""")
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, dist FROM d{_BFS_ROUNDS}
+    """
+    )
+
+
+@register(
+    "graph_bfs_distances",
+    oracle=_bfs_oracle(),
+    doc=f"Multi-source BFS ({_BFS_ROUNDS} relaxation rounds) on the "
+    "repeat co-purchase graph: unweighted shortest-path distance from "
+    f"the source set (nodes <= {_BFS_SOURCE_MAX}) — the frontier-"
+    "propagation member of the iterative-graph family (reachability "
+    "radius, contamination spread, link-distance features). Each round "
+    "is ONE relaxation shuffle (edge list joined to the current "
+    "distance vector, map-side-combined min per destination) unioned "
+    "with the prior vector under a min — monotone like k-core "
+    "(distances only ever DROP or stay), so fixed rounds give exactly "
+    "the <= R-hop distance truth on both engines. Integer output; the "
+    "oracle unrolls identical rounds.",
+)
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") <= _BFS_SOURCE_MAX)
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_BFS_ROUNDS):
+        relax = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

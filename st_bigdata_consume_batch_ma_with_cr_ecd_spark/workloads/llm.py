@@ -979,6 +979,7 @@ def classifier_lr_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     "division, so the rank sum is exact on any partitioning. Truth = "
     "odd label; scores from the classifier_lr_inference head. (At "
     ">2^52 rank-sums move the final division to DECIMAL.)",
+    tags=("bench",)
 )
 def eval_auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _embs(spark, sf_dir).where(F.col("embedding").isNotNull())
@@ -1533,6 +1534,7 @@ def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bit-equal encodes on both engines with no recursion needed. "
     "Complements tokenize_subword_greedy (vocab longest-match serving) "
     "and bpe_train (the distributed trainer this table comes from).",
+    tags=("bench",)
 )
 def tokenize_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.tokenizer import bpe_encode_expr, bpe_piece_count_expr

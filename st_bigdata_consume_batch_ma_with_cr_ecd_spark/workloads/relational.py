@@ -2274,6 +2274,7 @@ def stats_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "SF), each one a JVM-side self-union step — no driver loop, no "
     "Python; the rollup output is bounded by the ancestor filter. "
     "DuckDB replays the identical recursion (// is Spark's DIV).",
+    tags=("bench",)
 )
 def recursive_cte_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
