@@ -1030,6 +1030,87 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "eval_auc_by_segment",
+    oracle=f"""
+    WITH scored AS (
+        SELECT d.lang, {_lr_score_sql()} AS score, CAST(e.label % 2 AS INT) AS y
+        FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        WHERE e.embedding IS NOT NULL
+    ),
+    vc AS (
+        SELECT lang, score, CAST(count(*) AS BIGINT) AS n_tot,
+               CAST(sum(y) AS BIGINT) AS n_pos
+        FROM scored GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT lang, n_tot, n_pos,
+               CAST(sum(n_tot) OVER (PARTITION BY lang ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum
+        FROM vc
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(sum(n_pos) AS BIGINT) AS np,
+               CAST(sum(n_tot - n_pos) AS BIGINT) AS nn,
+               CAST(sum(n_pos * (2 * cum - n_tot + 1)) AS BIGINT) AS ranksum2
+        FROM ranked GROUP BY lang
+    )
+    SELECT lang, np AS n_pos, nn AS n_neg,
+           round((ranksum2 / 2.0 - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+    FROM agg WHERE np > 0 AND nn > 0
+    """,
+    doc="Per-segment model evaluation — exact midrank AUC PER LANGUAGE "
+    "(the fairness/regression readout: a classifier can hold global "
+    "AUC while collapsing on one segment). Same Mann-Whitney "
+    "value-counts machinery as eval_auc_mann_whitney, but the rank "
+    "window is PARTITIONED by segment, so at scale there is no global "
+    "window anywhere in the plan — ranks, marginals, and the statistic "
+    "all reduce per (segment, score) group. Degenerate segments "
+    "(single-class) are excluded, not NULLed.",
+)
+def eval_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _embs(spark, sf_dir).where(F.col("embedding").isNotNull())
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    scored = emb.join(docs, "vec_id").select(
+        "lang",
+        _lr_score_col().alias("score"),
+        (F.col("label") % 2).cast("int").alias("y"),
+    )
+    vc = scored.groupBy("lang", "score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tot"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = vc.select(
+        "lang", "n_tot", "n_pos", F.sum("n_tot").over(w).cast("long").alias("cum")
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum(F.col("n_tot") - F.col("n_pos")).cast("long").alias("nn"),
+        F.sum(F.col("n_pos") * (2 * F.col("cum") - F.col("n_tot") + 1))
+        .cast("long")
+        .alias("ranksum2"),
+    )
+    u = F.col("ranksum2") / 2.0 - F.col("np") * (F.col("np") + 1) / 2.0
+    auc = u / (F.col("np") * F.col("nn"))
+    return agg.where((F.col("np") > 0) & (F.col("nn") > 0)).select(
+        "lang",
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
 def exact_auc(scored: DataFrame, score_col: str = "score", y_col: str = "y") -> DataFrame:
     """Exact midrank ROC-AUC of a (score, y∈{0,1}) DataFrame via the
     Mann-Whitney rank-sum identity on the VALUE-COUNTS contraction —
