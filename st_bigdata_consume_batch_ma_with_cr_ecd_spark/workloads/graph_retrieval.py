@@ -1406,3 +1406,154 @@ def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+# ---------------------------------------------------------------------------
+# ALS matrix factorization (rank 2, fixed alternating solves)
+# ---------------------------------------------------------------------------
+#
+# The third driver-hash-verified DISTRIBUTED TRAINER (after k-means and
+# BPE): alternating least squares on the implicit customer-part rating
+# matrix. Rank 2 keeps the per-entity normal equations CLOSED-FORM (a
+# 2x2 solve is plain arithmetic), which is what lets a SQL oracle
+# replay the whole training run — no matrix library on either engine.
+# The determinism contract is the repo's standard one: every
+# accumulation rounds its addends at 10 decimals and sums in
+# DECIMAL(38,10) (order-independent), every solved factor rounds at 8,
+# and the init factors are exact integer md5 fractions, so the learned
+# factors are bit-identical on any partitioning and any engine.
+
+_ALS_LAMBDA = 0.1
+_ALS_OUT_USERS = 300
+
+
+def _als_init_sql(salt: str) -> str:
+    return (
+        f"(1000 + 8 * (CAST(concat('0x', substr(md5(CAST(k AS VARCHAR) || "
+        f"'{salt}'), 1, 8)) AS UBIGINT) % 10000)) / 100000.0"
+    )
+
+
+def _als_solve_sql(out: str, key: str, other: str, facts: str) -> str:
+    lam = _ALS_LAMBDA
+    det = f"((a11 + {lam}) * (a22 + {lam}) - a12 * a12)"
+    return f"""
+    {out} AS (
+        SELECT k,
+               round(((a22 + {lam}) * b1 - a12 * b2) / {det}, 8) AS f1,
+               round(((a11 + {lam}) * b2 - a12 * b1) / {det}, 8) AS f2
+        FROM (
+            SELECT r.{key} AS k,
+                   CAST(sum(CAST(round(f.f1 * f.f1, 10) AS DECIMAL(38,10))) AS DOUBLE) AS a11,
+                   CAST(sum(CAST(round(f.f1 * f.f2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS a12,
+                   CAST(sum(CAST(round(f.f2 * f.f2, 10) AS DECIMAL(38,10))) AS DOUBLE) AS a22,
+                   CAST(sum(CAST(round(f.f1 * r.r, 10) AS DECIMAL(38,10))) AS DOUBLE) AS b1,
+                   CAST(sum(CAST(round(f.f2 * r.r, 10) AS DECIMAL(38,10))) AS DOUBLE) AS b2
+            FROM ratings r JOIN {facts} f ON r.{other} = f.k
+            GROUP BY r.{key}
+        )
+    )"""
+
+
+def _als_oracle() -> str:
+    return (
+        f"""
+    WITH ratings AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS it,
+               CAST(round(sum(CAST(l.l_quantity AS DECIMAL(30,8))), 0) AS DOUBLE) AS r
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    q0 AS (
+        SELECT k, {_als_init_sql("a")} AS f1, {_als_init_sql("b")} AS f2
+        FROM (SELECT DISTINCT it AS k FROM ratings)
+    ),"""
+        + _als_solve_sql("p1", "u", "it", "q0")
+        + ","
+        + _als_solve_sql("q1", "it", "u", "p1")
+        + ","
+        + _als_solve_sql("p2", "u", "it", "q1")
+        + f"""
+    SELECT k AS u, f1 + 0.0 AS f1, f2 + 0.0 AS f2
+    FROM p2 WHERE k <= {_ALS_OUT_USERS}
+    """
+    )
+
+
+@register(
+    "recsys_als_train_rank2",
+    oracle=_als_oracle(),
+    doc="Distributed ALS matrix-factorization TRAINING (rank 2, two "
+    "alternating half-sweeps + final user solve) on the implicit "
+    "customer-part quantity matrix — the collaborative-filtering "
+    "trainer behind recsys_item_cooccurrence_topk's serving path. "
+    "Rank 2 makes each entity's ridge normal equations closed-form, "
+    "so a solve is: join ratings to the other side's factor vector, "
+    "ONE map-side-combined groupBy accumulating the five Gram/moment "
+    "sums (addends rounded at 10, summed in DECIMAL — order-exact), "
+    "then plain-arithmetic 2x2 inversion per entity, factors rounded "
+    "at 8. Exactly two shuffles per solve at any scale; the model "
+    "never crosses the driver at all (factors live distributed). "
+    "Init is exact integer md5 fractions. The oracle replays all "
+    "three solves as unrolled CTEs — a bit-identical training run "
+    "with no linear-algebra library on either engine.",
+)
+def recsys_als_train_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.columns import md5_prefix_int
+
+    orders = read_testdata(spark, sf_dir, "orders")
+    li = read_testdata(spark, sf_dir, "lineitem")
+    ratings = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy(F.col("o_custkey").alias("u"), F.col("l_partkey").alias("it"))
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(30,8)")), 0)
+            .cast("double")
+            .alias("r")
+        )
+        .localCheckpoint(eager=True)  # consumed by all three solves
+    )
+
+    def init_col(salt: str) -> F.Column:
+        h = (
+            md5_prefix_int(F.concat(F.col("k").cast("string"), F.lit(salt)))
+            .cast("decimal(10,0)")
+            % 10000
+        )
+        return (F.lit(1000) + F.lit(8) * h).cast("double") / F.lit(100000.0)
+
+    facts = (
+        ratings.select(F.col("it").alias("k"))
+        .distinct()
+        .select("k", init_col("a").alias("f1"), init_col("b").alias("f2"))
+    )
+
+    lam = _ALS_LAMBDA
+
+    def dsum(c: F.Column) -> F.Column:
+        return F.sum(F.round(c, 10).cast("decimal(38,10)")).cast("double")
+
+    def solve(key: str, other: str, facts: DataFrame) -> DataFrame:
+        j = ratings.join(facts, ratings[other] == facts["k"])
+        s = j.groupBy(ratings[key].alias("k")).agg(
+            dsum(F.col("f1") * F.col("f1")).alias("a11"),
+            dsum(F.col("f1") * F.col("f2")).alias("a12"),
+            dsum(F.col("f2") * F.col("f2")).alias("a22"),
+            dsum(F.col("f1") * F.col("r")).alias("b1"),
+            dsum(F.col("f2") * F.col("r")).alias("b2"),
+        )
+        det = (F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")
+        return s.select(
+            "k",
+            F.round(((F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")) / det, 8).alias("f1"),
+            F.round(((F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")) / det, 8).alias("f2"),
+        ).localCheckpoint(eager=True)
+
+    p = solve("u", "it", facts)  # user factors from item init
+    q = solve("it", "u", p)  # item factors from user factors
+    p = solve("u", "it", q)  # final user solve
+    return p.where(F.col("k") <= _ALS_OUT_USERS).select(
+        F.col("k").alias("u"),
+        (F.col("f1") + F.lit(0.0)).alias("f1"),
+        (F.col("f2") + F.lit(0.0)).alias("f2"),
+    )
