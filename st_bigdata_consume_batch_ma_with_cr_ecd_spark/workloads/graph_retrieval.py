@@ -1480,6 +1480,57 @@ def _als_oracle() -> str:
     )
 
 
+def als_init_factors(ratings: DataFrame, side: str) -> DataFrame:
+    """Deterministic rank-2 init for ``side``'s entities: each factor is
+    an EXACT integer md5 fraction (1000 + 8*(h % 10000)) / 1e5 — no
+    float rounding anywhere, so both engines start identically."""
+    from ..functions.columns import md5_prefix_int
+
+    def init_col(salt: str):
+        h = (
+            md5_prefix_int(F.concat(F.col("k").cast("string"), F.lit(salt)))
+            .cast("decimal(10,0)")
+            % 10000
+        )
+        return (F.lit(1000) + F.lit(8) * h).cast("double") / F.lit(100000.0)
+
+    return (
+        ratings.select(F.col(side).alias("k"))
+        .distinct()
+        .select("k", init_col("a").alias("f1"), init_col("b").alias("f2"))
+    )
+
+
+def als_solve_rank2(
+    ratings: DataFrame, facts: DataFrame, key: str, other: str, lam: float = _ALS_LAMBDA
+) -> DataFrame:
+    """One ALS half-sweep: solve ``key``'s rank-2 ridge factors from
+    ``other``'s current factors. ratings = (u, it, r); facts =
+    (k, f1, f2) keyed by ``other``. Two shuffles (join on ``other``,
+    groupBy ``key``); the five Gram/moment sums round addends at 10
+    and accumulate in DECIMAL so the solve is order-exact; output
+    factors round at 8 (the cross-engine determinism contract)."""
+
+    def dsum(c):
+        return F.sum(F.round(c, 10).cast("decimal(38,10)")).cast("double")
+
+    j = ratings.join(facts, ratings[other] == facts["k"])
+    s = j.groupBy(ratings[key].alias("k")).agg(
+        dsum(F.col("f1") * F.col("f1")).alias("a11"),
+        dsum(F.col("f1") * F.col("f2")).alias("a12"),
+        dsum(F.col("f2") * F.col("f2")).alias("a22"),
+        dsum(F.col("f1") * F.col("r")).alias("b1"),
+        dsum(F.col("f2") * F.col("r")).alias("b2"),
+    )
+    det = (F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")
+    return s.select(
+        "k",
+        F.round(((F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")) / det, 8).alias("f1"),
+        F.round(((F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")) / det, 8).alias("f2"),
+    ).localCheckpoint(eager=True)
+
+
+
 @register(
     "recsys_als_train_rank2",
     oracle=_als_oracle(),
@@ -1499,8 +1550,6 @@ def _als_oracle() -> str:
     "with no linear-algebra library on either engine.",
 )
 def recsys_als_train_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.columns import md5_prefix_int
-
     orders = read_testdata(spark, sf_dir, "orders")
     li = read_testdata(spark, sf_dir, "lineitem")
     ratings = (
@@ -1513,45 +1562,10 @@ def recsys_als_train_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)  # consumed by all three solves
     )
-
-    def init_col(salt: str) -> F.Column:
-        h = (
-            md5_prefix_int(F.concat(F.col("k").cast("string"), F.lit(salt)))
-            .cast("decimal(10,0)")
-            % 10000
-        )
-        return (F.lit(1000) + F.lit(8) * h).cast("double") / F.lit(100000.0)
-
-    facts = (
-        ratings.select(F.col("it").alias("k"))
-        .distinct()
-        .select("k", init_col("a").alias("f1"), init_col("b").alias("f2"))
-    )
-
-    lam = _ALS_LAMBDA
-
-    def dsum(c: F.Column) -> F.Column:
-        return F.sum(F.round(c, 10).cast("decimal(38,10)")).cast("double")
-
-    def solve(key: str, other: str, facts: DataFrame) -> DataFrame:
-        j = ratings.join(facts, ratings[other] == facts["k"])
-        s = j.groupBy(ratings[key].alias("k")).agg(
-            dsum(F.col("f1") * F.col("f1")).alias("a11"),
-            dsum(F.col("f1") * F.col("f2")).alias("a12"),
-            dsum(F.col("f2") * F.col("f2")).alias("a22"),
-            dsum(F.col("f1") * F.col("r")).alias("b1"),
-            dsum(F.col("f2") * F.col("r")).alias("b2"),
-        )
-        det = (F.col("a11") + lam) * (F.col("a22") + lam) - F.col("a12") * F.col("a12")
-        return s.select(
-            "k",
-            F.round(((F.col("a22") + lam) * F.col("b1") - F.col("a12") * F.col("b2")) / det, 8).alias("f1"),
-            F.round(((F.col("a11") + lam) * F.col("b2") - F.col("a12") * F.col("b1")) / det, 8).alias("f2"),
-        ).localCheckpoint(eager=True)
-
-    p = solve("u", "it", facts)  # user factors from item init
-    q = solve("it", "u", p)  # item factors from user factors
-    p = solve("u", "it", q)  # final user solve
+    facts = als_init_factors(ratings, "it")
+    p = als_solve_rank2(ratings, facts, "u", "it")  # user factors from item init
+    q = als_solve_rank2(ratings, p, "it", "u")  # item factors from user factors
+    p = als_solve_rank2(ratings, q, "u", "it")  # final user solve
     return p.where(F.col("k") <= _ALS_OUT_USERS).select(
         F.col("k").alias("u"),
         (F.col("f1") + F.lit(0.0)).alias("f1"),

@@ -323,3 +323,43 @@ def test_kcore_peel_rejects_bad_parameters(spark):
         kcore_peel(edges, 0, 1)
     with pytest.raises(ValueError):
         kcore_peel(edges, 2, -1)
+
+
+def test_als_rank2_recovers_planted_factors(spark):
+    # plant an exactly-rank-2 matrix r = p_u . q_i and check ALS drives
+    # squared reconstruction error far below the init's — the learning
+    # sanity the bit-exact oracle cannot express (it replays, not
+    # evaluates). Small lambda -> near-exact recovery of the products.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+        als_init_factors,
+        als_solve_rank2,
+    )
+
+    p_true = {u: (1.0 + 0.3 * u, 0.5 + 0.2 * (u % 3)) for u in range(1, 7)}
+    q_true = {i: (0.8 + 0.1 * i, 1.2 - 0.15 * (i % 4)) for i in range(1, 9)}
+    data = [
+        (u, i, p_true[u][0] * q_true[i][0] + p_true[u][1] * q_true[i][1])
+        for u in p_true
+        for i in q_true
+    ]
+    ratings = spark.createDataFrame(data, "u int, it int, r double")
+
+    def sq_err(p_df, q_df):
+        p = {r.k: (r.f1, r.f2) for r in p_df.collect()}
+        q = {r.k: (r.f1, r.f2) for r in q_df.collect()}
+        return sum(
+            (p[u][0] * q[i][0] + p[u][1] * q[i][1] - r) ** 2 for u, i, r in data
+        )
+
+    q0 = als_init_factors(ratings, "it")
+    p0 = als_init_factors(ratings, "u")
+    err_init = sq_err(p0, q0)
+
+    lam = 1e-6
+    q = q0
+    for _ in range(4):
+        p = als_solve_rank2(ratings, q, "u", "it", lam=lam)
+        q = als_solve_rank2(ratings, p, "it", "u", lam=lam)
+    err_trained = sq_err(p, q)
+    assert err_trained < err_init * 1e-3
+    assert err_trained < 1e-4  # planted rank-2 structure is recoverable
