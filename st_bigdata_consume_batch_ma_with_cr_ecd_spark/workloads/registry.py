@@ -111,10 +111,27 @@ def _last_checked_round() -> dict[str, int]:
     return last
 
 
+def _first_registered() -> dict[str, int]:
+    """Per-query round of FIRST registration, from the committed ledger
+    (registry_ledger.json, maintained alongside every registration —
+    tests/test_workloads.py enforces the ledger stays complete). Breaks
+    never-checked ties by AGE: a query waiting since r3 outranks one
+    registered this round even if the newer one sits earlier in a
+    source file — without this, mid-file insertions would displace the
+    oldest unchecked queries from the driver's bounded window."""
+    path = Path(__file__).resolve().parent / "registry_ledger.json"
+    try:
+        data = json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return {}
+    return {k: int(v) for k, v in data.items()} if isinstance(data, dict) else {}
+
+
 def _ordered_specs() -> list[QuerySpec]:
     """Registry specs in rotation order: least-recently-driver-checked
-    first (never-checked and FORCE_RECHECK lead), registration order as
-    the tiebreak — deterministic for a given set of record files.
+    first (never-checked and FORCE_RECHECK lead), oldest-registered
+    then registration order as the tiebreaks — deterministic for a
+    given set of record files.
 
     FORCE_RECHECK is SELF-EXPIRING: it front-runs the window only until
     the driver's newest record file contains the query (i.e. the
@@ -123,15 +140,16 @@ def _ordered_specs() -> list[QuerySpec]:
     window slots forever."""
     last = _last_checked_round()
     newest = max(last.values(), default=0)
+    first = _first_registered()
     reg_index = {name: i for i, name in enumerate(REGISTRY)}
 
-    def sort_key(spec: QuerySpec) -> tuple[int, int]:
+    def sort_key(spec: QuerySpec) -> tuple[int, int, int]:
         rnd = last.get(spec.name)
         if spec.name in FORCE_RECHECK and (rnd is None or rnd < newest):
             rnd = -1  # ahead even of never-checked: semantics changed
         elif rnd is None:
             rnd = 0
-        return (rnd, reg_index[spec.name])
+        return (rnd, first.get(spec.name, newest + 1), reg_index[spec.name])
 
     return sorted(REGISTRY.values(), key=sort_key)
 

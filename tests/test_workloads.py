@@ -259,3 +259,46 @@ def test_streaming_outer_join_emits_unmatched_purchases(spark, sf_dir):
     frontier_scoped = {e for e, _ in inner} - {e for e, _ in outer}
     assert inner - outer == {(e, n) for e, n in inner if e in frontier_scoped}
     assert all(n == 0 for e, n in outer if e not in {e for e, _ in inner})
+
+
+def test_registry_ledger_complete_and_ordering_by_age():
+    import json
+    from pathlib import Path
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.registry import (
+        _first_registered,
+        _last_checked_round,
+        _ordered_specs,
+    )
+
+    ledger = _first_registered()
+    missing = sorted(set(REGISTRY) - set(ledger))
+    assert not missing, (
+        f"registry_ledger.json is missing {missing} — every register() "
+        "needs a first-registered round entry (add with the current round)"
+    )
+    stale = sorted(set(ledger) - set(REGISTRY))
+    assert not stale, f"registry_ledger.json has unregistered names: {stale}"
+
+    # among queries with NO driver record at all, an OLDER registration
+    # must sort ahead of a newer one regardless of source-file position
+    # (names with a FAILED record re-enter via the retry rule instead,
+    # and FORCE_RECHECK members front-run — both excluded here)
+    import re
+
+    recorded = set()
+    root = Path(__file__).resolve().parent.parent
+    for p in root.glob("CORRECTNESS_r*.json"):
+        if re.search(r"CORRECTNESS_r(\d+)\.json$", p.name):
+            try:
+                recorded |= set(json.loads(p.read_text()))
+            except (OSError, json.JSONDecodeError):
+                pass
+    last = _last_checked_round()
+    order = [s.name for s in _ordered_specs()]
+    never = [n for n in order if n not in last and n not in recorded]
+    rounds = [ledger[n] for n in never]
+    assert rounds == sorted(rounds), (
+        "never-checked queries must rotate oldest-registration first"
+    )
