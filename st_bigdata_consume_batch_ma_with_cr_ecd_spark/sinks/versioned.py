@@ -46,6 +46,7 @@ primitives (str/int/bool/None).
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from collections.abc import Sequence
@@ -104,17 +105,25 @@ def _manifest_path(path: str, version: int) -> str:
 def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> bool:
     """Atomically publish ``manifest`` as its version; False if that
     version already exists (another writer won the race)."""
+    return _atomic_create_json(
+        spark, path, _manifest_path(path, manifest["version"]), manifest
+    )
+
+
+def _atomic_create_json(spark: SparkSession, path: str, target_str: str, obj: dict) -> bool:
+    """Atomically create ``target_str`` holding ``obj`` as JSON; False
+    if the file already exists (another writer won the race)."""
     jvm, fs = _jfs(spark, path)
-    target = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, manifest["version"]))
+    target = jvm.org.apache.hadoop.fs.Path(target_str)
     fs.mkdirs(target.getParent())
     if fs.exists(target):
         return False
     tmp = jvm.org.apache.hadoop.fs.Path(
-        f"{path}/{_MANIFEST_DIR}/.tmp-{uuid.uuid4().hex}.json"
+        f"{target.getParent().toString()}/.tmp-{uuid.uuid4().hex}.json"
     )
     out = fs.create(tmp, False)
     try:
-        out.write(bytearray(json.dumps(manifest).encode("utf-8")))
+        out.write(bytearray(json.dumps(obj).encode("utf-8")))
     finally:
         out.close()
     # Atomic publication + optimistic lock. The obvious fs.rename is
@@ -148,6 +157,88 @@ def _write_manifest(spark: SparkSession, path: str, manifest: dict) -> bool:
         if not ok:
             fs.delete(tmp, False)
     return ok
+
+
+_TAGS_DIR = "_tags"
+_TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$")
+
+
+def _tag_path(path: str, tag: str) -> str:
+    return f"{path}/{_TAGS_DIR}/{tag}.json"
+
+
+def create_tag(
+    spark: SparkSession,
+    path: str,
+    tag: str,
+    version: int | None = None,
+    *,
+    replace: bool = False,
+) -> int:
+    """Pin a NAMED TAG to a table version (default: latest) — the
+    human-readable time-travel ref ("v2024-training-cut") every
+    lakehouse grows: reads resolve it (``read_versioned_table(...,
+    tag=...)``) and vacuum treats tagged versions as retained, so a
+    tagged snapshot stays readable no matter how many versions land
+    after it. Tags are immutable by default (atomic create-once, the
+    manifest race rules); ``replace=True`` retargets via delete +
+    re-create (NOT atomic — concurrent readers may briefly see the tag
+    missing; use a new tag name when that matters). Returns the pinned
+    version."""
+    if not _TAG_NAME_RE.match(tag):
+        raise VersionedTableError(
+            f"invalid tag name {tag!r} (alnum start, then [A-Za-z0-9._-], max 64)"
+        )
+    v = latest_version(spark, path) if version is None else version
+    _read_manifest(spark, path, v)  # must exist
+    if replace:
+        delete_tag(spark, path, tag, missing_ok=True)
+    if not _atomic_create_json(
+        spark, path, _tag_path(path, tag), {"tag": tag, "version": v}
+    ):
+        raise VersionedTableError(
+            f"tag {tag!r} already exists (use replace=True to retarget)"
+        )
+    return v
+
+
+def resolve_tag(spark: SparkSession, path: str, tag: str) -> int:
+    jvm, fs = _jfs(spark, path)
+    target = jvm.org.apache.hadoop.fs.Path(_tag_path(path, tag))
+    if not fs.exists(target):
+        raise VersionedTableError(f"tag {tag!r} does not exist at {path}")
+    stream = fs.open(target)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return int(json.loads(text)["version"])
+
+
+def list_tags(spark: SparkSession, path: str) -> dict[str, int]:
+    """All tags as {name: version}."""
+    jvm, fs = _jfs(spark, path)
+    root = jvm.org.apache.hadoop.fs.Path(f"{path}/{_TAGS_DIR}")
+    if not fs.exists(root):
+        return {}
+    out: dict[str, int] = {}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.endswith(".json") and not name.startswith(".tmp-"):
+            out[name[:-5]] = resolve_tag(spark, path, name[:-5])
+    return dict(sorted(out.items()))
+
+
+def delete_tag(
+    spark: SparkSession, path: str, tag: str, *, missing_ok: bool = False
+) -> None:
+    jvm, fs = _jfs(spark, path)
+    target = jvm.org.apache.hadoop.fs.Path(_tag_path(path, tag))
+    if not fs.exists(target):
+        if missing_ok:
+            return
+        raise VersionedTableError(f"tag {tag!r} does not exist at {path}")
+    fs.delete(target, False)
 
 
 def _read_manifest(spark: SparkSession, path: str, version: int) -> dict:
@@ -486,6 +577,7 @@ def read_versioned_table(
     path: str,
     *,
     version: int | None = None,
+    tag: str | None = None,
     partition_filter: dict | None = None,
     range_filter: dict | None = None,
     point_filter: dict | None = None,
@@ -517,7 +609,14 @@ def read_versioned_table(
     Bloom test). Same conservative contract: Bloom false positives are
     read and row-filtered away; a negative is proof of absence.
     Columns without a Bloom index still filter correctly, just without
-    the skip."""
+    the skip.
+
+    ``tag`` reads AS OF a named tag (see :func:`create_tag`); mutually
+    exclusive with ``version``."""
+    if tag is not None:
+        if version is not None:
+            raise VersionedTableError("pass version OR tag, not both")
+        version = resolve_tag(spark, path, tag)
     v = latest_version(spark, path) if version is None else version
     m = _read_manifest(spark, path, v)
     schema = StructType.fromJson(json.loads(m["schema"]))
@@ -1024,7 +1123,10 @@ def vacuum_versioned_table(
     if keep_last < 1:
         raise VersionedTableError("keep_last must be >= 1")
     versions = list_versions(spark, path)
-    retained = versions[-keep_last:]
+    # tagged versions are PINNED: their manifests and data survive any
+    # keep_last window — a tag is a promise that snapshot stays readable
+    tagged = set(list_tags(spark, path).values())
+    retained = set(versions[-keep_last:]) | (tagged & set(versions))
     live_commits = set()
     for v in retained:
         for e in _read_manifest(spark, path, v)["entries"]:
@@ -1043,7 +1145,9 @@ def vacuum_versioned_table(
             ):
                 fs.delete(st.getPath(), True)
                 deleted.append(st.getPath().toString())
-    for v in versions[:-keep_last] if keep_last < len(versions) else []:
+    for v in versions:
+        if v in retained:
+            continue
         p = jvm.org.apache.hadoop.fs.Path(_manifest_path(path, v))
         fs.delete(p, False)
         deleted.append(p.toString())

@@ -788,3 +788,61 @@ def test_cms_writer_creates_table_on_empty_first_batch(spark, tmp_path):
     assert read_versioned_table(spark, table).count() == 0
     writer(spark.createDataFrame([(1, 5)], "event_id long, user_id long"), 1)
     assert read_versioned_table(spark, table).agg(F.sum("c")).collect()[0][0] == 3
+
+
+def test_tags_pin_versions_through_merges_and_vacuum(spark, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        create_tag,
+        delete_tag,
+        list_tags,
+        read_versioned_table,
+        resolve_tag,
+    )
+
+    path = str(tmp_path / "t")
+    create_versioned_table(_base(spark), path, ["part"])
+    assert create_tag(spark, path, "training-cut") == 1  # defaults to latest
+    v1_rows = rows(read_versioned_table(spark, path, tag="training-cut"))
+    assert v1_rows == rows(_base(spark))
+
+    # three more versions so v1 falls outside any keep_last=2 window
+    for i in range(3):
+        ch = spark.createDataFrame(
+            [(10 + i, "A", 99.0 + i, False)],
+            "id long, part string, val double, is_deleted boolean",
+        )
+        merge_versioned_table(
+            spark, path, ch, ["id"], ["part"], delete_col="is_deleted"
+        )
+    assert latest_version(spark, path) == 4
+    assert list_tags(spark, path) == {"training-cut": 1}
+
+    vacuum_versioned_table(spark, path, keep_last=2, min_age_seconds=0)
+    # v1 is tagged: manifest AND data must survive the vacuum
+    assert rows(read_versioned_table(spark, path, tag="training-cut")) == v1_rows
+    # untagged v2 is outside keep_last and must be gone
+    assert list_versions(spark, path) == [1, 3, 4]
+
+    # immutable by default; replace retargets; delete removes
+    with pytest.raises(VersionedTableError):
+        create_tag(spark, path, "training-cut")
+    assert create_tag(spark, path, "training-cut", replace=True) == 4
+    assert resolve_tag(spark, path, "training-cut") == 4
+    delete_tag(spark, path, "training-cut")
+    assert list_tags(spark, path) == {}
+    with pytest.raises(VersionedTableError):
+        resolve_tag(spark, path, "training-cut")
+
+
+def test_tag_validation_and_exclusivity(spark, tmp_path):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import create_tag
+
+    path = str(tmp_path / "t")
+    create_versioned_table(_base(spark), path, ["part"])
+    with pytest.raises(VersionedTableError):
+        create_tag(spark, path, "../escape")
+    with pytest.raises(VersionedTableError):
+        create_tag(spark, path, "nope", version=99)  # nonexistent version
+    create_tag(spark, path, "ok")
+    with pytest.raises(VersionedTableError):
+        read_versioned_table(spark, path, version=1, tag="ok")  # mutually exclusive
