@@ -1642,6 +1642,82 @@ def merge_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_tag_pinned_read",
+    # same CDC recipe as merge_versioned_time_travel; what's under test
+    # is the REF machinery: a named tag must keep v1 readable through
+    # an aggressive vacuum (keep_last=1) that reclaims every untagged
+    # historical version — the "training-cut stays reproducible" claim.
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey, o_totalprice FROM orders
+    ),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 17 <> 3
+    )
+    SELECT 'baseline' AS ref, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE) AS sum_total
+    FROM v1
+    UNION ALL
+    SELECT 'latest', CAST(count(*) AS BIGINT),
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,8))), 2) AS DOUBLE)
+    FROM v2
+    """,
+    doc="Named-tag time travel UNDER VACUUM (sinks.versioned.create_tag): "
+    "v1 is tagged 'baseline', a CDC merge writes v2, then an aggressive "
+    "vacuum (keep_last=1, which would reclaim every untagged historical "
+    "version) runs — and the tagged read must still return v1's exact "
+    "numbers, because tags PIN their manifest and data through any "
+    "retention window. The reproducible-training-cut guarantee, proven "
+    "under the driver's value hash.",
+)
+def versioned_tag_pinned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..operators.aggregates import rounded_sum
+    from ..sinks.versioned import (
+        create_tag,
+        create_versioned_table,
+        merge_versioned_table,
+        read_versioned_table,
+        vacuum_versioned_table,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="versioned_tagged_") + "/t"
+    create_versioned_table(o, path, ["o_orderstatus"])
+    create_tag(spark, path, "baseline")
+    updates = (
+        o.where((k % 10 == 0) & (k % 17 != 3))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+        .withColumn("is_deleted", F.lit(False))
+    )
+    deletes = o.where(k % 17 == 3).withColumn("is_deleted", F.lit(True))
+    merge_versioned_table(
+        spark,
+        path,
+        updates.unionByName(deletes),
+        ["o_orderkey"],
+        ["o_orderstatus"],
+        delete_col="is_deleted",
+    )
+    # no writer is in flight here, so min_age_seconds=0 is safe; only
+    # the tag keeps v1 alive past keep_last=1
+    vacuum_versioned_table(spark, path, keep_last=1, min_age_seconds=0)
+
+    def stats(ref: str, **kw) -> DataFrame:
+        return read_versioned_table(spark, path, **kw).agg(
+            F.lit(ref).alias("ref"),
+            F.count(F.lit(1)).alias("n_rows"),
+            rounded_sum("o_totalprice", 2).alias("sum_total"),
+        )
+
+    return stats("baseline", tag="baseline").unionByName(stats("latest"))
+
+
+@register(
     "versioned_change_feed_cdc",
     # the oracle derives the expected change feed symbolically from the
     # same CDC recipe merge_versioned_time_travel applies: %10 keys
