@@ -62,3 +62,61 @@ def test_lpa_disjoint_cliques_converge_to_min_labels(spark):
     assert {got[10], got[11], got[12]} == {10}
     bridged = tri1 | tri2 | {(2, 10)}
     assert _spark_lpa(spark, bridged, 3) == _naive_lpa(bridged, 3)
+
+
+def _naive_bfs(und: set[tuple[int, int]], sources: set[int], rounds: int) -> dict[int, int]:
+    nbrs: dict[int, list[int]] = {}
+    for a, b in und:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    dist = {s: 0 for s in sources if s in nbrs}
+    for _ in range(rounds):
+        new = dict(dist)
+        for n, d in dist.items():
+            for m in nbrs[n]:
+                if m not in new or new[m] > d + 1:
+                    new[m] = d + 1
+        dist = new
+    return dist
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)), min_size=1, max_size=20
+    ),
+    rounds=st.integers(0, 4),
+)
+def test_bfs_relaxation_matches_sequential_reference(spark, pairs, rounds):
+    # mirror graph_bfs_distances' loop shape on a crafted symmetric
+    # edge list: rounds of min-relaxation == the <=rounds-hop truth
+    from pyspark.sql import functions as F
+
+    und = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    if not und:
+        return
+    sources = {n for p in und for n in p if n <= 3}
+    if not sources:
+        return
+    sym = [(a, b) for a, b in und] + [(b, a) for a, b in und]
+    edges = spark.createDataFrame(sym, "src int, dst int")
+    dist = (
+        edges.select(F.col("src").alias("node"))
+        .where(F.col("node") <= 3)
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(rounds):
+        relax = (
+            edges.join(dist.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg((F.min("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    got = {r.node: r.dist for r in dist.collect()}
+    assert got == _naive_bfs(und, sources, rounds)
