@@ -1111,6 +1111,67 @@ def eval_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "eval_threshold_sweep",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {_lr_score_sql()} AS score, CAST(label % 2 AS INT) AS y
+        FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    thresholds AS (SELECT CAST(unnest([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS DOUBLE) AS thr),
+    cells AS (
+        SELECT t.thr,
+               CAST(sum(CASE WHEN s.score >= t.thr AND s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s.score >= t.thr AND s.y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN s.score <  t.thr AND s.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        FROM scored s CROSS JOIN thresholds t
+        GROUP BY t.thr
+    )
+    SELECT thr, tp, fp, fn,
+           round(tp * 1.0 / nullif(tp + fp, 0), 6) AS precision,
+           round(tp * 1.0 / nullif(tp + fn, 0), 6) AS recall,
+           round(2.0 * tp / nullif(2 * tp + fp + fn, 0), 6) AS f1
+    FROM cells
+    """,
+    doc="Operating-point selection: confusion counts and precision/"
+    "recall/F1 at nine decision thresholds in ONE corpus scan — the "
+    "scored rows cross a 9-row broadcast threshold grid (work = 9x map "
+    "rows, zero extra scans or shuffles beyond the single 9-group "
+    "aggregate), so sweeping thresholds costs the same as scoring "
+    "once. All metrics are integer ratios rounded at 6 — no float "
+    "accumulation anywhere. Completes the eval stack: AUC ranks, "
+    "calibration checks probabilities, the sweep picks the cutoff.",
+)
+def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _embs(spark, sf_dir).where(F.col("embedding").isNotNull())
+    scored = emb.select(
+        _lr_score_col().alias("score"),
+        (F.col("label") % 2).cast("int").alias("y"),
+    )
+    thr = spark.range(1, 10).select((F.col("id") / 10.0).alias("thr"))
+    pred_pos = F.col("score") >= F.col("thr")
+    cells = (
+        scored.crossJoin(F.broadcast(thr))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(pred_pos & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(pred_pos & (F.col("y") == 0), 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(~pred_pos & (F.col("y") == 1), 1).otherwise(0)).cast("long").alias("fn"),
+        )
+    )
+    return cells.select(
+        "thr",
+        "tp",
+        "fp",
+        "fn",
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6).alias("precision"),
+        F.round(F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0)), 6).alias("recall"),
+        F.round(
+            2.0 * F.col("tp") / F.nullif(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(0)), 6
+        ).alias("f1"),
+    )
+
+
 def exact_auc(scored: DataFrame, score_col: str = "score", y_col: str = "y") -> DataFrame:
     """Exact midrank ROC-AUC of a (score, y∈{0,1}) DataFrame via the
     Mann-Whitney rank-sum identity on the VALUE-COUNTS contraction —
