@@ -51,25 +51,51 @@ def fuzzy_self_pairs(
     *,
     max_distance: int = 1,
     id_col: str | None = None,
+    max_variant_freq: int | None = 256,
 ) -> DataFrame:
     """All distinct string pairs ``(a, b)`` with ``a < b`` and
-    ``levenshtein(a, b) <= max_distance`` — exactly, via deletion-
-    neighborhood blocking + verify. Only ``max_distance=1`` is
-    supported (the completeness proof is specific to one edit;
-    larger k needs recursive deletion neighborhoods, which grow as
-    L^k — use MinHash/LSH families for looser matching)."""
+    ``levenshtein(a, b) <= max_distance``, via deletion-neighborhood
+    blocking + verify. Only ``max_distance=1`` is supported (the
+    completeness proof is specific to one edit; larger k needs
+    recursive deletion neighborhoods, which grow as L^k — use
+    MinHash/LSH families for looser matching).
+
+    Pairs are generated from GROUPED variant buckets (group by variant
+    -> sorted string list -> upper triangle), not a self-join — the
+    same shape as every other pair generator in this engine
+    (``llm.dedup._bucket_pairs``): one shuffle on the variant key, and
+    the deletion-neighborhood explode runs once, not twice.
+
+    ``max_variant_freq`` is the 100-TB skew guard (r4 review finding
+    #3): a variant shared by B strings emits B(B-1)/2 candidates, and
+    on real name corpora short common strings make B explode (every
+    length-1 string shares the empty-string variant). Buckets larger
+    than the cap are dropped BEFORE pair generation. The cap is a
+    RECALL knob: a true pair is lost only if every variant it collides
+    on is hotter than the cap, which for edit-distance-1 pairs means
+    >cap strings within distance 2 of each other — a degenerate
+    near-duplicate cluster better served by exact dedup first. On the
+    synthetic test corpora the hottest variant bucket is far below the
+    default (verified in tests), so the registered queries' quadratic
+    DuckDB oracles remain exact. ``None`` disables the guard."""
     if max_distance != 1:
         raise ValueError("fuzzy_self_pairs supports max_distance=1 only")
     strings = df.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
     exploded = strings.select(
         "s", F.explode(deletion_variants(F.col("s"))).alias("v")
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    grouped = exploded.groupBy("v").agg(F.sort_array(F.collect_set("s")).alias("__ss"))
+    grouped = grouped.where(F.size("__ss") >= 2)
+    if max_variant_freq is not None:
+        grouped = grouped.where(F.size("__ss") <= max_variant_freq)
+    pair_structs = F.expr(
+        "transform(__ss, (x, i) ->"
+        " transform(slice(__ss, i + 2, size(__ss)),"
+        " y -> struct(x AS name_a, y AS name_b)))"
+    )
     cands = (
-        a.join(b, F.col("a.v") == F.col("b.v"))
-        .where(F.col("a.s") < F.col("b.s"))
-        .select(F.col("a.s").alias("name_a"), F.col("b.s").alias("name_b"))
+        grouped.select(F.explode(F.flatten(pair_structs)).alias("p"))
+        .select(F.col("p.name_a").alias("name_a"), F.col("p.name_b").alias("name_b"))
         .distinct()
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
@@ -96,11 +122,22 @@ def fuzzy_join(
     # rows must each produce their pairs — deduping on row content
     # would silently merge them (r4 review finding). The ids only key
     # the multi-variant-candidate dedup and are dropped before return.
-    lv = left.withColumn("__lid", F.monotonically_increasing_id()).select(
-        "*", F.explode(deletion_variants(F.col(left_col))).alias("__v")
+    # localCheckpoint PINS the ids before the explode+join consumes
+    # them twice-removed: monotonically_increasing_id is assigned
+    # per-task, so under task retry / speculative execution a
+    # recomputed partition could re-key rows differently between the
+    # evaluations feeding the join, corrupting the (__lid, __rid)
+    # dedup (r4 advice). Materializing the stamped frame makes every
+    # downstream read see one fixed assignment.
+    lv = (
+        left.withColumn("__lid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+        .select("*", F.explode(deletion_variants(F.col(left_col))).alias("__v"))
     )
-    rv = right.withColumn("__rid", F.monotonically_increasing_id()).select(
-        "*", F.explode(deletion_variants(F.col(right_col))).alias("__v")
+    rv = (
+        right.withColumn("__rid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+        .select("*", F.explode(deletion_variants(F.col(right_col))).alias("__v"))
     )
     l, r = lv.alias("l"), rv.alias("r")
     joined = l.join(r, F.col("l.__v") == F.col("r.__v")).drop("__v")

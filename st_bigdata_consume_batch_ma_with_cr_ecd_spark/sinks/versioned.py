@@ -49,7 +49,7 @@ import json
 import re
 import time
 import uuid
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -526,7 +526,14 @@ def _bound_norm(v, col_type: str = ""):
       so string bounds truncate to the day here too; a datetime bound
       keeps its time (date promotes to timestamp in the row filter)
       EXCEPT exact midnight, which must collapse to the day string or
-      it sorts above the equal date stat and falsely skips."""
+      it sorts above the equal date stat and falsely skips.
+
+    Every string rewrite above is gated on TEMPORAL col_type: a bound
+    on a plain STRING column is returned verbatim — the 'T' -> ' '
+    rewrite would otherwise lexicographically LOWER any bound
+    containing 'T' (' ' sorts below every printable char: 'Tom' ->
+    ' om' < 'Bob') and falsely prune files, silently dropping rows
+    (r4 advice, high)."""
     import datetime as _dt
 
     if col_type.startswith("timestamp") and isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
@@ -538,7 +545,8 @@ def _bound_norm(v, col_type: str = ""):
     ):
         v = v.date()
     normed = _stat_norm(v)
-    if isinstance(normed, str):
+    temporal = col_type.startswith("timestamp") or col_type == "date"
+    if isinstance(normed, str) and temporal:
         # tolerate '2024-01-15T00:00:00' for a stat stored with ' '
         normed = normed.replace("T", " ")
         if col_type.startswith("timestamp"):
@@ -660,6 +668,28 @@ def read_versioned_table(
     col_types = {f.name: f.dataType.simpleString() for f in schema.fields}
     if range_filter:
         _check_filter_cols(range_filter, "range_filter")
+        # validate bound types UP FRONT (as point_filter does): a
+        # mistyped bound would otherwise surface as an uncontextualized
+        # TypeError from the raw </> inside the prune loop (r4 advice)
+        import datetime as _dt
+
+        for c, (lo, hi) in range_filter.items():
+            dt = col_types[c]
+            for bound in (lo, hi):
+                if bound is None:
+                    continue
+                if dt == "string":
+                    ok = isinstance(bound, str)
+                elif dt.startswith("timestamp") or dt == "date":
+                    ok = isinstance(bound, (str, _dt.date, _dt.datetime))
+                else:  # numeric families (int/bigint/double/decimal...)
+                    ok = isinstance(bound, (int, float)) and not isinstance(bound, bool)
+                if not ok:
+                    raise VersionedTableError(
+                        f"range_filter[{c!r}] bound {bound!r} has type "
+                        f"{type(bound).__name__}, not comparable to column "
+                        f"type {dt}"
+                    )
         norm = {
             c: (_bound_norm(lo, col_types[c]), _bound_norm(hi, col_types[c]))
             for c, (lo, hi) in range_filter.items()
@@ -819,7 +849,7 @@ def versioned_change_feed(
 def merge_versioned_table(
     spark: SparkSession,
     path: str,
-    changes: DataFrame,
+    changes: DataFrame | Callable[[DataFrame], DataFrame],
     keys: Sequence[str],
     partition_by: Sequence[str],
     *,
@@ -853,6 +883,15 @@ def merge_versioned_table(
     version swap are the same atomic rename, a crashed-and-replayed
     writer (e.g. a streaming foreachBatch epoch) can never
     double-apply, even under concurrent writers.
+
+    ``changes`` may also be a CALLABLE ``snapshot -> DataFrame``: it is
+    invoked INSIDE the retry loop with the attempt's fresh snapshot, so
+    read-modify-write patterns (e.g. add this delta to stored counts)
+    recompute against the post-race state instead of committing values
+    derived from a stale read — the lost-update fix for writers that
+    must read the table to build their change batch (r4 advice on
+    ``cms_batch_writer``). A plain DataFrame keeps the existing
+    semantics (changes independent of table state).
     """
     partition_by = list(partition_by)
     if delete_col is not None and delete_col in partition_by:
@@ -870,21 +909,22 @@ def merge_versioned_table(
                 f"partition_by mismatch: table has {manifest['partition_by']}"
             )
         snapshot = read_versioned_table(spark, path, version=v)
+        chg = changes(snapshot) if callable(changes) else changes
         schema_json = manifest["schema"]
         if allow_schema_evolution:
             known = set(snapshot.columns) | ({delete_col} if delete_col else set())
-            new_cols = [c for c in changes.columns if c not in known]
+            new_cols = [c for c in chg.columns if c not in known]
             if set(new_cols) & set(partition_by):
                 raise VersionedTableError("cannot evolve a partition column")
             for c in new_cols:
                 snapshot = snapshot.withColumn(
-                    c, F.lit(None).cast(changes.schema[c].dataType)
+                    c, F.lit(None).cast(chg.schema[c].dataType)
                 )
             if new_cols:
                 schema_json = snapshot.schema.json()
 
         batch_parts = [
-            r.asDict() for r in changes.select(*partition_by).distinct().collect()
+            r.asDict() for r in chg.select(*partition_by).distinct().collect()
         ]
         # No explicit broadcast hint on the change-key set: a large CDC
         # batch's distinct keys can exceed driver/executor memory, and
@@ -892,7 +932,7 @@ def merge_versioned_table(
         # runtime size is under the threshold — the hint would force it
         # unconditionally (r3 advisor finding). The left-semi stays a
         # shuffled hash join for big batches, which is the safe shape.
-        key_set = changes.select(*list(keys)).distinct()
+        key_set = chg.select(*list(keys)).distinct()
         old_parts = [
             r.asDict()
             for r in snapshot.join(key_set, on=list(keys), how="leftsemi")
@@ -916,7 +956,7 @@ def merge_versioned_table(
                 term = eq if term is None else term & eq
             clause = term if clause is None else clause | term
         merged = merge_upsert(
-            snapshot.where(clause), changes, list(keys), delete_col=delete_col
+            snapshot.where(clause), chg, list(keys), delete_col=delete_col
         ).localCheckpoint(eager=True)
 
         new_entries = [

@@ -171,7 +171,6 @@ def cms_batch_writer(
             create_versioned_table,
             list_versions,
             merge_versioned_table,
-            read_versioned_table,
         )
 
         spark = batch.sparkSession
@@ -186,21 +185,26 @@ def cms_batch_writer(
                 pass  # another writer / a replay created it — fine
         if batch.isEmpty():
             return  # nothing to add this epoch
-        delta = count_min_cells(batch, key_col, depth=depth, width=width)
-        current = read_versioned_table(spark, path)
+        # pin the delta once (deterministic per epoch) — the ADD side
+        # is recomputed per merge ATTEMPT instead: a stale pre-read
+        # would commit sums that overwrite a concurrent writer's counts
+        # if this merge loses the optimistic race and retries (r4
+        # advice: lost update). The callable receives each attempt's
+        # fresh snapshot, making read-add-merge atomic under the
+        # manifest-rename concurrency protocol.
+        delta = count_min_cells(batch, key_col, depth=depth, width=width).localCheckpoint(
+            eager=True
+        )
         d = delta.select("row", "bucket", F.col("c").alias("__d"))
-        c = current.select("row", "bucket", F.col("c").alias("__c"))
-        # no isEmpty() pre-check here: a non-empty batch guarantees a
-        # non-empty delta, and materializing `summed` twice (guard +
-        # merge) would pay the table read + join twice per micro-batch
-        summed = (
-            d.join(c, ["row", "bucket"], "left")
-            .select(
+
+        def summed(snapshot: DataFrame) -> DataFrame:
+            c = snapshot.select("row", "bucket", F.col("c").alias("__c"))
+            return d.join(c, ["row", "bucket"], "left").select(
                 F.col("row").cast("int").alias("row"),
                 F.col("bucket").cast("long").alias("bucket"),
                 (F.col("__d") + F.coalesce(F.col("__c"), F.lit(0))).cast("long").alias("c"),
             )
-        )
+
         merge_versioned_table(
             spark,
             path,

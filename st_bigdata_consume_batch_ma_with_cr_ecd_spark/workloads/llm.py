@@ -3696,52 +3696,60 @@ def stats_exact_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-def _kmeans_oracle(k: int = 4, dim: int = 8) -> str:
-    """Two fully-unrolled Lloyd iterations in SQL, generated so the
-    arithmetic ORDER matches the Spark operator exactly: squared-L2
+def _kmeans_oracle(k: int = 4, dim: int = 8, iters: int = 2) -> str:
+    """``iters`` fully-unrolled Lloyd iterations in SQL, generated so
+    the arithmetic ORDER matches the Spark operator exactly: squared-L2
     terms accumulate left-to-right in dimension order (bit-identical
     doubles on both engines), centroid means are CAST(exact-decimal-sum
     AS DOUBLE)/n, argmin ties break on the lowest cluster id, and an
-    empty cluster keeps its previous centroid."""
+    empty cluster keeps its previous centroid. The generator unrolls an
+    arbitrary depth (r4 review ask #7: prove the decimal-exact
+    determinism contract doesn't decay with iteration count)."""
     vlist = ", ".join(f"CAST(embedding[{i + 1}] AS DOUBLE)" for i in range(dim))
     dist = " + ".join(f"(v[{i + 1}] - cv[{i + 1}]) * (v[{i + 1}] - cv[{i + 1}])" for i in range(dim))
     means = ", ".join(
         f"CAST(sum(CAST(v[{i + 1}] AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS m{i + 1}"
         for i in range(dim)
     )
-    cent2 = ", ".join(f"coalesce(m.m{i + 1}, i.cv[{i + 1}])" for i in range(dim))
+    cent_next = ", ".join(f"coalesce(m.m{i + 1}, i.cv[{i + 1}])" for i in range(dim))
     out_sums = ", ".join(
         f"CAST(round(sum(CAST(v[{i + 1}] AS DECIMAL(38,12))), 6) AS DOUBLE) AS s{i + 1}"
         for i in range(dim)
     )
-    return f"""
-    WITH e AS (
+
+    def assign(it: int, cents: str) -> str:
+        return f"""
+    d{it} AS (
+        SELECT e.vec_id, e.v, i.c, {dist} AS d FROM e CROSS JOIN {cents} i
+    ),
+    a{it} AS (
+        SELECT vec_id, v, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
+            FROM d{it}
+        ) WHERE rn = 1
+    )"""
+
+    ctes = [
+        f"""e AS (
         SELECT vec_id, [{vlist}] AS v FROM embeddings WHERE embedding IS NOT NULL
-    ),
-    init AS (SELECT CAST(vec_id AS INT) AS c, v AS cv FROM e WHERE vec_id < {k}),
-    d1 AS (
-        SELECT e.vec_id, e.v, i.c, {dist} AS d FROM e CROSS JOIN init i
-    ),
-    a1 AS (
-        SELECT vec_id, v, c FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
-            FROM d1
-        ) WHERE rn = 1
-    ),
-    m1 AS (SELECT c, {means} FROM a1 GROUP BY c),
-    cent2 AS (
-        SELECT i.c, [{cent2}] AS cv FROM init i LEFT JOIN m1 m ON i.c = m.c
-    ),
-    d2 AS (
-        SELECT e.vec_id, e.v, i.c, {dist} AS d FROM e CROSS JOIN cent2 i
-    ),
-    a2 AS (
-        SELECT vec_id, v, c FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, c ASC) AS rn
-            FROM d2
-        ) WHERE rn = 1
-    )
-    SELECT c, CAST(count(*) AS BIGINT) AS n, {out_sums} FROM a2 GROUP BY c
+    )""",
+        f"init AS (SELECT CAST(vec_id AS INT) AS c, v AS cv FROM e WHERE vec_id < {k})",
+    ]
+    cents = "init"
+    for it in range(1, iters):
+        ctes.append(assign(it, cents).strip())
+        ctes.append(f"m{it} AS (SELECT c, {means} FROM a{it} GROUP BY c)")
+        ctes.append(
+            f"""cent{it + 1} AS (
+        SELECT i.c, [{cent_next}] AS cv FROM {cents} i LEFT JOIN m{it} m ON i.c = m.c
+    )"""
+        )
+        cents = f"cent{it + 1}"
+    ctes.append(assign(iters, cents).strip())
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT c, CAST(count(*) AS BIGINT) AS n, {out_sums} FROM a{iters} GROUP BY c
     """
 
 
@@ -3763,9 +3771,18 @@ def _kmeans_oracle(k: int = 4, dim: int = 8) -> str:
     tags=("bench",),
 )
 def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kmeans_lloyd_query(spark, sf_dir, iters=2)
+
+
+def _kmeans_lloyd_query(
+    spark: SparkSession, sf_dir: str, *, iters: int, k: int = 4, dim: int = 8
+) -> DataFrame:
+    """Shared Spark side of the kmeans_lloyd_{N}iter queries: seed with
+    the first k vectors, run ``iters - 1`` Lloyd updates, then hash the
+    final assignment's per-cluster counts + decimal-rounded dim sums
+    (which pin the iteration-``iters`` centroids exactly)."""
     from ..llm.similarity import _assign_cluster, kmeans_lloyd
 
-    k, dim = 4, 8
     embs = _embs(spark, sf_dir).where(F.col("embedding").isNotNull())
     vec = F.transform(F.slice(F.col("embedding"), 1, dim), lambda x: x.cast("double"))
     seeds = [
@@ -3775,9 +3792,9 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("vec_id")
         .collect()
     ]
-    cents1 = kmeans_lloyd(embs, "embedding", k=k, dim=dim, iters=1, init=seeds)
+    cents = kmeans_lloyd(embs, "embedding", k=k, dim=dim, iters=iters - 1, init=seeds)
     assigned = embs.select(vec.alias("__v")).withColumn(
-        "c", _assign_cluster(F.col("__v"), cents1)
+        "c", _assign_cluster(F.col("__v"), cents)
     )
     sum_cols = [
         F.round(F.sum(F.element_at("__v", i + 1).cast("decimal(38,12)")), 6)
@@ -3786,3 +3803,21 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(dim)
     ]
     return assigned.groupBy("c").agg(F.count(F.lit(1)).alias("n"), *sum_cols)
+
+
+@register(
+    "kmeans_lloyd_4iter",
+    oracle=_kmeans_oracle(iters=4),
+    doc="kmeans_lloyd_2iter at double the iteration depth (r4 review "
+    "ask #7): three Lloyd updates then the fourth assignment's "
+    "per-cluster counts and decimal-rounded dimension sums, against a "
+    "four-deep unrolled SQL oracle. Every iteration compounds the "
+    "previous one's float means, so a single bit of "
+    "accumulation-order divergence anywhere would avalanche by "
+    "iteration 4 — a green hash certifies the determinism contract "
+    "(dimension-ordered distance terms, decimal-exact means, "
+    "lowest-id tiebreak, empty-cluster carry) holds under iteration, "
+    "not just once.",
+)
+def kmeans_lloyd_4iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kmeans_lloyd_query(spark, sf_dir, iters=4)

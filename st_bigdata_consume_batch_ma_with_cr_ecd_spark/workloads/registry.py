@@ -58,17 +58,17 @@ REGISTRY: dict[str, QuerySpec] = {}
 # re-verifies them even if a past round checked the old behavior.
 FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # r4: the four r3 hash-red rows — root cause was DuckDB integer
-        # sums returning HUGEINT, which pandas fetch paths coerce to
-        # float64 ("3.0" vs Spark's "3"); oracles now CAST(... AS
-        # BIGINT) so the twin output dtypes are exactly symmetric.
-        # Forced so their first post-fix driver record lands this round.
-        "pipeline_consume_batch_e2e",
-        "skew_join_unsalted_hot",
-        "skew_join_salted_hot",
-        "q12_priority_shipping",
+        # r5: the change-feed union-schema path (sinks/versioned.py) is
+        # now exercised by a registered query for the first time; no
+        # previously-checked query changed semantics this round.
     }
 )
+
+# Queries pinned into EVERY driver window regardless of rotation age
+# (r4 review ask #8): the consume-batch e2e composes the entire
+# reference §2 surface in one hash, so a regression anywhere in that
+# chain must never hide for the ~3 rounds a full rotation takes.
+ALWAYS_CHECK: frozenset[str] = frozenset({"pipeline_consume_batch_e2e"})
 
 _MATCH_FLAGS = ("rows_match", "schema_match", "hash_match")
 
@@ -77,10 +77,18 @@ def _entry_passed(entry: object) -> bool:
     """A driver record row counts as "checked" only if it PASSED: any
     ``err`` or false match flag means the row must re-enter the next
     window (the rotation is also a retry queue for failures — r3 review
-    ask #2). Unknown shapes count as passed (conservative: don't let a
-    record-format change resurrect the whole registry at once)."""
+    ask #2). Exception: ``err == "no_oracle"`` with ``spark_rows > 0``
+    IS the driver's full rows-only contract for oracle-less queries
+    (``__spark_entry__`` registers no SQL twin on purpose), so it
+    counts as checked — otherwise those queries re-enter every window
+    forever and permanently leak slots (r4 review ask #2). Unknown
+    shapes count as passed (conservative: don't let a record-format
+    change resurrect the whole registry at once)."""
     if not isinstance(entry, dict):
         return True
+    if entry.get("err") == "no_oracle":
+        rows = entry.get("spark_rows")
+        return isinstance(rows, int) and rows > 0
     if entry.get("err"):
         return False
     return all(bool(entry.get(f, True)) for f in _MATCH_FLAGS)
@@ -128,10 +136,10 @@ def _first_registered() -> dict[str, int]:
 
 
 def _ordered_specs() -> list[QuerySpec]:
-    """Registry specs in rotation order: least-recently-driver-checked
-    first (never-checked and FORCE_RECHECK lead), oldest-registered
-    then registration order as the tiebreaks — deterministic for a
-    given set of record files.
+    """Registry specs in rotation order: ALWAYS_CHECK pins first, then
+    least-recently-driver-checked (never-checked and FORCE_RECHECK
+    lead), oldest-registered then registration order as the tiebreaks —
+    deterministic for a given set of record files.
 
     FORCE_RECHECK is SELF-EXPIRING: it front-runs the window only until
     the driver's newest record file contains the query (i.e. the
@@ -145,7 +153,9 @@ def _ordered_specs() -> list[QuerySpec]:
 
     def sort_key(spec: QuerySpec) -> tuple[int, int, int]:
         rnd = last.get(spec.name)
-        if spec.name in FORCE_RECHECK and (rnd is None or rnd < newest):
+        if spec.name in ALWAYS_CHECK:
+            rnd = -2  # pinned into every window, ahead of everything
+        elif spec.name in FORCE_RECHECK and (rnd is None or rnd < newest):
             rnd = -1  # ahead even of never-checked: semantics changed
         elif rnd is None:
             rnd = 0

@@ -1869,6 +1869,77 @@ def versioned_concurrent_writers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "versioned_schema_evolution_cdf",
+    # the strongest remaining lakehouse claim under a driver hash (r4
+    # review ask #6): add-only schema evolution THROUGH the change
+    # feed. v2 evolves the table with a new column; v3 updates ONLY the
+    # evolved column. The union-schema diff (sinks/versioned.py) must
+    # (a) carry the evolved column's payloads for the evolution merge
+    # and (b) classify an evolved-column-only change as an update —
+    # pinning the FROM schema would emit neither.
+    oracle="""
+    SELECT o_orderkey, 'update' AS change_type,
+           o_totalprice AS o_totalprice_before,
+           o_totalprice AS o_totalprice_after,
+           CAST(NULL AS DOUBLE) AS priority_score_before,
+           o_totalprice + 500.0 AS priority_score_after,
+           'v1v2' AS span
+    FROM orders WHERE o_orderkey % 7 = 0
+    UNION ALL
+    SELECT o_orderkey, 'update',
+           o_totalprice, o_totalprice,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+                ELSE CAST(NULL AS DOUBLE) END,
+           CAST(-1.0 AS DOUBLE),
+           'v2v3'
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    doc="Schema evolution through the CDC change feed "
+    "(sinks.versioned): merge with allow_schema_evolution=True adds "
+    "priority_score for %7 keys (v2), then a second merge updates "
+    "ONLY the evolved column for %5 keys (v3). Both feeds diff under "
+    "the UNION of the versions' schemas, so evolution payloads appear "
+    "(null-before -> value-after) and evolved-only updates classify "
+    "as updates; pre-evolution rows read the column as typed null. "
+    "The oracle replays both recipes symbolically.",
+)
+def versioned_schema_evolution_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sinks.versioned import (
+        create_versioned_table,
+        merge_versioned_table,
+        versioned_change_feed,
+    )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    k = F.col("o_orderkey")
+    path = tempfile.mkdtemp(prefix="versioned_evo_cdf_") + "/t"
+    create_versioned_table(o, path, ["o_orderstatus"])
+    evo = o.where(k % 7 == 0).withColumn(
+        "priority_score", F.col("o_totalprice") + F.lit(500.0)
+    )
+    merge_versioned_table(
+        spark, path, evo, ["o_orderkey"], ["o_orderstatus"],
+        allow_schema_evolution=True,
+    )
+    upd = o.where(k % 5 == 0).withColumn("priority_score", F.lit(-1.0))
+    merge_versioned_table(spark, path, upd, ["o_orderkey"], ["o_orderstatus"])
+
+    def feed(v_from: int, v_to: int, span: str) -> DataFrame:
+        return versioned_change_feed(
+            spark,
+            path,
+            ["o_orderkey"],
+            from_version=v_from,
+            to_version=v_to,
+            compare_cols=["o_totalprice", "priority_score"],
+        ).withColumn("span", F.lit(span))
+
+    return feed(1, 2, "v1v2").unionByName(feed(2, 3, "v2v3"))
+
+
+@register(
     "dq_expectation_suite",
     oracle="""
     WITH m AS (

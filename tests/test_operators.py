@@ -678,6 +678,74 @@ def test_fuzzy_self_pairs_equals_quadratic_reference(spark):
     assert ("axel", "axle", 2) not in got  # transposition = 2 edits, excluded
 
 
+def test_fuzzy_self_pairs_hot_variant_cap_prunes_before_pairs(spark):
+    # r4 review finding #3: a variant shared by B strings must not emit
+    # B(B-1)/2 candidates once B exceeds the cap. Craft a hot variant:
+    # every length-1 string shares the empty-string deletion variant,
+    # so "a".."h" form one 8-string bucket. With the cap below 8 the
+    # bucket is dropped wholesale (those pairs ALSO collide nowhere
+    # else); an unrelated cold pair must still survive.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import (
+        fuzzy_self_pairs,
+    )
+
+    hot = [chr(ord("a") + i) for i in range(8)]  # all pairwise dist 1
+    cold = ["kitten", "mitten"]
+    df = spark.createDataFrame([(n,) for n in hot + cold], "name string")
+
+    capped = {(r.name_a, r.name_b) for r in
+              fuzzy_self_pairs(df, "name", max_variant_freq=4).collect()}
+    assert capped == {("kitten", "mitten")}, "hot bucket must be pruned, cold kept"
+
+    # cap disabled -> the full quadratic truth comes back
+    uncapped = {(r.name_a, r.name_b) for r in
+                fuzzy_self_pairs(df, "name", max_variant_freq=None).collect()}
+    import itertools
+
+    assert uncapped == {("kitten", "mitten")} | set(
+        itertools.combinations(sorted(hot), 2)
+    )
+
+
+def test_fuzzy_self_pairs_plan_has_no_self_join(spark):
+    # pairs come from grouped variant buckets (one shuffle), never a
+    # variant self-join that would run the explode twice and meet a
+    # hot key with a join — same plan contract as the LSH generators
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import (
+        fuzzy_self_pairs,
+    )
+
+    df = spark.createDataFrame([("kitten",), ("mitten",)], "name string")
+    plan = fuzzy_self_pairs(df, "name")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_default_variant_cap_lossless_on_testdata(spark, sf_dir):
+    # the registered fuzzy queries keep exact quadratic oracles, which
+    # is only sound while no customer-name variant bucket approaches
+    # the default cap — pin the actual hottest bucket with headroom
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import (
+        deletion_variants,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        read_testdata,
+    )
+    from pyspark.sql import functions as F
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    hottest = (
+        cust.select(F.col("c_name").alias("s")).where(F.col("s").isNotNull()).distinct()
+        .select(F.explode(deletion_variants(F.col("s"))).alias("v"), "s")
+        .groupBy("v").agg(F.countDistinct("s").alias("n"))
+        .agg(F.max("n").alias("m")).collect()[0].m
+    )
+    assert hottest <= 64, (
+        f"hottest variant bucket {hottest} is within 4x of the default cap "
+        "(256) — the quadratic oracles for fuzzy_name_matching / "
+        "entity_resolution_canonical are no longer provably lossless"
+    )
+
+
 def test_fuzzy_join_two_tables(spark):
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import fuzzy_join
 

@@ -82,6 +82,98 @@ def test_merge_retries_after_losing_commit_race(spark, tmp_path):
     assert (1, "A", 11.0) in rows(read_versioned_table(spark, path))
 
 
+def test_merge_callable_changes_recompute_against_retry_snapshot(spark, tmp_path):
+    # r5 advice fix: a read-modify-write merge (CMS add) must not
+    # commit values derived from a pre-race snapshot. Pass changes as a
+    # callable; make its FIRST invocation trigger a concurrent commit
+    # (so the outer merge loses the manifest race), and assert the
+    # retry's result includes the concurrent writer's update — the
+    # lost-update scenario, made deterministic.
+    path = str(tmp_path / "t")
+    create_versioned_table(
+        spark.createDataFrame([(1, "A", 10.0)], "id long, part string, val double"),
+        path,
+        ["part"],
+    )
+    calls = {"n": 0}
+
+    def add_five(snapshot):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # concurrent writer bumps id=1 to 100.0 AFTER our snapshot
+            # was taken but BEFORE our commit: we must lose the race
+            merge_versioned_table(
+                spark,
+                path,
+                spark.createDataFrame([(1, "A", 100.0)], "id long, part string, val double"),
+                ["id"],
+                ["part"],
+            )
+        return snapshot.where(F.col("id") == 1).select(
+            "id", "part", (F.col("val") + F.lit(5.0)).alias("val")
+        )
+
+    merge_versioned_table(spark, path, add_five, ["id"], ["part"])
+    assert calls["n"] == 2, "callable must re-run against the retry snapshot"
+    # 100 + 5, NOT 10 + 5: the concurrent write survives the retry
+    assert rows(read_versioned_table(spark, path)) == {(1, "A", 105.0)}
+
+
+def test_cms_writer_add_survives_interleaved_concurrent_merge(spark, tmp_path):
+    # the same lost-update contract at the cms_batch_writer level: a
+    # concurrent cell bump between the writer's snapshot and commit
+    # must be summed into the final grid, not overwritten
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.sinks import (
+        cms_batch_writer,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks import versioned as vmod
+
+    table = str(tmp_path / "cms")
+    writer = cms_batch_writer(table, "user_id", depth=3, width=16, app_id="w1")
+    writer(spark.createDataFrame([("u1",)], "user_id string"), 0)
+    base = {
+        (r.row, r.bucket): r.c for r in read_versioned_table(spark, table).collect()
+    }
+    assert base and all(c == 1 for c in base.values())
+
+    # interleave: while epoch-1's merge is in flight, another writer
+    # commits the same single-key delta (u1 again). Patch the merge the
+    # writer calls so the first changes-callable invocation performs
+    # the concurrent commit.
+    real_merge = vmod.merge_versioned_table
+    state = {"fired": False}
+
+    def racing_merge(sp, p, changes, keys, parts, **kw):
+        def chg(snapshot):
+            if not state["fired"]:
+                state["fired"] = True
+                writer2 = cms_batch_writer(table, "user_id", depth=3, width=16, app_id="w2")
+                writer2(spark.createDataFrame([("u1",)], "user_id string"), 0)
+            return changes(snapshot)
+
+        return real_merge(sp, p, chg if callable(changes) else changes, keys, parts, **kw)
+
+    import st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.sinks as ssinks
+
+    orig = ssinks.__dict__.get("merge_versioned_table")
+    try:
+        vmod_merge = vmod.merge_versioned_table
+        vmod.merge_versioned_table = racing_merge
+        # the writer imports inside the function body from ..sinks.versioned,
+        # so patching the module attribute is what it sees
+        writer(spark.createDataFrame([("u1",)], "user_id string"), 1)
+    finally:
+        vmod.merge_versioned_table = vmod_merge
+        if orig is not None:
+            ssinks.merge_versioned_table = orig
+    final = {
+        (r.row, r.bucket): r.c for r in read_versioned_table(spark, table).collect()
+    }
+    # three u1 increments total (epoch 0, concurrent, epoch 1): every
+    # touched cell must read 3 — a stale-snapshot commit would leave 2
+    assert final == {k: 3 for k in base}
+
+
 def test_emptied_partition_drops_entry_but_stays_in_history(spark, tmp_path):
     path = str(tmp_path / "t")
     create_versioned_table(_base(spark), path, ["part"])
@@ -755,6 +847,48 @@ def test_range_filter_boundary_normalizations(spark, tmp_path):
         spark, path, range_filter={"d": ("2024-01-16 12:00:00", None)}
     )
     assert {r.id for r in got3.collect()} == {1, 2}
+
+
+def test_range_filter_string_column_bound_with_T_not_rewritten(spark, tmp_path):
+    # r5 advice (high): the ISO 'T'->' ' rewrite must be gated on
+    # temporal columns. On a plain STRING column a bound containing 'T'
+    # ('Tom' -> ' om', and ' ' sorts below every printable char) used to
+    # lexicographically LOWER the upper bound and falsely prune files —
+    # silently dropping rows and breaking full-scan equivalence.
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "A", "Alice"), (2, "A", "Bob"), (3, "A", "Tom"), (4, "A", "Zed")],
+        "id long, part string, name string",
+    ).repartitionByRange(4, "name")
+    create_versioned_table(df, path, ["part"])
+
+    got = read_versioned_table(spark, path, range_filter={"name": (None, "Tom")})
+    # full-scan equivalence: same rows as a plain <= filter
+    assert {r.id for r in got.collect()} == {1, 2, 3}
+    # lower bound with 'T' symmetric case
+    got2 = read_versioned_table(spark, path, range_filter={"name": ("Tom", None)})
+    assert {r.id for r in got2.collect()} == {3, 4}
+    # and an actual-T-containing exact match survives skipping
+    got3 = read_versioned_table(spark, path, range_filter={"name": ("Tom", "Tom")})
+    assert {r.id for r in got3.collect()} == {3}
+    assert len(got3.inputFiles()) < 4  # zone maps still skip
+
+
+def test_range_filter_rejects_mistyped_bound(spark, tmp_path):
+    # r5 advice: a bound not comparable to the column's stats used to
+    # raise a bare TypeError from inside the prune loop; the read must
+    # refuse it up front, naming the column
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "A", "x", 1.0)], "id long, part string, name string, val double"
+    )
+    create_versioned_table(df, path, ["part"])
+    with pytest.raises(VersionedTableError, match="name"):
+        read_versioned_table(spark, path, range_filter={"name": (1, 2)})
+    with pytest.raises(VersionedTableError, match="val"):
+        read_versioned_table(spark, path, range_filter={"val": ("low", None)})
+    with pytest.raises(VersionedTableError, match="val"):
+        read_versioned_table(spark, path, range_filter={"val": (None, True)})
 
 
 def test_bloom_point_filter_rejects_mistyped_probe(spark, tmp_path):

@@ -78,6 +78,7 @@ def test_driver_window_rotation_invariants():
         queries_map,
     )
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.registry import (
+        ALWAYS_CHECK,
         FORCE_RECHECK,
         _last_checked_round,
     )
@@ -85,14 +86,17 @@ def test_driver_window_rotation_invariants():
     order = list(queries_map())
     assert sorted(order) == sorted(REGISTRY), "rotation must be a permutation"
     assert order == list(queries_map()), "rotation must be deterministic"
-    missing = [n for n in FORCE_RECHECK if n not in REGISTRY]
-    assert not missing, f"FORCE_RECHECK names not registered: {missing}"
+    missing = [n for n in (FORCE_RECHECK | ALWAYS_CHECK) if n not in REGISTRY]
+    assert not missing, f"FORCE_RECHECK/ALWAYS_CHECK names not registered: {missing}"
 
     last = _last_checked_round()
     newest = max(last.values(), default=0)
 
     def rank(name):
         rnd = last.get(name)
+        # ALWAYS_CHECK pins into every window, ahead of everything
+        if name in ALWAYS_CHECK:
+            return -2
         # FORCE_RECHECK self-expires once the newest record covers it
         if name in FORCE_RECHECK and (rnd is None or rnd < newest):
             return -1
@@ -140,16 +144,38 @@ def test_rotation_treats_failed_driver_rows_as_unchecked(tmp_path):
     assert not reg._entry_passed(record["red_err_q"])
     # unknown shapes stay conservative (format change != mass recheck)
     assert reg._entry_passed("not-a-dict")
-    # and the real repo records agree: the four r3 red rows are absent
-    # from the r3 "checked" view, so they lead the r4 window.
-    real_last = reg._last_checked_round()
-    for name in (
-        "pipeline_consume_batch_e2e",
-        "skew_join_unsalted_hot",
-        "skew_join_salted_hot",
-        "q12_priority_shipping",
-    ):
-        assert real_last.get(name, 0) < 3, f"{name} must re-enter the window"
+    # no_oracle + rows IS the driver's full rows-only contract — counts
+    # as checked (r4 review ask #2: no permanent slot leak)...
+    assert reg._entry_passed({"err": "no_oracle", "spark_rows": 50})
+    # ...but a rows-only query that returned NOTHING must re-enter
+    assert not reg._entry_passed({"err": "no_oracle", "spark_rows": 0})
+    assert not reg._entry_passed({"err": "no_oracle"})
+    # and the real repo records agree, in a record-robust way: for every
+    # query (not just the four r3 red rows), _last_checked_round must
+    # equal the max round whose row for that name satisfies
+    # _entry_passed — a pure consistency replay that holds no matter
+    # which rounds' records exist or what color future rows are (the r4
+    # review flagged the previous tail for hard-coding the pre-r4
+    # record snapshot).
+    import json as _json2
+    from pathlib import Path as _Path
+
+    root = _Path(reg.__file__).resolve().parents[2]
+    expected: dict[str, int] = {}
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            record = _json2.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if isinstance(record, dict):
+            for name, entry in record.items():
+                if reg._entry_passed(entry):
+                    expected[name] = max(expected.get(name, 0), rnd)
+    assert reg._last_checked_round() == expected
 
 
 def test_bench_tagged_queries_have_oracles():
