@@ -51,11 +51,19 @@ def connected_components(
     src < dst (LSH candidate pairs are); duplicate edges would only
     inflate the per-round join, never change the result.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # checkpoint the DIRECTED edges BEFORE symmetrizing: the union's
+    # two branches would otherwise each evaluate the upstream pair
+    # pipeline (shuffle reuse does not always cover both sides), so an
+    # expensive generator (FastSS blocking, LSH banding) ran twice
+    # before round 0 — measured ~1.4x on the ER capstone (r5 bench).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     if not edges_distinct:
-        sym = sym.distinct()
-    sym = sym.localCheckpoint(eager=True)  # reused every round — cut the source plan
+        # the distinct shuffles the doubled edge list; materialize it
+        # so the per-round joins replay in-memory blocks, not the plan
+        sym = sym.distinct().localCheckpoint(eager=True)
 
     # each round's aggregate carries the node's previous label through
     # as __own, so the convergence probe is a filter over the freshly
@@ -67,7 +75,14 @@ def connected_components(
     converged = False
     for it in range(max_iter):
         own = labels.select("node", "label", F.col("label").alias("__own"))
-        neighbor_labels = sym.join(
+        # explicit sort-merge hint: BOTH sides of the round join are
+        # data-sized (2 rows per edge, 1 per node), so broadcast is
+        # never the right strategy at scale — and Catalyst's size
+        # estimate for explode-generated pair plans (grouped-bucket
+        # generators) is a severe UNDERestimate, which otherwise makes
+        # AQE broadcast the entire edge list every round (measured 2x
+        # slower per round at sf0.1, an OOM at 100 TB).
+        neighbor_labels = sym.hint("merge").join(
             labels.withColumnRenamed("node", "dst"), on="dst"
         ).select(F.col("src").alias("node"), "label", null_label.alias("__own"))
         new_labels = (
@@ -150,10 +165,13 @@ def connected_components_star(
         # symmetric neighborhoods
         sym = df.unionByName(df.select(F.col("b").alias("a"), F.col("a").alias("b")))
         m = sym.groupBy("a").agg(F.least(F.min("b"), F.col("a")).alias("m"))
-        # v > u re-points at m(u); output in parent-pointer form (m < v)
+        # v > u re-points at m(u); output in parent-pointer form (m < v).
+        # merge hint: m is node-sized (data-sized at scale) and pair-
+        # generator plans underestimate sizes, so an AQE broadcast of m
+        # would OOM at 100 TB (same guard as connected_components).
         out = (
             sym.where(F.col("b") > F.col("a"))
-            .join(m, "a")
+            .join(m.hint("merge"), "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
         )
         return out.where(F.col("a") != F.col("b")).distinct()
@@ -161,7 +179,7 @@ def connected_components_star(
     def small_star(df: DataFrame) -> DataFrame:
         # df already has b < a: Γ⁻ neighborhoods are exactly the edges
         m = df.groupBy("a").agg(F.min("b").alias("m"))
-        with_m = df.join(m, "a")
+        with_m = df.join(m.hint("merge"), "a")
         # each smaller neighbor b re-points at m(a)...
         repoint = with_m.select(F.col("b").alias("a"), F.col("m").alias("b"))
         # ...and a keeps its pointer to m(a)
@@ -227,8 +245,13 @@ def assign_cluster_ids(
     comps = connected_components(
         pairs, pair_a, pair_b, max_iter=max_iter, edges_distinct=pairs_distinct
     )
+    # merge hint for the same reason as the closure's round join: comps
+    # is node-sized (data-sized at scale), and its size estimate is
+    # inherited from the pair generator's plan, which grouped-bucket
+    # generators UNDERestimate — an unguarded AQE broadcast of the
+    # whole component map is an OOM at 100 TB.
     joined = items.join(
-        comps.withColumnRenamed("node", id_col), on=id_col, how="left"
+        comps.hint("merge").withColumnRenamed("node", id_col), on=id_col, how="left"
     )
     return joined.withColumn(
         "cluster_id", F.coalesce(F.col("label"), F.col(id_col))

@@ -69,10 +69,11 @@ def test_readme_query_count_in_sync():
 
 def test_driver_window_rotation_invariants():
     # The driver's correctness gate evaluates a bounded prefix of
-    # queries() (50 of 131). The rotation must put least-recently
-    # driver-checked queries first: FORCE_RECHECK, then never-checked,
-    # then stalest round — registration order as tiebreak — and be a
-    # permutation of the registry.
+    # queries() (~50 of the registry). The rotation must put
+    # least-recently driver-checked queries first: ALWAYS_CHECK pins,
+    # then FORCE_RECHECK, then never-checked, then stalest round —
+    # registration order as tiebreak — and be a permutation of the
+    # registry.
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import (
         REGISTRY,
         queries_map,

@@ -63,3 +63,54 @@ def test_range_filter_equals_scan_plus_filter(spark, tmp_path_factory, case):
         and (hi is None or v <= hi)
     }
     assert got == want, (vals, parts, lo, hi, n_files)
+
+
+# r5 advice (high): the ISO 'T'->' ' bound rewrite silently corrupted
+# STRING-column range filters. Same full-scan-equivalence property,
+# now over adversarial strings — 'T' anywhere, spaces, empties,
+# prefix-of-each-other pairs — where any residual bound rewriting
+# would misorder the zone-map compare and drop rows.
+_STR = st.text(alphabet="TAb Tz", min_size=0, max_size=6)
+
+
+@st.composite
+def string_table_and_bounds(draw):
+    n = draw(st.integers(1, 30))
+    vals = draw(st.lists(st.one_of(st.none(), _STR), min_size=n, max_size=n))
+    lo = draw(st.one_of(st.none(), _STR))
+    hi = draw(st.one_of(st.none(), _STR))
+    n_files = draw(st.integers(1, 4))
+    return vals, lo, hi, n_files
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(string_table_and_bounds())
+def test_string_range_filter_equals_scan_plus_filter(spark, tmp_path_factory, case):
+    vals, lo, hi, n_files = case
+    if lo is None and hi is None:
+        lo = "T"
+    path = str(tmp_path_factory.mktemp("zms") / "t")
+    rows = [(i, "A", vals[i]) for i in range(len(vals))]
+    df = spark.createDataFrame(rows, "id long, part string, name string").repartition(
+        n_files
+    )
+    create_versioned_table(df, path, ["part"])
+
+    got = {
+        r.id
+        for r in read_versioned_table(
+            spark, path, range_filter={"name": (lo, hi)}
+        ).collect()
+    }
+    want = {
+        i
+        for i, v in enumerate(vals)
+        if v is not None
+        and (lo is None or v >= lo)
+        and (hi is None or v <= hi)
+    }
+    assert got == want, (vals, lo, hi, n_files)
