@@ -288,9 +288,14 @@ def kcore_peel(
             .where(F.col("__deg") >= k)
             .select(F.col(src).alias("__node"))
         )
+        # merge hints: the round-1 keep-set is nearly node-sized (only
+        # later rounds shrink it), and library callers can feed
+        # explode-generated edge lists whose size estimates are bogus
+        # underestimates (see connected_components) — a mis-broadcast
+        # of the keep-set is an OOM at 100 TB.
         edges = (
-            edges.join(keep.select(F.col("__node").alias(src)), src)
-            .join(keep.select(F.col("__node").alias(dst)), dst)
+            edges.join(keep.select(F.col("__node").alias(src)).hint("merge"), src)
+            .join(keep.select(F.col("__node").alias(dst)).hint("merge"), dst)
             .select(src, dst)
             .localCheckpoint(eager=True)
         )
@@ -327,8 +332,10 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     for _ in range(rounds):
+        # merge hint on the node-sized label vector — same
+        # mis-broadcast guard as connected_components' round join
         votes = (
-            edges.join(labels.withColumnRenamed("node", dst), dst)
+            edges.join(labels.withColumnRenamed("node", dst).hint("merge"), dst)
             .groupBy(F.col(src).alias("node"), "lab")
             .agg(F.count(F.lit(1)).alias("__c"))
         )

@@ -432,3 +432,51 @@ def test_scd2_windows_share_one_business_key_shuffle(spark, sf_dir):
     # each physical node twice)
     plan = plan_of(spark, sf_dir, "scd2_dimension_build")
     assert plan.count("Exchange") == 2
+
+
+def test_component_round_joins_never_broadcast_data_sized_sides(spark):
+    # r5 finding: Catalyst severely underestimates the output size of
+    # explode-of-transform pair plans (grouped-bucket generators), and
+    # checkpointed descendants inherit the estimate — so without an
+    # explicit merge hint the closure's per-round join would BROADCAST
+    # the data-sized edge list (OOM at scale). Pin the round join of
+    # connected_components to sort-merge when fed an explode-generated
+    # pair frame whose estimate claims tiny.
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(50)], "doc_id long, body string"
+    )
+    # grouped-bucket pair generation (the underestimated plan shape)
+    buckets = docs.select(
+        F.col("doc_id").alias("doc"), F.explode(F.split("body", " ")).alias("k")
+    )
+    grouped = buckets.groupBy("k").agg(F.sort_array(F.collect_set("doc")).alias("__d"))
+    pairs = (
+        grouped.where(F.size("__d") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(__d, (x, i) -> transform("
+                    "slice(__d, i + 2, size(__d)), y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    # replicate one closure round the way connected_components builds it
+    e = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).localCheckpoint(
+        eager=True
+    )
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    round_join = sym.hint("merge").join(labels.withColumnRenamed("node", "dst"), on="dst")
+    plan = round_join._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    # (the live hazard itself — an unhinted round join broadcasting a
+    # 262k-pair edge list off a 75 KB estimate — only reproduces at
+    # sf0.1 data volumes; the measurement is recorded in SCALE.md r5.)
