@@ -230,6 +230,37 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
             "noop"
         ).mode("overwrite").save()
 
+    # FastSS fuzzy pairs -> min-label closure (the ER spine, r5's new
+    # grouped-bucket generator + merge-hinted rounds). Replicas prefix
+    # names with a doubled letter ('AA', 'BB', ...) so any cross-replica
+    # pair is >= 2 edits apart — near-dup structure replicates instead
+    # of densifying, and pair volume scales linearly by construction.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import (
+        fuzzy_self_pairs,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import (
+        connected_components,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_name")
+    if sf_dir + "/cust" not in _BASE_COUNTS:
+        _BASE_COUNTS[sf_dir + "/cust"] = (cust.count(), 0)
+    n_cust = _BASE_COUNTS[sf_dir + "/cust"][0]
+    reps = [
+        cust.select(F.concat(F.lit(chr(65 + r) * 2), F.col("c_name")).alias("c_name"))
+        for r in range(mult)
+    ]
+    cust_m = reps[0]
+    for rep in reps[1:]:
+        cust_m = cust_m.unionByName(rep)
+
+    def fuzzy_er_compute() -> None:
+        pairs = fuzzy_self_pairs(cust_m, "c_name").select("name_a", "name_b")
+        comps = connected_components(pairs, "name_a", "name_b", edges_distinct=True)
+        comps.groupBy("label").agg(F.count(F.lit(1)).alias("sz")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     return {
         "scan_agg": (agg, n_li * mult),
         "window_top1": (topn, n_li * mult),
@@ -240,6 +271,7 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         "triangle_count": (triangles, n_li * mult),
         "consume_e2e_compute": (e2e_compute, n_ev * mult),
         "kcore_peel": (kcore_compute, n_li * mult),
+        "fuzzy_er_closure": (fuzzy_er_compute, n_cust * mult),
     }
 
 
