@@ -501,6 +501,76 @@ def lsh_candidate_pairs(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 4,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Maximal duplicated-span extraction — the unaligned, maximal-run
+    upgrade of ``duplicate_chunk_removal`` (the suffix-array substring
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", re-expressed relationally): a token
+    position is *flagged* when the word-``k``-gram starting there occurs
+    in at least ``min_doc_freq`` distinct documents; maximal runs of
+    consecutive flagged positions are merged into spans via
+    gaps-and-islands (``pos - row_number`` is constant within a run).
+    A span covering positions [s, e] means tokens ``s .. e+k-1`` of the
+    document are (piecewise) shared with other documents — the spans a
+    cleaning pass would cut, at every offset, not just chunk-aligned
+    ones.
+
+    Scale shape: one explode (every position, corpus-sized), one
+    gram-keyed count-distinct aggregate with map-side partial combine,
+    one equi-join of the position table against the duplicated-gram set
+    keyed on the gram, and one per-document window (bounded by document
+    length, never corpus-wide). The duplicated-gram set is the
+    aggregate's OUTPUT — no broadcast hint on purpose: in
+    boilerplate-heavy web corpora that set is data-sized, and AQE sees
+    its true runtime size and picks broadcast vs shuffle-hash correctly
+    (the r5 mis-broadcast lesson in reverse: never *pin* broadcast on a
+    side that scales with the corpus).
+
+    Returns one row per maximal span:
+    ``(id, span_start, span_end, span_tokens, n_grams)`` with 1-based
+    inclusive token indices.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, F.lit(k)), " "),
+    )
+    pos = (
+        ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
+        .where(n >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("__p0", "__gram"))
+        .select(id_col, (F.col("__p0") + 1).alias("__pos"), "__gram")
+    )
+    dup = (
+        pos.groupBy("__gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .where(F.col("__nd") >= min_doc_freq)
+        .select("__gram")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    runs = (
+        pos.join(dup, "__gram")
+        .select(id_col, "__pos")
+        .withColumn("__isl", F.col("__pos") - F.row_number().over(w))
+    )
+    return runs.groupBy(id_col, "__isl").agg(
+        F.min("__pos").cast("long").alias("span_start"),
+        (F.max("__pos") + (k - 1)).cast("long").alias("span_end"),
+        (F.max("__pos") + (k - 1) - F.min("__pos") + 1).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+    ).drop("__isl")
+
+
 def duplicate_chunk_removal(
     df: DataFrame,
     text_col: str = "text",

@@ -230,3 +230,84 @@ def chunk_at(tokens: Column, start: Column, chunk_size: int, sep: str = " ") -> 
     """The chunk beginning at 1-based ``start``: ``chunk_size`` tokens
     (clamped at the document end), joined back to text."""
     return F.array_join(F.slice(tokens, start, chunk_size), sep)
+
+
+def dsir_logratio(
+    df: "DataFrame",
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_buckets: int = 64,
+    alpha: float = 1.0,
+) -> "DataFrame":
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    ``log p_target(doc) / p_source(doc)`` under a hashed bag-of-ngrams
+    model — unigrams plus bigrams, each occurrence hashed into one of
+    ``n_buckets`` buckets; bucket probabilities are add-``alpha``
+    estimates from the ``target``-flagged subset (the distribution you
+    want more of) vs the whole corpus (the source you sample from).
+    Positive weight = looks more like the target than the source. Feed
+    the weights to a sampler (``sample_weighted_reservoir`` composes)
+    to finish the resampling step.
+
+    Scale shape: ONE corpus scan explodes features (no shuffle), one
+    bucket aggregate whose output is exactly ``n_buckets`` rows — both
+    the target and source counts come out of that same aggregate via
+    conditional sums, so the target subset is never scanned separately —
+    then the model-sized bucket table broadcasts back onto the feature
+    stream and a per-doc sum closes it out. Two shuffles total, both
+    keyed; nothing corpus-sized ever sits on a build side.
+
+    Returns ``(id, n_feats, dsir_logratio)`` — the log ratio UNROUNDED;
+    callers round for cross-engine comparison. Documents with zero
+    features (empty text) are absent, like every tokenizer path here.
+    """
+    from ..functions.columns import md5_prefix_int
+
+    toks = tokenize(F.col(text_col))
+    uni = F.filter(toks, lambda t: t != "")
+    bi = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.array_join(F.slice(toks, i, F.lit(2)), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            target.alias("__is_target"),
+            F.explode(F.concat(uni, bi)).alias("__feat"),
+        )
+        .select(
+            id_col,
+            "__is_target",
+            (md5_prefix_int("__feat").cast("bigint") % n_buckets).alias("__bucket"),
+        )
+    )
+    buckets = feats.groupBy("__bucket").agg(
+        F.count(F.lit(1)).alias("__src_c"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__tgt_c"),
+    )
+    totals = buckets.agg(
+        F.sum("__src_c").alias("__src_n"), F.sum("__tgt_c").alias("__tgt_n")
+    )
+    denom_b = F.lit(alpha) * n_buckets
+    scored = (
+        feats.join(F.broadcast(buckets), "__bucket")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                F.log((F.col("__tgt_c") + F.lit(alpha)) / (F.col("__tgt_n") + denom_b))
+                - F.log((F.col("__src_c") + F.lit(alpha)) / (F.col("__src_n") + denom_b))
+            ).alias("__lr"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_feats"),
+        F.sum("__lr").alias("dsir_logratio"),
+    )

@@ -3821,3 +3821,101 @@ def _kmeans_lloyd_query(
 )
 def kmeans_lloyd_4iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_lloyd_query(spark, sf_dir, iters=4)
+
+
+@register(
+    "dedup_duplicate_spans",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(1, len(tokens) - 4 + 2)) AS pos, tokens
+        FROM tok WHERE len(tokens) >= 4
+    ),
+    g AS (
+        SELECT doc_id, pos, array_to_string(tokens[pos : pos + 3], ' ') AS gram FROM pos
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    f AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+    i AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        FROM f
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT)               AS span_start,
+           CAST(max(pos) + 3 AS BIGINT)           AS span_end,
+           CAST(max(pos) + 3 - min(pos) + 1 AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT)               AS n_grams
+    FROM i GROUP BY doc_id, isl
+    """,
+    doc="Maximal duplicated-span extraction (llm/dedup.py:duplicate_spans) "
+    "— the unaligned upgrade of text_chunk_dedup: every token position "
+    "whose word-4-gram occurs in >= 2 distinct documents is flagged, "
+    "and consecutive flagged positions merge into maximal spans via "
+    "gaps-and-islands (the relational re-expression of Lee et al. "
+    "2022's suffix-array substring dedup). One gram aggregate, one "
+    "gram-keyed join-back (no broadcast pin — the duplicated-gram set "
+    "is data-sized in boilerplate-heavy corpora; AQE sees its runtime "
+    "size), one doc-bounded window.",
+    tags=("bench",),
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir), k=4, min_doc_freq=2)
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang = 'en' AS is_target, {_DUCK_TOKENS} AS tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+        SELECT doc_id, is_target, unnest(tokens) AS feat FROM tok
+    ),
+    bi AS (
+        SELECT doc_id, is_target,
+               unnest(list_transform(range(1, len(tokens)),
+                      i -> tokens[i] || ' ' || tokens[i+1])) AS feat
+        FROM tok WHERE len(tokens) >= 2
+    ),
+    feats AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(feat), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket
+        FROM (SELECT * FROM uni WHERE feat <> '' UNION ALL SELECT * FROM bi)
+    ),
+    b AS (
+        SELECT bucket, count(*) AS src_c,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_c
+        FROM feats GROUP BY bucket
+    ),
+    t AS (SELECT sum(src_c) AS src_n, sum(tgt_c) AS tgt_n FROM b)
+    SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(ln((b.tgt_c + 1.0) / (t.tgt_n + 64.0))
+                     - ln((b.src_c + 1.0) / (t.src_n + 64.0))), 4) AS dsir_logratio
+    FROM feats f JOIN b USING (bucket) CROSS JOIN t
+    GROUP BY f.doc_id
+    """,
+    doc="DSIR importance weighting (llm/text.py:dsir_logratio; Xie et "
+    "al. 2023): log p_target/p_source per document under a hashed "
+    "unigram+bigram bag model with 64 md5 buckets and add-1 smoothing; "
+    "target = English documents, source = the whole corpus. The bucket "
+    "distribution for BOTH sides falls out of one conditional "
+    "aggregate over one feature scan (64 rows out), broadcasts back, "
+    "and a per-doc sum finishes — two shuffles, model-sized build "
+    "sides only. Weights compose with sample_weighted_reservoir for "
+    "the resampling step. ln() is libm on both engines; rounded to 4 "
+    "like every float aggregate in the registry.",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import dsir_logratio
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_logratio(docs, F.col("lang") == "en")
+    return w.select(
+        "doc_id", "n_feats", F.round("dsir_logratio", 4).alias("dsir_logratio")
+    )

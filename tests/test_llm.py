@@ -997,3 +997,93 @@ def test_exact_auc_degenerate_perfect_separation(spark):
     )
     row = exact_auc(df).collect()[0]
     assert row.auc == 1.0 and row.gini == 1.0
+
+
+def test_duplicate_spans_merges_runs_and_skips_within_doc_repeats(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            # docs 1+2 share tokens 1..6 ("a b c d e f") and, separately,
+            # tokens 9..12 ("x y z w") — two maximal spans each, with a
+            # non-shared gap in between.
+            (1, "a b c d e f g1 h1 x y z w"),
+            (2, "a b c d e f g2 h2 x y z w"),
+            # doc 3 repeats a 4-gram WITHIN itself only — never flagged
+            # (duplication is counted in distinct documents).
+            (3, "p q r s p q r s"),
+            # doc 4: too short for any 4-gram.
+            (4, "t u v"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = duplicate_spans(df, k=4, min_doc_freq=2)
+    rows = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens, r.n_grams)
+        for r in out.collect()
+    }
+    # tokens 1..6 = positions 1..3 of 4-grams (3 grams); tokens 9..12 =
+    # position 9 only (1 gram).
+    assert rows == {
+        (1, 1, 6, 6, 3),
+        (1, 9, 12, 4, 1),
+        (2, 1, 6, 6, 3),
+        (2, 9, 12, 4, 1),
+    }
+
+
+def test_duplicate_spans_cross_doc_gram_flags_every_occurrence(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import duplicate_spans
+
+    # The shared 4-gram appears twice in doc 1 (both occurrences must be
+    # flagged as separate spans) and once in doc 2.
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d X a b c d"),
+            (2, "a b c d"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicate_spans(df, k=4, min_doc_freq=2).collect()
+    }
+    assert rows == {(1, 1, 4), (1, 6, 9), (2, 1, 4)}
+
+
+def test_dsir_logratio_ranks_target_like_docs_higher(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.text import dsir_logratio
+
+    # Target docs are pure "alpha beta"; the mixed doc shares their
+    # vocabulary, the odd one out doesn't — its weight must be lowest.
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta", True),
+            (2, "alpha beta beta alpha", True),
+            (3, "alpha beta gamma", False),
+            (4, "omega psi chi phi", False),
+        ],
+        ["doc_id", "text", "is_tgt"],
+    )
+    out = {
+        r.doc_id: (r.n_feats, r.dsir_logratio)
+        for r in dsir_logratio(df, F.col("is_tgt")).collect()
+    }
+    # n_feats = unigrams + bigrams = n + (n-1)
+    assert out[1][0] == 7 and out[3][0] == 5 and out[4][0] == 7
+    # Absolute weights skew negative on a toy corpus (the target is a
+    # subset of the source, and add-1 over 64 buckets dominates tiny
+    # counts) — the RANKING is the contract: pure-target vocabulary
+    # above mixed, mixed above disjoint.
+    assert min(out[1][1], out[2][1]) > out[3][1] > out[4][1]
+
+
+def test_dsir_logratio_empty_text_rows_absent(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.text import dsir_logratio
+
+    df = spark.createDataFrame(
+        [(1, "one token stream", True), (2, None, False), (3, "   ", False)],
+        ["doc_id", "text", "is_tgt"],
+    )
+    out = dsir_logratio(df, F.col("is_tgt")).collect()
+    assert {r.doc_id for r in out} == {1}
