@@ -252,20 +252,26 @@ def dsir_logratio(
     the weights to a sampler (``sample_weighted_reservoir`` composes)
     to finish the resampling step.
 
-    Scale shape: ONE corpus scan explodes features (no shuffle), one
-    bucket aggregate whose output is exactly ``n_buckets`` rows — both
-    the target and source counts come out of that same aggregate via
-    conditional sums, so the target subset is never scanned separately —
-    then the model-sized bucket table broadcasts back onto the feature
-    stream and a per-doc sum closes it out. Two shuffles total, both
-    keyed; nothing corpus-sized ever sits on a build side.
+    Scale shape: the corpus is scanned+exploded exactly TWICE — once to
+    build the bucket aggregate (``n_buckets`` output rows; both target
+    and source counts come out of that one pass via conditional sums,
+    so the target subset is never scanned separately) and once to score
+    — never three times: the bucket table is ``localCheckpoint``ed
+    (model-sized, 64 rows) so the corpus totals derive from it instead
+    of re-aggregating a third corpus scan (Spark's ReuseExchange does
+    NOT canonicalize the two agg subtrees together — measured r5).
+    The checkpointed bucket table broadcasts back onto the feature
+    stream and a per-doc sum closes it out; nothing corpus-sized ever
+    sits on a build side.
 
     Returns ``(id, n_feats, dsir_logratio)`` — the log ratio UNROUNDED;
     callers round for cross-engine comparison. Documents with zero
     features (empty text) are absent, like every tokenizer path here.
     """
     from ..functions.columns import md5_prefix_int
+    from ..operators.partitioning import ensure_min_partitions
 
+    df = ensure_min_partitions(df)
     toks = tokenize(F.col(text_col))
     uni = F.filter(toks, lambda t: t != "")
     bi = F.when(
@@ -291,7 +297,7 @@ def dsir_logratio(
     buckets = feats.groupBy("__bucket").agg(
         F.count(F.lit(1)).alias("__src_c"),
         F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("__tgt_c"),
-    )
+    ).localCheckpoint(eager=True)
     totals = buckets.agg(
         F.sum("__src_c").alias("__src_n"), F.sum("__tgt_c").alias("__tgt_n")
     )

@@ -480,3 +480,55 @@ def test_component_round_joins_never_broadcast_data_sized_sides(spark):
     # (the live hazard itself — an unhinted round join broadcasting a
     # 262k-pair edge list off a 75 KB estimate — only reproduces at
     # sf0.1 data volumes; the measurement is recorded in SCALE.md r5.)
+
+
+def test_duplicate_spans_window_is_per_document_and_gram_agg_partial(spark, sf_dir):
+    # the gaps-and-islands window must partition by document (bounded by
+    # doc length, never corpus-wide) and the gram-frequency aggregate
+    # must carry a map-side partial before its exchange
+    import re
+
+    plan = plan_of(spark, sf_dir, "dedup_duplicate_spans")
+    assert "CartesianProduct" not in plan
+    assert re.search(r"windowspecdefinition\(doc_id#\d+L, __pos#\d+L? ASC", plan)
+    assert "partial_count(distinct doc_id" in plan
+
+
+def test_duplicate_spans_dup_gram_broadcast_is_runtime_demotable(spark, sf_dir):
+    # Catalyst statically underestimates the duplicated-gram aggregate
+    # and plans BuildRight broadcast; the contract (docstring) is that
+    # NO checkpoint hides the agg's shuffle stats, so AQE re-plans the
+    # join with the TRUE size at runtime. Prove it: force the runtime
+    # threshold to -1 and the executed plan must abandon the static
+    # BuildRight broadcast of the dup set.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+
+    static = plan_of(spark, sf_dir, "dedup_duplicate_spans")
+    assert "BroadcastHashJoin Inner BuildRight" in static  # the premise
+    old = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["dedup_duplicate_spans"].fn(spark, sf_dir)
+        df.collect()
+        final = (
+            df._jdf.queryExecution().executedPlan().toString().split("== Initial Plan ==")[0]
+        )
+        assert "BuildRight" not in final
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
+def test_dsir_scores_in_two_corpus_scans_with_broadcast_model(spark, sf_dir):
+    # the bucket model (64 rows) is checkpointed so the corpus totals
+    # derive from it: the scoring plan holds exactly ONE corpus scan
+    # (formatted explain lists each node twice) — the only other corpus
+    # pass happened once, at bucket-build/checkpoint time — the bucket
+    # join-back broadcasts, and the 1-row totals cross is a broadcast
+    plan = plan_of(spark, sf_dir, "sample_importance_dsir")
+    assert plan.count("Scan parquet") == 2  # one scan node, listed twice
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+    assert "CartesianProduct" not in plan
