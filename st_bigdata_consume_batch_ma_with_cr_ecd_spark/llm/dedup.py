@@ -729,3 +729,88 @@ def simhash_candidate_pairs(
     ).otherwise(blocks)
     b = sigs.select(F.col(id_col).alias("doc"), F.explode(guard).alias("block"))
     return _bucket_pairs(b, "block", max_bucket_size=max_bucket_size)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every word-``k``-gram, slide a
+    window of ``w`` consecutive gram hashes over each document, and
+    select the minimum hash of each window (rightmost position on
+    ties — "robust winnowing", so runs of equal minima contribute one
+    fingerprint, not ``w``). The selected (position, hash) pairs are
+    the document's fingerprint set: any shared substring of at least
+    ``w + k - 1`` tokens between two documents is GUARANTEED to share
+    at least one fingerprint, at an expected density of ``2/(w+1)`` —
+    the partial-overlap upgrade of the whole-document
+    ``functions.fingerprint`` (md5 of the full text), which only
+    detects exact duplicates.
+
+    Spark shape: one explode (per gram position), one per-document
+    window (``rowsBetween(0, w-1)`` — positions are dense consecutive
+    integers, so the row frame IS the position frame), one distinct.
+    No join, no corpus-wide window. The argmin-with-rightmost-tiebreak
+    is packed into integer arithmetic so the frame aggregate stays a
+    plain ``min`` in whole-stage codegen: ``hash * 2^24 + (2^24-1 -
+    pos)`` — lower hash wins first, then HIGHER position (its
+    complement is lower). Doc positions are bounded at 2^24 grams and
+    the 32-bit hash keeps the packed key under 2^56, exact in a
+    BIGINT on both engines (the DuckDB oracle replays the same
+    arithmetic).
+
+    Documents with fewer than ``k + w - 1`` tokens (< ``w`` grams)
+    emit no fingerprints — standard winnowing assumes at least one
+    full window; compose with exact dedup for tiny documents.
+
+    Returns one row per distinct fingerprint:
+    ``(id, pos, fp)`` — 1-based gram position and 32-bit gram hash.
+    """
+    from ..functions.columns import md5_prefix_int
+    from ..operators.partitioning import ensure_min_partitions
+    from pyspark.sql.window import Window
+
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.array_join(F.slice(toks, i, F.lit(k)), " "),
+    )
+    shift = 1 << 24
+    pos = (
+        ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
+        .where(n >= k + w - 1)  # at least one full window of grams
+        .select(
+            F.col(id_col),
+            (n - (k - 1)).alias("__g"),  # gram count, bounds window starts
+            F.posexplode(grams).alias("__p0", "__gram"),
+        )
+        .select(
+            id_col,
+            "__g",
+            (F.col("__p0") + 1).alias("__pos"),
+            (
+                md5_prefix_int("__gram").cast("bigint") * shift
+                + (F.lit(shift - 1) - (F.col("__p0") + 1))
+            ).alias("__packed"),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, w - 1)
+    sel = (
+        pos.withColumn("__m", F.min("__packed").over(win))
+        .where(F.col("__pos") <= F.col("__g") - (w - 1))  # full windows only
+        .select(id_col, "__m")
+        .distinct()
+    )
+    # decode in pure integer ops: `/` would round through a double
+    # (the packed key has 56 significant bits, doubles carry 53)
+    return sel.select(
+        id_col,
+        (F.lit(shift - 1) - (F.col("__m") % shift)).cast("long").alias("pos"),
+        F.shiftright(F.col("__m"), 24).cast("long").alias("fp"),
+    )

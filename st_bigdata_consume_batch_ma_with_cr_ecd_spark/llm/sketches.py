@@ -170,3 +170,102 @@ def merge_kmv(*sketches: DataFrame, k: int) -> DataFrame:
     )
     grouped = out.groupBy(*by) if by else out.groupBy()
     return grouped.agg(merged.alias("hashes"))
+
+
+def heavy_hitters_mg(
+    df: DataFrame,
+    col: str,
+    *,
+    capacity: int = 64,
+) -> DataFrame:
+    """EXACT heavy hitters via a Misra-Gries first pass + exact verify
+    second pass: every item whose frequency strictly exceeds
+    ``2n/(capacity+1)`` (n = stream length), with its EXACT count.
+
+    The 100-TB problem: a plain ``groupBy(col).count()`` shuffles one
+    row per DISTINCT item — unbounded for n-grams/URLs/user agents.
+    Misra-Gries (the deterministic counter-based summary family, vs the
+    hash-based CMS above) bounds the per-partition state AND the
+    shuffle at ``capacity`` counters per input batch, at the price of
+    underestimating each count by at most ``n/(capacity+1)``. The
+    classic two-pass construction makes the final answer EXACT: pass 1
+    produces a provable candidate SUPERSET (model-sized), pass 2
+    re-scans and counts ONLY the candidates (broadcast equi-join, tiny
+    shuffle), and the threshold filter runs on exact integer counts —
+    deterministic regardless of partitioning, batch boundaries, or tie
+    order inside the sketch, which is what lets a DuckDB oracle replay
+    it as a plain GROUP BY.
+
+    Why the superset is provable (mergeable-summaries argument,
+    Agarwal et al. 2012): each Arrow batch's summary is its exact
+    value_counts MG-compressed to ``capacity`` counters (subtract the
+    (capacity+1)-th largest count, keep positives) — per-batch
+    underestimate <= n_batch/(capacity+1), additive across batches, so
+    after summing summaries an item's weight w >= c - n/(capacity+1).
+    The global merge is then compressed once more with threshold t
+    (the (capacity+1)-th largest merged weight, t <= n/(capacity+1)),
+    so any item with true count c > 2n/(capacity+1) has
+    w - t >= c - 2n/(capacity+1) > 0 and survives into the candidate
+    set. Both compressions are pure arithmetic on counts, so ties
+    cannot perturb the final exact output.
+
+    Two corpus scans by design (summaries + verify); the only driver
+    materialization is ``capacity + 1`` merged weights.
+    """
+    items = (
+        df.select(F.col(col).cast("string").alias("item"))
+        .where(F.col("item").isNotNull() & (F.col("item") != ""))
+    )
+    from ..operators.partitioning import ensure_min_partitions
+
+    items = ensure_min_partitions(items)
+    cap = int(capacity)
+
+    def summarize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vc = pdf["item"].value_counts()
+            n_batch = int(vc.sum())
+            if len(vc) > cap:
+                t = int(vc.iloc[cap])  # (capacity+1)-th largest
+                vc = vc - t
+                vc = vc[vc > 0]
+            out = vc.rename_axis("item").reset_index(name="w")
+            out["item"] = out["item"].astype(str)
+            yield pd.concat(
+                [out, pd.DataFrame({"item": [None], "w": [n_batch]})],
+                ignore_index=True,
+            )
+
+    # summaries are sketch-sized (<= capacity+1 rows per Arrow batch);
+    # checkpoint so the n-total and merge branches don't re-scan
+    summ = items.mapInPandas(summarize, "item string, w long").localCheckpoint(
+        eager=True
+    )
+    n_df = summ.where(F.col("item").isNull()).agg(
+        F.sum("w").cast("long").alias("__n")
+    )
+    merged = (
+        summ.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.sum("w").alias("__w"))
+    )
+    # global compress: only the (capacity+1)-th largest WEIGHT is
+    # needed (a value, not an identity — tie-proof); TakeOrdered keeps
+    # this a top-k, never a full sort
+    top = merged.orderBy(F.desc("__w"), "item").limit(cap + 1).collect()
+    t = int(top[cap]["__w"]) if len(top) > cap else 0
+    cands = merged.where(F.col("__w") > t).select("item")  # <= capacity rows
+    exact = (
+        items.join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(n_df))
+        .where(F.col("cnt") * (cap + 1) > 2 * F.col("__n"))
+        .select("item", "cnt")
+    )

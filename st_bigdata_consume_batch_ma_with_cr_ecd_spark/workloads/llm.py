@@ -3919,3 +3919,87 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "doc_id", "n_feats", F.round("dsir_logratio", 4).alias("dsir_logratio")
     )
+
+
+@register(
+    "text_winnowing_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {_DUCK_TOKENS} AS tokens FROM documents WHERE text IS NOT NULL
+    ),
+    pos AS (
+        SELECT doc_id, unnest(range(1, len(tokens) - 4 + 2)) AS pos,
+               len(tokens) - 4 + 1 AS g, tokens
+        FROM tok WHERE len(tokens) >= 4 + 5 - 1
+    ),
+    h AS (
+        SELECT doc_id, pos, g,
+               CAST(('0x' || substr(md5(array_to_string(tokens[pos : pos + 3], ' ')), 1, 8))::UBIGINT AS BIGINT)
+                   * 16777216 + (16777215 - pos) AS packed
+        FROM pos
+    ),
+    c AS (
+        SELECT doc_id, pos, g,
+               min(packed) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS m
+        FROM h
+    ),
+    sel AS (SELECT DISTINCT doc_id, m FROM c WHERE pos <= g - 4)
+    SELECT doc_id,
+           CAST(16777215 - (m % 16777216) AS BIGINT) AS pos,
+           CAST(m // 16777216 AS BIGINT) AS fp
+    FROM sel
+    """,
+    doc="Winnowing fingerprints (llm/dedup.py:winnowing_fingerprints; "
+    "Schleimer/Wilkerson/Aiken 2003, the MOSS algorithm): rightmost "
+    "minimum 4-gram hash of every 5-gram window per document — any "
+    "shared run of >= 8 tokens between two documents is guaranteed to "
+    "share a fingerprint. The partial-overlap upgrade of "
+    "text_fingerprint's whole-document md5. One explode, one "
+    "doc-bounded row-frame window (positions are dense, so the row "
+    "frame is the position frame), one distinct; the argmin with "
+    "rightmost tiebreak is packed into bigint arithmetic so the frame "
+    "aggregate stays a codegen min.",
+)
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir), k=4, w=5)
+
+
+@register(
+    "sketch_heavy_hitters_mg",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest({_DUCK_TOKENS}) AS item FROM documents WHERE text IS NOT NULL
+    ),
+    cnt AS (
+        SELECT item, CAST(count(*) AS BIGINT) AS cnt FROM tok
+        WHERE item <> '' GROUP BY item
+    ),
+    tot AS (SELECT sum(cnt) AS n FROM cnt)
+    SELECT item, cnt FROM cnt, tot WHERE cnt * 65 > 2 * n
+    """,
+    doc="Exact heavy hitters via two-pass Misra-Gries "
+    "(llm/sketches.py:heavy_hitters_mg; Agarwal et al. 2012 mergeable "
+    "summaries): pass 1 MG-compresses each Arrow batch's exact counts "
+    "to 64 counters (the deterministic counter-based sketch family, "
+    "complementing the hash-based CMS/KMV/HLL), merges the sketch-"
+    "sized summaries, and global-compresses into a provable candidate "
+    "superset of every token above 2n/65; pass 2 re-counts ONLY the "
+    "broadcast candidates exactly. Output is exact integer counts "
+    "filtered in exact integer arithmetic — order- and partitioning-"
+    "independent, so a plain GROUP BY oracle replays it. The shuffle "
+    "carries O(batches x capacity) rows instead of one per distinct "
+    "token; the synthetic vocabulary (31 tokens) never trips the "
+    "compress branch at test scale — the hypothesis test forces it "
+    "with capacity 4 on a Zipf stream.",
+)
+def sketch_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sketches import heavy_hitters_mg
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.where(F.col("text").isNotNull()).select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    return heavy_hitters_mg(toks, "tok", capacity=64)

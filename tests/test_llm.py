@@ -1087,3 +1087,101 @@ def test_dsir_logratio_empty_text_rows_absent(spark):
     )
     out = dsir_logratio(df, F.col("is_tgt")).collect()
     assert {r.doc_id for r in out} == {1}
+
+
+def _winnow_reference(text: str, k: int, w: int):
+    """Sequential robust winnowing: rightmost min hash per window."""
+    import hashlib
+    import re
+
+    toks = re.split(r"\s+", text.strip())
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if len(grams) < w:
+        return set()
+    hashes = [int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams]
+    sel = set()
+    for j in range(len(hashes) - w + 1):
+        window = hashes[j : j + w]
+        m = min(window)
+        # rightmost occurrence of the minimum
+        p = j + max(i for i, h in enumerate(window) if h == m)
+        sel.add((p + 1, m))  # 1-based gram position
+    return sel
+
+
+def test_winnowing_matches_sequential_reference(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+        winnowing_fingerprints,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "pack my box with five dozen liquor jugs the quick brown fox"),
+        (3, "aa aa aa aa aa aa aa aa aa aa"),  # all-equal hashes: tiebreak path
+        (4, "too short"),  # < k+w-1 tokens: no fingerprints
+        (5, None),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    out = winnowing_fingerprints(df, k=4, w=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for doc_id, text in texts:
+        expect = _winnow_reference(text, 4, 5) if text else set()
+        assert got.get(doc_id, set()) == expect, doc_id
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    # any shared run of >= w+k-1 tokens must share a fingerprint
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+        winnowing_fingerprints,
+    )
+
+    shared = "zeta eta theta iota kappa lambda mu nu"  # 8 tokens = w+k-1
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma " + shared + " delta epsilon"),
+            (2, shared + " omicron pi rho sigma tau upsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnowing_fingerprints(df, k=4, w=5).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+
+
+def test_heavy_hitters_mg_compress_path_is_exact(spark):
+    # Zipf-ish stream with far more distinct items than the capacity:
+    # the per-batch compress MUST trigger, and the two-pass output must
+    # still be the EXACT heavy hitters above 2n/(capacity+1)
+    from collections import Counter
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.sketches import (
+        heavy_hitters_mg,
+    )
+
+    stream = ["item0"] * 800  # dominant head: ~42% of the stream
+    for i in range(1, 60):  # 59 more distinct >> capacity 4
+        stream += [f"item{i}"] * (300 // (i + 1))  # harmonic tail
+    df = spark.createDataFrame([(s,) for s in stream], ["v"])
+    out = {r.item: r.cnt for r in heavy_hitters_mg(df, "v", capacity=4).collect()}
+    counts = Counter(stream)
+    n = len(stream)
+    expect = {k: c for k, c in counts.items() if c * 5 > 2 * n}
+    assert out == expect
+    assert out  # non-trivial: the head of the harmonic series qualifies
+
+
+def test_heavy_hitters_mg_empty_and_null_items(spark):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.sketches import (
+        heavy_hitters_mg,
+    )
+
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("",), (None,), ("b",)], ["v"]
+    )
+    out = {r.item: r.cnt for r in heavy_hitters_mg(df, "v", capacity=2).collect()}
+    # stream after filtering: a a a b (n=4); threshold 2*4/3 = 2.67
+    assert out == {"a": 3}

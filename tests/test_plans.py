@@ -532,3 +532,26 @@ def test_dsir_scores_in_two_corpus_scans_with_broadcast_model(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_winnowing_is_one_scan_one_doc_window_no_join(spark, sf_dir):
+    # winnowing must stay embarrassingly parallel: ONE corpus scan
+    # (formatted explain lists the node twice), a per-document window,
+    # and no join of any kind
+    import re
+
+    plan = plan_of(spark, sf_dir, "text_winnowing_fingerprints")
+    assert plan.count("Scan parquet") == 2
+    assert "Join" not in plan
+    assert re.search(r"windowspecdefinition\(doc_id#\d+L, __pos#\d+", plan)
+
+
+def test_heavy_hitters_verify_pass_broadcasts_candidates(spark, sf_dir):
+    # pass 2 re-counts ONLY the model-sized candidate set: the join
+    # against the stream must be a broadcast hash join (never a shuffle
+    # of the full stream against <= capacity rows), and the only
+    # nested-loop is the 1-row total cross
+    plan = plan_of(spark, sf_dir, "sketch_heavy_hitters_mg")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
