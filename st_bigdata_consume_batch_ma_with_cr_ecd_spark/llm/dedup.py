@@ -782,12 +782,27 @@ def winnowing_fingerprints(
         lambda i: F.array_join(F.slice(toks, i, F.lit(k)), " "),
     )
     shift = 1 << 24
+    # the pos-complement pack assumes < 2^24 grams per document; a
+    # longer doc would drive the complement negative and silently
+    # corrupt the min-selection (r5 advice) — enforce at runtime, not
+    # just in the docstring. raise_error's branch types as bigint so
+    # the when-chain stays a single codegen expression.
+    gram_count = F.when(
+        n - (k - 1) >= shift,
+        F.raise_error(
+            F.concat(
+                F.lit("winnowing_fingerprints: document exceeds 2^24 grams ("),
+                (n - (k - 1)).cast("string"),
+                F.lit("); the packed argmin would overflow — chunk the document first"),
+            )
+        ).cast("int"),
+    ).otherwise(n - (k - 1))
     pos = (
         ensure_min_partitions(df.where(F.col(text_col).isNotNull()))
         .where(n >= k + w - 1)  # at least one full window of grams
         .select(
             F.col(id_col),
-            (n - (k - 1)).alias("__g"),  # gram count, bounds window starts
+            gram_count.alias("__g"),  # gram count, bounds window starts
             F.posexplode(grams).alias("__p0", "__gram"),
         )
         .select(

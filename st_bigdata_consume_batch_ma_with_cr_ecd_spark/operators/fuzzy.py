@@ -51,7 +51,7 @@ def fuzzy_self_pairs(
     *,
     max_distance: int = 1,
     id_col: str | None = None,
-    max_variant_freq: int | None = 256,
+    max_variant_freq: int | None = None,
 ) -> DataFrame:
     """All distinct string pairs ``(a, b)`` with ``a < b`` and
     ``levenshtein(a, b) <= max_distance``, via deletion-neighborhood
@@ -74,10 +74,13 @@ def fuzzy_self_pairs(
     RECALL knob: a true pair is lost only if every variant it collides
     on is hotter than the cap, which for edit-distance-1 pairs means
     >cap strings within distance 2 of each other — a degenerate
-    near-duplicate cluster better served by exact dedup first. On the
-    synthetic test corpora the hottest variant bucket is far below the
-    default (verified in tests), so the registered queries' quadratic
-    DuckDB oracles remain exact. ``None`` disables the guard."""
+    near-duplicate cluster better served by exact dedup first. The
+    default is ``None`` — the public operator stays EXACT unless a
+    caller opts into the cap (r5 advice: a silent default cap dropped
+    true pairs in hot buckets for every caller); the registered
+    corpus-scale queries opt in explicitly and pin, via their quadratic
+    DuckDB oracles, that the cap drops nothing on the test corpora
+    (hottest bucket is far below 256)."""
     if max_distance != 1:
         raise ValueError("fuzzy_self_pairs supports max_distance=1 only")
     strings = df.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()

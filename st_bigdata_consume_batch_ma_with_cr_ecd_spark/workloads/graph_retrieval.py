@@ -1061,6 +1061,13 @@ def _normalize_arrow_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.Rec
 
 @register(
     "embedding_normalize_arrow",
+    # output is EXPLODED to (vec_id, dim, unit_component, norm) rows —
+    # the r5 review found the array<double> column correct but
+    # non-canonicalizable by the driver's pandas sort_values (unhashable
+    # list cells); per-dimension rows are the shape its green sibling
+    # embedding_label_minmax_arrow uses. DuckDB's unnest drops NULL and
+    # empty lists exactly as Spark's posexplode does, so zero-norm
+    # vectors (unit=NULL) vanish from both sides consistently.
     oracle="""
     WITH base AS (
         SELECT vec_id,
@@ -1069,13 +1076,19 @@ def _normalize_arrow_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.Rec
                    'sum') AS s2
         FROM embeddings WHERE embedding IS NOT NULL
     ),
-    n AS (SELECT vec_id, sqrt(s2) AS norm FROM base)
-    SELECT e.vec_id,
-           CASE WHEN n.norm = 0 THEN NULL
-                ELSE list_transform(e.embedding, x -> round(CAST(x AS DOUBLE) / n.norm, 6))
-           END AS unit,
-           round(n.norm, 6) AS norm
-    FROM embeddings e JOIN n ON e.vec_id = n.vec_id
+    n AS (SELECT vec_id, sqrt(s2) AS norm FROM base),
+    u AS (
+        SELECT e.vec_id, n.norm,
+               CASE WHEN n.norm = 0 THEN NULL
+                    ELSE list_transform(e.embedding, x -> CAST(x AS DOUBLE) / n.norm)
+               END AS unit
+        FROM embeddings e JOIN n ON e.vec_id = n.vec_id
+    )
+    SELECT vec_id,
+           CAST(generate_subscripts(unit, 1) AS INT) AS dim,
+           round(unnest(unit), 6) + 0.0 AS unit_component,
+           round(norm, 6) AS norm
+    FROM u
     """,
     doc="L2 normalization over Arrow buffers (PySpark 4 mapInArrow): "
     "numpy reads the list<float> column zero-copy, squares exactly in "
@@ -1084,7 +1097,9 @@ def _normalize_arrow_batches(it: Iterator["pa.RecordBatch"]) -> Iterator["pa.Rec
     "fold. The UDF emits RAW doubles; all rounding happens JVM-side "
     "(F.round) so the cross-engine rounding contract stays in one "
     "place. No pandas conversion anywhere — this is the narrow-waist "
-    "pattern for putting real encoder/codec kernels on the hot path.",
+    "pattern for putting real encoder/codec kernels on the hot path. "
+    "The unit vector is posexploded to one row per dimension so every "
+    "output column is a scalar (hash-canonicalizable).",
 )
 def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings").where(
@@ -1093,10 +1108,18 @@ def embedding_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = emb.select("vec_id", "embedding").mapInArrow(
         _normalize_arrow_batches, "vec_id long, unit array<double>, norm double"
     )
-    return out.select(
+    exploded = out.select(
         "vec_id",
-        F.transform("unit", lambda x: F.round(x, 6)).alias("unit"),
         F.round("norm", 6).alias("norm"),
+        F.posexplode("unit").alias("__d0", "__u"),
+    )
+    # `+ 0.0` collapses IEEE -0.0 (a negative component rounding to
+    # zero) onto +0.0, matching the oracle's identical normalization
+    return exploded.select(
+        "vec_id",
+        (F.col("__d0") + 1).cast("int").alias("dim"),
+        (F.round("__u", 6) + F.lit(0.0)).alias("unit_component"),
+        "norm",
     )
 
 

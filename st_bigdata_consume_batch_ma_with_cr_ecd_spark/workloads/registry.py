@@ -77,18 +77,21 @@ def _entry_passed(entry: object) -> bool:
     """A driver record row counts as "checked" only if it PASSED: any
     ``err`` or false match flag means the row must re-enter the next
     window (the rotation is also a retry queue for failures — r3 review
-    ask #2). Exception: ``err == "no_oracle"`` with ``spark_rows > 0``
-    IS the driver's full rows-only contract for oracle-less queries
-    (``__spark_entry__`` registers no SQL twin on purpose), so it
-    counts as checked — otherwise those queries re-enter every window
-    forever and permanently leak slots (r4 review ask #2). Unknown
-    shapes count as passed (conservative: don't let a record-format
-    change resurrect the whole registry at once)."""
+    ask #2). Exception: ``err == "no_oracle"`` with an integer
+    ``spark_rows`` IS the driver's full rows-only contract for
+    oracle-less queries (``__spark_entry__`` registers no SQL twin on
+    purpose), so it counts as checked — otherwise those queries
+    re-enter every window forever and permanently leak slots (r4
+    review ask #2). "Ran and returned 0 rows" is a PASS for that
+    contract (the r5 advice found the earlier ``rows > 0`` form
+    re-leaked the empty-result case); only an absent/non-integer row
+    count — the query never actually produced a result — re-enters.
+    Unknown shapes count as passed (conservative: don't let a
+    record-format change resurrect the whole registry at once)."""
     if not isinstance(entry, dict):
         return True
     if entry.get("err") == "no_oracle":
-        rows = entry.get("spark_rows")
-        return isinstance(rows, int) and rows > 0
+        return isinstance(entry.get("spark_rows"), int)
     if entry.get("err"):
         return False
     return all(bool(entry.get(f, True)) for f in _MATCH_FLAGS)

@@ -21,6 +21,16 @@ def plan_of(spark, sf_dir, name: str) -> str:
     return buf.getvalue()
 
 
+def scan_node_count(plan: str) -> int:
+    """Number of parquet scan NODES in a formatted plan. Counts the
+    numbered detail headers (``(N) Scan parquet``), which appear exactly
+    once per node — raw ``plan.count("Scan parquet")`` also matches the
+    tree rendering and so depends on explain formatting (r5 advice)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE))
+
+
 def test_scan_projection_pushes_filter_and_prunes_columns(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "s1_scan_project")
     assert "EqualTo(l_linenumber,1)" in plan  # filter reached the parquet scan
@@ -320,11 +330,10 @@ def test_expectation_suite_is_one_aggregate_pass(spark, sf_dir):
     # aggregate over one scan: a single Exchange (SinglePartition),
     # one scan of orders, no joins between per-metric passes
     plan = plan_of(spark, sf_dir, "dq_expectation_suite")
-    # formatted explain lists each node twice (tree + details): ONE
-    # physical scan; exactly TWO physical exchanges — the global
+    # ONE physical scan; exactly TWO physical exchanges — the global
     # partial/final pair plus the one the exact countDistinct's
     # double-aggregation inserts. No joins, no per-metric passes.
-    assert plan.count("Scan parquet") == 2
+    assert scan_node_count(plan) == 1
     assert "Join" not in plan
     assert plan.count("Exchange") == 4
 
@@ -504,7 +513,12 @@ def test_duplicate_spans_dup_gram_broadcast_is_runtime_demotable(spark, sf_dir):
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
 
     static = plan_of(spark, sf_dir, "dedup_duplicate_spans")
-    assert "BroadcastHashJoin Inner BuildRight" in static  # the premise
+    # the premise is Catalyst ESTIMATOR behavior, not our contract — if a
+    # Spark upgrade stops static-planning the broadcast, the hazard this
+    # test guards is gone and the demotion proof is vacuous (r5 advice:
+    # skip, don't fail, on estimator drift)
+    if "BroadcastHashJoin Inner BuildRight" not in static:
+        pytest.skip("Catalyst no longer static-plans BuildRight here; hazard absent")
     old = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try:
@@ -523,25 +537,24 @@ def test_duplicate_spans_dup_gram_broadcast_is_runtime_demotable(spark, sf_dir):
 
 def test_dsir_scores_in_two_corpus_scans_with_broadcast_model(spark, sf_dir):
     # the bucket model (64 rows) is checkpointed so the corpus totals
-    # derive from it: the scoring plan holds exactly ONE corpus scan
-    # (formatted explain lists each node twice) — the only other corpus
-    # pass happened once, at bucket-build/checkpoint time — the bucket
-    # join-back broadcasts, and the 1-row totals cross is a broadcast
+    # derive from it: the scoring plan holds exactly ONE corpus scan —
+    # the only other corpus pass happened once, at bucket-build/
+    # checkpoint time — the bucket join-back broadcasts, and the 1-row
+    # totals cross is a broadcast
     plan = plan_of(spark, sf_dir, "sample_importance_dsir")
-    assert plan.count("Scan parquet") == 2  # one scan node, listed twice
+    assert scan_node_count(plan) == 1
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
     assert "CartesianProduct" not in plan
 
 
 def test_winnowing_is_one_scan_one_doc_window_no_join(spark, sf_dir):
-    # winnowing must stay embarrassingly parallel: ONE corpus scan
-    # (formatted explain lists the node twice), a per-document window,
-    # and no join of any kind
+    # winnowing must stay embarrassingly parallel: ONE corpus scan, a
+    # per-document window, and no join of any kind
     import re
 
     plan = plan_of(spark, sf_dir, "text_winnowing_fingerprints")
-    assert plan.count("Scan parquet") == 2
+    assert scan_node_count(plan) == 1
     assert "Join" not in plan
     assert re.search(r"windowspecdefinition\(doc_id#\d+L, __pos#\d+", plan)
 

@@ -23,6 +23,40 @@ def test_query_runs_at_smoke_scale(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+# Queries allowed to emit array/map/struct output columns DESPITE having
+# a hash oracle. Empty on purpose: the driver canonicalizes results with
+# pandas sort_values, which raises `unhashable type: 'list'` on complex
+# cells (this killed embedding_normalize_arrow's r5 row even though its
+# values were bit-exact). Explode to scalar rows or array_join instead;
+# add a name here only with a documented reason the driver can cope.
+_COMPLEX_OUTPUT_EXEMPT: frozenset[str] = frozenset()
+
+
+def test_no_hash_oracled_query_emits_complex_output_columns(spark, sf_dir):
+    # registry-wide schema audit (r5 review ask #2): rotation takes ~4
+    # rounds to surface a non-canonicalizable output column; resolving
+    # every schema lazily at sf0.001 takes one test
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, spec in sorted(REGISTRY.items()):
+        if spec.oracle is None or name in _COMPLEX_OUTPUT_EXEMPT:
+            continue
+        schema = spec.fn(spark, sf_dir).schema
+        complex_cols = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, (
+        "hash-oracled queries must emit scalar-only output columns (the "
+        "driver's pandas canonicalization cannot sort complex cells); "
+        f"restructure or exempt: {offenders}"
+    )
+
+
 def test_streaming_matches_batch_semantics(spark, sf_dir):
     # the streaming pipeline's windowed counts must equal the same graph
     # run in batch — same transformation, two runtimes
@@ -145,12 +179,15 @@ def test_rotation_treats_failed_driver_rows_as_unchecked(tmp_path):
     assert not reg._entry_passed(record["red_err_q"])
     # unknown shapes stay conservative (format change != mass recheck)
     assert reg._entry_passed("not-a-dict")
-    # no_oracle + rows IS the driver's full rows-only contract — counts
-    # as checked (r4 review ask #2: no permanent slot leak)...
+    # no_oracle + an integer row count IS the driver's full rows-only
+    # contract — counts as checked (r4 review ask #2: no permanent slot
+    # leak), INCLUDING a legitimate empty result (r5 advice: rows == 0
+    # means "ran and returned 0 rows", not "never ran")...
     assert reg._entry_passed({"err": "no_oracle", "spark_rows": 50})
-    # ...but a rows-only query that returned NOTHING must re-enter
-    assert not reg._entry_passed({"err": "no_oracle", "spark_rows": 0})
+    assert reg._entry_passed({"err": "no_oracle", "spark_rows": 0})
+    # ...but a rows-only row with NO row count never actually ran
     assert not reg._entry_passed({"err": "no_oracle"})
+    assert not reg._entry_passed({"err": "no_oracle", "spark_rows": None})
     # and the real repo records agree, in a record-robust way: for every
     # query (not just the four r3 red rows), _last_checked_round must
     # equal the max round whose row for that name satisfies

@@ -255,7 +255,9 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         cust_m = cust_m.unionByName(rep)
 
     def fuzzy_er_compute() -> None:
-        pairs = fuzzy_self_pairs(cust_m, "c_name").select("name_a", "name_b")
+        pairs = fuzzy_self_pairs(cust_m, "c_name", max_variant_freq=256).select(
+            "name_a", "name_b"
+        )
         comps = connected_components(pairs, "name_a", "name_b", edges_distinct=True)
         comps.groupBy("label").agg(F.count(F.lit(1)).alias("sz")).write.format(
             "noop"
