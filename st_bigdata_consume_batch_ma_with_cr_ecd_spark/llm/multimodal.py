@@ -200,6 +200,67 @@ def sample_video_frames(
     return df.select(id_col, payload_col).mapInPandas(op, FRAME_SCHEMA)
 
 
+DHASH_SCHEMA = "doc_id long, dhash string"
+
+
+def dhash_images(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    hash_w: int = 8,
+    hash_h: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image payload: REAL decode
+    (BMP/PNG via the pure-numpy codecs), nearest-neighbor downsample to
+    ``(hash_w + 1) x hash_h``, integer-mean grayscale, then bit (r, c) =
+    gray[r, c+1] > gray[r, c] — ``hash_w * hash_h`` gradient-sign bits
+    packed row-major MSB-first into a hex string. dHash is stable under
+    re-encoding, scaling, and small brightness shifts (the gradient
+    SIGN survives what the raw pixels don't), which makes it the
+    standard blocking key for image near-dedup; Hamming distance
+    between hashes approximates visual difference.
+
+    The hex signature is bit-compatible with the SimHash Hamming-LSH
+    machinery (:func:`..dedup.simhash_candidate_pairs` — aligned-block
+    banding), so image near-dedup composes from existing parts: dhash
+    -> block buckets -> exact Hamming verify. Every arithmetic step is
+    integer-exact (index-math resize, ``(r+g+b) // 3`` grayscale,
+    strict > compare), so an oracle can replay the hash symbolically
+    from the pixel formula of a synthetic corpus.
+
+    NULL payloads emit no row (not comparable — the MinHash/SimHash
+    "no signature" contract). ``hash_w * hash_h`` must be a multiple
+    of 8 so the signature packs to whole hex bytes."""
+    nbits = hash_w * hash_h
+    if nbits % 8 != 0:
+        raise ValueError(f"hash_w*hash_h must be a multiple of 8, got {nbits}")
+
+    def op(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .codecs import decode_image, resize_nearest
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                px = decode_image(bytes(b))
+                if px.shape[2] == 1:  # gray PNG -> replicate to RGB
+                    px = np.repeat(px, 3, axis=2)
+                small = resize_nearest(px[..., :3], hash_w + 1, hash_h)
+                gray = small.astype(np.int32).sum(axis=2) // 3
+                bits = (gray[:, 1:] > gray[:, :-1]).astype(np.uint8).reshape(-1)
+                ids.append(doc)
+                hashes.append(np.packbits(bits).tobytes().hex())
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(op, DHASH_SCHEMA)
+
+
 AUDIO_SCHEMA = "doc_id long, n_samples long, mean_level double, peak_level int"
 
 

@@ -14,11 +14,13 @@ Similarity Search in Large Dictionaries"):
 so candidates come from an EQUI-join on variant strings — shuffle on
 the variant key, bucket sizes bounded by how many strings share a
 variant — and a final ``levenshtein`` verify kills the false positives
-(deletion neighborhoods also collide for some distance-2 pairs). The
-blocking is PROVABLY COMPLETE for ``max_distance=1``: a substitution
-at position i collides on both strings' delete-at-i variant, an
-insertion/deletion collides on the longer string's delete variant and
-the shorter string itself. Every verified pair is therefore exact —
+(deletion neighborhoods also collide for farther pairs). The blocking
+is PROVABLY COMPLETE: at ``max_distance=1`` a substitution at position
+i collides on both strings' delete-at-i variant, an insertion/deletion
+collides on the longer string's delete variant and the shorter string
+itself; at ``max_distance=2`` the recursive (SymSpell-style) depth-2
+deletion neighborhoods intersect on the common subsequence an optimal
+edit script leaves behind. Every verified pair is therefore exact —
 same answers as the cross join, never the cost.
 
 Scale shape: |variants| = L+1 per string of length L, so the explode
@@ -34,15 +36,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _delete_one_each(c: Column) -> Column:
+    """Array of every delete-one-character variant of ``c`` (L entries,
+    possibly with duplicates — runs of equal characters collide)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(c.substr(F.lit(1), i - F.lit(1)), c.substr(i + F.lit(1), F.length(c))),
+    )
+
+
 def deletion_variants(col: Column | str) -> Column:
     """The FastSS k=1 neighborhood: the string itself plus every
     delete-one-character variant (L+1 entries, deduped)."""
     c = F.col(col) if isinstance(col, str) else col
-    variants = F.transform(
-        F.sequence(F.lit(1), F.length(c)),
-        lambda i: F.concat(c.substr(F.lit(1), i - F.lit(1)), c.substr(i + F.lit(1), F.length(c))),
-    )
-    return F.array_union(F.array(c), variants)
+    return F.array_union(F.array(c), _delete_one_each(c))
+
+
+def deletion_neighborhood(col: Column | str, k: int) -> Column:
+    """The recursive (SymSpell-style) deletion neighborhood D_<=k: every
+    string obtainable from ``col`` by deleting AT MOST ``k`` characters,
+    deduped. D_<=k is built by ``k`` rounds of delete-one over the
+    previous level — |D_<=k| grows as O(L^k), which is why callers cap
+    ``k`` at 2 (L^2 variants per string is the documented cost of
+    distance-2 blocking; see SCALE.md round 6)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.array(c)
+    for _ in range(k):
+        out = F.array_distinct(
+            F.flatten(
+                F.transform(out, lambda t: F.array_union(F.array(t), _delete_one_each(t)))
+            )
+        )
+    return out
 
 
 def fuzzy_self_pairs(
@@ -55,10 +80,20 @@ def fuzzy_self_pairs(
 ) -> DataFrame:
     """All distinct string pairs ``(a, b)`` with ``a < b`` and
     ``levenshtein(a, b) <= max_distance``, via deletion-neighborhood
-    blocking + verify. Only ``max_distance=1`` is supported (the
-    completeness proof is specific to one edit; larger k needs
-    recursive deletion neighborhoods, which grow as L^k — use
-    MinHash/LSH families for looser matching).
+    blocking + verify. ``max_distance`` of 1 (FastSS) and 2
+    (SymSpell-style recursive deletion neighborhoods) are supported.
+
+    Completeness for k edits (Bocek et al. 2007, Lemma 4.5 / the
+    SymSpell invariant): if ``lev(a, b) <= k`` then the depth-k
+    deletion neighborhoods ``D_<=k(a)`` and ``D_<=k(b)`` intersect —
+    align an optimal edit script; deleting from each string the
+    characters the script substitutes/inserts into the other leaves the
+    common subsequence, reachable from both sides with at most k
+    deletions each. The converse is false (neighborhoods also collide
+    for some farther pairs), which is what the levenshtein verify
+    removes — so the result is EXACT at any scale. Beyond k=2 the
+    O(L^k) variant blow-up stops paying; use MinHash/LSH families for
+    looser matching.
 
     Pairs are generated from GROUPED variant buckets (group by variant
     -> sorted string list -> upper triangle), not a self-join — the
@@ -81,11 +116,11 @@ def fuzzy_self_pairs(
     corpus-scale queries opt in explicitly and pin, via their quadratic
     DuckDB oracles, that the cap drops nothing on the test corpora
     (hottest bucket is far below 256)."""
-    if max_distance != 1:
-        raise ValueError("fuzzy_self_pairs supports max_distance=1 only")
+    if max_distance not in (1, 2):
+        raise ValueError("fuzzy_self_pairs supports max_distance in {1, 2}")
     strings = df.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
     exploded = strings.select(
-        "s", F.explode(deletion_variants(F.col("s"))).alias("v")
+        "s", F.explode(deletion_neighborhood(F.col("s"), max_distance)).alias("v")
     )
     grouped = exploded.groupBy("v").agg(F.sort_array(F.collect_set("s")).alias("__ss"))
     grouped = grouped.where(F.size("__ss") >= 2)

@@ -465,49 +465,97 @@ def graph_hits_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import _bucket_pairs
+    from ..operators.graph import oriented_triangle_count
 
     li = (
         read_testdata(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
         .distinct()
     )
-    edges = (
-        _bucket_pairs(li, "o")
-        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .localCheckpoint(eager=False)  # feeds degrees, orientation, closure; lazy
+    edges = _bucket_pairs(li, "o").select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    deg = (
-        edges.select(F.col("u").alias("x"))
-        .union(edges.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
+    return oriented_triangle_count(edges)
+
+
+# DOULION sampling probability p = _TRI_SAMPLE_NUM / _TRI_SAMPLE_DEN.
+# 1/2 keeps the estimator's variance small on the sf-scale test graphs
+# (relative SE ~ sqrt((1/p^3 - 1) / T); the co-purchase graph has tens
+# of thousands of triangles at sf0.01) while already cutting the
+# closure's wedge volume to ~p^2 = 1/4 and the closing join to ~p^3.
+_TRI_SAMPLE_NUM = 1
+_TRI_SAMPLE_DEN = 2
+
+
+@register(
+    "graph_triangle_count_approx",
+    # the oracle replays the IDENTICAL deterministic edge sample (md5
+    # threshold on the canonical "u:v" key) and counts its triangles
+    # with the plain 3-way self-join, then applies the same 1/p^3
+    # scale-up — so the hash pins both the sampler and the counter
+    oracle=f"""
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (
+        SELECT DISTINCT a.p AS u, b.p AS v
+        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+    ),
+    e AS (
+        SELECT u, v FROM e0
+        WHERE CAST(concat('0x', substr(md5(concat(CAST(u AS VARCHAR), ':',
+                   CAST(v AS VARCHAR))), 1, 8)) AS UBIGINT) * {_TRI_SAMPLE_DEN}
+              < 4294967296 * {_TRI_SAMPLE_NUM}
+    ),
+    t AS (
+        SELECT count(*) AS n
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    m AS (SELECT count(*) AS n_edges_sampled FROM e)
+    SELECT CAST(n_edges_sampled AS BIGINT) AS n_edges_sampled,
+           CAST(t.n AS BIGINT) AS n_triangles_sampled,
+           CAST(t.n * {_TRI_SAMPLE_DEN ** 3 // _TRI_SAMPLE_NUM ** 3} AS BIGINT)
+               AS est_triangles
+    FROM m CROSS JOIN t
+    """,
+    doc="Approximate triangle counting via DOULION edge sparsification "
+    "(Tsourakakis, Kang, Miller & Faloutsos, KDD 2009): keep each edge "
+    "independently with probability p, count triangles on the sample "
+    "with the same degree-oriented exact counter, scale by 1/p^3 (an "
+    "unbiased estimator). The coin flip is a DETERMINISTIC md5 "
+    "threshold on the canonical edge key, so results replay bit-for-bit "
+    "on any engine — and the triangle join's wedge volume drops by "
+    "~p^2 BEFORE any shuffle, which is the scale answer to the "
+    "documented wedge-densification superlinearity of the exact "
+    "operator (SCALE.md round 5 probe). The 1/p^3 scale-up stays in "
+    "exact integer arithmetic.",
+    tags=("bench",),
+)
+def graph_triangle_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.columns import md5_prefix_int
+    from ..llm.dedup import _bucket_pairs
+    from ..operators.graph import oriented_triangle_count
+
+    li = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
+        .distinct()
     )
-    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
-    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
-    with_deg = edges.join(du, "u").join(dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    edges = _bucket_pairs(li, "o").select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
-    oriented = with_deg.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    # exact-integer threshold compare (h * den < 2^32 * num), never a
+    # float rate — the verify skill's cross-engine hashing contract
+    ekey = F.concat(F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string"))
+    h = md5_prefix_int(ekey).cast("decimal(20,0)")
+    sampled = edges.where(
+        h * _TRI_SAMPLE_DEN < F.lit(4294967296 * _TRI_SAMPLE_NUM).cast("decimal(20,0)")
     )
-    w1 = oriented.select("src", F.col("dst").alias("a"))
-    w2 = oriented.select("src", F.col("dst").alias("b"))
-    # per-triangle uniqueness: exactly one node of a triangle has two
-    # out-edges under the acyclic degree orientation; a < b dedups the
-    # two orderings of the same wedge
-    wedges = w1.join(w2, "src").where(F.col("a") < F.col("b"))
-    closing = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    tri = wedges.join(closing, ["a", "b"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
-    )
-    stats = edges.agg(F.count(F.lit(1)).alias("n_edges"))
-    nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    return (
-        nodes.crossJoin(stats)
-        .crossJoin(tri)
-        .select("n_nodes", "n_edges", "n_triangles")
+    counts = oriented_triangle_count(sampled)
+    scale = _TRI_SAMPLE_DEN**3 // _TRI_SAMPLE_NUM**3
+    return counts.select(
+        F.col("n_edges").alias("n_edges_sampled"),
+        F.col("n_triangles").alias("n_triangles_sampled"),
+        (F.col("n_triangles") * scale).cast("bigint").alias("est_triangles"),
     )
 
 

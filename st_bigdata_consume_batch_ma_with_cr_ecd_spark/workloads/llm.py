@@ -2364,6 +2364,123 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(with_bmp, fake_decode=False)
 
 
+@register(
+    "dedup_image_dhash",
+    # the oracle replays the WHOLE image path symbolically: the fixture
+    # pixel formula (base pattern of doc_id % 37 plus per-doc noise),
+    # the dHash gradient bits at the 9x8 sample grid, and a QUADRATIC
+    # hamming <= 7 pair scan — while Spark decodes real BMP bytes,
+    # resizes 18x16 -> 9x8 with the codec's index math, and blocks
+    # through the SimHash LSH machinery. Any divergence anywhere in
+    # encode/decode/resize/grayscale/bit-pack/banding flips the hash.
+    oracle="""
+    WITH px AS (
+        SELECT doc_id, r, c,
+               CAST(('0x' || substr(md5(CAST(doc_id % 37 AS VARCHAR) || ':' ||
+                    CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 8))::UBIGINT
+                    % 250 AS BIGINT)
+             + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(r AS VARCHAR) || ':' || CAST(c AS VARCHAR)), 1, 8))::UBIGINT
+                    % 5 AS BIGINT) AS v
+        FROM documents, range(0, 8) AS t1(r), range(0, 9) AS t2(c)
+    ),
+    bits AS (
+        SELECT a.doc_id, a.r, a.c,
+               CASE WHEN b.v > a.v THEN '1' ELSE '0' END AS bit
+        FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+        WHERE a.c < 8
+    ),
+    sig AS (
+        SELECT doc_id, string_agg(bit, '' ORDER BY r, c) AS s
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_filter(range(1, 65),
+                   i -> substr(a.s, CAST(i AS INT), 1) <> substr(b.s, CAST(i AS INT), 1)))
+                   AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    ) WHERE hamming <= 7
+    """,
+    doc="Perceptual-hash image near-dedup — the pairing of the "
+    "multimodal codecs with the dedup family: a deterministic fixture "
+    "corpus of 18x16 24-bit BMPs (base pattern keyed by doc_id % 37, "
+    "plus per-doc pixel noise of 0..4, so same-pattern images are true "
+    "near-duplicates) is synthesized per document, then "
+    "llm/multimodal.py:dhash_images REALLY decodes the BMP bytes, "
+    "downsamples to 9x8 with the codec's nearest-neighbor index math, "
+    "and emits the 64-bit gradient-sign dHash; candidates come from "
+    "the existing aligned-block Hamming LSH "
+    "(llm/dedup.py:simhash_candidate_pairs, 8 blocks of 8 bits — "
+    "pigeonhole-complete for hamming <= 7), and an exact Hamming "
+    "verify (conv + xor + bit_count, JVM-side) keeps true near-dups "
+    "only. Everything integer-exact end to end, so the quadratic "
+    "DuckDB oracle replays decode/resize/hash/verify symbolically "
+    "while Spark runs the real bytes at blocked (never all-pairs) "
+    "cost.",
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.dedup import simhash_candidate_pairs
+    from ..llm.multimodal import dhash_images
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import numpy as np
+        import pandas as pd
+
+        from ..llm.codecs import encode_bmp
+
+        def _h(key: str, mod: int) -> int:
+            return int(_hl.md5(key.encode("utf-8")).hexdigest()[:8], 16) % mod
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                g = d % 37
+                v = np.array(
+                    [
+                        [_h(f"{g}:{r}:{c}", 250) + _h(f"{d}:{r}:{c}", 5) for c in range(9)]
+                        for r in range(8)
+                    ],
+                    dtype=np.uint8,
+                )
+                # 2x2 block upsample: the dhash kernel's 9x8 nearest-
+                # neighbor grid samples back exactly the formula values
+                big = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+                payloads.append(encode_bmp(np.stack([big] * 3, axis=2)))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    imgs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    sigs = dhash_images(imgs).localCheckpoint(eager=True)  # feeds blocking + verify
+    cands = simhash_candidate_pairs(
+        sigs.select("doc_id", F.col("dhash").alias("simhash")),
+        bits=64,
+        band_hex_width=2,
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("dhash").alias("__ha"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("dhash").alias("__hb"))
+
+    def _half_ham(a, b, start):
+        xa = F.conv(F.substring(a, start, 8), 16, 10).cast("long")
+        xb = F.conv(F.substring(b, start, 8), 16, 10).cast("long")
+        return F.bit_count(xa.bitwiseXOR(xb))
+
+    hamming = (
+        _half_ham(F.col("__ha"), F.col("__hb"), 1)
+        + _half_ham(F.col("__ha"), F.col("__hb"), 9)
+    ).cast("int")
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= 7)
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-prep composite: the full training-data chain in one plan
 # --------------------------------------------------------------------------
@@ -3919,6 +4036,95 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "doc_id", "n_feats", F.round("dsir_logratio", 4).alias("dsir_logratio")
     )
+
+
+@register(
+    "sample_dsir_resample",
+    # the FULL DSIR loop under one value hash: importance weights
+    # (replayed symbolically — same CTE as sample_importance_dsir's
+    # oracle) -> Gumbel-top-k resampling keys -> k-per-stratum draw.
+    # u = (h + 0.5)/2^32 keeps the Gumbel transform off ln(0).
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang = 'en' AS is_target, {_DUCK_TOKENS} AS tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    uni AS (
+        SELECT doc_id, is_target, unnest(tokens) AS feat FROM tok
+    ),
+    bi AS (
+        SELECT doc_id, is_target,
+               unnest(list_transform(range(1, len(tokens)),
+                      i -> tokens[i] || ' ' || tokens[i+1])) AS feat
+        FROM tok WHERE len(tokens) >= 2
+    ),
+    feats AS (
+        SELECT doc_id, is_target,
+               CAST(('0x' || substr(md5(feat), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket
+        FROM (SELECT * FROM uni WHERE feat <> '' UNION ALL SELECT * FROM bi)
+    ),
+    b AS (
+        SELECT bucket, count(*) AS src_c,
+               sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_c
+        FROM feats GROUP BY bucket
+    ),
+    t AS (SELECT sum(src_c) AS src_n, sum(tgt_c) AS tgt_n FROM b),
+    w AS (
+        SELECT f.doc_id,
+               round(sum(ln((b.tgt_c + 1.0) / (t.tgt_n + 64.0))
+                         - ln((b.src_c + 1.0) / (t.src_n + 64.0))), 4) AS lr
+        FROM feats f JOIN b USING (bucket) CROSS JOIN t
+        GROUP BY f.doc_id
+    ),
+    keyed AS (
+        SELECT w.doc_id, d.lang, w.lr,
+               round(w.lr - ln(-ln(
+                   (CAST(CAST(concat('0x', substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8))
+                        AS UBIGINT) AS DOUBLE) + 0.5) / 4294967296.0)), 6) AS sample_key
+        FROM w JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, lr AS dsir_logratio, sample_key, rk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY lang ORDER BY sample_key DESC, doc_id ASC) AS rk
+        FROM keyed
+    ) WHERE rk <= 4
+    """,
+    doc="DSIR end to end (Xie et al. 2023): the importance-weighting "
+    "stage (llm/text.py:dsir_logratio — hashed unigram+bigram bag "
+    "model, 64 buckets, add-1 smoothing) COMPOSED with the resampling "
+    "step it exists for, under one value hash. Resampling with "
+    "probability proportional to exp(logratio) rides the Gumbel-top-k "
+    "identity (equivalent to Efraimidis-Spirakis with w = exp(lr), but "
+    "numerically gentle — keys live on the logratio scale instead of "
+    "exp'd weights that over/underflow): key = lr - ln(-ln(u)) with u "
+    "a deterministic md5 fraction, then the top-4 keys per language "
+    "stratum ARE the weighted draw without replacement, reproducible "
+    "on any engine or partitioning. Keys round to 1e-6 on both sides "
+    "BEFORE ranking (doc_id tiebreak), the registry's standard guard "
+    "for the one libm op in a ranking key. Plans as WindowGroupLimit "
+    "over the weight stage's output — nothing corpus-sized joins or "
+    "sorts beyond the weight computation itself.",
+)
+def sample_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.text import dsir_logratio
+    from ..operators.dedup import top_n_per_group
+
+    docs = _docs(spark, sf_dir)
+    w = dsir_logratio(docs, F.col("lang") == "en").select(
+        "doc_id", F.round("dsir_logratio", 4).alias("dsir_logratio")
+    )
+    u = (md5_prefix_int("doc_id").cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    keyed = w.join(docs.select("doc_id", "lang"), "doc_id").withColumn(
+        "sample_key", F.round(F.col("dsir_logratio") - F.log(-F.log(u)), 6)
+    )
+    return top_n_per_group(
+        keyed,
+        ["lang"],
+        [F.col("sample_key").desc(), F.col("doc_id").asc()],
+        n=4,
+        rank_col="rk",
+        keep_rank=True,
+    ).select("doc_id", "lang", "dsir_logratio", "sample_key", "rk")
 
 
 @register(

@@ -3601,6 +3601,38 @@ def fuzzy_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_name_matching_k2",
+    # the quadratic lev<=2 cross-join oracle vs the depth-2 recursive
+    # deletion-neighborhood blocking — same exact-oracle-vs-scale-path
+    # pairing as the k=1 query; 204k pairs at sf0.01 pin both recall
+    # (blocking completeness) and precision (the verify)
+    oracle="""
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b ON a.c_name < b.c_name
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+    doc="Fuzzy self-matching at edit distance 2 (operators/fuzzy.py): "
+    "SymSpell-style recursive deletion neighborhoods — candidates are "
+    "pairs whose depth-2 delete-variant sets intersect (complete by the "
+    "FastSS lemma: an optimal <=2-edit script leaves a common "
+    "subsequence reachable from both strings with <=2 deletions), then "
+    "a levenshtein verify. Variant count grows as L^2/2 per string "
+    "(~172 for 18-char names — the documented cost of k=2 blocking, "
+    "SCALE.md round 6), still linear in corpus size where the oracle's "
+    "cross join is quadratic. No hot-variant cap here: at k=2 the "
+    "synthetic name space's hottest bucket (294 at sf0.01) exceeds the "
+    "k=1 cap, and the exact oracle would expose any dropped pair.",
+)
+def fuzzy_name_matching_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_self_pairs
+
+    return fuzzy_self_pairs(
+        _t(spark, sf_dir, "customer"), "c_name", max_distance=2
+    ).select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+
+
+@register(
     "entity_resolution_canonical",
     # full ER chain under one hash: quadratic-lev pairs (oracle) vs
     # deletion-neighborhood pairs (Spark) -> transitive closure

@@ -326,3 +326,56 @@ def test_video_frame_sampling_real_y4m(spark):
         (2, bytes([20] * 8)),
         (4, bytes([40] * 8)),
     ]
+
+
+def test_dhash_brightness_invariant_and_structure_sensitive(spark):
+    # dHash keys on gradient SIGNS: a uniform brightness shift must not
+    # change a single bit, while transposing the structure must — the
+    # property that makes it a usable near-dup blocking key
+    import numpy as np
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import encode_bmp
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import dhash_images
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 200, size=(16, 18), dtype=np.uint8)
+
+    def bmp(gray):
+        return bytes(encode_bmp(np.stack([gray.astype(np.uint8)] * 3, axis=2)))
+
+    df = spark.createDataFrame(
+        [
+            (1, bmp(base)),
+            (2, bmp(base + 30)),        # uniform brightness shift
+            (3, bmp(base.T[:16, :18])), # different structure
+            (4, None),                  # no payload -> no signature row
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.dhash for r in dhash_images(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert len(got[1]) == 16 and set(got[1]) <= set("0123456789abcdef")
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+
+
+def test_dhash_matches_symbolic_pixel_formula(spark):
+    # the fixture contract dedup_image_dhash's oracle relies on: for a
+    # 2x2-block-upsampled image, decode -> 9x8 nearest resize -> gray ->
+    # gradient bits must reproduce the hash computed straight from the
+    # 8x9 formula grid
+    import numpy as np
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import encode_bmp
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import dhash_images
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 254, size=(8, 9), dtype=np.uint8)
+    big = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+    df = spark.createDataFrame(
+        [(1, bytes(encode_bmp(np.stack([big] * 3, axis=2))))],
+        "doc_id long, payload binary",
+    )
+    [row] = dhash_images(df).collect()
+    bits = (v[:, 1:].astype(int) > v[:, :-1].astype(int)).astype(np.uint8).reshape(-1)
+    assert row.dhash == np.packbits(bits).tobytes().hex()

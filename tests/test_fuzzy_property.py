@@ -46,3 +46,29 @@ def test_fuzzy_pairs_equal_bruteforce(spark, names):
         if _lev(a, b) <= 1
     }
     assert got == want
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_STRINGS, min_size=2, max_size=10))
+def test_fuzzy_pairs_k2_equal_bruteforce(spark, names):
+    # the SymSpell-style depth-2 neighborhood must be COMPLETE at
+    # distance 2 (and the verify exact) on adversarially dense corpora —
+    # short strings over {a,b} maximize both neighborhood collisions and
+    # true distance-2 chains (including pairs reached only via
+    # insert+insert, delete+delete, and mixed scripts)
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_self_pairs(df, "name", max_distance=2).collect()
+    }
+    uniq = sorted(set(names))
+    want = {
+        (a, b, _lev(a, b))
+        for a, b in itertools.combinations(uniq, 2)
+        if _lev(a, b) <= 2
+    }
+    assert got == want

@@ -768,3 +768,37 @@ def test_fuzzy_join_keeps_duplicate_input_rows(spark):
     right = spark.createDataFrame([(10, "sparc")], "rid long, name string")
     got = fuzzy_join(left, right, "name", "name").collect()
     assert len(got) == 2  # one pair per duplicate left row
+
+
+def test_oriented_triangle_count_known_graph(spark):
+    # K4 (4 triangles) plus a pendant edge: 5 nodes, 7 edges; the
+    # pendant contributes no triangle and the degree orientation must
+    # not double- or under-count any of K4's four
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import (
+        oriented_triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(k4 + [(4, 5)], "u int, v int")
+    [row] = oriented_triangle_count(edges).collect()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (5, 7, 4)
+
+
+def test_deletion_neighborhood_depth2_exact_set(spark):
+    # D_<=2("abcd") must be exactly {every string from deleting <= 2
+    # chars}: itself, 4 delete-1, and the 6 distinct delete-2 results
+    from pyspark.sql import functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import (
+        deletion_neighborhood,
+    )
+
+    df = spark.createDataFrame([("abcd",)], "s string")
+    [row] = df.select(deletion_neighborhood(F.col("s"), 2).alias("v")).collect()
+    import itertools
+
+    want = {"abcd"}
+    for k in (1, 2):
+        for idxs in itertools.combinations(range(4), k):
+            want.add("".join(ch for i, ch in enumerate("abcd") if i not in idxs))
+    assert set(row.v) == want

@@ -277,11 +277,111 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
     }
 
 
+def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object]:
+    """Executed-plan assertions at amplified scale (r5 review ask #4):
+    the mis-broadcast class regresses SILENTLY if an estimate path
+    changes, so the probe sweep re-proves the load-bearing plan facts
+    on the FINAL adaptive plan at the largest mult, not just in the
+    fixture-scale pytest suite. Each audit runs the plan to completion
+    (AQE finalizes only on execution), inspects the final plan, and
+    raises on violation."""
+
+    def final_plan(df) -> str:
+        # a 1-row global count executes every join/exchange of the
+        # underlying plan inside THIS DataFrame's query execution, so
+        # the AdaptiveSparkPlan it holds afterwards is the final one
+        counted = df.groupBy().count()
+        counted.collect()
+        return (
+            counted._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+
+    def fuzzy_er_round_join_stays_smj() -> None:
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import (
+            fuzzy_self_pairs,
+        )
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_name")
+        reps = [
+            cust.select(
+                F.concat(F.lit(chr(65 + r) * 2), F.col("c_name")).alias("c_name")
+            )
+            for r in range(mult)
+        ]
+        cust_m = reps[0]
+        for rep in reps[1:]:
+            cust_m = cust_m.unionByName(rep)
+        pairs = (
+            fuzzy_self_pairs(cust_m, "c_name", max_variant_freq=256)
+            .select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+            .localCheckpoint(eager=True)
+        )
+        # one closure round, exactly as connected_components builds it:
+        # the checkpointed edge list inherits the explode-underestimate,
+        # so an unpinned join is where AQE would broadcast data
+        sym = pairs.unionByName(
+            pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        labels = (
+            sym.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
+        rj = sym.hint("merge").join(labels.withColumnRenamed("node", "dst"), on="dst")
+        plan = final_plan(rj)
+        assert "SortMergeJoin" in plan, "closure round join lost its SMJ pin"
+        assert "BroadcastHashJoin" not in plan, (
+            "closure round join broadcasts a data-sized side at "
+            f"mult={mult} — the r5 mis-broadcast class is back"
+        )
+
+    def consume_e2e_no_data_sized_broadcast() -> None:
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.pipelines.consume_batch import (
+            consume_batch,
+        )
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.consume_e2e import (
+            _DATES,
+            derive_consume_inputs,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev_m = amplify(ev, mult, ["event_id", "user_id"])
+        t = derive_consume_inputs(spark, sf_dir, events=ev_m)
+        df = consume_batch(
+            t["changelog"], t["texts"], t["visibility"], t["fraud"],
+            t["contacts"], t["visits"], t["bundeslaender"], t["stadtlandkreise"],
+            _DATES,
+            materialize=True,
+        )
+        plan = final_plan(df)
+        assert "CartesianProduct" not in plan, "e2e grew an unguarded cross join"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            "e2e grew a nested-loop join — a non-equi condition stopped "
+            "planning as hash/merge"
+        )
+        spark.catalog.clearCache()  # consume_batch caches its stage-0 merge
+
+    return {
+        "fuzzy_er_closure": fuzzy_er_round_join_stays_smj,
+        "consume_e2e_compute": consume_e2e_no_data_sized_broadcast,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--mults", default="1,4,8")
     ap.add_argument("--only", default="", help="comma-separated probe names to run")
+    ap.add_argument(
+        "--plan-audit",
+        action="store_true",
+        help="after the timed runs, re-execute the audited probes at the "
+        "largest mult and assert their final adaptive plans (SMJ pins "
+        "hold, no data-sized broadcasts)",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     only = {n for n in args.only.split(",") if n}
@@ -314,6 +414,14 @@ def main() -> int:
             spark.catalog.clearCache()
             results.setdefault(name, {})[mult] = dt
             print(f"{name:20s} mult={mult:<3d} {dt:6.2f}s  {rows / dt / 1e6:7.2f} Mrows/s")
+
+    if args.plan_audit:
+        audits = plan_audits(spark, args.sf, mults[-1])
+        for name, audit in audits.items():
+            if only and name not in only:
+                continue
+            audit()
+            print(f"PLAN-AUDIT {name:18s} mult={mults[-1]}  OK")
 
     lo, hi = mults[0], mults[-1]
     data_ratio = hi / lo
