@@ -148,32 +148,31 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
     # triangle counting on the part co-purchase graph: disjoint replica
     # components -> triangles scale linearly; degree orientation must
     # keep the wedge join bounded as hubs replicate.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.functions.columns import (
+        md5_prefix_int,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.graph import (
+        oriented_triangle_count,
+    )
+
     li_t = li_r.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc")).distinct()
     t_edges = _bucket_pairs(li_t, "o").select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).localCheckpoint(eager=False)
-    t_deg = (
-        t_edges.select(F.col("u").alias("x"))
-        .union(t_edges.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("d"))
     )
-    t_du = t_deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
-    t_dv = t_deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
-    t_wd = t_edges.join(t_du, "u").join(t_dv, "v")
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    triangles = oriented_triangle_count(t_edges)
+    # DOULION twin (p=1/2, deterministic md5 coin — same scheme as the
+    # registered graph_triangle_count_approx): the wedge volume the
+    # amplified graph densifies superlinearly should drop ~p^2 before
+    # any shuffle, so the probe pair quantifies the approximation's
+    # scale payoff against the exact operator's documented superlinearity
+    ekey = F.concat(F.col("u").cast("string"), F.lit(":"), F.col("v").cast("string"))
+    t_sampled = t_edges.where(
+        md5_prefix_int(ekey).cast("decimal(20,0)") * 2
+        < F.lit(4294967296 * 1).cast("decimal(20,0)")
     )
-    oriented = t_wd.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    triangles_approx = oriented_triangle_count(t_sampled).select(
+        (F.col("n_triangles") * 8).alias("est_triangles")
     )
-    wedges = oriented.select("src", F.col("dst").alias("a")).join(
-        oriented.select("src", F.col("dst").alias("b")), "src"
-    ).where(F.col("a") < F.col("b"))
-    triangles = wedges.join(
-        t_edges.select(F.col("u").alias("a"), F.col("v").alias("b")), ["a", "b"]
-    ).agg(F.count(F.lit(1)).alias("n_triangles"))
 
     # consume-batch e2e COMPUTE (derive + stage-0 merge + 4 slice
     # chains + union), sinks excluded: the gzip files=1 sinks are the
@@ -271,6 +270,7 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         "graph_rank_iter": (rank_iter, (n_li + n_o) * mult),
         "recsys_cooccur": (recsys, (n_li + n_o) * mult),
         "triangle_count": (triangles, n_li * mult),
+        "triangle_count_approx": (triangles_approx, n_li * mult),
         "consume_e2e_compute": (e2e_compute, n_ev * mult),
         "kcore_peel": (kcore_compute, n_li * mult),
         "fuzzy_er_closure": (fuzzy_er_compute, n_cust * mult),
@@ -331,7 +331,10 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
             .withColumn("label", F.col("node"))
         )
         rj = sym.hint("merge").join(labels.withColumnRenamed("node", "dst"), on="dst")
-        plan = final_plan(rj)
+        try:
+            plan = final_plan(rj)
+        finally:
+            pairs.unpersist()  # 64x checkpoint blocks outlive the fn otherwise
         assert "SortMergeJoin" in plan, "closure round join lost its SMJ pin"
         assert "BroadcastHashJoin" not in plan, (
             "closure round join broadcasts a data-sized side at "
@@ -356,17 +359,23 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
             _DATES,
             materialize=True,
         )
-        plan = final_plan(df)
+        try:
+            plan = final_plan(df)
+        finally:
+            spark.catalog.clearCache()  # consume_batch caches its stage-0 merge
         assert "CartesianProduct" not in plan, "e2e grew an unguarded cross join"
         assert "BroadcastNestedLoopJoin" not in plan, (
             "e2e grew a nested-loop join — a non-equi condition stopped "
             "planning as hash/merge"
         )
-        spark.catalog.clearCache()  # consume_batch caches its stage-0 merge
 
+    # e2e FIRST: its materialized stage-0 cache is the biggest single
+    # allocation at 64x, so it must run against a clean heap; the fuzzy
+    # audit's checkpoint blocks are unpersisted explicitly either way
+    # (the ordering + cleanup is what the first 64x run OOM'd without)
     return {
-        "fuzzy_er_closure": fuzzy_er_round_join_stays_smj,
         "consume_e2e_compute": consume_e2e_no_data_sized_broadcast,
+        "fuzzy_er_closure": fuzzy_er_round_join_stays_smj,
     }
 
 
@@ -381,6 +390,13 @@ def main() -> int:
         help="after the timed runs, re-execute the audited probes at the "
         "largest mult and assert their final adaptive plans (SMJ pins "
         "hold, no data-sized broadcasts)",
+    )
+    ap.add_argument(
+        "--audit-only",
+        action="store_true",
+        help="skip the timed runs; only execute the plan audits at the "
+        "largest mult (a fresh JVM per audit sweep keeps 64x heap "
+        "headroom honest)",
     )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
@@ -398,30 +414,34 @@ def main() -> int:
         items = probes(spark, sf, mult)
         return {n: v for n, v in items.items() if not only or n in only}
 
-    # warm codegen/scan caches so mult=1 is not penalized by startup
-    for obj, _ in selected(spark, args.sf, 1).values():
-        run(obj)
-        spark.catalog.clearCache()
-
     results: dict[str, dict[int, float]] = {}
-    for mult in mults:
-        for name, (obj, rows) in selected(spark, args.sf, mult).items():
-            t0 = time.time()
+    if not args.audit_only:
+        # warm codegen/scan caches so mult=1 is not penalized by startup
+        for obj, _ in selected(spark, args.sf, 1).values():
             run(obj)
-            dt = time.time() - t0
-            # consume_batch caches its stage-0 merge (intended within a
-            # run: 4 slices share it); drop it so runs don't accumulate
             spark.catalog.clearCache()
-            results.setdefault(name, {})[mult] = dt
-            print(f"{name:20s} mult={mult:<3d} {dt:6.2f}s  {rows / dt / 1e6:7.2f} Mrows/s")
 
-    if args.plan_audit:
+        for mult in mults:
+            for name, (obj, rows) in selected(spark, args.sf, mult).items():
+                t0 = time.time()
+                run(obj)
+                dt = time.time() - t0
+                # consume_batch caches its stage-0 merge (intended within a
+                # run: 4 slices share it); drop it so runs don't accumulate
+                spark.catalog.clearCache()
+                results.setdefault(name, {})[mult] = dt
+                print(f"{name:20s} mult={mult:<3d} {dt:6.2f}s  {rows / dt / 1e6:7.2f} Mrows/s")
+
+    if args.plan_audit or args.audit_only:
         audits = plan_audits(spark, args.sf, mults[-1])
         for name, audit in audits.items():
             if only and name not in only:
                 continue
             audit()
             print(f"PLAN-AUDIT {name:18s} mult={mults[-1]}  OK")
+
+    if args.audit_only:
+        return 0
 
     lo, hi = mults[0], mults[-1]
     data_ratio = hi / lo
