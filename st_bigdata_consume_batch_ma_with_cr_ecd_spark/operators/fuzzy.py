@@ -151,11 +151,13 @@ def fuzzy_join(
     max_distance: int = 1,
 ) -> DataFrame:
     """Two-table fuzzy equi-join: every (left row, right row) pair
-    whose strings are within ``max_distance`` edits, via the same
-    blocking. Output keeps all columns of both sides (right columns
-    colliding with left names get a ``_right`` suffix) plus ``dist``."""
-    if max_distance != 1:
-        raise ValueError("fuzzy_join supports max_distance=1 only")
+    whose strings are within ``max_distance`` edits (1 or 2 — FastSS /
+    SymSpell deletion neighborhoods, same completeness argument as
+    :func:`fuzzy_self_pairs`), via the same blocking. Output keeps all
+    columns of both sides (right columns colliding with left names get
+    a ``_right`` suffix) plus ``dist``."""
+    if max_distance not in (1, 2):
+        raise ValueError("fuzzy_join supports max_distance in {1, 2}")
     # row-identity keys (not full-row distinct): two IDENTICAL input
     # rows must each produce their pairs — deduping on row content
     # would silently merge them (r4 review finding). The ids only key
@@ -170,12 +172,18 @@ def fuzzy_join(
     lv = (
         left.withColumn("__lid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
-        .select("*", F.explode(deletion_variants(F.col(left_col))).alias("__v"))
+        .select(
+            "*",
+            F.explode(deletion_neighborhood(F.col(left_col), max_distance)).alias("__v"),
+        )
     )
     rv = (
         right.withColumn("__rid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
-        .select("*", F.explode(deletion_variants(F.col(right_col))).alias("__v"))
+        .select(
+            "*",
+            F.explode(deletion_neighborhood(F.col(right_col), max_distance)).alias("__v"),
+        )
     )
     l, r = lv.alias("l"), rv.alias("r")
     joined = l.join(r, F.col("l.__v") == F.col("r.__v")).drop("__v")

@@ -72,3 +72,33 @@ def test_fuzzy_pairs_k2_equal_bruteforce(spark, names):
         if _lev(a, b) <= 2
     }
     assert got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(_STRINGS, min_size=1, max_size=6),
+    st.lists(_STRINGS, min_size=1, max_size=6),
+)
+def test_fuzzy_join_k2_equals_bruteforce(spark, left_names, right_names):
+    # two-table blocking at distance 2, including duplicate input rows
+    # (each occurrence must pair independently — the row-identity
+    # contract) and cross-side empty-adjacent strings
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import fuzzy_join
+
+    ldf = spark.createDataFrame([(n,) for n in left_names], "lname string")
+    rdf = spark.createDataFrame([(n,) for n in right_names], "rname string")
+    got = sorted(
+        (r.lname, r.rname, r.dist)
+        for r in fuzzy_join(ldf, rdf, "lname", "rname", max_distance=2).collect()
+    )
+    want = sorted(
+        (a, b, _lev(a, b))
+        for a in left_names
+        for b in right_names
+        if _lev(a, b) <= 2
+    )
+    assert got == want
