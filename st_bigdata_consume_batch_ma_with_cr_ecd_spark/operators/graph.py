@@ -319,7 +319,17 @@ def oriented_triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> Dat
     The edge list is lazily checkpointed: it feeds degrees, orientation,
     and the closing join, and re-deriving a generated pair list three
     times would triple the dominant cost (and re-expose the
-    explode-underestimate AQE hazard — see SCALE.md round 5)."""
+    explode-underestimate AQE hazard — see SCALE.md round 5).
+
+    Every join pins ``hint("merge")``: all four build sides (degree
+    vectors, the second wedge leg, the closing edge list) are node- or
+    edge-sized — data-sized at scale by definition — while Catalyst's
+    estimate for the explode-generated, checkpoint-inherited edge list
+    is bogusly tiny (the r5 mis-broadcast class), so an unpinned plan
+    BROADCASTS the edge list and dies at 100 TB. Measured at sf0.1 the
+    pins are also simply faster (~6.6s -> ~5.3s warm): shuffling the
+    wedge join beats rebuilding four hashed relations of the same edge
+    data (SCALE.md round 6)."""
     e = edges.select(F.col(u).alias("u"), F.col(v).alias("v")).localCheckpoint(
         eager=False
     )
@@ -331,7 +341,7 @@ def oriented_triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> Dat
     )
     du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
-    with_deg = e.join(du, "u").join(dv, "v")
+    with_deg = e.join(du.hint("merge"), "u").join(dv.hint("merge"), "v")
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
@@ -341,9 +351,11 @@ def oriented_triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> Dat
     )
     w1 = oriented.select("src", F.col("dst").alias("a"))
     w2 = oriented.select("src", F.col("dst").alias("b"))
-    wedges = w1.join(w2, "src").where(F.col("a") < F.col("b"))
+    wedges = w1.join(w2.hint("merge"), "src").where(F.col("a") < F.col("b"))
     closing = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    tri = wedges.join(closing, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    tri = wedges.join(closing.hint("merge"), ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
     stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return (

@@ -568,3 +568,15 @@ def test_heavy_hitters_verify_pass_broadcasts_candidates(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin Cross BuildRight" in plan
+
+
+def test_triangle_count_joins_are_merge_pinned(spark, sf_dir):
+    # all four triangle-count joins build on node- or edge-sized sides;
+    # Catalyst underestimates the checkpointed explode-generated edge
+    # list (the r5 mis-broadcast class), so the operator pins SMJ —
+    # an unpinned plan broadcasts the edge list and dies at 100 TB
+    for name in ("graph_triangle_count", "graph_triangle_count_approx"):
+        plan = plan_of(spark, sf_dir, name)
+        # the only broadcasts left are the 1-row stat crosses
+        assert "BroadcastHashJoin" not in plan, name
+        assert plan.count("SortMergeJoin") >= 4, name
