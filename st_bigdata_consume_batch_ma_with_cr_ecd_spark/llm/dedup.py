@@ -148,7 +148,14 @@ def _pair_overlap_counts(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return shared.join(sa, "doc_a").join(sb, "doc_b")
+    # merge pins: the checkpointed sizes table is DOC-sized, and a bare
+    # checkpoint scan has no shuffle stage AQE could measure — an
+    # unpinned plan broadcasts it off the inherited explode
+    # underestimate. Making the side measurable (repartition under the
+    # build) does NOT fix this: AQE demotion is cost-gated and keeps a
+    # static broadcast whenever the SMJ re-plan adds an exchange, so
+    # the only 100-TB-safe shape is the explicit pin (SCALE.md round 6)
+    return shared.join(sa.hint("merge"), "doc_a").join(sb.hint("merge"), "doc_b")
 
 
 def ngram_containment_pairs(
@@ -242,12 +249,18 @@ def jaccard_prefix_filtered_pairs(
 
     candidates = _bucket_pairs(prefix, "shingle")
 
-    # verification: true overlap counts, computed only for candidates
+    # verification: true overlap counts, computed only for candidates.
+    # merge pins on both shingle-table sides: sh is the CORPUS shingle
+    # checkpoint — the largest relation in the query — and its bare
+    # scan has no shuffle stage, so a broadcast chosen off the
+    # inherited explode underestimate is never AQE-demoted; a
+    # measurable repartition under the build doesn't help either,
+    # because AQE demotion is cost-gated (SCALE.md round 6)
     sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
     shared = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
+        candidates.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
@@ -388,12 +401,16 @@ def minhash_verified_pairs(
         rows_per_band=rows_per_band,
         max_bucket_size=max_bucket_size,
     )
+    # merge pins: the signature checkpoint is doc-sized with no shuffle
+    # stage under its bare scan — a broadcast off the inherited
+    # estimate is never demoted (AQE re-plans are cost-gated, so even
+    # a measurable build keeps its static broadcast; SCALE.md round 6)
     sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("__sa"))
     sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("__sb"))
     n_agree = F.expr("size(filter(zip_with(__sa, __sb, (x, y) -> x = y), v -> v))")
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .withColumn("n_agree", n_agree.cast("int"))
         .withColumn(
             "est_jaccard", F.round(F.col("n_agree") / F.lit(num_hashes), 4)

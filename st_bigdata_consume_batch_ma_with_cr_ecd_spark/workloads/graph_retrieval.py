@@ -158,7 +158,11 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term_scores = (
         tf_q.join(F.broadcast(queries), "token")
         .join(dfreq, "token")
-        .join(dl, "doc_id")
+        # merge pin: dl is DOC-sized behind a checkpoint whose bare scan
+        # AQE can never measure — unpinned, Catalyst statically
+        # broadcasts it off the inherited estimate (caught by the r6
+        # checkpoint-broadcast sweep; SCALE.md round 6)
+        .join(dl.hint("merge"), "doc_id")
         .crossJoin(F.broadcast(nd))
         .crossJoin(F.broadcast(tot))
         .select("query_id", "doc_id", s.alias("s"))

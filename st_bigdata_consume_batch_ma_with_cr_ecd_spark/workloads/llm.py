@@ -2473,9 +2473,12 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _half_ham(F.col("__ha"), F.col("__hb"), 1)
         + _half_ham(F.col("__ha"), F.col("__hb"), 9)
     ).cast("int")
+    # merge pins: sigs is the image-corpus dHash checkpoint — same
+    # non-demotable checkpoint-broadcast hazard as the text verify
+    # joins (SCALE.md round 6)
     return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= 7)
     )

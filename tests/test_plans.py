@@ -291,7 +291,12 @@ def test_ngram_jaccard_shingle_pipeline_runs_once(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_ngram_jaccard")
     # collect_list (ObjectHashAggregate) lives BEFORE the checkpoint cut
     assert "ObjectHashAggregate" not in plan
-    assert plan.count("Exchange") <= 6, f"shingle subtree recomputed?\n{plan}"
+    # the shingle pipeline's fingerprints — a parquet scan and the
+    # shingle explode — must be absent from the final plan entirely
+    # (r6: the raw Exchange-count bound moved here when the sizes joins
+    # took their merge pins, which add honest sort-merge exchanges)
+    assert scan_node_count(plan) == 0, f"shingle subtree recomputed?\n{plan}"
+    assert plan.count("Exchange") <= 12, f"unexpected extra shuffles\n{plan}"
     assert "Scan ExistingRDD" in plan  # checkpointed buckets/sizes
 
 
@@ -580,3 +585,122 @@ def test_triangle_count_joins_are_merge_pinned(spark, sf_dir):
         # the only broadcasts left are the 1-row stat crosses
         assert "BroadcastHashJoin" not in plan, name
         assert plan.count("SortMergeJoin") >= 4, name
+
+
+def _load_explain_audit():
+    import importlib.util
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parent.parent / "tools" / "explain_audit.py"
+    spec = importlib.util.spec_from_file_location("explain_audit", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_checkpoint_broadcast_detector_separates_demotable_builds(spark):
+    # tools/explain_audit.py's advisory detector for the mis-broadcast
+    # class (SCALE.md round 6): a broadcast build whose subtree is a
+    # BARE checkpoint scan must flag (AQE never observes the scan's
+    # true size, so a bogus inherited estimate is non-demotable), while
+    # a build with a shuffle stage between checkpoint and broadcast
+    # must NOT (AQE measures the stage and can demote at runtime — the
+    # duplicate-spans precedent)
+    from pyspark.sql import functions as F
+
+    mod = _load_explain_audit()
+
+    def fmt(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    big = spark.range(1000).withColumn("k", F.col("id") % 7)
+    ckpt = spark.range(100).withColumn("k", F.col("id") % 7).localCheckpoint(
+        eager=True
+    )
+
+    hazard = big.join(ckpt.hint("broadcast"), "k")
+    assert mod.checkpoint_broadcast_flags(fmt(hazard)), (
+        "bare checkpoint-scan broadcast build must flag"
+    )
+
+    contracted = ckpt.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    demotable = big.join(contracted.hint("broadcast"), "k")
+    assert mod.checkpoint_broadcast_flags(fmt(demotable)) == []
+
+    pinned = big.join(ckpt.hint("merge"), "k")
+    assert mod.checkpoint_broadcast_flags(fmt(pinned)) == []
+
+
+def test_pair_verify_joins_are_merge_pinned(spark, sf_dir):
+    # the shingle/size/signature checkpoints joined back in each dedup
+    # verify stage are CORPUS- or doc-sized, and a bare checkpoint scan
+    # has no shuffle stage AQE could measure — so a broadcast chosen
+    # off the inherited explode underestimate is never demoted at
+    # runtime (and a measurable build doesn't save it either: see
+    # test_aqe_broadcast_demotion_is_cost_gated). The merge pins keep
+    # every such join sort-merge; the detector must find zero bare
+    # checkpoint-scan broadcast builds.
+    mod = _load_explain_audit()
+    for name in (
+        "dedup_jaccard_prefix_filter",
+        "dedup_minhash_verified",
+        "dedup_ngram_containment",
+        "dedup_ngram_jaccard",
+    ):
+        plan = plan_of(spark, sf_dir, name)
+        assert mod.checkpoint_broadcast_flags(plan) == [], name
+        assert "SortMergeJoin" in plan, name
+
+
+def test_aqe_broadcast_demotion_is_cost_gated(spark):
+    # the round-6 negative result behind the merge pins: AQE
+    # re-optimization runs SimpleCostEvaluator (shuffle count) against
+    # the old plan, so a statically-planned broadcast whose SMJ
+    # alternative would ADD an exchange is KEPT even when the runtime
+    # threshold forbids broadcasts entirely — "measurable" is not
+    # "demotable". Build the shape: probe side partitioned by (k, j),
+    # build side behind a measurable repartition on k; an SMJ on k
+    # would re-shuffle the probe side, so demotion costs one exchange.
+    from pyspark.sql import functions as F
+
+    probe = (
+        spark.range(2000)
+        .select((F.col("id") % 50).alias("k"), (F.col("id") % 7).alias("j"))
+        .groupBy("k", "j")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    build = (
+        spark.range(100)
+        .select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+        .localCheckpoint(eager=True)
+        .repartition("k")
+    )
+    joined = probe.join(build, "k")
+    static = io.StringIO()
+    with contextlib.redirect_stdout(static):
+        joined.explain("formatted")
+    if "BroadcastHashJoin" not in static.getvalue():
+        pytest.skip("Catalyst no longer static-plans the broadcast; premise absent")
+    old = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined.collect()
+        final = (
+            joined._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        # the broadcast SURVIVES the -1 threshold: demotion was
+        # cost-rejected. If a Spark upgrade starts demoting here, the
+        # pins become a perf choice rather than a safety requirement —
+        # revisit SCALE.md round 6 if this assertion ever flips.
+        assert "BroadcastHashJoin" in final
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)

@@ -26,6 +26,59 @@ INTERESTING = re.compile(
 )
 
 
+_MARKER = re.compile(r"[+:]- ")
+
+
+def checkpoint_broadcast_flags(plan: str) -> list[str]:
+    """ADVISORY detector for the mis-broadcast class (SCALE.md rounds
+    5-6): a ``BroadcastExchange`` whose build subtree contains a
+    ``Scan ExistingRDD`` leaf (the localCheckpoint node) is being
+    broadcast off an estimate Catalyst CANNOT trust — checkpoint
+    descendants inherit the plan-time size claim, and explode-generated
+    pair plans underestimate by ~5 orders of magnitude, so AQE happily
+    broadcasts data-sized edge lists (measured r5; found again in
+    triangle counting r6). Flags are for human review, not a hard
+    gate: a broadcast of a MODEL-SIZED contraction of checkpointed
+    data (64-row DSIR buckets, MG candidate sets) is correct and will
+    also flag — the question the flag asks is "is this build side
+    bounded by construction, or bounded by an estimate?"."""
+    lines = plan.split("\n\n")[0].splitlines()  # tree section only
+
+    def depth(line: str) -> int:
+        m = _MARKER.search(line)
+        return m.start() if m else -1
+
+    flags = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = depth(line)
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            nd = depth(nxt)
+            if nd >= 0 and nd <= d:
+                break  # left the broadcast subtree
+            subtree.append(nxt)
+        if not any("Scan ExistingRDD" in s for s in subtree):
+            continue
+        # a shuffle Exchange inside the build subtree means AQE observes
+        # the TRUE size of that stage and can demote the broadcast at
+        # runtime (the duplicate-spans precedent). CAVEAT (round 6):
+        # demotion is cost-gated — AQE keeps a static broadcast when
+        # the SMJ re-plan would add an exchange
+        # (test_aqe_broadcast_demotion_is_cost_gated) — so an Exchange
+        # in the build demotes reliably only when the probe side is
+        # already partitioned on the join key. The exception stays
+        # because every model-sized contraction (the correct
+        # broadcasts) has one, and flagging them all would bury the
+        # real hazards; treat Exchange-in-build plans as "verify the
+        # probe partitioning", not "safe".
+        if any(re.search(r"[+:]- Exchange ", s) for s in subtree):
+            continue
+        flags.append(line.strip()[:100])
+    return flags
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -59,6 +112,8 @@ def main() -> int:
             counts[m.group(1)] = counts.get(m.group(1), 0) + 1
         profile = " ".join(f"{k}={v}" for k, v in sorted(counts.items()))
         print(f"== {spec.name}\n   {profile}")
+        for flag in checkpoint_broadcast_flags(plan):
+            print(f"   CHECKPOINT-BROADCAST? {flag}")
         for line in plan.splitlines():
             if "PushedFilters: [" in line and "[]" not in line:
                 print(f"   {line.strip()[:120]}")
