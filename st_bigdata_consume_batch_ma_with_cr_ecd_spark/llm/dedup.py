@@ -217,9 +217,11 @@ def jaccard_prefix_filtered_pairs(
     with true overlap counts (a join that touches only candidate
     pairs).
 
-    The ``(doc, shingle)`` table fans out to five consumers (frequency
-    order, prefix, both verification sides, sizes), so ``materialize``
-    checkpoints it once — same rationale as ``ngram_jaccard_pairs``.
+    The ``(doc, shingle)`` table fans out to three consumers (frequency
+    order, prefix, the per-doc set aggregate that backs verification),
+    so ``materialize`` checkpoints it once — same rationale as
+    ``ngram_jaccard_pairs``; the set aggregate is checkpointed too so
+    both pair-side joins scan one stored copy.
     """
     sh = _doc_shingles(df, text_col, id_col, k).select(F.col(id_col).alias("doc"), "shingle")
     if materialize:
@@ -229,8 +231,14 @@ def jaccard_prefix_filtered_pairs(
 
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__freq"))
     w = Window.partitionBy("doc").orderBy(F.asc("__freq"), F.asc("shingle"))
+    # merge pin: freq is SHINGLE-VOCABULARY-sized (grows with the
+    # corpus) off the checkpoint's inherited estimate — an
+    # estimate-driven broadcast of the vocabulary would OOM at 100 TB
+    # (r6 hazard sweep). A window-count over shingle instead of this
+    # join would avoid the shuffle but melts on hot boilerplate
+    # shingles (no partial aggregation), so agg + pinned join it is.
     ordered = (
-        sh.join(freq, "shingle")
+        sh.join(freq.hint("merge"), "shingle")
         .withColumn("__rank", F.row_number().over(w))
         .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("doc")))
     )
@@ -249,28 +257,28 @@ def jaccard_prefix_filtered_pairs(
 
     candidates = _bucket_pairs(prefix, "shingle")
 
-    # verification: true overlap counts, computed only for candidates.
-    # merge pins on both shingle-table sides: sh is the CORPUS shingle
-    # checkpoint — the largest relation in the query — and its bare
-    # scan has no shuffle stage, so a broadcast chosen off the
-    # inherited explode underestimate is never AQE-demoted; a
-    # measurable repartition under the build doesn't help either,
-    # because AQE demotion is cost-gated (SCALE.md round 6)
-    sa = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    sb = sh.select(F.col("doc").alias("doc_b"), "shingle")
-    shared = (
-        candidates.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    # verification: exact overlap via per-doc shingle SETS and a JVM
+    # array_intersect — two joins total (vs the r2-r5 shape's four:
+    # explode-join on doc_a, explode-join on (doc_b, shingle), then a
+    # pair groupBy plus two sizes joins). Sets are doc-bounded arrays,
+    # so the join payload is the same bytes as the exploded rows but
+    # skips the pair x shingle intermediate and the re-aggregate.
+    # merge pins: docsets is a DOC-sized checkpoint descendant whose
+    # estimate is the inherited explode underestimate — an unpinned
+    # plan statically broadcasts it, and AQE demotion is cost-gated
+    # (SCALE.md round 6), so the pin is the only 100-TB-safe shape.
+    docsets = sh.groupBy("doc").agg(F.sort_array(F.collect_set("shingle")).alias("__set"))
+    if materialize:
+        docsets = docsets.localCheckpoint(eager=True)
+    A = docsets.select(F.col("doc").alias("doc_a"), F.col("__set").alias("__sa"))
+    B = docsets.select(F.col("doc").alias("doc_b"), F.col("__set").alias("__sb"))
+    shared = F.size(F.array_intersect("__sa", "__sb"))
+    na = F.size("__sa")
+    nb = F.size("__sb")
+    jac = shared / (na + nb - shared)
     return (
-        shared.join(na, "doc_a")
-        .join(nb, "doc_b")
+        candidates.join(A.hint("merge"), "doc_a")
+        .join(B.hint("merge"), "doc_b")
         .withColumn("jaccard", F.round(jac, 4))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -635,7 +643,13 @@ def duplicate_chunk_removal(
         .where(F.col("__f") > max_doc_freq)
         .select("chunk", F.lit(True).alias("__hot"))
     )
-    marked = ex.join(F.broadcast(hot), "chunk", "left")
+    # no broadcast hint (was explicit pre-r6): the hot-chunk set is
+    # data-DEPENDENT (heavy-tailed, usually tiny, never bounded by
+    # construction), and its aggregate sits on honestly-estimated
+    # input — so the planner broadcasts locally and flips to SMJ when
+    # the hot set genuinely grows, instead of being forced to
+    # broadcast at any size (r6 explicit-broadcast audit)
+    marked = ex.join(hot, "chunk", "left")
     kept_struct = F.when(
         F.col("__hot").isNull(), F.struct(F.col("chunk_idx"), F.col("chunk"))
     )  # null for hot chunks -> collect_list skips them

@@ -221,8 +221,11 @@ def connected_components_star(
     )
     base = labels.unionByName(roots).distinct()
     # a self-loop node that also has real edges already carries its
-    # component label — only truly lone ones label themselves
-    lone = selfies.join(base.select("node"), "node", "left_anti").withColumn(
+    # component label — only truly lone ones label themselves.
+    # merge pin: base is NODE-sized off checkpoint-inherited estimates
+    # — an estimate-driven broadcast of it would OOM at 100 TB (r6
+    # hazard sweep; SCALE.md round 6)
+    lone = selfies.join(base.select("node").hint("merge"), "node", "left_anti").withColumn(
         "label", F.col("node")
     )
     return base.unionByName(lone)
@@ -358,9 +361,12 @@ def oriented_triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> Dat
     )
     stats = e.agg(F.count(F.lit(1)).alias("n_edges"))
     nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # explicit broadcasts: keyless aggregates are exactly 1 row by
+    # construction — saying so in code (rather than letting the
+    # estimate decide) keeps the hazard sweep's signal clean
     return (
-        nodes.crossJoin(stats)
-        .crossJoin(tri)
+        nodes.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_triangles")
     )
 

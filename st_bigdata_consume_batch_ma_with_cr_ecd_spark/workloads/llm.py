@@ -3133,8 +3133,11 @@ def dedup_cluster_components_star(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs, pairs = _lsh_pairs(spark, sf_dir)
     comps = connected_components_star(pairs, "doc_a", "doc_b")
+    # merge pin: comps is NODE-sized off checkpoint-inherited
+    # estimates — estimate-driven broadcast would OOM at 100 TB (r6
+    # hazard sweep; SCALE.md round 6)
     joined = docs.select("doc_id").join(
-        comps.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+        comps.withColumnRenamed("node", "doc_id").hint("merge"), "doc_id", "left"
     )
     return joined.select(
         "doc_id", F.coalesce("label", F.col("doc_id")).alias("cluster_id")
@@ -3195,9 +3198,15 @@ def cluster_topic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(tokenize(F.col("text"))).alias("token")
     ).where(F.col("token") != "")
+    # merge pin (was an explicit broadcast): multi is CLUSTER-COUNT-
+    # sized — proportional to the number of duplicate groups, i.e.
+    # data-sized at 100 TB — and its lineage runs through the CC
+    # checkpoints, so the estimate can't be trusted either way. An
+    # explicit broadcast here was the one hazard shape the two-pass
+    # sweep cannot see (it survives threshold-off in both passes).
     ct = (
         tok.join(clusters, "doc_id")
-        .join(F.broadcast(multi), "cluster_id")
+        .join(multi.hint("merge"), "cluster_id")
         .groupBy("cluster_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -3264,8 +3264,11 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_avg = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
         (exact_sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
     )
+    # no broadcast hint: the brand slice is ~1/25 of a SCALING table
+    # — honest estimate, so the planner picks broadcast locally and
+    # SMJ at 100 TB on its own (SCALE.md round 6)
     branded = li.join(
-        F.broadcast(_t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11")),
+        _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#11"),
         F.col("p_partkey") == F.col("l_partkey"),
     )
     return (
@@ -3343,7 +3346,12 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     li = not_in_anti_join(_t(spark, sf_dir, "lineitem"), excluded, "l_suppkey", "s_suppkey")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        # no broadcast hint: part SCALES with the corpus (unlike the
+        # fixed 25-row nation) and its parquet estimate is honest, so
+        # Catalyst broadcasts locally and correctly flips to SMJ at
+        # 100 TB; an explicit hint would force the broadcast at any
+        # size (r6 explicit-broadcast audit; SCALE.md round 6)
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -3366,8 +3374,11 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "are pushable. Single-row decimal-exact revenue output.",
 )
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no broadcast hint on part: it scales with the corpus and its
+    # estimate is honest — local plans still broadcast via the
+    # threshold, 100 TB plans flip to SMJ (SCALE.md round 6)
     joined = _t(spark, sf_dir, "lineitem").join(
-        F.broadcast(_t(spark, sf_dir, "part")), F.col("p_partkey") == F.col("l_partkey")
+        _t(spark, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey")
     )
     branch = lambda brand, smax, qlo, qhi: (
         (F.col("p_brand") == brand)
@@ -3408,7 +3419,9 @@ def q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     movers = (
-        li.join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        # no broadcast hint: red_parts is ~1/26 of a SCALING table
+        # (SCALE.md round 6)
+        li.join(red_parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,8)")).alias("qty"))
         .where(F.col("qty") > 50)

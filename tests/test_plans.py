@@ -704,3 +704,36 @@ def test_aqe_broadcast_demotion_is_cost_gated(spark):
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old)
+
+
+def test_hazard_sweep_clean_on_previously_flagged(spark, sf_dir):
+    # the r6 two-pass hazard sweep (tools/explain_audit.py
+    # --hazard-sweep) found estimate-driven checkpoint broadcasts in
+    # these queries (freq/vocabulary join, star label assembly, caller
+    # left-join, triangle stat crosses); all are now pinned or made
+    # explicit. Re-run the sweep logic on each and assert zero
+    # estimate-driven broadcasts remain.
+    mod = _load_explain_audit()
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY
+
+    def strict_flags(name, threshold):
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        if threshold is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        try:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        return mod.checkpoint_broadcast_flags(buf.getvalue(), strict=True)
+
+    for name in (
+        "dedup_jaccard_prefix_filter",
+        "dedup_cluster_components_star",
+        "graph_triangle_count",
+        "graph_triangle_count_approx",
+    ):
+        extra = len(strict_flags(name, None)) - len(strict_flags(name, "-1"))
+        assert extra <= 0, f"{name}: {extra} estimate-driven checkpoint broadcast(s)"

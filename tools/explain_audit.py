@@ -29,7 +29,7 @@ INTERESTING = re.compile(
 _MARKER = re.compile(r"[+:]- ")
 
 
-def checkpoint_broadcast_flags(plan: str) -> list[str]:
+def checkpoint_broadcast_flags(plan: str, *, strict: bool = False) -> list[str]:
     """ADVISORY detector for the mis-broadcast class (SCALE.md rounds
     5-6): a ``BroadcastExchange`` whose build subtree contains a
     ``Scan ExistingRDD`` leaf (the localCheckpoint node) is being
@@ -72,16 +72,85 @@ def checkpoint_broadcast_flags(plan: str) -> list[str]:
         # because every model-sized contraction (the correct
         # broadcasts) has one, and flagging them all would bury the
         # real hazards; treat Exchange-in-build plans as "verify the
-        # probe partitioning", not "safe".
-        if any(re.search(r"[+:]- Exchange ", s) for s in subtree):
+        # probe partitioning", not "safe". ``strict=True`` (the
+        # --hazard-sweep path) disables the exception because that
+        # mode cancels intent-driven broadcasts by set-difference
+        # instead.
+        if not strict and any(re.search(r"[+:]- Exchange ", s) for s in subtree):
             continue
         flags.append(line.strip()[:100])
     return flags
 
 
+def hazard_sweep(spark, specs, sf: str) -> int:
+    """Two-pass triage for the checkpoint-broadcast class. Pass 1 plans
+    each query under the session default and strict-flags every
+    broadcast with a checkpoint scan anywhere in its build subtree.
+    Pass 2 re-plans under ``spark.sql.autoBroadcastJoinThreshold=-1``:
+    broadcasts a user asked for by hint/``F.broadcast`` SURVIVE the
+    -1 threshold (intent, presumed bounded by construction), while
+    Catalyst's own estimate-driven picks flip to SMJ and vanish. The
+    report is the set difference — broadcasts that exist only because
+    an (inherited, possibly bogus) estimate said "small". Each hit
+    still needs a human verdict: a checkpoint of an honestly-estimated
+    subtree scales its claim with the input and Catalyst would stop
+    broadcasting it at real scale; only bogus-estimate descendants
+    (explode/pair-generator lineage) broadcast at ANY size."""
+    hits = 0
+    for spec in specs:
+        if "eager" in spec.tags:
+            continue
+
+        def flags_under(threshold: str | None) -> list[str] | None:
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            if threshold is not None:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+            # the physical plan is computed lazily at explain() time, so
+            # the conf override must stay live through the explain, not
+            # just through plan construction
+            try:
+                df = spec.fn(spark, sf)
+                buf = io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+            except Exception:
+                return None
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            return checkpoint_broadcast_flags(buf.getvalue(), strict=True)
+
+        default_flags = flags_under(None)
+        if not default_flags:
+            continue
+        pinned_flags = flags_under("-1")
+        if pinned_flags is None:
+            continue
+        # compare COUNTS, not flag strings: node ids and indentation
+        # renumber when unrelated joins re-plan under -1, so a
+        # string-diff false-positives every explicitly-hinted broadcast
+        extra = len(default_flags) - len(pinned_flags)
+        if extra > 0:
+            hits += 1
+            print(
+                f"== {spec.name}: {extra} ESTIMATE-DRIVEN CHECKPOINT "
+                f"BROADCAST(S) (default {len(default_flags)}, "
+                f"threshold-off {len(pinned_flags)})"
+            )
+            for f in default_flags:
+                print(f"   {f}")
+    print(f"hazard sweep: {hits} queries with estimate-driven checkpoint broadcasts")
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--hazard-sweep",
+        action="store_true",
+        help="two-pass estimate-driven checkpoint-broadcast triage "
+        "(over the given names, or the ENTIRE registry by default)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -89,6 +158,13 @@ def main() -> int:
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import REGISTRY, bench_specs
 
     spark = get_spark("explain-audit")
+    if args.hazard_sweep:
+        specs = (
+            [REGISTRY[n] for n in args.names]
+            if args.names
+            else list(REGISTRY.values())
+        )
+        return hazard_sweep(spark, specs, args.sf)
     specs = (
         [REGISTRY[n] for n in args.names] if args.names else bench_specs()
     )
