@@ -262,6 +262,36 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
             "noop"
         ).mode("overwrite").save()
 
+    # Exact-Jaccard prefix filter with the r6 set-intersect verify.
+    # Replicas prefix EVERY token with a replica letter (regexp on the
+    # word boundary), so replica shingle vocabularies are disjoint:
+    # no cross-replica candidate pairs, near-dup structure replicates
+    # instead of densifying, and both the vocabulary (freq join build)
+    # and the pair volume scale linearly by construction.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if sf_dir + "/docs" not in _BASE_COUNTS:
+        _BASE_COUNTS[sf_dir + "/docs"] = (docs.count(), 0)
+    n_docs = _BASE_COUNTS[sf_dir + "/docs"][0]
+    doc_reps = [
+        docs.select(
+            (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
+            F.regexp_replace("text", r"(\S+)", chr(65 + r) + "$1").alias("text"),
+        )
+        for r in range(mult)
+    ]
+    docs_m = doc_reps[0]
+    for rep in doc_reps[1:]:
+        docs_m = docs_m.unionByName(rep)
+
+    def jaccard_verify_compute() -> None:
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+            jaccard_prefix_filtered_pairs,
+        )
+
+        jaccard_prefix_filtered_pairs(docs_m, k=3, threshold=0.5).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     return {
         "scan_agg": (agg, n_li * mult),
         "window_top1": (topn, n_li * mult),
@@ -274,6 +304,7 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         "consume_e2e_compute": (e2e_compute, n_ev * mult),
         "kcore_peel": (kcore_compute, n_li * mult),
         "fuzzy_er_closure": (fuzzy_er_compute, n_cust * mult),
+        "jaccard_verify": (jaccard_verify_compute, n_docs * mult),
     }
 
 
