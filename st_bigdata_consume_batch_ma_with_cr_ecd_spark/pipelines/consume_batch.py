@@ -433,6 +433,7 @@ def consume_batch(
     *,
     slices: tuple[SliceSpec, ...] = DEFAULT_SLICES,
     materialize: bool = False,
+    stage0_storage=None,
 ) -> DataFrame:
     """The full job (script/main.py:300-368): stage 0 once, stages 1-3 +
     modify_data per slice, UNION ALL accumulation. Cache the merged
@@ -442,8 +443,18 @@ def consume_batch(
     the slice plans are consumed: a single downstream action over the
     union would otherwise race all four slices into the cold cache and
     recompute stage-0 per slice subtree (the e2e workload materializes
-    the same way before its concurrent slice writes)."""
-    merged = merge_delete(filter_changelog(changelog), dates.first_day_past).cache()
+    the same way before its concurrent slice writes).
+
+    ``stage0_storage`` overrides the stage-0 cache's StorageLevel —
+    the tunable for cluster deploys where the merged change-log
+    outgrows executor memory. Measured at 64x amplification on
+    local[32] (SCALE.md round 6): the DEFAULT deserialized columnar
+    cache was fastest (185s) — serialized MEMORY_AND_DISK paid ~5%
+    (195s) and DISK_ONLY hit a local-mode block-manager race — so the
+    default stands and the knob stays for genuinely memory-bound
+    clusters."""
+    merged = merge_delete(filter_changelog(changelog), dates.first_day_past)
+    merged = merged.persist(stage0_storage) if stage0_storage is not None else merged.cache()
     if materialize:
         merged.count()
     parts = []
