@@ -330,6 +330,25 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
             .split("== Initial Plan ==")[0]
         )
 
+    def assert_no_checkpoint_broadcasts(plan: str, who: str) -> None:
+        # the r6 detector, applied to the FINAL adaptive plan at the
+        # largest mult: a broadcast build over a bare checkpoint scan
+        # is the non-demotable mis-broadcast class (SCALE.md round 6).
+        # The executed-plan string is tree-only (no detail section), so
+        # the detector's tree-section split is a no-op here.
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "explain_audit", Path(__file__).resolve().parent / "explain_audit.py"
+        )
+        ea = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ea)
+        flags = ea.checkpoint_broadcast_flags(plan)
+        assert not flags, (
+            f"{who}: bare checkpoint-scan broadcast build(s) in the final "
+            f"plan at mult={mult}: {flags}"
+        )
+
     def fuzzy_er_round_join_stays_smj() -> None:
         from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import (
             fuzzy_self_pairs,
@@ -371,6 +390,7 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
             "closure round join broadcasts a data-sized side at "
             f"mult={mult} — the r5 mis-broadcast class is back"
         )
+        assert_no_checkpoint_broadcasts(plan, "fuzzy_er_closure")
 
     def consume_e2e_no_data_sized_broadcast() -> None:
         from st_bigdata_consume_batch_ma_with_cr_ecd_spark.pipelines.consume_batch import (
@@ -399,6 +419,29 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
             "e2e grew a nested-loop join — a non-equi condition stopped "
             "planning as hash/merge"
         )
+        assert_no_checkpoint_broadcasts(plan, "consume_e2e_compute")
+
+    def jaccard_verify_pins_hold() -> None:
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+            jaccard_prefix_filtered_pairs,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        doc_reps = [
+            docs.select(
+                (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
+                F.regexp_replace("text", r"(\S+)", chr(65 + r) + "$1").alias("text"),
+            )
+            for r in range(mult)
+        ]
+        docs_m = doc_reps[0]
+        for rep in doc_reps[1:]:
+            docs_m = docs_m.unionByName(rep)
+        plan = final_plan(jaccard_prefix_filtered_pairs(docs_m, k=3, threshold=0.5))
+        assert "SortMergeJoin" in plan, "verify joins lost their merge pins"
+        assert_no_checkpoint_broadcasts(plan, "jaccard_verify")
 
     # e2e FIRST: its materialized stage-0 cache is the biggest single
     # allocation at 64x, so it must run against a clean heap; the fuzzy
@@ -407,6 +450,7 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
     return {
         "consume_e2e_compute": consume_e2e_no_data_sized_broadcast,
         "fuzzy_er_closure": fuzzy_er_round_join_stays_smj,
+        "jaccard_verify": jaccard_verify_pins_hold,
     }
 
 
@@ -461,7 +505,13 @@ def main() -> int:
                 # run: 4 slices share it); drop it so runs don't accumulate
                 spark.catalog.clearCache()
                 results.setdefault(name, {})[mult] = dt
-                print(f"{name:20s} mult={mult:<3d} {dt:6.2f}s  {rows / dt / 1e6:7.2f} Mrows/s")
+                rate = rows / dt
+                unit = (
+                    f"{rate / 1e6:7.2f} Mrows/s"
+                    if rate >= 1e5
+                    else f"{rate / 1e3:7.1f} Krows/s"
+                )
+                print(f"{name:20s} mult={mult:<3d} {dt:6.2f}s  {unit}")
 
     if args.plan_audit or args.audit_only:
         audits = plan_audits(spark, args.sf, mults[-1])
