@@ -263,8 +263,9 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         ).mode("overwrite").save()
 
     # Exact-Jaccard prefix filter with the r6 set-intersect verify.
-    # Replicas prefix EVERY token with a replica letter (regexp on the
-    # word boundary), so replica shingle vocabularies are disjoint:
+    # Replicas prefix EVERY token with a digit-safe replica tag
+    # (regexp on the word boundary; letters past 'Z' would hit regex
+    # replacement metachars like backslash at mult>=28), so replica shingle vocabularies are disjoint:
     # no cross-replica candidate pairs, near-dup structure replicates
     # instead of densifying, and both the vocabulary (freq join build)
     # and the pair volume scale linearly by construction.
@@ -275,7 +276,7 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
     doc_reps = [
         docs.select(
             (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
-            F.regexp_replace("text", r"(\S+)", chr(65 + r) + "$1").alias("text"),
+            F.regexp_replace("text", r"(\S+)", f"R{r}x$1").alias("text"),
         )
         for r in range(mult)
     ]
@@ -432,7 +433,7 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         doc_reps = [
             docs.select(
                 (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
-                F.regexp_replace("text", r"(\S+)", chr(65 + r) + "$1").alias("text"),
+                F.regexp_replace("text", r"(\S+)", f"R{r}x$1").alias("text"),
             )
             for r in range(mult)
         ]
