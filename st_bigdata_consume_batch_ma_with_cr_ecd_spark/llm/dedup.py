@@ -267,9 +267,13 @@ def jaccard_prefix_filtered_pairs(
     # estimate is the inherited explode underestimate — an unpinned
     # plan statically broadcasts it, and AQE demotion is cost-gated
     # (SCALE.md round 6), so the pin is the only 100-TB-safe shape.
+    # deliberately NOT checkpointed: docsets is a second corpus-sized
+    # table, and storing it alongside the sh checkpoint doubles the
+    # materialized footprint (measured: Java heap exhaustion at 64x
+    # amplification). Both pair-side consumers share the agg's shuffle
+    # via ReuseExchange, so skipping the store costs one extra
+    # post-shuffle agg pass, not a recompute of the shingle pipeline.
     docsets = sh.groupBy("doc").agg(F.sort_array(F.collect_set("shingle")).alias("__set"))
-    if materialize:
-        docsets = docsets.localCheckpoint(eager=True)
     A = docsets.select(F.col("doc").alias("doc_a"), F.col("__set").alias("__sa"))
     B = docsets.select(F.col("doc").alias("doc_b"), F.col("__set").alias("__sb"))
     shared = F.size(F.array_intersect("__sa", "__sb"))

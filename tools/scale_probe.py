@@ -478,7 +478,15 @@ def main() -> int:
     mults = [int(m) for m in args.mults.split(",")]
     only = {n for n in args.only.split(",") if n}
 
-    spark = get_spark()
+    # size the shuffle to the LARGEST amplification: 32 partitions that
+    # fit sf0.1 carry ~24M rows each at 64x and blow the sort/agg heap
+    # (measured: the 64x jaccard audit OOMs at 32). Scaling the initial
+    # partition count with the data and letting AQE coalesce the small
+    # stages back down is exactly what a real deployment does per SF.
+    import os as _os
+
+    cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(shuffle_partitions=max(cpus, cpus * max(mults) // 16))
 
     def run(obj) -> None:
         if callable(obj):
