@@ -478,15 +478,23 @@ def main() -> int:
     mults = [int(m) for m in args.mults.split(",")]
     only = {n for n in args.only.split(",") if n}
 
-    # size the shuffle to the LARGEST amplification: 32 partitions that
-    # fit sf0.1 carry ~24M rows each at 64x and blow the sort/agg heap
-    # (measured: the 64x jaccard audit OOMs at 32). Scaling the initial
-    # partition count with the data and letting AQE coalesce the small
-    # stages back down is exactly what a real deployment does per SF.
     import os as _os
 
     cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(shuffle_partitions=max(cpus, cpus * max(mults) // 16))
+    spark = get_spark()
+
+    # Per-probe shuffle sizing at big mults. The sort-heavy corpus
+    # probes need partitions scaled with the data (32 partitions that
+    # fit sf0.1 carry ~24M rows each at 64x and blow the sort heap —
+    # the 64x jaccard audit OOMs at 32), but scaling GLOBALLY is wrong:
+    # consume_e2e at 64x measured 358s under 128 partitions vs 185s at
+    # 32 (many small stages + the stage-0 cache pay per-task overhead,
+    # and cpus*mult/4 = 512 was slower for jaccard too). So the scale-up
+    # is opt-in per probe; AQE coalesces the small stages back down.
+    SCALED_SHUFFLE = {"jaccard_verify": lambda mult: max(cpus, cpus * mult // 16)}
+
+    def shuffle_for(name: str, mult: int) -> int:
+        return SCALED_SHUFFLE.get(name, lambda _m: cpus)(mult)
 
     def run(obj) -> None:
         if callable(obj):
@@ -507,9 +515,13 @@ def main() -> int:
 
         for mult in mults:
             for name, (obj, rows) in selected(spark, args.sf, mult).items():
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(shuffle_for(name, mult))
+                )
                 t0 = time.time()
                 run(obj)
                 dt = time.time() - t0
+                spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
                 # consume_batch caches its stage-0 merge (intended within a
                 # run: 4 slices share it); drop it so runs don't accumulate
                 spark.catalog.clearCache()
@@ -527,7 +539,13 @@ def main() -> int:
         for name, audit in audits.items():
             if only and name not in only:
                 continue
-            audit()
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(shuffle_for(name, mults[-1]))
+            )
+            try:
+                audit()
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
             print(f"PLAN-AUDIT {name:18s} mult={mults[-1]}  OK")
 
     if args.audit_only:
