@@ -489,6 +489,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # closure's wedge volume to ~p^2 = 1/4 and the closing join to ~p^3.
 _TRI_SAMPLE_NUM = 1
 _TRI_SAMPLE_DEN = 2
+# the 1/p^3 scale-up below uses floor division; exact only when num^3
+# divides den^3 — guard so a future p change can't silently bias the
+# estimator (and its oracle, which replays the same floor — r6 ADVICE)
+assert _TRI_SAMPLE_DEN**3 % _TRI_SAMPLE_NUM**3 == 0, (
+    "DOULION scale factor must be an exact integer: "
+    f"{_TRI_SAMPLE_DEN}^3 / {_TRI_SAMPLE_NUM}^3 is not integral"
+)
 
 
 @register(

@@ -53,14 +53,28 @@ REGISTRY: dict[str, QuerySpec] = {}
 # the FULL registry locally every round — the rotation only decides
 # which slice lands in the driver's own record.
 
-# Queries whose registered semantics changed THIS round (output-visible
-# behavior, not refactors): treated as never-checked so the driver
-# re-verifies them even if a past round checked the old behavior.
+# Queries whose registered semantics OR physical computation changed
+# THIS round: treated as never-checked so the driver re-verifies them
+# even if a past round checked the old behavior. "Physical computation"
+# includes implementation reworks that claim identical outputs (a new
+# verify-join shape, a different staging strategy) — the r6 review
+# found the narrower output-semantics-only reading let the
+# prefix-filter verify rewrite ship on a pre-rework driver green; the
+# driver record is the contract of record, so reworks re-enter the
+# window the round they land. Pure refactors (rename, move, comment)
+# still don't qualify.
 FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # r5: the change-feed union-schema path (sinks/versioned.py) is
-        # now exercised by a registered query for the first time; no
-        # previously-checked query changed semantics this round.
+        # r6 rework never driver-re-verified (r6 VERDICT ask #2): the
+        # verify stage moved to per-doc sets + array_intersect.
+        # (The r6 review's follow-on ask — port that verify shape to
+        # _pair_overlap_counts — was built and A/B-measured ~60% SLOWER
+        # at sf0.1 (old 2.88/2.20/2.39s vs ported 4.66/3.38/3.25s,
+        # same machine back-to-back), so it was reverted: the
+        # pair-multiplicity groupBy yields `shared` for free there,
+        # unlike the prefix filter whose candidates carry no overlap
+        # counts. Negative result recorded in SCALE.md round 7.)
+        "dedup_jaccard_prefix_filter",
     }
 )
 
@@ -91,7 +105,10 @@ def _entry_passed(entry: object) -> bool:
     if not isinstance(entry, dict):
         return True
     if entry.get("err") == "no_oracle":
-        return isinstance(entry.get("spark_rows"), int)
+        # bool is an int subclass: {"spark_rows": false} must NOT count
+        # as "ran and produced a row count" (r6 ADVICE)
+        rows = entry.get("spark_rows")
+        return isinstance(rows, int) and not isinstance(rows, bool)
     if entry.get("err"):
         return False
     return all(bool(entry.get(f, True)) for f in _MATCH_FLAGS)

@@ -76,7 +76,14 @@ def checkpoint_broadcast_flags(plan: str, *, strict: bool = False) -> list[str]:
         # --hazard-sweep path) disables the exception because that
         # mode cancels intent-driven broadcasts by set-difference
         # instead.
-        if not strict and any(re.search(r"[+:]- Exchange ", s) for s in subtree):
+        # ``ReusedExchange`` counts as measurable too: a build side whose
+        # shuffle planned as a reuse of another stage's Exchange is
+        # observed by AQE exactly like the original (r6 ADVICE — the
+        # docsets rework leans on ReuseExchange and would otherwise
+        # advisory-false-positive).
+        if not strict and any(
+            re.search(r"[+:]- (?:Reused)?Exchange[ \[]", s) for s in subtree
+        ):
             continue
         flags.append(line.strip()[:100])
     return flags
@@ -97,6 +104,7 @@ def hazard_sweep(spark, specs, sf: str) -> int:
     broadcasting it at real scale; only bogus-estimate descendants
     (explode/pair-generator lineage) broadcast at ANY size."""
     hits = 0
+    unverified = 0
     for spec in specs:
         if "eager" in spec.tags:
             continue
@@ -120,6 +128,14 @@ def hazard_sweep(spark, specs, sf: str) -> int:
             return checkpoint_broadcast_flags(buf.getvalue(), strict=True)
 
         default_flags = flags_under(None)
+        if default_flags is None:
+            # r6 ADVICE: an exception during plan/explain is NOT
+            # "hazard-free" — conflating the two would let the
+            # "zero estimate-driven broadcasts" claim go hollow for
+            # queries that never planned. Count and report separately.
+            unverified += 1
+            print(f"== {spec.name}: SWEEP ERROR — plan/explain threw, UNVERIFIED")
+            continue
         if not default_flags:
             continue
         pinned_flags = flags_under("-1")
@@ -138,7 +154,10 @@ def hazard_sweep(spark, specs, sf: str) -> int:
             )
             for f in default_flags:
                 print(f"   {f}")
-    print(f"hazard sweep: {hits} queries with estimate-driven checkpoint broadcasts")
+    print(
+        f"hazard sweep: {hits} queries with estimate-driven checkpoint "
+        f"broadcasts, {unverified} UNVERIFIED (plan error)"
+    )
     return 0
 
 

@@ -319,10 +319,18 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
     raises on violation."""
 
     def final_plan(df) -> str:
-        # a 1-row global count executes every join/exchange of the
+        # a 1-row global aggregate executes every join/exchange of the
         # underlying plan inside THIS DataFrame's query execution, so
-        # the AdaptiveSparkPlan it holds afterwards is the final one
-        counted = df.groupBy().count()
+        # the AdaptiveSparkPlan it holds afterwards is the final one.
+        # It must hash EVERY column (not count(*)): a count-only plan
+        # lets Catalyst's outer-join elimination prune non-duplicating
+        # left joins, so the audit would run against a plan missing
+        # joins the real query still executes (r6 ADVICE).
+        counted = (
+            df.select(F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h"))
+            .groupBy()
+            .agg(F.count("__h").alias("n"), F.sum("__h").alias("s"))
+        )
         counted.collect()
         return (
             counted._jdf.queryExecution()
