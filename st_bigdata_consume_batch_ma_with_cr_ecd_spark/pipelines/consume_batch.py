@@ -434,6 +434,7 @@ def consume_batch(
     slices: tuple[SliceSpec, ...] = DEFAULT_SLICES,
     materialize: bool = False,
     stage0_storage=None,
+    stage0_staging: str | None = None,
 ) -> DataFrame:
     """The full job (script/main.py:300-368): stage 0 once, stages 1-3 +
     modify_data per slice, UNION ALL accumulation. Cache the merged
@@ -452,11 +453,30 @@ def consume_batch(
     cache was fastest (185s) — serialized MEMORY_AND_DISK paid ~5%
     (195s) and DISK_ONLY hit a local-mode block-manager race — so the
     default stands and the knob stays for genuinely memory-bound
-    clusters."""
+    clusters.
+
+    ``stage0_staging`` (r6 review ask #1) bypasses the cache tier
+    entirely: write the merged change-log ONCE to a snappy-parquet
+    staging table at the given path, then every slice chain scans the
+    staged files. This is the scale mode for when stage-0 outgrows
+    what the cluster's cache tier holds — the 64x probe measured the
+    cached path's superlinear knee (4.65x per 4x data) as cache
+    pressure, and the round-6 storage-level A/B proved no StorageLevel
+    fixes it; a parquet staging table has no residency limit, gets
+    columnar scan + pruning on the read side, and its write cost is
+    one pass over stage-0 (which ``materialize=True`` pays anyway).
+    Mutually exclusive with ``stage0_storage``; implies
+    materialization (the write IS the one-pass job)."""
     merged = merge_delete(filter_changelog(changelog), dates.first_day_past)
-    merged = merged.persist(stage0_storage) if stage0_storage is not None else merged.cache()
-    if materialize:
-        merged.count()
+    if stage0_staging is not None:
+        if stage0_storage is not None:
+            raise ValueError("stage0_staging and stage0_storage are mutually exclusive")
+        merged.write.mode("overwrite").parquet(stage0_staging)
+        merged = changelog.sparkSession.read.parquet(stage0_staging)
+    else:
+        merged = merged.persist(stage0_storage) if stage0_storage is not None else merged.cache()
+        if materialize:
+            merged.count()
     parts = []
     for spec in slices:
         first = basedata_first(merged, texts, spec.geoid, spec.distribution_type)

@@ -487,6 +487,36 @@ def test_consume_batch_end_to_end_and_json_shape(spark, fixture_tables):
     assert first_shaped.subTypes in ({"house": "VILLA"}, {"apartment": "PENTHOUSE"})
 
 
+def test_consume_batch_staged_equals_cached(spark, fixture_tables, tmp_path):
+    """stage0_staging (r6 review ask #1) must be a pure physical-plan
+    swap: writing stage-0 to a parquet staging table and scanning it
+    per slice yields row-identical output to the default cached path."""
+    _, t = fixture_tables
+    args = (
+        t["changelog"], t["texts"], t["visibility"], t["fraud"], t["contacts"], t["visits"],
+        t["bundeslaender"], t["stadtlandkreise"], DATES,
+    )
+    cached = consume_batch(*args)
+    staged = consume_batch(*args, stage0_staging=str(tmp_path / "stage0"))
+    assert staged.columns == cached.columns
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))  # noqa: E731
+    assert canon(staged) == canon(cached)
+    # the staging table actually exists and was scanned, not cached:
+    # the staged plan must read parquet files, never an InMemoryRelation
+    assert any((tmp_path / "stage0").glob("*.parquet"))
+    staged_plan = staged._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in staged_plan
+    assert "Scan parquet" in staged_plan
+    with pytest.raises(ValueError):
+        from pyspark import StorageLevel
+
+        consume_batch(
+            *args,
+            stage0_staging=str(tmp_path / "s2"),
+            stage0_storage=StorageLevel.MEMORY_AND_DISK,
+        )
+
+
 def test_cli_driver_writes_all_three_sinks(spark, fixture_tables, tmp_path):
     """tools/run_consume_batch.py end-to-end: same fixtures via parquet
     inputs, all three reference sinks written, parquet row count equals
@@ -518,6 +548,19 @@ def test_cli_driver_writes_all_three_sinks(spark, fixture_tables, tmp_path):
     ).count()
     got = spark.read.parquet(str(out_dir / "parquet")).count()
     assert got == expected > 0
+    # --stage0-staging must produce the same parquet sink row count
+    out_staged = tmp_path / "out_staged"
+    rc = cli.main(
+        [
+            "--input-dir", str(in_dir),
+            "--output-dir", str(out_staged),
+            "--partition-date", "2024-07-15",
+            "--days-ago", "10",
+            "--stage0-staging", str(tmp_path / "stage0_cli"),
+        ]
+    )
+    assert rc == 0
+    assert spark.read.parquet(str(out_staged / "parquet")).count() == expected
     # one gzip file per slice for both text sinks that had rows
     for kind in ("csv", "json"):
         slices = list((out_dir / kind).iterdir())

@@ -53,6 +53,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--partition-date", default=date.today().isoformat())
     ap.add_argument("--days-ago", default="10", help="integer lookback or 'full_refresh'")
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--stage0-staging",
+        default=None,
+        help="write stage-0 to a parquet staging table at this path and "
+        "scan it per slice instead of caching — the scale mode for when "
+        "the merged change-log outgrows the cluster's cache tier "
+        "(SCALE.md round 7: flattens the measured 64x cache-pressure "
+        "knee, 2.7x faster at 64x amplification)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark("consume-batch-job", cpus=args.cpus)
@@ -61,12 +70,18 @@ def main(argv: list[str] | None = None) -> int:
     dates = JobDates.resolve(date.fromisoformat(args.partition_date), days)
 
     # stage 0 once, materialized up front; every slice reads it
-    # (reference C1 cache policy). The four slice chains + sinks are
+    # (reference C1 cache policy — or the parquet staging table when
+    # --stage0-staging names a path). The four slice chains + sinks are
     # independent — run them concurrently from a driver thread pool
     # (Spark schedules jobs from multiple threads onto one session;
     # measured ~1.9x end-to-end vs the serial loop).
-    merged = merge_delete(filter_changelog(t["changelog"]), dates.first_day_past).cache()
-    merged.count()
+    merged = merge_delete(filter_changelog(t["changelog"]), dates.first_day_past)
+    if args.stage0_staging is not None:
+        merged.write.mode("overwrite").parquet(args.stage0_staging)
+        merged = spark.read.parquet(args.stage0_staging)
+    else:
+        merged = merged.cache()
+        merged.count()
 
     out_root = Path(args.output_dir)
 

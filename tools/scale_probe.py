@@ -206,6 +206,27 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         )
         df.write.format("noop").mode("overwrite").save()
 
+    def e2e_staged() -> None:
+        # staging twin (r6 review ask #1): stage-0 written ONCE to a
+        # parquet staging table, slices scan the files — the mode for
+        # when stage-0 outgrows the cache tier (the measured 64x knee)
+        import os
+        import shutil
+        import tempfile
+
+        staging = os.path.join(tempfile.gettempdir(), "spark_graft_probe_stage0")
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            df = consume_batch(
+                t["changelog"], t["texts"], t["visibility"], t["fraud"],
+                t["contacts"], t["visits"], t["bundeslaender"], t["stadtlandkreise"],
+                _DATES,
+                stage0_staging=staging,
+            )
+            df.write.format("noop").mode("overwrite").save()
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     # k-core peel on the thresholded (>= 2 shared orders) co-purchase
     # graph: replicas are disjoint components, so the cascade runs
     # per-replica and cost tracks edge volume. Wrapped as a callable —
@@ -303,6 +324,7 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         "triangle_count": (triangles, n_li * mult),
         "triangle_count_approx": (triangles_approx, n_li * mult),
         "consume_e2e_compute": (e2e_compute, n_ev * mult),
+        "consume_e2e_staged": (e2e_staged, n_ev * mult),
         "kcore_peel": (kcore_compute, n_li * mult),
         "fuzzy_er_closure": (fuzzy_er_compute, n_cust * mult),
         "jaccard_verify": (jaccard_verify_compute, n_docs * mult),
@@ -430,6 +452,42 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         )
         assert_no_checkpoint_broadcasts(plan, "consume_e2e_compute")
 
+    def consume_e2e_staged_scans_parquet() -> None:
+        import os
+        import shutil
+        import tempfile
+
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.pipelines.consume_batch import (
+            consume_batch,
+        )
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.consume_e2e import (
+            _DATES,
+            derive_consume_inputs,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev_m = amplify(ev, mult, ["event_id", "user_id"])
+        t = derive_consume_inputs(spark, sf_dir, events=ev_m)
+        staging = os.path.join(tempfile.gettempdir(), "spark_graft_audit_stage0")
+        shutil.rmtree(staging, ignore_errors=True)
+        try:
+            df = consume_batch(
+                t["changelog"], t["texts"], t["visibility"], t["fraud"],
+                t["contacts"], t["visits"], t["bundeslaender"], t["stadtlandkreise"],
+                _DATES,
+                stage0_staging=staging,
+            )
+            plan = final_plan(df)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+        # staging mode must never fall back to the cache tier, and the
+        # staged scan must stay join-safe like the cached plan
+        assert "InMemoryTableScan" not in plan, "staged e2e still reads the cache"
+        assert "Scan parquet" in plan, "staged e2e lost its parquet scan"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert_no_checkpoint_broadcasts(plan, "consume_e2e_staged")
+
     def jaccard_verify_pins_hold() -> None:
         from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
             jaccard_prefix_filtered_pairs,
@@ -452,14 +510,75 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         assert "SortMergeJoin" in plan, "verify joins lost their merge pins"
         assert_no_checkpoint_broadcasts(plan, "jaccard_verify")
 
+    def recsys_topk_stays_grouped() -> None:
+        # the co-occurrence spine (r6 review ask #7): per-basket pair
+        # generation must stay the grouped-bucket shape (no self-join of
+        # the basket table), the top-k must keep its partial
+        # WindowGroupLimit below the shuffle, and nothing data-sized may
+        # broadcast. Rebuild the probe's own DF at the audit mult.
+        recsys_df, _ = probes(spark, sf_dir, mult)["recsys_cooccur"]
+        plan = final_plan(recsys_df)
+        assert "WindowGroupLimit" in plan, "top-k lost its partial group limit"
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert_no_checkpoint_broadcasts(plan, "recsys_cooccur")
+
+    def kcore_round_join_stays_smj() -> None:
+        # one peel round exactly as kcore_peel builds it, from a
+        # checkpointed explode-generated edge list (the bogus-estimate
+        # lineage): both keep-set joins must hold their merge pins —
+        # the keep-set is near node-sized in round 1, and a broadcast
+        # off the inherited underestimate is the 100-TB OOM class.
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+            _bucket_pairs,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        li_m = amplify(li, mult, ["l_orderkey"])
+        li_t = (
+            li_m.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
+            .distinct()
+        )
+        und = (
+            _bucket_pairs(li_t, "o", distinct_pairs=False)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("ns"))
+            .where(F.col("ns") >= 2)
+        )
+        e = (
+            und.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(und.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+            .localCheckpoint(eager=True)
+        )
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .where(F.col("__deg") >= 3)
+            .select(F.col("src").alias("__node"))
+        )
+        rj = e.join(keep.select(F.col("__node").alias("src")).hint("merge"), "src").join(
+            keep.select(F.col("__node").alias("dst")).hint("merge"), "dst"
+        )
+        try:
+            plan = final_plan(rj)
+        finally:
+            e.unpersist()
+        assert "SortMergeJoin" in plan, "peel round join lost its merge pin"
+        assert "BroadcastHashJoin" not in plan, (
+            f"peel round broadcasts a data-sized keep-set at mult={mult}"
+        )
+        assert_no_checkpoint_broadcasts(plan, "kcore_peel")
+
     # e2e FIRST: its materialized stage-0 cache is the biggest single
     # allocation at 64x, so it must run against a clean heap; the fuzzy
     # audit's checkpoint blocks are unpersisted explicitly either way
     # (the ordering + cleanup is what the first 64x run OOM'd without)
     return {
         "consume_e2e_compute": consume_e2e_no_data_sized_broadcast,
+        "consume_e2e_staged": consume_e2e_staged_scans_parquet,
         "fuzzy_er_closure": fuzzy_er_round_join_stays_smj,
         "jaccard_verify": jaccard_verify_pins_hold,
+        "recsys_cooccur": recsys_topk_stays_grouped,
+        "kcore_peel": kcore_round_join_stays_smj,
     }
 
 
@@ -499,7 +618,16 @@ def main() -> int:
     # 32 (many small stages + the stage-0 cache pay per-task overhead,
     # and cpus*mult/4 = 512 was slower for jaccard too). So the scale-up
     # is opt-in per probe; AQE coalesces the small stages back down.
-    SCALED_SHUFFLE = {"jaccard_verify": lambda mult: max(cpus, cpus * mult // 16)}
+    SCALED_SHUFFLE = {
+        "jaccard_verify": lambda mult: max(cpus, cpus * mult // 16),
+        # the co-occurrence top-k sorts per partition (WindowGroupLimit);
+        # 32 partitions at 64x carry the whole pair table through one
+        # sort each — same pressure profile as jaccard's 64x. r7 A/B at
+        # 64x: 156.6s at 32 partitions, 137.4s at 128 (mult/16 — the
+        # 16x->64x ratio falls 4.58x -> 4.02x), 168.1s at 512 (the r6
+        # over-scaling caution reproduces here too).
+        "recsys_cooccur": lambda mult: max(cpus, cpus * mult // 16),
+    }
 
     def shuffle_for(name: str, mult: int) -> int:
         return SCALED_SHUFFLE.get(name, lambda _m: cpus)(mult)
