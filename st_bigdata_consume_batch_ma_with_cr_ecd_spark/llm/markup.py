@@ -1,0 +1,137 @@
+"""HTML/markup main-content extraction — pure Spark expressions.
+
+The first stage of every web-corpus training pipeline: strip the tag
+soup and keep the article, not the nav bar. This implements the
+published shallow-feature approach (Kohlschütter, Fankhauser, Nejdl,
+"Boilerplate Detection using Shallow Text Features", WSDM 2010):
+segment the page into blocks at block-level tags, score each block by
+word count and LINK DENSITY (anchor-text chars / text chars — the
+single strongest boilerplate signal in the paper's feature ranking),
+and keep the dense low-link blocks. No DOM parser, no Python UDF:
+splitting, tag-stripping, and densities are all regex/array
+expressions that stay inside whole-stage codegen, so the extractor
+scales with input bytes like every other text operator here.
+
+Scale notes: per-row work only (no shuffle until a caller aggregates);
+the block explode fans each page into tens of rows — bounded by page
+size, never by corpus size. The link-density test is kept in EXACT
+integer arithmetic (``den * link_chars < num * n_chars``) so an
+external SQL oracle replays it bit-for-bit with no float thresholds.
+
+Deliberate simplification vs a DOM parser: the block segmentation is a
+flat regex split on block-level open/close tags, so unclosed tags and
+tags-inside-attributes are handled textually, not structurally — the
+documented trade-off for staying JVM-side (trafilatura-class DOM
+extraction needs an HTML parser dependency this container lacks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# block-level elements that delimit text blocks (open OR close tag,
+# attributes allowed). Inline elements (<a>, <b>, <span>...) do NOT
+# split — their text stays inside the enclosing block, which is what
+# makes link density computable per block.
+BLOCK_TAG_SPLIT = (
+    r"</?(?:div|p|h[1-6]|li|ul|ol|table|tr|td|th|nav|header|footer|"
+    r"article|section|aside|blockquote|body|html)[^>]*>"
+)
+_ANY_TAG = r"<[^>]*>"
+_ANCHOR_TEXT = r"<a[^>]*>([^<]*)</a>"
+
+
+def strip_tags(html: Column | str) -> Column:
+    """Visible text of an HTML fragment: every tag replaced by a space,
+    whitespace collapsed, trimmed. Identical regex semantics in any
+    POSIX-regex engine, so SQL oracles replay it verbatim."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.trim(F.regexp_replace(F.regexp_replace(c, _ANY_TAG, " "), r"\s+", " "))
+
+
+def html_block_features(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 5,
+    link_density_num: int = 1,
+    link_density_den: int = 3,
+) -> DataFrame:
+    """Per-block shallow features: one row per non-empty text block of
+    each page — ``(id, block_idx, block_text, n_words, n_chars,
+    link_chars, is_content)``.
+
+    ``block_idx`` numbers the NON-EMPTY blocks 0..n-1 in document
+    order (empty fragments between adjacent tags are dropped before
+    numbering, so the ids are stable across engines whose regex-split
+    functions disagree about empty trailing fragments).
+
+    ``is_content`` is the Kohlschütter-style shallow classifier:
+    ``n_words >= min_words AND link_chars/n_chars <
+    link_density_num/link_density_den`` — evaluated as the exact
+    integer cross-multiplication ``den*link_chars < num*n_chars``.
+    """
+    from pyspark.sql import Window
+
+    frags = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(html_col), BLOCK_TAG_SPLIT)).alias("__pos", "__raw"),
+    )
+    text = strip_tags(F.col("__raw"))
+    blocks = frags.withColumn("block_text", text).where(F.col("block_text") != "")
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    link_chars = F.aggregate(
+        F.expr(f"regexp_extract_all(__raw, '{_ANCHOR_TEXT}', 1)"),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    n_words = F.size(F.split(F.col("block_text"), r"\s+"))
+    n_chars = F.length("block_text")
+    out = blocks.select(
+        F.col(id_col),
+        (F.row_number().over(w) - 1).alias("block_idx"),
+        "block_text",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        link_chars.alias("link_chars"),
+    )
+    is_content = (F.col("n_words") >= min_words) & (
+        F.col("link_chars") * link_density_den < F.col("n_chars") * link_density_num
+    )
+    return out.withColumn("is_content", is_content)
+
+
+def extract_main_content(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 5,
+    link_density_num: int = 1,
+    link_density_den: int = 3,
+) -> DataFrame:
+    """Per-document extraction verdict: ``(id, n_blocks,
+    n_content_blocks, main_content)`` where ``main_content`` joins the
+    content-classified blocks in document order with single spaces
+    ('' when nothing qualifies — a pure-boilerplate page)."""
+    feats = html_block_features(
+        df,
+        html_col,
+        id_col,
+        min_words=min_words,
+        link_density_num=link_density_num,
+        link_density_den=link_density_den,
+    )
+    picked = F.filter(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("block_idx").alias("i"), F.col("block_text").alias("t"), F.col("is_content").alias("c")))
+        ),
+        lambda s: s["c"],
+    )
+    return feats.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(F.col("is_content").cast("int")).cast("bigint").alias("n_content_blocks"),
+        F.array_join(F.transform(picked, lambda s: s["t"]), " ").alias("main_content"),
+    )

@@ -3636,6 +3636,7 @@ def fuzzy_name_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cross join is quadratic. No hot-variant cap here: at k=2 the "
     "synthetic name space's hottest bucket (294 at sf0.01) exceeds the "
     "k=1 cap, and the exact oracle would expose any dropped pair.",
+    tags=("bench",),
 )
 def fuzzy_name_matching_k2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.fuzzy import fuzzy_self_pairs
