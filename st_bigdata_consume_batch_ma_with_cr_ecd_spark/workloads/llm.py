@@ -2466,6 +2466,79 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(with_bmp, fake_decode=False)
 
 
+@register(
+    "multimodal_wav_energy_windows",
+    # the oracle replays the WHOLE audio path symbolically: the fixture
+    # sample formula (md5-derived int16 amplitudes, 64 + doc_id % 129
+    # samples per clip), the 64-sample windowing, the int64 L1 energy,
+    # and the within-window sign-flip count — while Spark really
+    # encodes the samples to RIFF/WAVE bytes and decodes them back
+    # (llm/codecs.py) before computing the same integers. Any header,
+    # alignment, or widening bug in either codec flips the hash.
+    oracle="""
+    WITH clips AS (SELECT doc_id, 64 + doc_id % 129 AS n FROM documents),
+    samp AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(i AS VARCHAR)), 1, 8))::UBIGINT % 65536 AS BIGINT)
+                    - 32768 AS s
+        FROM clips, range(0, 192) AS t(i)
+        WHERE i < n
+    ),
+    w AS (
+        SELECT doc_id, CAST(i // 64 AS INT) AS window_idx, i, s,
+               lag(s) OVER (PARTITION BY doc_id, i // 64 ORDER BY i) AS prev_s
+        FROM samp
+    )
+    SELECT doc_id, window_idx,
+           CAST(count(*) AS INT) AS n,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(CASE WHEN prev_s IS NOT NULL AND ((prev_s < 0) <> (s < 0))
+                         THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM w GROUP BY doc_id, window_idx
+    """,
+    doc="Windowed audio energy + zero crossings over REAL WAV bytes — "
+    "the audio twin of the image codec queries, closing the gap that "
+    "extract_audio_features was pytest-only: a deterministic int16 "
+    "clip per document (md5-derived amplitudes, 64..192 samples) is "
+    "encoded to RIFF/WAVE in one mapInPandas pass, then "
+    "llm/multimodal.py:audio_energy_windows REALLY decodes the bytes "
+    "and emits per-64-sample-window (n, sum_abs, zero_crossings) — "
+    "the VAD/segmentation primitives, all INTEGER-exact so the oracle "
+    "replays encode->decode->window->features symbolically with no "
+    "float rounding contract. Trailing short windows keep their n.",
+)
+def multimodal_wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import audio_energy_windows
+
+    def gen(batches):
+        import hashlib as _hl
+
+        import numpy as np
+        import pandas as pd
+
+        from ..llm.codecs import encode_wav
+
+        def _h(key: str) -> int:
+            return int(_hl.md5(key.encode("utf-8")).hexdigest()[:8], 16)
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            payloads = []
+            for d in ids:
+                d = int(d)
+                n = 64 + d % 129
+                s = np.array(
+                    [_h(f"{d}:{i}") % 65536 - 32768 for i in range(n)], dtype=np.int16
+                )
+                payloads.append(encode_wav(s, 16000))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
+    return audio_energy_windows(wavs, window=64)
+
+
 # The image-dedup oracle's shared CTE chain: fixture pixel formula ->
 # dHash gradient bits at the 9x8 sample grid -> 64-char bit-string
 # signature -> QUADRATIC hamming pair scan. Used by dedup_image_dhash

@@ -319,6 +319,30 @@ def test_multimodal_real_wav_decode_levels(spark):
     assert audio[3].n_samples == 0 and audio[3].peak_level == 0
 
 
+def test_audio_energy_windows_integer_features(spark):
+    import numpy as np
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import encode_wav
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
+        audio_energy_windows,
+    )
+
+    # 6 samples, window=4: full window [1,-1,0,-32768] + trailing [5,-5].
+    # sign flips (s<0 convention, 0 is non-negative): window 0 has
+    # 1->-1, -1->0, 0->-32768 = 3; window 1 has 5->-5 = 1; the
+    # -32768->5 flip at the boundary belongs to NEITHER window.
+    clip = np.array([1, -1, 0, -32768, 5, -5], dtype=np.int16)
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_wav(clip)))], "doc_id long, payload binary"
+    )
+    out = {r.window_idx: r for r in audio_energy_windows(df, window=4).collect()}
+    w0, w1 = out[0], out[1]
+    # abs taken AFTER int64 widening: |−32768| must be 32768, not the
+    # int16 overflow back to -32768
+    assert w0.n == 4 and w0.sum_abs == 1 + 1 + 0 + 32768 and w0.zero_crossings == 3
+    assert w1.n == 2 and w1.sum_abs == 10 and w1.zero_crossings == 1
+
+
 # ---------------------------------------------------------------- ANN quality
 
 
