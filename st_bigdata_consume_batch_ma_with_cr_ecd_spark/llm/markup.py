@@ -42,6 +42,60 @@ _ANY_TAG = r"<[^>]*>"
 _ANCHOR_TEXT = r"<a[^>]*>([^<]*)</a>"
 
 
+# query params that never identify content (click/campaign trackers) —
+# the standard strip set of every crawl canonicalizer
+TRACKING_PARAM_RE = r"^(utm_|fbclid|gclid|msclkid|ref_src)"
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical form of an http(s) URL, as pure string expressions —
+    the key web-corpus dedup is ``groupBy(canonicalize_url(url))``, and
+    a canonicalizer that misses a variant class silently inflates the
+    corpus with mirrors. Steps (all standard, see e.g. RFC 3986 §6):
+
+    - drop the fragment (``#...`` never reaches the server),
+    - lowercase the scheme and authority (host names are
+      case-insensitive; paths are NOT touched),
+    - strip the scheme's default port (``:80`` http / ``:443`` https),
+    - drop tracking query params (``TRACKING_PARAM_RE``),
+    - sort the surviving query params (param order is almost always
+      insignificant; sorting merges the permutations).
+
+    Returns the canonical URL string; non-URL input degrades to
+    lowercased-prefix best effort (no exceptions — this runs over
+    crawl data)."""
+    u = F.col(url) if isinstance(url, str) else url
+    no_frag = F.regexp_replace(u, r"#.*$", "")
+    raw_auth = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
+    auth = F.lower(raw_auth)
+    auth = F.regexp_replace(auth, r"^(http://[^/?#:]*):80$", "$1")
+    auth = F.regexp_replace(auth, r"^(https://[^/?#:]*):443$", "$1")
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^[^?]*", 0)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.concat(
+        auth,
+        path,
+        F.when(F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def url_host(url: Column | str) -> Column:
+    """Lowercased host (registry domain analyses group on this; the
+    default port is stripped to match :func:`canonicalize_url`)."""
+    u = F.col(url) if isinstance(url, str) else url
+    auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
+    return F.regexp_replace(auth, r":(80|443)$", "")
+
+
 def strip_tags(html: Column | str) -> Column:
     """Visible text of an HTML fragment: every tag replaced by a space,
     whitespace collapsed, trimmed. Identical regex semantics in any

@@ -2402,6 +2402,83 @@ def text_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(pages, "html", "doc_id", min_words=5)
 
 
+@register(
+    "web_url_canonicalize",
+    # five URL variants per article (host/scheme case, default port,
+    # tracking params, param order, fragments) must all canonicalize to
+    # ONE string — the oracle replays every normalization step with
+    # DuckDB's regex/list functions (RE2 backrefs are \1 where Spark
+    # writes $1; the regexes themselves are engine-portable)
+    oracle=r"""
+    WITH urls AS (
+        SELECT doc_id,
+            CASE CAST(doc_id % 5 AS INT)
+              WHEN 0 THEN 'https://News.Example.COM/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home#top'
+              WHEN 1 THEN 'HTTPS://news.example.com:443/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?ref=home&id=' || CAST(doc_id // 5 AS VARCHAR)
+              WHEN 2 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&utm_source=tw&ref=home'
+              WHEN 3 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_campaign=x&ref=home&id=' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
+              ELSE 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home'
+            END AS url
+        FROM documents
+    ),
+    auth AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '#.*$', '') AS no_frag
+        FROM urls
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(
+                   lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0)),
+                   '^(http://[^/?#:]*):80$', '\1'),
+                   '^(https://[^/?#:]*):443$', '\1') AS a,
+               regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
+        FROM auth
+    ),
+    canon AS (
+        SELECT doc_id, url, a,
+               regexp_extract(rest, '^[^?]*', 0) AS path,
+               list_sort(list_filter(
+                   string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid|msclkid|ref_src)')
+               )) AS ps
+        FROM parts
+    )
+    SELECT doc_id,
+           regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)), ':(80|443)$', '') AS host,
+           a || path || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
+    FROM canon
+    """,
+    doc="URL canonicalization (llm/markup.py:canonicalize_url) — the "
+    "stage BEFORE content dedup in every web-corpus pipeline: mirrors "
+    "differing only in host/scheme case, default ports, tracking "
+    "params (utm_/fbclid/gclid/...), query-param order, or fragments "
+    "must collapse to one canonical string so exact URL dedup "
+    "(groupBy(canon_url)) can do its job. Five synthetic variants per "
+    "article exercise every class; pure string/array expressions, "
+    "per-row only (zero shuffles).",
+)
+def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.markup import canonicalize_url, url_host
+
+    g = "CAST(doc_id DIV 5 AS STRING)"
+    url = F.expr(
+        f"""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN concat('https://News.Example.COM/articles/', {g}, '?id=', {g}, '&ref=home#top')
+          WHEN 1 THEN concat('HTTPS://news.example.com:443/articles/', {g}, '?ref=home&id=', {g})
+          WHEN 2 THEN concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&utm_source=tw&ref=home')
+          WHEN 3 THEN concat('https://news.example.com/articles/', {g}, '?utm_campaign=x&ref=home&id=', {g}, '#frag')
+          ELSE concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&ref=home')
+        END"""
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    return docs.select(
+        "doc_id",
+        url_host("url").alias("host"),
+        canonicalize_url("url").alias("canon_url"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

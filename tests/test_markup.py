@@ -7,9 +7,11 @@ from __future__ import annotations
 import pytest
 
 from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.markup import (
+    canonicalize_url,
     extract_main_content,
     html_block_features,
     strip_tags,
+    url_host,
 )
 
 ARTICLE = (
@@ -98,3 +100,35 @@ def test_extract_main_content_verdicts(pages):
     # ordered join of multiple content blocks
     assert out[6].main_content == f"First part of the story begins right here {ARTICLE}"
     assert out[6].n_content_blocks == 2
+
+
+def test_canonicalize_url_merges_mirror_variants(spark):
+    variants = [
+        "https://News.Example.COM/a/1?id=1&ref=h#top",
+        "HTTPS://news.example.com:443/a/1?ref=h&id=1",
+        "https://news.example.com/a/1?id=1&utm_source=tw&ref=h",
+        "https://news.example.com/a/1?utm_campaign=x&ref=h&id=1#frag",
+        "https://news.example.com/a/1?id=1&ref=h",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], ["url"])
+    canon = {r.c for r in df.select(canonicalize_url("url").alias("c")).collect()}
+    assert canon == {"https://news.example.com/a/1?id=1&ref=h"}
+
+
+def test_canonicalize_url_edge_cases(spark):
+    cases = [
+        # path case is significant and must be preserved
+        ("http://Host.COM:80/CaseSensitive/Path", "http://host.com/CaseSensitive/Path"),
+        # non-default port stays
+        ("http://host.com:8080/x", "http://host.com:8080/x"),
+        # all params tracking -> no '?' at all
+        ("https://h.io/p?utm_source=a&gclid=b", "https://h.io/p"),
+        # no query, no fragment: unchanged
+        ("https://h.io/p", "https://h.io/p"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    rows = df.select("want", canonicalize_url("url").alias("c")).collect()
+    for r in rows:
+        assert r.c == r.want, r
+    host = df.select(url_host("url").alias("h")).collect()
+    assert {r.h for r in host} == {"host.com", "host.com:8080", "h.io"}
