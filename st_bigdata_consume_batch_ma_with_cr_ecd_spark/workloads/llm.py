@@ -2322,21 +2322,13 @@ _HTML_SPLIT_RE = (
 )
 
 
-@register(
-    "text_html_main_content",
-    # the oracle rebuilds the same synthetic pages and replays the
-    # whole extractor symbolically: block split -> tag strip ->
-    # word/char/anchor-char counts -> integer link-density classifier
-    # -> ordered content join. All-integer thresholds, no floats.
-    oracle=f"""
-    WITH pages AS (
-        SELECT doc_id,
-               '<html><body>{_HTML_NAV}' || text || '</p>' ||
-               CASE WHEN doc_id % 3 = 0 THEN '{_HTML_SPAM}' ELSE '' END ||
-               '{_HTML_FOOTER}</body></html>' AS html
-        FROM documents
-    ),
-    frags AS (
+# the DuckDB replay of llm/markup.py's extractor over a CTE named
+# ``pages`` with (doc_id, html): block split -> tag strip -> word/char/
+# anchor-char counts -> integer link-density classifier -> ordered
+# content join, ending in a CTE ``extracted`` with (doc_id, n_blocks,
+# n_content_blocks, main_content). All-integer thresholds, no floats.
+def _html_extract_duck() -> str:
+    return f"""frags AS (
         SELECT doc_id,
                unnest(regexp_split_to_array(html, '{_HTML_SPLIT_RE}')) AS raw,
                generate_subscripts(regexp_split_to_array(html, '{_HTML_SPLIT_RE}'), 1) AS pos
@@ -2364,12 +2356,30 @@ _HTML_SPLIT_RE = (
     cls AS (
         SELECT *, (n_words >= 5 AND link_chars * 3 < n_chars) AS is_content
         FROM feats
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_blocks,
-           CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content_blocks,
-           coalesce(string_agg(CASE WHEN is_content THEN block_text END, ' ' ORDER BY block_idx), '') AS main_content
-    FROM cls GROUP BY doc_id
+    ),
+    extracted AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(CASE WHEN is_content THEN 1 ELSE 0 END) AS BIGINT) AS n_content_blocks,
+               coalesce(string_agg(CASE WHEN is_content THEN block_text END, ' ' ORDER BY block_idx), '') AS main_content
+        FROM cls GROUP BY doc_id
+    )"""
+
+
+@register(
+    "text_html_main_content",
+    # the oracle rebuilds the same synthetic pages and replays the
+    # whole extractor symbolically (see _html_extract_duck)
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id,
+               '<html><body>{_HTML_NAV}' || text || '</p>' ||
+               CASE WHEN doc_id % 3 = 0 THEN '{_HTML_SPAM}' ELSE '' END ||
+               '{_HTML_FOOTER}</body></html>' AS html
+        FROM documents
+    ),
+    {_html_extract_duck()}
+    SELECT doc_id, n_blocks, n_content_blocks, main_content FROM extracted
     """,
     doc="HTML main-content extraction (llm/markup.py) — the missing "
     "first stage of web-corpus prep named by the r6 review: synthetic "
@@ -2402,6 +2412,65 @@ def text_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(pages, "html", "doc_id", min_words=5)
 
 
+# the synthetic crawl-URL fixture shared by the URL queries: five
+# mirror-variant classes per article group (doc_id // 5) — host/scheme
+# case, default port, tracking params, param order, fragment — all of
+# which must canonicalize to one string
+_SYNTH_URL_DUCK = """
+            CASE CAST(doc_id % 5 AS INT)
+              WHEN 0 THEN 'https://News.Example.COM/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home#top'
+              WHEN 1 THEN 'HTTPS://news.example.com:443/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?ref=home&id=' || CAST(doc_id // 5 AS VARCHAR)
+              WHEN 2 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&utm_source=tw&ref=home'
+              WHEN 3 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_campaign=x&ref=home&id=' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
+              ELSE 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home'
+            END"""
+
+# the DuckDB replay of canonicalize_url over a table with (doc_id, url):
+# RE2 backrefs are \1 where Spark writes $1; the regexes themselves are
+# engine-portable
+_URL_CANON_DUCK_CTES = r"""auth AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '#.*$', '') AS no_frag
+        FROM urls
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               regexp_replace(regexp_replace(
+                   lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0)),
+                   '^(http://[^/?#:]*):80$', '\1'),
+                   '^(https://[^/?#:]*):443$', '\1') AS a,
+               regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
+        FROM auth
+    ),
+    canon AS (
+        SELECT doc_id, url, a,
+               regexp_extract(rest, '^[^?]*', 0) AS path,
+               list_sort(list_filter(
+                   string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid|msclkid|ref_src)')
+               )) AS ps
+        FROM parts
+    ),
+    canon_urls AS (
+        SELECT doc_id, url,
+               a || path || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
+        FROM canon
+    )"""
+
+
+def _synth_url_expr():
+    g = "CAST(doc_id DIV 5 AS STRING)"
+    return F.expr(
+        f"""CASE CAST(doc_id % 5 AS INT)
+          WHEN 0 THEN concat('https://News.Example.COM/articles/', {g}, '?id=', {g}, '&ref=home#top')
+          WHEN 1 THEN concat('HTTPS://news.example.com:443/articles/', {g}, '?ref=home&id=', {g})
+          WHEN 2 THEN concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&utm_source=tw&ref=home')
+          WHEN 3 THEN concat('https://news.example.com/articles/', {g}, '?utm_campaign=x&ref=home&id=', {g}, '#frag')
+          ELSE concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&ref=home')
+        END"""
+    )
+
+
 @register(
     "web_url_canonicalize",
     # five URL variants per article (host/scheme case, default port,
@@ -2409,16 +2478,9 @@ def text_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE string — the oracle replays every normalization step with
     # DuckDB's regex/list functions (RE2 backrefs are \1 where Spark
     # writes $1; the regexes themselves are engine-portable)
-    oracle=r"""
+    oracle=rf"""
     WITH urls AS (
-        SELECT doc_id,
-            CASE CAST(doc_id % 5 AS INT)
-              WHEN 0 THEN 'https://News.Example.COM/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home#top'
-              WHEN 1 THEN 'HTTPS://news.example.com:443/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?ref=home&id=' || CAST(doc_id // 5 AS VARCHAR)
-              WHEN 2 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&utm_source=tw&ref=home'
-              WHEN 3 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_campaign=x&ref=home&id=' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
-              ELSE 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home'
-            END AS url
+        SELECT doc_id, {_SYNTH_URL_DUCK} AS url
         FROM documents
     ),
     auth AS (
@@ -2461,21 +2523,103 @@ def text_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.markup import canonicalize_url, url_host
 
-    g = "CAST(doc_id DIV 5 AS STRING)"
-    url = F.expr(
-        f"""CASE CAST(doc_id % 5 AS INT)
-          WHEN 0 THEN concat('https://News.Example.COM/articles/', {g}, '?id=', {g}, '&ref=home#top')
-          WHEN 1 THEN concat('HTTPS://news.example.com:443/articles/', {g}, '?ref=home&id=', {g})
-          WHEN 2 THEN concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&utm_source=tw&ref=home')
-          WHEN 3 THEN concat('https://news.example.com/articles/', {g}, '?utm_campaign=x&ref=home&id=', {g}, '#frag')
-          ELSE concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&ref=home')
-        END"""
-    )
-    docs = _docs(spark, sf_dir).select("doc_id", url.alias("url"))
+    docs = _docs(spark, sf_dir).select("doc_id", _synth_url_expr().alias("url"))
     return docs.select(
         "doc_id",
         url_host("url").alias("host"),
         canonicalize_url("url").alias("canon_url"),
+    )
+
+
+@register(
+    "pipeline_web_corpus_prep",
+    # URL canonicalization -> mirror dedup (row_number per canon group)
+    # -> HTML main-content extraction on the SURVIVORS only -> per-page
+    # verdict with a content fingerprint, all under one value hash; the
+    # oracle chains the url-canon replay, the window dedup, and the
+    # html-extract replay end to end
+    oracle=rf"""
+    WITH urls AS (
+        SELECT doc_id, {_SYNTH_URL_DUCK} AS url
+        FROM documents
+    ),
+    {_URL_CANON_DUCK_CTES},
+    ranked AS (
+        SELECT doc_id, canon_url,
+               row_number() OVER (PARTITION BY canon_url ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY canon_url) AS n_mirrors
+        FROM canon_urls
+    ),
+    kept AS (SELECT doc_id, canon_url, n_mirrors FROM ranked WHERE rn = 1),
+    pages AS (
+        SELECT k.doc_id,
+               '<html><body>{_HTML_NAV}' || d.text || '</p>' ||
+               CASE WHEN d.doc_id % 3 = 0 THEN '{_HTML_SPAM}' ELSE '' END ||
+               '{_HTML_FOOTER}</body></html>' AS html
+        FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+    ),
+    {_html_extract_duck()}
+    SELECT k.doc_id, k.canon_url, CAST(k.n_mirrors AS BIGINT) AS n_mirrors,
+           e.n_blocks, e.n_content_blocks,
+           CAST(CASE WHEN e.main_content = '' THEN 0
+                     ELSE len(regexp_split_to_array(e.main_content, '\s+')) END AS INT) AS n_words_main,
+           md5(e.main_content) AS content_fp
+    FROM kept k JOIN extracted e ON k.doc_id = e.doc_id
+    """,
+    doc="The web-corpus prep chain END TO END under one value hash — "
+    "what a crawl pipeline runs before any content dedup: canonicalize "
+    "URLs (llm/markup.py), collapse mirror variants with a "
+    "row_number-per-canon-group window (WindowGroupLimit shape, the "
+    "same top-1 dedup contract as W1), build/extract HTML main content "
+    "for the SURVIVORS only (extraction cost tracks the deduped "
+    "corpus, not the crawl), and emit the per-page verdict: mirror "
+    "count, block counts, main-content word count, and an md5 content "
+    "fingerprint (the key the next stage's exact dedup groups on). "
+    "Shuffles: one window on canon_url + one doc_id join of two "
+    "doc-sized honest-estimate sides — no checkpoints, so no pins "
+    "needed per the checkpoint-broadcast rule.",
+    tags=("bench",),
+)
+def pipeline_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..llm.markup import canonicalize_url, extract_main_content
+
+    docs = _docs(spark, sf_dir)
+    canon = docs.select("doc_id", _synth_url_expr().alias("url")).withColumn(
+        "canon_url", canonicalize_url("url")
+    )
+    w = Window.partitionBy("canon_url").orderBy("doc_id")
+    kept = (
+        canon.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_mirrors", F.count(F.lit(1)).over(Window.partitionBy("canon_url")))
+        .where(F.col("__rn") == 1)
+        .select("doc_id", "canon_url", F.col("n_mirrors").cast("bigint").alias("n_mirrors"))
+    )
+    spam = F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_SPAM)).otherwise(F.lit(""))
+    pages = kept.join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body>" + _HTML_NAV),
+            F.col("text"),
+            F.lit("</p>"),
+            spam,
+            F.lit(_HTML_FOOTER + "</body></html>"),
+        ).alias("html"),
+    )
+    extracted = extract_main_content(pages, "html", "doc_id", min_words=5)
+    main = F.col("main_content")
+    return kept.join(extracted, "doc_id").select(
+        "doc_id",
+        "canon_url",
+        "n_mirrors",
+        "n_blocks",
+        "n_content_blocks",
+        F.when(main == "", F.lit(0))
+        .otherwise(F.size(F.split(main, r"\s+")))
+        .cast("int")
+        .alias("n_words_main"),
+        F.md5(main).alias("content_fp"),
     )
 
 
