@@ -737,3 +737,37 @@ def test_hazard_sweep_clean_on_previously_flagged(spark, sf_dir):
     ):
         extra = len(strict_flags(name, None)) - len(strict_flags(name, "-1"))
         assert extra <= 0, f"{name}: {extra} estimate-driven checkpoint broadcast(s)"
+
+
+def test_html_extraction_is_single_shuffle_no_joins(spark, sf_dir):
+    # the extractor is per-row regex/array work + ONE doc-keyed shuffle:
+    # the block-numbering window partitions by doc_id and the final
+    # per-doc aggregate groups by doc_id, so they must SHARE that
+    # partitioning (one physical Exchange), and nothing may join
+    plan = plan_of(spark, sf_dir, "text_html_main_content")
+    assert "Join" not in plan
+    # formatted explain renders each node in tree + details: 1 physical
+    # Exchange node = 2 occurrences
+    assert plan.count("Exchange") <= 2, f"window/agg stopped sharing the doc shuffle\n{plan}"
+
+
+def test_web_corpus_prep_dedup_has_group_limit_and_no_unsafe_joins(spark, sf_dir):
+    # the mirror dedup is filter(row_number = 1): it must plan with the
+    # partial WindowGroupLimit below the canon_url shuffle (the W1
+    # contract), and the doc-sized joins must never degrade to
+    # cartesian/BNLJ. The joins MAY broadcast here: both sides are
+    # scan-derived honest estimates (no checkpoint lineage), the class
+    # Catalyst stops broadcasting on its own at real scale.
+    plan = plan_of(spark, sf_dir, "pipeline_web_corpus_prep")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_energy_windows_has_no_shuffle(spark, sf_dir):
+    # synth -> encode -> decode -> window features is two chained
+    # mapInPandas passes over the same rows: any Exchange means the
+    # per-clip pipeline started shuffling payload bytes
+    plan = plan_of(spark, sf_dir, "multimodal_wav_energy_windows")
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan

@@ -227,6 +227,40 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
+    # image near-dedup chain (synth BMP -> real decode/dHash -> Hamming
+    # LSH -> pinned verify). The pattern space scales WITH the mult
+    # (n_patterns = 37 * mult) so near-dup cluster sizes stay constant
+    # and pair volume stays linear — the probe measures the plan, not
+    # the quadratic true-pair growth a fixed pattern count would force.
+    # Wrapped as a callable: the signature checkpoint inside IS part of
+    # the measured work (same rationale as kcore).
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        image_dhash_verified_pairs,
+    )
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    if sf_dir + "/docs" not in _BASE_COUNTS:
+        _BASE_COUNTS[sf_dir + "/docs"] = (docs_tbl.count(), 0)
+    n_docs_i = _BASE_COUNTS[sf_dir + "/docs"][0]
+
+    def image_dedup_compute() -> None:
+        docs_i = amplify(docs_tbl, mult, ["doc_id"])
+        image_dhash_verified_pairs(docs_i, n_patterns=37 * mult).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    def image_dedup_k3_compute() -> None:
+        # the scale-path twin: 4 blocks of 16 bits (65k-value band keys)
+        # complete for hamming <= 3, vs the default 8 blocks of 8 bits
+        # (256-value keys) complete for <= 7 — the 256-value key space
+        # saturates as the corpus grows and candidate volume goes
+        # quadratic (Manku et al. WWW'07 trade wider blocks for a lower
+        # threshold for exactly this reason)
+        docs_i = amplify(docs_tbl, mult, ["doc_id"])
+        image_dhash_verified_pairs(
+            docs_i, n_patterns=37 * mult, band_hex_width=4, max_hamming=3
+        ).write.format("noop").mode("overwrite").save()
+
     # k-core peel on the thresholded (>= 2 shared orders) co-purchase
     # graph: replicas are disjoint components, so the cascade runs
     # per-replica and cost tracks edge volume. Wrapped as a callable —
@@ -326,6 +360,8 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         "consume_e2e_compute": (e2e_compute, n_ev * mult),
         "consume_e2e_staged": (e2e_staged, n_ev * mult),
         "kcore_peel": (kcore_compute, n_li * mult),
+        "image_dedup": (image_dedup_compute, n_docs_i * mult),
+        "image_dedup_k3": (image_dedup_k3_compute, n_docs_i * mult),
         "fuzzy_er_closure": (fuzzy_er_compute, n_cust * mult),
         "jaccard_verify": (jaccard_verify_compute, n_docs * mult),
     }
