@@ -379,3 +379,31 @@ def test_dhash_matches_symbolic_pixel_formula(spark):
     [row] = dhash_images(df).collect()
     bits = (v[:, 1:].astype(int) > v[:, :-1].astype(int)).astype(np.uint8).reshape(-1)
     assert row.dhash == np.packbits(bits).tobytes().hex()
+
+
+def test_wide_block_blocking_is_complete_for_hamming_3(spark):
+    # the r7 scale path (4 blocks x 16 bits, threshold 3) must find
+    # EXACTLY the hamming <= 3 subset of the default (8 x 8, threshold
+    # 7) pairs on the same corpus — wide keys change the candidate
+    # generation, never the verified result set
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        image_dhash_verified_pairs,
+    )
+
+    docs = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    wide = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_dhash_verified_pairs(
+            docs, n_patterns=11, band_hex_width=4, max_hamming=3
+        ).collect()
+    }
+    default = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in image_dhash_verified_pairs(docs, n_patterns=11).collect()
+    }
+    assert wide == {p: h for p, h in default.items() if h <= 3}
+    assert len(wide) > 0
+    # inconsistent (width, threshold) pairs must fail loudly, not
+    # silently lose completeness
+    with pytest.raises(AssertionError):
+        image_dhash_verified_pairs(docs, band_hex_width=4, max_hamming=7)
