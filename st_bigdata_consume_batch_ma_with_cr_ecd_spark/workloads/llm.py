@@ -2991,7 +2991,10 @@ def dedup_image_dhash_wide_blocks(spark: SparkSession, sf_dir: str) -> DataFrame
     "where(is_survivor)). Signature checkpoint + merge-pinned verify "
     "joins from birth per the checkpoint-broadcast rule; components "
     "localCheckpoint per round; the oracle replays every stage "
-    "symbolically including a recursive-CTE closure.",
+    "symbolically including a recursive-CTE closure. At corpus scale, "
+    "swap the pair stage for the hamming <= 3 wide-block variant "
+    "(dedup_image_dhash_wide_blocks) — the default <= 7 blocking's "
+    "256-value band keys saturate (SCALE.md round 7).",
     tags=("bench",),
 )
 def corpus_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
