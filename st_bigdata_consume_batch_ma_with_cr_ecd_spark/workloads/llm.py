@@ -2581,11 +2581,17 @@ def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("bench",),
 )
 def pipeline_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_corpus_prep(_docs(spark, sf_dir))
+
+
+def web_corpus_prep(docs: DataFrame) -> DataFrame:
+    """The chain behind ``pipeline_web_corpus_prep``, over any
+    (doc_id, text) frame — shared with the scale probe so the probe can
+    amplify the input."""
     from pyspark.sql import Window
 
     from ..llm.markup import canonicalize_url, extract_main_content
 
-    docs = _docs(spark, sf_dir)
     canon = docs.select("doc_id", _synth_url_expr().alias("url")).withColumn(
         "canon_url", canonicalize_url("url")
     )

@@ -243,6 +243,20 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         _BASE_COUNTS[sf_dir + "/docs"] = (docs_tbl.count(), 0)
     n_docs_i = _BASE_COUNTS[sf_dir + "/docs"][0]
 
+    # web-corpus prep composite (URL canon -> mirror dedup window ->
+    # HTML extract over survivors): per-row regex work + one window +
+    # one doc-sized join — expected linear; the probe guards the
+    # composition. Amplified doc_ids keep the 5-variant mirror groups
+    # intact (the group key doc_id DIV 5 shifts with the replica).
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        web_corpus_prep,
+    )
+
+    docs_full = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    web_prep = web_corpus_prep(amplify(docs_full, mult, ["doc_id"]))
+
     def image_dedup_compute() -> None:
         docs_i = amplify(docs_tbl, mult, ["doc_id"])
         image_dhash_verified_pairs(docs_i, n_patterns=37 * mult).write.format(
@@ -362,6 +376,7 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         "kcore_peel": (kcore_compute, n_li * mult),
         "image_dedup": (image_dedup_compute, n_docs_i * mult),
         "image_dedup_k3": (image_dedup_k3_compute, n_docs_i * mult),
+        "web_corpus_prep": (web_prep, n_docs_i * mult),
         "fuzzy_er_closure": (fuzzy_er_compute, n_cust * mult),
         "jaccard_verify": (jaccard_verify_compute, n_docs * mult),
     }
