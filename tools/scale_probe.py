@@ -619,6 +619,30 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         )
         assert_no_checkpoint_broadcasts(plan, "kcore_peel")
 
+    def image_dedup_k3_pins_hold() -> None:
+        # the wide-block scale path at the audit mult: the dHash
+        # signature checkpoint feeds blocking AND both verify sides, so
+        # the verify joins must keep their merge pins (bare checkpoint
+        # scan = non-demotable broadcast class), and the banding must
+        # never degrade to a cartesian
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            image_dhash_verified_pairs,
+        )
+
+        docs_a = amplify(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+            mult,
+            ["doc_id"],
+        )
+        df = image_dhash_verified_pairs(
+            docs_a, n_patterns=37 * mult, band_hex_width=4, max_hamming=3
+        )
+        plan = final_plan(df)
+        assert "SortMergeJoin" in plan, "image verify joins lost their merge pins"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert_no_checkpoint_broadcasts(plan, "image_dedup_k3")
+
     # e2e FIRST: its materialized stage-0 cache is the biggest single
     # allocation at 64x, so it must run against a clean heap; the fuzzy
     # audit's checkpoint blocks are unpersisted explicitly either way
@@ -630,6 +654,7 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         "jaccard_verify": jaccard_verify_pins_hold,
         "recsys_cooccur": recsys_topk_stays_grouped,
         "kcore_peel": kcore_round_join_stays_smj,
+        "image_dedup_k3": image_dedup_k3_pins_hold,
     }
 
 
