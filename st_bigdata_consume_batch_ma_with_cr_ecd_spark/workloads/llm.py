@@ -2532,6 +2532,62 @@ def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_html_block_features",
+    # per-block rows of the shallow classifier — the block-level view
+    # the per-doc extraction verdict aggregates away; every feature the
+    # classifier consumes is in the hash (word/char/anchor-char counts
+    # and the integer density verdict)
+    oracle=f"""
+    WITH pages AS (
+        SELECT doc_id,
+               '<html><body>{_HTML_NAV}' || text || '</p>' ||
+               CASE WHEN doc_id % 3 = 0 THEN '{_HTML_SPAM}' ELSE '' END ||
+               '{_HTML_FOOTER}</body></html>' AS html
+        FROM documents
+    ),
+    {_html_extract_duck()}
+    SELECT doc_id, block_idx,
+           CAST(n_words AS INT) AS n_words,
+           CAST(n_chars AS INT) AS n_chars,
+           CAST(link_chars AS INT) AS link_chars,
+           is_content
+    FROM cls
+    """,
+    doc="The block-level view of the HTML extractor: one row per "
+    "non-empty text block with the Kohlschütter shallow features "
+    "(word count, char count, anchor-text chars) and the integer "
+    "link-density verdict — the debugging/threshold-tuning surface a "
+    "corpus engineer inspects before trusting the per-doc extraction. "
+    "Same zero-UDF expression chain as text_html_main_content, cut "
+    "before the per-doc aggregate.",
+)
+def text_html_block_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.markup import html_block_features
+
+    docs = _docs(spark, sf_dir)
+    spam = F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_SPAM)).otherwise(F.lit(""))
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body>" + _HTML_NAV),
+            F.col("text"),
+            F.lit("</p>"),
+            spam,
+            F.lit(_HTML_FOOTER + "</body></html>"),
+        ).alias("html"),
+    )
+    feats = html_block_features(pages, "html", "doc_id", min_words=5)
+    return feats.select(
+        "doc_id",
+        "block_idx",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("n_chars").cast("int").alias("n_chars"),
+        F.col("link_chars").cast("int").alias("link_chars"),
+        "is_content",
+    )
+
+
+@register(
     "pipeline_web_corpus_prep",
     # URL canonicalization -> mirror dedup (row_number per canon group)
     # -> HTML main-content extraction on the SURVIVORS only -> per-page
