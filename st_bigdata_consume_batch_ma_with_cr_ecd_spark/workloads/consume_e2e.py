@@ -543,3 +543,54 @@ def pipeline_consume_batch_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts:
         p.unpersist()
     return spark.read.parquet(f"{out_root}/parquet").select(*OUTPUT_COLS)
+
+
+@register(
+    "pipeline_consume_batch_e2e_staged",
+    # SAME oracle as the cached twin: stage0_staging changes only WHERE
+    # stage-0 lives (a snappy-parquet staging table instead of the
+    # block-manager cache), never a row — pytest additionally enforces
+    # row-identical equivalence (test_consume_batch_staged_equals_cached)
+    oracle=_e2e_oracle(),
+    doc="The faithful consume-batch job end to end in STAGED stage-0 "
+    "mode — the 100-TB path of the flagship pipeline, previously "
+    "pytest/probe-proven but outside the driver gate (r7 verdict ask "
+    "#6): the merged change-log is written ONCE to a snappy-parquet "
+    "staging table and every slice chain scans the staged files "
+    "instead of the cache. The 64x probe measured the cached default's "
+    "superlinear knee (230.8s) vs staged 86.5s holding <= 4x per 4x "
+    "step, so this is the mode a real cluster runs when stage-0 "
+    "outgrows the cache tier. Same derivation, same 4 slice chains + "
+    "gzip CSV/JSON sinks, same dynamic-partition-overwrite parquet, "
+    "result read back from the parquet sink under the same value hash.",
+    tags=("bench", "eager"),
+)
+def pipeline_consume_batch_e2e_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from ..pipelines.consume_batch import filter_changelog, merge_delete
+
+    t = derive_consume_inputs(spark, sf_dir)
+    out_root = os.path.join(tempfile.gettempdir(), "spark_graft_consume_e2e_staged")
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
+
+    # stage-0 staged to parquet (consume_batch's stage0_staging tier,
+    # pipelines/consume_batch.py:471-475): one write pass replaces the
+    # cache materialization, and the slice chains get a columnar scan
+    # with pruning instead of InMemoryTableScan rows
+    staging = f"{out_root}/stage0"
+    merge_delete(filter_changelog(t["changelog"]), _DATES.first_day_past).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    merged = spark.read.parquet(staging)
+
+    parts, _ = run_slices_concurrent(
+        t, merged, _DATES, out_root, json_clock="2024-01-30 00:00:00"
+    )
+
+    union = union_slices(parts, "ALL")
+    overwrite_partitions(union, f"{out_root}/parquet", ["partitionMonth"])
+    for p in parts:
+        p.unpersist()
+    return spark.read.parquet(f"{out_root}/parquet").select(*OUTPUT_COLS)

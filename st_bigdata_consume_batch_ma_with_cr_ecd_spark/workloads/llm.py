@@ -2923,10 +2923,14 @@ def image_dhash_verified_pairs(
     # 64/(4*band_hex_width) blocks, a pair within max_hamming differs
     # in at most max_hamming blocks, so completeness needs
     # blocks >= max_hamming + 1. 2->(8 blocks, <=7); 4->(4 blocks, <=3).
-    assert 64 // (4 * band_hex_width) >= max_hamming + 1, (
-        f"hamming {max_hamming} not pigeonhole-complete at "
-        f"{64 // (4 * band_hex_width)} blocks"
-    )
+    # ValueError, not assert: under `python -O` an assert is compiled
+    # away and an inconsistent pair would silently DROP true near-dup
+    # pairs instead of failing loudly (r7 ADVICE).
+    if 64 // (4 * band_hex_width) < max_hamming + 1:
+        raise ValueError(
+            f"hamming {max_hamming} not pigeonhole-complete at "
+            f"{64 // (4 * band_hex_width)} blocks"
+        )
     cands = simhash_candidate_pairs(
         sigs.select("doc_id", F.col("dhash").alias("simhash")),
         bits=64,
@@ -3015,14 +3019,51 @@ def dedup_image_dhash_wide_blocks(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "corpus_image_dedup_pipeline",
-    # pairs -> undirected edges -> recursive-CTE connected components ->
-    # min-id survivor + cluster size: the same composition contract as
-    # corpus_near_dedup_pipeline, on top of the symbolically replayed
-    # decode/resize/dHash/LSH/verify chain (r6 review ask #4)
-    oracle=f"""
-    WITH RECURSIVE {_IMG_DHASH_CTES},
+def image_dedup_pipeline(
+    docs: DataFrame,
+    *,
+    n_patterns: int = 37,
+    band_hex_width: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The composed image near-dedup chain over any (doc_id, ...) frame:
+    fixture BMP synth -> real decode/resize/dHash -> aligned-block
+    Hamming LSH -> exact verify -> connected components -> min-id
+    survivor + cluster size. The PAIR STAGE IS A PARAMETER (r7 verdict
+    ask #1): the default is the corpus-scale wide-block blocking
+    (4 blocks x 16 bits, complete for hamming <= 3 — Manku et al.
+    WWW'07), because the r7 probe measured the 8x8-bit / hamming <= 7
+    blocking corpus-QUADRATIC (31.9x time at 16x data: 256-value band
+    keys saturate). Callers that genuinely need the looser <= 7
+    threshold on a BOUNDED corpus pass (band_hex_width=2,
+    max_hamming=7) explicitly and own that quadratic trade."""
+    from ..operators.graph import assign_cluster_ids
+
+    pairs = image_dhash_verified_pairs(
+        docs,
+        n_patterns=n_patterns,
+        band_hex_width=band_hex_width,
+        max_hamming=max_hamming,
+    ).select("doc_a", "doc_b")
+    ids = docs.select("doc_id")
+    assigned = assign_cluster_ids(
+        ids, pairs, "doc_id", "doc_a", "doc_b", pairs_distinct=True
+    )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return assigned.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+# pairs -> undirected edges -> recursive-CTE connected components ->
+# min-id survivor + cluster size: the shared closure tail of both
+# image-pipeline oracles (threshold comes from the img_pairs CTE)
+_IMG_CLUSTER_ORACLE_TAIL = """,
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM img_pairs
         UNION
@@ -3042,40 +3083,54 @@ def dedup_image_dhash_wide_blocks(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT a.doc_id, a.cluster_id, s.cluster_size,
            a.doc_id = a.cluster_id AS is_survivor
     FROM assigned a JOIN sizes s ON a.cluster_id = s.cluster_id
-    """,
-    doc="The COMPLETE image near-dedup chain under one value hash — "
-    "what dedup_image_dhash's verified pairs feed in a production "
-    "multimodal corpus: real BMP decode -> resize -> 64-bit dHash -> "
-    "aligned-block Hamming LSH -> exact hamming <= 7 verify -> "
-    "connected components -> min-id survivor per cluster, mirroring "
+    """
+
+
+@register(
+    "corpus_image_dedup_pipeline",
+    oracle=f"WITH RECURSIVE {_IMG_DHASH_CTES}{_IMG_CLUSTER_ORACLE_TAIL}",
+    doc="BOUNDED-CORPUS variant of the image near-dedup pipeline: the "
+    "hamming <= 7 threshold needs 8-bit band keys (pigeonhole), whose "
+    "256 values saturate — the r7 probe measured candidate volume "
+    "corpus-QUADRATIC (31.9x time at 16x data), so this composition is "
+    "kept ONLY for bounded corpora that need the loose threshold and "
+    "is demoted from the bench set (r7 verdict ask #1). The corpus-"
+    "scale default is corpus_image_dedup_pipeline_wide. Same contract: "
+    "real BMP decode -> resize -> 64-bit dHash -> aligned-block "
+    "Hamming LSH -> exact verify -> connected components -> min-id "
+    "survivor (doc_id, cluster_id, cluster_size, is_survivor); the "
+    "oracle replays every stage symbolically including a recursive-"
+    "CTE closure.",
+)
+def corpus_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_dedup_pipeline(
+        _docs(spark, sf_dir), band_hex_width=2, max_hamming=7
+    )
+
+
+@register(
+    "corpus_image_dedup_pipeline_wide",
+    oracle=f"WITH RECURSIVE {_img_dhash_ctes(3)}{_IMG_CLUSTER_ORACLE_TAIL}",
+    doc="The COMPLETE image near-dedup chain under one value hash, on "
+    "the CORPUS-SCALE pair stage — the composition a production "
+    "multimodal pipeline actually runs (r7 verdict ask #1: the "
+    "previously registered pipeline composed the blocking the r7 probe "
+    "measured corpus-quadratic; this one composes the measured fix): "
+    "real BMP decode -> resize -> 64-bit dHash -> WIDE-BLOCK Hamming "
+    "LSH (4 blocks x 16 bits, 65,536-value keys, pigeonhole-complete "
+    "for hamming <= 3 — Manku WWW'07; probe: 4.0x at 16x data vs 31.9x "
+    "for the 8x8 blocking) -> exact hamming <= 3 verify -> connected "
+    "components -> min-id survivor per cluster, mirroring "
     "corpus_near_dedup_pipeline's text contract (doc_id, cluster_id, "
     "cluster_size, is_survivor; the cleaned corpus is "
     "where(is_survivor)). Signature checkpoint + merge-pinned verify "
-    "joins from birth per the checkpoint-broadcast rule; components "
-    "localCheckpoint per round; the oracle replays every stage "
-    "symbolically including a recursive-CTE closure. At corpus scale, "
-    "swap the pair stage for the hamming <= 3 wide-block variant "
-    "(dedup_image_dhash_wide_blocks) — the default <= 7 blocking's "
-    "256-value band keys saturate (SCALE.md round 7).",
+    "joins from birth; the oracle replays decode/resize/dHash "
+    "symbolically and the <= 3 contract through a recursive-CTE "
+    "closure.",
     tags=("bench",),
 )
-def corpus_image_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import assign_cluster_ids
-
-    pairs = image_dhash_verified_pairs(_docs(spark, sf_dir)).select("doc_a", "doc_b")
-    docs = _docs(spark, sf_dir).select("doc_id")
-    assigned = assign_cluster_ids(
-        docs, pairs, "doc_id", "doc_a", "doc_b", pairs_distinct=True
-    )
-    sizes = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return assigned.join(sizes, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
-    )
+def corpus_image_dedup_pipeline_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_dedup_pipeline(_docs(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------

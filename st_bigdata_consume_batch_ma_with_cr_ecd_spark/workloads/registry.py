@@ -65,16 +65,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 # still don't qualify.
 FORCE_RECHECK: frozenset[str] = frozenset(
     {
-        # r6 rework never driver-re-verified (r6 VERDICT ask #2): the
-        # verify stage moved to per-doc sets + array_intersect.
-        # (The r6 review's follow-on ask — port that verify shape to
-        # _pair_overlap_counts — was built and A/B-measured ~60% SLOWER
-        # at sf0.1 (old 2.88/2.20/2.39s vs ported 4.66/3.38/3.25s,
-        # same machine back-to-back), so it was reverted: the
-        # pair-multiplicity groupBy yields `shared` for free there,
-        # unlike the prefix filter whose candidates carry no overlap
-        # counts. Negative result recorded in SCALE.md round 7.)
-        "dedup_jaccard_prefix_filter",
+        # r8: the HTML extractor and URL canonicalizer changed OUTPUT
+        # semantics (r7 ADVICE + VERDICT ask #5): script/style/head
+        # bodies are now stripped before block split, the block-tag
+        # alternation is anchored (no more <path>/<link>/<track>
+        # prefix-matches), url_host's default-port strip is
+        # scheme-aware, and canonicalize_url adds RFC 3986 §6.2.2
+        # percent-encoding normalization. Every query composing those
+        # expressions re-enters the driver window this round.
+        # (r7's dedup_jaccard_prefix_filter entry cleared after its r7
+        # driver green — the list records PENDING re-verifications.)
+        "text_html_main_content",
+        "text_html_block_features",
+        "web_url_canonicalize",
+        "pipeline_web_corpus_prep",
     }
 )
 

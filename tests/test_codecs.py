@@ -404,6 +404,7 @@ def test_wide_block_blocking_is_complete_for_hamming_3(spark):
     assert wide == {p: h for p, h in default.items() if h <= 3}
     assert len(wide) > 0
     # inconsistent (width, threshold) pairs must fail loudly, not
-    # silently lose completeness
-    with pytest.raises(AssertionError):
+    # silently lose completeness — ValueError, so `python -O` cannot
+    # compile the guard away (r7 ADVICE)
+    with pytest.raises(ValueError, match="pigeonhole"):
         image_dhash_verified_pairs(docs, band_hex_width=4, max_hamming=7)
