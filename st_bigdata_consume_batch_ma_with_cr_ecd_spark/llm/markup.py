@@ -30,13 +30,36 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Non-visible page regions removed BEFORE block segmentation: without
+# this, <script>/<style> bodies and <head> text (title, metadata)
+# become text blocks that often pass the word-count/link-density
+# classifier and leak into main_content (r7 ADVICE — the synthetic
+# fixtures previously carried no scripts, so only real crawl pages
+# hit it). RE2-portable (inline (?is) flags + non-greedy, no
+# lookarounds), so SQL oracles replay the same regex verbatim.
+# Residual limitation, documented: an UNCLOSED <script>/<style>/<head>
+# leaves its body in the text (a DOM parser would recover; a flat
+# regex cannot) — the word-count/density classifier is the backstop.
+# The tag names are anchored with (?:\s[^>]*)?> so <header> is NOT
+# eaten by the <head> rule.
+INVISIBLE_MARKUP_RE = (
+    r"(?is)<script(?:\s[^>]*)?>.*?</script\s*>"
+    r"|<style(?:\s[^>]*)?>.*?</style\s*>"
+    r"|<head(?:\s[^>]*)?>.*?</head\s*>"
+)
+
 # block-level elements that delimit text blocks (open OR close tag,
 # attributes allowed). Inline elements (<a>, <b>, <span>...) do NOT
 # split — their text stays inside the enclosing block, which is what
-# makes link density computable per block.
+# makes link density computable per block. The tag-name alternation is
+# ANCHORED by the consuming group (?:>|[\s/][^>]*>) so prefix-sharing
+# non-block tags — <path>/<picture>/<param> vs p, <link>/<line> vs li,
+# <track> vs tr — no longer split blocks (r7 ADVICE; a consuming
+# alternation instead of a lookahead because the DuckDB oracle's RE2
+# has no lookarounds and Java/RE2 must run the SAME regex).
 BLOCK_TAG_SPLIT = (
     r"</?(?:div|p|h[1-6]|li|ul|ol|table|tr|td|th|nav|header|footer|"
-    r"article|section|aside|blockquote|body|html)[^>]*>"
+    r"article|section|aside|blockquote|body|html)(?:>|[\s/][^>]*>)"
 )
 _ANY_TAG = r"<[^>]*>"
 _ANCHOR_TEXT = r"<a[^>]*>([^<]*)</a>"
@@ -47,16 +70,77 @@ _ANCHOR_TEXT = r"<a[^>]*>([^<]*)</a>"
 TRACKING_PARAM_RE = r"^(utm_|fbclid|gclid|msclkid|ref_src)"
 
 
+def remove_invisible_markup(html: Column | str) -> Column:
+    """Delete <script>/<style>/<head> elements (tags AND bodies) —
+    the page regions whose text is never visible content. Run before
+    any block split or tag strip; replaced by a space so adjacent
+    visible words never fuse."""
+    c = F.col(html) if isinstance(html, str) else html
+    return F.regexp_replace(c, INVISIBLE_MARKUP_RE, " ")
+
+
+def percent_normalize(part: Column | str) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization over a URL path/
+    query string, as pure array/string expressions: decode escapes of
+    UNRESERVED characters (``%41`` -> ``A``, ``%7E`` -> ``~`` — ALPHA /
+    DIGIT / ``-._~``), uppercase the hex digits of every other escape
+    (``%2f`` -> ``%2F`` — reserved characters stay encoded, so URL
+    structure never changes), and leave invalid ``%`` sequences
+    untouched (crawl data; no exceptions). Without this, mirrors
+    differing only in escape spelling survive dedup (r7 verdict ask
+    #5)."""
+    c = F.col(part) if isinstance(part, str) else part
+    parts = F.split(c, "%", -1)
+
+    def seg(s: Column) -> Column:
+        code = F.upper(F.substring(s, 1, 2))
+        valid = s.rlike("^[0-9A-Fa-f]{2}")
+        cp = F.conv(code, 16, 10).cast("int")
+        unreserved = (
+            ((cp >= 48) & (cp <= 57))   # DIGIT
+            | ((cp >= 65) & (cp <= 90))  # ALPHA upper
+            | ((cp >= 97) & (cp <= 122))  # ALPHA lower
+            | cp.isin(45, 46, 95, 126)  # - . _ ~
+        )
+        tail = s.substr(F.lit(3), F.length(s))
+        return (
+            F.when(~valid, F.concat(F.lit("%"), s))
+            .when(unreserved, F.concat(F.char(cp), tail))
+            .otherwise(F.concat(F.lit("%"), code, tail))
+        )
+
+    return F.concat(
+        F.element_at(parts, 1),
+        F.array_join(F.transform(F.slice(parts, 2, F.size(parts) - 1), seg), ""),
+    )
+
+
+def _default_port_stripped(auth: Column) -> Column:
+    """Scheme-aware default-port strip over a lowercased
+    ``scheme://host[:port]`` authority: ``:80`` only for http, ``:443``
+    only for https — the non-default ports http://host:443 and
+    https://host:80 are kept (r7 ADVICE: a scheme-blind strip collapsed
+    them)."""
+    auth = F.regexp_replace(auth, r"^(http://[^/?#:]*):80$", "$1")
+    return F.regexp_replace(auth, r"^(https://[^/?#:]*):443$", "$1")
+
+
 def canonicalize_url(url: Column | str) -> Column:
     """Canonical form of an http(s) URL, as pure string expressions —
     the key web-corpus dedup is ``groupBy(canonicalize_url(url))``, and
     a canonicalizer that misses a variant class silently inflates the
-    corpus with mirrors. Steps (all standard, see e.g. RFC 3986 §6):
+    corpus with mirrors. Steps (all standard, see RFC 3986 §6):
 
     - drop the fragment (``#...`` never reaches the server),
     - lowercase the scheme and authority (host names are
       case-insensitive; paths are NOT touched),
-    - strip the scheme's default port (``:80`` http / ``:443`` https),
+    - strip the scheme's default port (``:80`` http / ``:443`` https,
+      scheme-aware),
+    - normalize percent-encodings in the path and query (§6.2.2:
+      decode unreserved, uppercase the rest — see
+      :func:`percent_normalize`; the authority is not touched, since
+      percent-encoded hosts are vanishingly rare and case-folding
+      already normalizes them),
     - drop tracking query params (``TRACKING_PARAM_RE``),
     - sort the surviving query params (param order is almost always
       insignificant; sorting merges the permutations).
@@ -67,10 +151,10 @@ def canonicalize_url(url: Column | str) -> Column:
     u = F.col(url) if isinstance(url, str) else url
     no_frag = F.regexp_replace(u, r"#.*$", "")
     raw_auth = F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
-    auth = F.lower(raw_auth)
-    auth = F.regexp_replace(auth, r"^(http://[^/?#:]*):80$", "$1")
-    auth = F.regexp_replace(auth, r"^(https://[^/?#:]*):443$", "$1")
-    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    auth = _default_port_stripped(F.lower(raw_auth))
+    rest = percent_normalize(
+        F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    )
     path = F.regexp_extract(rest, r"^[^?]*", 0)
     query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
     params = F.array_sort(
@@ -89,17 +173,26 @@ def canonicalize_url(url: Column | str) -> Column:
 
 
 def url_host(url: Column | str) -> Column:
-    """Lowercased host (registry domain analyses group on this; the
-    default port is stripped to match :func:`canonicalize_url`)."""
+    """Lowercased host (registry domain analyses group on this) with
+    the scheme's default port stripped — derived through the SAME
+    authority chain as :func:`canonicalize_url` (lowercase, then the
+    scheme-aware strip), so two URLs distinct after canonicalization
+    can never collapse to one host group (r7 ADVICE: the old
+    scheme-blind ``:(80|443)$`` strip dropped the non-default ports
+    http://host:443 and https://host:80)."""
     u = F.col(url) if isinstance(url, str) else url
-    auth = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1))
-    return F.regexp_replace(auth, r":(80|443)$", "")
+    raw_auth = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", 0)
+    auth = _default_port_stripped(F.lower(raw_auth))
+    return F.regexp_replace(auth, r"^[a-z][a-z0-9+.\-]*://", "")
 
 
 def strip_tags(html: Column | str) -> Column:
     """Visible text of an HTML fragment: every tag replaced by a space,
     whitespace collapsed, trimmed. Identical regex semantics in any
-    POSIX-regex engine, so SQL oracles replay it verbatim."""
+    POSIX-regex engine, so SQL oracles replay it verbatim. (Does NOT
+    remove script/style/head bodies — callers that need that run
+    :func:`remove_invisible_markup` first, as the block extractor
+    does.)"""
     c = F.col(html) if isinstance(html, str) else html
     return F.trim(F.regexp_replace(F.regexp_replace(c, _ANY_TAG, " "), r"\s+", " "))
 
@@ -117,6 +210,11 @@ def html_block_features(
     each page — ``(id, block_idx, block_text, n_words, n_chars,
     link_chars, is_content)``.
 
+    ``<script>``/``<style>``/``<head>`` elements are deleted (tags AND
+    bodies) before segmentation — their text is never visible content
+    and JS/CSS bodies otherwise pass the shallow classifier on real
+    pages (r7 ADVICE).
+
     ``block_idx`` numbers the NON-EMPTY blocks 0..n-1 in document
     order (empty fragments between adjacent tags are dropped before
     numbering, so the ids are stable across engines whose regex-split
@@ -131,7 +229,9 @@ def html_block_features(
 
     frags = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(html_col), BLOCK_TAG_SPLIT)).alias("__pos", "__raw"),
+        F.posexplode(
+            F.split(remove_invisible_markup(F.col(html_col)), BLOCK_TAG_SPLIT)
+        ).alias("__pos", "__raw"),
     )
     text = strip_tags(F.col("__raw"))
     blocks = frags.withColumn("block_text", text).where(F.col("block_text") != "")

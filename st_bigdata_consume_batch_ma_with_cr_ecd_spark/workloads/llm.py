@@ -2302,8 +2302,23 @@ def stats_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared between the Spark page builder and the DuckDB replay: the
 # synthetic page wraps each document's text in the boilerplate every
-# real crawl page carries — a link-only nav, an every-third-page
-# link-spam block ("read more" farms), and a footer with links
+# real crawl page carries — a <head> with title/stylesheet-link/style
+# (invisible content the extractor must DELETE, not classify — r7
+# ADVICE), an inline analytics <script> whose JS body is wordy enough
+# to pass the shallow classifier if leaked, a link-only nav, an
+# every-third-page link-spam block ("read more" farms), and a footer
+# with links plus an inline SVG whose <path> tag exercises the
+# anchored block-tag alternation (the old prefix-matching split regex
+# split blocks at <path>/<link>/<track>).
+_HTML_HEAD = (
+    "<head><title>Example News Portal</title>"
+    '<link rel="stylesheet" href="/static/main.css">'
+    "<style>body { margin: 0; } a { color: #06c; }</style></head>"
+)
+_HTML_SCRIPT = (
+    '<script type="text/javascript">var page = {links: ["/x", "/y"], '
+    'init: function () { return document.title + " ready now"; }};</script>'
+)
 _HTML_NAV = (
     '<nav><a href="/">Home</a> <a href="/about">About Us</a>'
     ' <a href="/contact">Contact</a></nav><p>'
@@ -2313,26 +2328,59 @@ _HTML_SPAM = (
     ' <a href="/y">Subscribe now for today</a></div>'
 )
 _HTML_FOOTER = (
-    "<footer>Copyright 2024 "
+    '<footer>Copyright 2024 <svg viewBox="0 0 8 8"><path d="M0 0L8 8"/></svg> '
     '<a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer>'
 )
-_HTML_SPLIT_RE = (
-    r"</?(?:div|p|h[1-6]|li|ul|ol|table|tr|td|th|nav|header|footer|"
-    r"article|section|aside|blockquote|body|html)[^>]*>"
-)
+
+# the split/strip regexes are THE markup module's constants — the
+# oracle replays the exact same pattern text in DuckDB's RE2 (both
+# patterns are written lookaround-free for exactly this reason)
+from ..llm.markup import BLOCK_TAG_SPLIT as _HTML_SPLIT_RE
+from ..llm.markup import INVISIBLE_MARKUP_RE as _HTML_INVISIBLE_RE
+
+# the shared page-build SQL (the Spark builder _synth_page_expr
+# mirrors it expression for expression); qualify id/text refs for
+# oracles that build pages from a join
+def _synth_page_duck(id_ref: str = "doc_id", text_ref: str = "text") -> str:
+    return (
+        f"'<html>{_HTML_HEAD}<body>{_HTML_SCRIPT}{_HTML_NAV}' || {text_ref} || '</p>' || "
+        f"CASE WHEN {id_ref} % 3 = 0 THEN '{_HTML_SPAM}' ELSE '' END || "
+        f"'{_HTML_FOOTER}</body></html>'"
+    )
+
+
+_SYNTH_PAGE_DUCK = _synth_page_duck()
+
+
+def _synth_page_expr():
+    spam = F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_SPAM)).otherwise(F.lit(""))
+    return F.concat(
+        F.lit(f"<html>{_HTML_HEAD}<body>{_HTML_SCRIPT}{_HTML_NAV}"),
+        F.col("text"),
+        F.lit("</p>"),
+        spam,
+        F.lit(_HTML_FOOTER + "</body></html>"),
+    )
 
 
 # the DuckDB replay of llm/markup.py's extractor over a CTE named
-# ``pages`` with (doc_id, html): block split -> tag strip -> word/char/
-# anchor-char counts -> integer link-density classifier -> ordered
-# content join, ending in a CTE ``extracted`` with (doc_id, n_blocks,
-# n_content_blocks, main_content). All-integer thresholds, no floats.
+# ``pages`` with (doc_id, html): invisible-region strip (script/style/
+# head bodies deleted before any split) -> block split -> tag strip ->
+# word/char/anchor-char counts -> integer link-density classifier ->
+# ordered content join, ending in a CTE ``extracted`` with (doc_id,
+# n_blocks, n_content_blocks, main_content). All-integer thresholds,
+# no floats.
 def _html_extract_duck() -> str:
-    return f"""frags AS (
+    return f"""cleaned AS (
+        SELECT doc_id,
+               regexp_replace(html, '{_HTML_INVISIBLE_RE}', ' ', 'g') AS html
+        FROM pages
+    ),
+    frags AS (
         SELECT doc_id,
                unnest(regexp_split_to_array(html, '{_HTML_SPLIT_RE}')) AS raw,
                generate_subscripts(regexp_split_to_array(html, '{_HTML_SPLIT_RE}'), 1) AS pos
-        FROM pages
+        FROM cleaned
     ),
     stripped AS (
         SELECT doc_id, pos, raw,
@@ -2372,10 +2420,7 @@ def _html_extract_duck() -> str:
     # whole extractor symbolically (see _html_extract_duck)
     oracle=f"""
     WITH pages AS (
-        SELECT doc_id,
-               '<html><body>{_HTML_NAV}' || text || '</p>' ||
-               CASE WHEN doc_id % 3 = 0 THEN '{_HTML_SPAM}' ELSE '' END ||
-               '{_HTML_FOOTER}</body></html>' AS html
+        SELECT doc_id, {_SYNTH_PAGE_DUCK} AS html
         FROM documents
     ),
     {_html_extract_duck()}
@@ -2383,51 +2428,54 @@ def _html_extract_duck() -> str:
     """,
     doc="HTML main-content extraction (llm/markup.py) — the missing "
     "first stage of web-corpus prep named by the r6 review: synthetic "
-    "crawl pages (each document's text wrapped in a link-only nav, an "
-    "every-third-page link-spam block, and a linked footer) are "
-    "segmented at block-level tags, tag-stripped, and classified by "
-    "the Kohlschütter WSDM'10 shallow features — word count >= 5 AND "
-    "link density < 1/3 as the exact integer test 3*link_chars < "
-    "n_chars. Output is the per-page verdict (block counts + the "
-    "extracted main content, which must equal the original document "
-    "text). Pure regex/array expressions, no UDF, no shuffle before "
-    "the per-page aggregate.",
+    "crawl pages (each document's text wrapped in a head with title/"
+    "style, an inline analytics script, a link-only nav, an every-"
+    "third-page link-spam block, and a linked footer with an inline "
+    "SVG) are cleaned of invisible regions (script/style/head bodies "
+    "deleted — r7 ADVICE), segmented at anchored block-level tags "
+    "(<path>/<link>/<track> no longer prefix-match), tag-stripped, and "
+    "classified by the Kohlschütter WSDM'10 shallow features — word "
+    "count >= 5 AND link density < 1/3 as the exact integer test "
+    "3*link_chars < n_chars. Output is the per-page verdict (block "
+    "counts + the extracted main content, which must equal the "
+    "original document text). Pure regex/array expressions, no UDF, "
+    "no shuffle before the per-page aggregate.",
     tags=("bench",),
 )
 def text_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.markup import extract_main_content
 
     docs = _docs(spark, sf_dir)
-    spam = F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_SPAM)).otherwise(F.lit(""))
-    pages = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("<html><body>" + _HTML_NAV),
-            F.col("text"),
-            F.lit("</p>"),
-            spam,
-            F.lit(_HTML_FOOTER + "</body></html>"),
-        ).alias("html"),
-    )
+    pages = docs.select("doc_id", _synth_page_expr().alias("html"))
     return extract_main_content(pages, "html", "doc_id", min_words=5)
 
 
 # the synthetic crawl-URL fixture shared by the URL queries: five
 # mirror-variant classes per article group (doc_id // 5) — host/scheme
-# case, default port, tracking params, param order, fragment — all of
-# which must canonicalize to one string
+# case + fragment, default port + param order, tracking params +
+# lowercase reserved escape (%2f -> %2F), unreserved-encoded path
+# (%6C -> l) + tracking + fragment, lowercase unreserved escape
+# (%63 -> c) — all of which must canonicalize to ONE string
+# ('https://news.example.com/articles/<g>?id=<g>&ref=home%2Fstart';
+# the shared ref param carries an uppercase reserved escape so every
+# class exercises escape preservation, and classes 2-4 exercise the
+# r8 RFC 3986 §6.2.2 percent normalization)
 _SYNTH_URL_DUCK = """
             CASE CAST(doc_id % 5 AS INT)
-              WHEN 0 THEN 'https://News.Example.COM/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home#top'
-              WHEN 1 THEN 'HTTPS://news.example.com:443/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?ref=home&id=' || CAST(doc_id // 5 AS VARCHAR)
-              WHEN 2 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&utm_source=tw&ref=home'
-              WHEN 3 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_campaign=x&ref=home&id=' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
-              ELSE 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home'
+              WHEN 0 THEN 'https://News.Example.COM/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home%2Fstart#top'
+              WHEN 1 THEN 'HTTPS://news.example.com:443/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?ref=home%2Fstart&id=' || CAST(doc_id // 5 AS VARCHAR)
+              WHEN 2 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&utm_source=tw&ref=home%2fstart'
+              WHEN 3 THEN 'https://news.example.com/artic%6Ces/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_campaign=x&ref=home%2Fstart&id=' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
+              ELSE 'https://news.example.com/arti%63les/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home%2fstart'
             END"""
 
 # the DuckDB replay of canonicalize_url over a table with (doc_id, url):
 # RE2 backrefs are \1 where Spark writes $1; the regexes themselves are
-# engine-portable
+# engine-portable. The pct CTE replays percent_normalize (RFC 3986
+# §6.2.2) over the path+query with the same split/transform shape as
+# the Spark expression; canon_urls also carries the scheme-aware host
+# (the authority with the scheme prefix stripped — url_host derives
+# through the SAME chain, r7 ADVICE).
 _URL_CANON_DUCK_CTES = r"""auth AS (
         SELECT doc_id, url,
                regexp_replace(url, '#.*$', '') AS no_frag
@@ -2442,6 +2490,23 @@ _URL_CANON_DUCK_CTES = r"""auth AS (
                regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
         FROM auth
     ),
+    pct AS (
+        SELECT doc_id, url, a,
+               CASE WHEN len(string_split(rest, '%')) = 1 THEN rest
+                    ELSE string_split(rest, '%')[1] || array_to_string(
+                        list_transform(string_split(rest, '%')[2:], x ->
+                            CASE WHEN NOT regexp_matches(x, '^[0-9A-Fa-f]{2}')
+                                 THEN '%' || x
+                                 WHEN (('0x' || substr(x, 1, 2))::INT BETWEEN 48 AND 57)
+                                   OR (('0x' || substr(x, 1, 2))::INT BETWEEN 65 AND 90)
+                                   OR (('0x' || substr(x, 1, 2))::INT BETWEEN 97 AND 122)
+                                   OR ('0x' || substr(x, 1, 2))::INT IN (45, 46, 95, 126)
+                                 THEN chr(('0x' || substr(x, 1, 2))::INT) || substr(x, 3)
+                                 ELSE '%' || upper(substr(x, 1, 2)) || substr(x, 3)
+                            END), '')
+               END AS rest
+        FROM parts
+    ),
     canon AS (
         SELECT doc_id, url, a,
                regexp_extract(rest, '^[^?]*', 0) AS path,
@@ -2449,10 +2514,11 @@ _URL_CANON_DUCK_CTES = r"""auth AS (
                    string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
                    p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid|msclkid|ref_src)')
                )) AS ps
-        FROM parts
+        FROM pct
     ),
     canon_urls AS (
         SELECT doc_id, url,
+               regexp_replace(a, '^[a-z][a-z0-9+.\-]*://', '') AS host,
                a || path || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
         FROM canon
     )"""
@@ -2462,11 +2528,11 @@ def _synth_url_expr():
     g = "CAST(doc_id DIV 5 AS STRING)"
     return F.expr(
         f"""CASE CAST(doc_id % 5 AS INT)
-          WHEN 0 THEN concat('https://News.Example.COM/articles/', {g}, '?id=', {g}, '&ref=home#top')
-          WHEN 1 THEN concat('HTTPS://news.example.com:443/articles/', {g}, '?ref=home&id=', {g})
-          WHEN 2 THEN concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&utm_source=tw&ref=home')
-          WHEN 3 THEN concat('https://news.example.com/articles/', {g}, '?utm_campaign=x&ref=home&id=', {g}, '#frag')
-          ELSE concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&ref=home')
+          WHEN 0 THEN concat('https://News.Example.COM/articles/', {g}, '?id=', {g}, '&ref=home%2Fstart#top')
+          WHEN 1 THEN concat('HTTPS://news.example.com:443/articles/', {g}, '?ref=home%2Fstart&id=', {g})
+          WHEN 2 THEN concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&utm_source=tw&ref=home%2fstart')
+          WHEN 3 THEN concat('https://news.example.com/artic%6Ces/', {g}, '?utm_campaign=x&ref=home%2Fstart&id=', {g}, '#frag')
+          ELSE concat('https://news.example.com/arti%63les/', {g}, '?id=', {g}, '&ref=home%2fstart')
         END"""
     )
 
@@ -2474,51 +2540,31 @@ def _synth_url_expr():
 @register(
     "web_url_canonicalize",
     # five URL variants per article (host/scheme case, default port,
-    # tracking params, param order, fragments) must all canonicalize to
-    # ONE string — the oracle replays every normalization step with
-    # DuckDB's regex/list functions (RE2 backrefs are \1 where Spark
-    # writes $1; the regexes themselves are engine-portable)
+    # tracking params, param order, fragments, percent-escape
+    # spellings) must all canonicalize to ONE string — the oracle
+    # replays every normalization step with DuckDB's regex/list
+    # functions (RE2 backrefs are \1 where Spark writes $1; the
+    # regexes themselves are engine-portable), sharing the exact CTE
+    # chain with the pipeline_web_corpus_prep oracle
     oracle=rf"""
     WITH urls AS (
         SELECT doc_id, {_SYNTH_URL_DUCK} AS url
         FROM documents
     ),
-    auth AS (
-        SELECT doc_id, url,
-               regexp_replace(url, '#.*$', '') AS no_frag
-        FROM urls
-    ),
-    parts AS (
-        SELECT doc_id, url,
-               regexp_replace(regexp_replace(
-                   lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0)),
-                   '^(http://[^/?#:]*):80$', '\1'),
-                   '^(https://[^/?#:]*):443$', '\1') AS a,
-               regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
-        FROM auth
-    ),
-    canon AS (
-        SELECT doc_id, url, a,
-               regexp_extract(rest, '^[^?]*', 0) AS path,
-               list_sort(list_filter(
-                   string_split(regexp_extract(rest, '^[^?]*\?(.*)$', 1), '&'),
-                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_|fbclid|gclid|msclkid|ref_src)')
-               )) AS ps
-        FROM parts
-    )
-    SELECT doc_id,
-           regexp_replace(lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)), ':(80|443)$', '') AS host,
-           a || path || CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END AS canon_url
-    FROM canon
+    {_URL_CANON_DUCK_CTES}
+    SELECT doc_id, host, canon_url FROM canon_urls
     """,
     doc="URL canonicalization (llm/markup.py:canonicalize_url) — the "
     "stage BEFORE content dedup in every web-corpus pipeline: mirrors "
     "differing only in host/scheme case, default ports, tracking "
-    "params (utm_/fbclid/gclid/...), query-param order, or fragments "
-    "must collapse to one canonical string so exact URL dedup "
-    "(groupBy(canon_url)) can do its job. Five synthetic variants per "
-    "article exercise every class; pure string/array expressions, "
-    "per-row only (zero shuffles).",
+    "params (utm_/fbclid/gclid/...), query-param order, fragments, or "
+    "percent-escape spellings (RFC 3986 §6.2.2: '%6C' vs 'l', '%2f' "
+    "vs '%2F' — r7 verdict ask #5) must collapse to one canonical "
+    "string so exact URL dedup (groupBy(canon_url)) can do its job. "
+    "Five synthetic variants per article exercise every class; the "
+    "host column derives through the same scheme-aware authority "
+    "chain (r7 ADVICE). Pure string/array expressions, per-row only "
+    "(zero shuffles).",
 )
 def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.markup import canonicalize_url, url_host
@@ -2539,10 +2585,7 @@ def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the integer density verdict)
     oracle=f"""
     WITH pages AS (
-        SELECT doc_id,
-               '<html><body>{_HTML_NAV}' || text || '</p>' ||
-               CASE WHEN doc_id % 3 = 0 THEN '{_HTML_SPAM}' ELSE '' END ||
-               '{_HTML_FOOTER}</body></html>' AS html
+        SELECT doc_id, {_SYNTH_PAGE_DUCK} AS html
         FROM documents
     ),
     {_html_extract_duck()}
@@ -2558,24 +2601,15 @@ def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(word count, char count, anchor-text chars) and the integer "
     "link-density verdict — the debugging/threshold-tuning surface a "
     "corpus engineer inspects before trusting the per-doc extraction. "
-    "Same zero-UDF expression chain as text_html_main_content, cut "
-    "before the per-doc aggregate.",
+    "Same zero-UDF expression chain as text_html_main_content "
+    "(including the r8 invisible-region strip and anchored block-tag "
+    "split), cut before the per-doc aggregate.",
 )
 def text_html_block_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.markup import html_block_features
 
     docs = _docs(spark, sf_dir)
-    spam = F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_SPAM)).otherwise(F.lit(""))
-    pages = docs.select(
-        "doc_id",
-        F.concat(
-            F.lit("<html><body>" + _HTML_NAV),
-            F.col("text"),
-            F.lit("</p>"),
-            spam,
-            F.lit(_HTML_FOOTER + "</body></html>"),
-        ).alias("html"),
-    )
+    pages = docs.select("doc_id", _synth_page_expr().alias("html"))
     feats = html_block_features(pages, "html", "doc_id", min_words=5)
     return feats.select(
         "doc_id",
@@ -2608,10 +2642,7 @@ def text_html_block_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     kept AS (SELECT doc_id, canon_url, n_mirrors FROM ranked WHERE rn = 1),
     pages AS (
-        SELECT k.doc_id,
-               '<html><body>{_HTML_NAV}' || d.text || '</p>' ||
-               CASE WHEN d.doc_id % 3 = 0 THEN '{_HTML_SPAM}' ELSE '' END ||
-               '{_HTML_FOOTER}</body></html>' AS html
+        SELECT k.doc_id, {_synth_page_duck("d.doc_id", "d.text")} AS html
         FROM kept k JOIN documents d ON k.doc_id = d.doc_id
     ),
     {_html_extract_duck()}
@@ -2658,16 +2689,8 @@ def web_corpus_prep(docs: DataFrame) -> DataFrame:
         .where(F.col("__rn") == 1)
         .select("doc_id", "canon_url", F.col("n_mirrors").cast("bigint").alias("n_mirrors"))
     )
-    spam = F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_SPAM)).otherwise(F.lit(""))
     pages = kept.join(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id",
-        F.concat(
-            F.lit("<html><body>" + _HTML_NAV),
-            F.col("text"),
-            F.lit("</p>"),
-            spam,
-            F.lit(_HTML_FOOTER + "</body></html>"),
-        ).alias("html"),
+        "doc_id", _synth_page_expr().alias("html")
     )
     extracted = extract_main_content(pages, "html", "doc_id", min_words=5)
     main = F.col("main_content")

@@ -10,6 +10,8 @@ from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.markup import (
     canonicalize_url,
     extract_main_content,
     html_block_features,
+    percent_normalize,
+    remove_invisible_markup,
     strip_tags,
     url_host,
 )
@@ -100,6 +102,94 @@ def test_extract_main_content_verdicts(pages):
     # ordered join of multiple content blocks
     assert out[6].main_content == f"First part of the story begins right here {ARTICLE}"
     assert out[6].n_content_blocks == 2
+
+
+def test_script_style_head_bodies_never_reach_blocks(spark):
+    # JS/CSS bodies and <head> text are wordy enough to pass the
+    # shallow classifier — they must be DELETED before segmentation,
+    # not classified (r7 ADVICE: the old extractor stripped only the
+    # tags, so script bodies leaked into main_content on real pages)
+    page = (
+        "<html><head><title>A very long descriptive page title here</title>"
+        "<style>body { margin: 0; } .hero { color: red; font-size: 2em; }</style>"
+        "</head><body>"
+        '<script type="text/javascript">var config = {retries: 3, timeout: 1000,'
+        " onload: function () { return window.performance.now(); }};</script>"
+        f"<p>{ARTICLE}</p>"
+        "<style>footer { display: none; }</style>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], ["doc_id", "html"])
+    out = extract_main_content(df, "html", "doc_id").head()
+    assert out.main_content == ARTICLE
+    assert out.n_blocks == 1  # title/style/script produced NO blocks
+    # <header> must NOT be eaten by the <head> rule
+    hdr = spark.createDataFrame(
+        [("<header>Site name</header><head><title>x</title></head><p>body</p>",)],
+        ["html"],
+    )
+    cleaned = hdr.select(remove_invisible_markup("html").alias("c")).head().c
+    assert "Site name" in cleaned and "title" not in cleaned
+
+
+def test_block_split_tag_names_are_anchored(spark):
+    # <path>/<picture>/<param>, <link>/<line>, <track> share prefixes
+    # with the block tags p/li/tr but are NOT block-level: they must
+    # not split blocks (r7 ADVICE — an inline SVG <path> previously
+    # cut its surrounding block in two)
+    page = (
+        "<html><body><p>The annual report "
+        '<svg viewBox="0 0 8 8"><path d="M0 0L8 8"/><line x1="0" y1="8"/></svg> '
+        "shows revenue grew by nine percent this year</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], ["doc_id", "html"])
+    feats = html_block_features(df, "html", "doc_id").collect()
+    assert len(feats) == 1  # one block, not split at <path>/<line>
+    assert feats[0].is_content
+    # real block tags with attributes / self-closing slash still split
+    page2 = "<html><body><p class='x'>first block here</p><li/>second item text</body></html>"
+    df2 = spark.createDataFrame([(2, page2)], ["doc_id", "html"])
+    assert len(html_block_features(df2, "html", "doc_id").collect()) == 2
+
+
+def test_percent_normalize_rfc3986(spark):
+    cases = [
+        ("/artic%6Ces/1", "/articles/1"),    # unreserved decode (uppercase hex)
+        ("/arti%63les/1", "/articles/1"),    # unreserved decode (lowercase hex)
+        ("?ref=home%2fstart", "?ref=home%2Fstart"),  # reserved: uppercase only
+        ("/a%2Fb", "/a%2Fb"),                # reserved uppercase: unchanged
+        ("/100%", "/100%"),                  # dangling % preserved
+        ("/a%zzb", "/a%zzb"),                # invalid escape preserved
+        ("/%7Euser", "/~user"),              # ~ is unreserved
+        ("plain", "plain"),                  # no escapes at all
+    ]
+    df = spark.createDataFrame(cases, ["part", "want"])
+    for r in df.select("want", percent_normalize("part").alias("got")).collect():
+        assert r.got == r.want, r
+
+
+def test_canonicalize_url_percent_variants_collapse(spark):
+    variants = [
+        "https://news.example.com/articles/1?id=1&ref=home%2Fstart",
+        "https://news.example.com/artic%6Ces/1?id=1&ref=home%2fstart",
+        "https://news.example.com/arti%63les/1?ref=home%2Fstart&id=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], ["url"])
+    canon = {r.c for r in df.select(canonicalize_url("url").alias("c")).collect()}
+    assert canon == {"https://news.example.com/articles/1?id=1&ref=home%2Fstart"}
+
+
+def test_url_host_default_port_strip_is_scheme_aware(spark):
+    cases = [
+        ("http://Host.COM:80/x", "host.com"),     # http default stripped
+        ("https://host.com:443/x", "host.com"),   # https default stripped
+        ("http://host.com:443/x", "host.com:443"),   # NON-default: kept (r7 ADVICE)
+        ("https://host.com:80/x", "host.com:80"),    # NON-default: kept
+        ("https://host.com:8080/x", "host.com:8080"),
+    ]
+    df = spark.createDataFrame(cases, ["url", "want"])
+    for r in df.select("want", url_host("url").alias("h")).collect():
+        assert r.h == r.want, r
 
 
 def test_canonicalize_url_merges_mirror_variants(spark):
