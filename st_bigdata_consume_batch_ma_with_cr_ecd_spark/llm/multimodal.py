@@ -382,6 +382,63 @@ def audio_energy_windows(
     return df.select(id_col, payload_col).mapInPandas(op, AUDIO_WINDOW_SCHEMA)
 
 
+def audio_contour_signature(
+    windows: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    n_bits: int = 64,
+) -> DataFrame:
+    """Energy-contour sign-delta signature per clip — the audio
+    analogue of the image dHash (:func:`dhash_images`): bit ``w`` is
+    ``E[w+1] > E[w]`` over the first ``n_bits + 1`` window energies of
+    :func:`audio_energy_windows` output, packed MSB-first into a
+    lowercase hex string bit-compatible with the SimHash Hamming-LSH
+    machinery (``..dedup.simhash_candidate_pairs``). The gradient SIGN
+    of the energy contour survives gain changes and re-encoding the
+    way the raw energies don't — the standard robust fingerprint trick
+    (dHash for images, sign-of-delta spectral fingerprints for audio).
+
+    Clips shorter than ``n_bits + 1`` windows emit no row (not enough
+    contour to compare — the "no signature" contract shared with
+    dhash_images). One shuffle: a single groupBy(id) collecting the
+    bounded (n_bits + 1)-window prefix; the pairwise compare and hex
+    pack are array expressions on the grouped row. Everything is
+    integer-exact (``sum_abs`` is an int64 L1 energy), so a SQL oracle
+    replays the signature symbolically."""
+    if n_bits % 32 != 0:
+        # packed 32 bits per conv() call (conv is exact to 64 bits;
+        # 32-bit halves keep headroom and pad to whole hex bytes)
+        raise ValueError(f"n_bits must be a multiple of 32, got {n_bits}")
+    grouped = (
+        windows.where(F.col("window_idx") <= n_bits)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("window_idx").alias("w"), F.col("sum_abs").alias("e")))
+            ).alias("__ws")
+        )
+        .where(F.size("__ws") == n_bits + 1)
+    )
+    bits = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_bits)),
+            lambda i: F.when(
+                F.element_at(F.col("__ws"), i + 1)["e"] > F.element_at(F.col("__ws"), i)["e"],
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    halves = [
+        F.lpad(F.conv(F.substring(F.col("__bits"), 1 + off, 32), 2, 16), 8, "0")
+        for off in range(0, n_bits, 32)
+    ]
+    return (
+        grouped.withColumn("__bits", bits)
+        .select(F.col(id_col), F.lower(F.concat(*halves)).alias("sig"))
+    )
+
+
 AUGMENT_SCHEMA = "doc_id long, payload binary, aug string"
 
 

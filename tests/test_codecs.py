@@ -408,3 +408,77 @@ def test_wide_block_blocking_is_complete_for_hamming_3(spark):
     # compile the guard away (r7 ADVICE)
     with pytest.raises(ValueError, match="pigeonhole"):
         image_dhash_verified_pairs(docs, band_hex_width=4, max_hamming=7)
+
+
+def test_audio_contour_signature_matches_numpy(spark):
+    # crafted clips: known per-window energies -> known sign-delta bits
+    # -> known hex signature; a short clip (< 65 windows) emits no row
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import encode_wav
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
+        audio_contour_signature,
+        audio_energy_windows,
+    )
+
+    rng = np.random.RandomState(7)
+    v = rng.randint(0, 255, size=65)
+    full = np.repeat(v, 16).astype(np.int16)          # 65 windows of 16
+    short = np.repeat(v[:40], 16).astype(np.int16)    # only 40 windows
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(full, 16000))), (2, bytearray(encode_wav(short, 16000)))],
+        "doc_id long, payload binary",
+    )
+    sigs = {
+        r.doc_id: r.sig
+        for r in audio_contour_signature(
+            audio_energy_windows(df, window=16)
+        ).collect()
+    }
+    bits = (v[1:] > v[:-1]).astype(np.uint8)
+    assert sigs == {1: np.packbits(bits).tobytes().hex()}
+
+
+def test_audio_wide_block_pairs_complete_for_hamming_3(spark):
+    # two DIFFERENT complete blockings (4x16-bit keys and 8x8-bit keys,
+    # both pigeonhole-complete for hamming <= 3) must verify the exact
+    # same pair set — candidate generation changes, results never do
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        audio_contour_verified_pairs,
+    )
+
+    docs = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    wide = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_contour_verified_pairs(
+            docs, n_patterns=11, band_hex_width=4, max_hamming=3
+        ).collect()
+    }
+    narrow = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in audio_contour_verified_pairs(
+            docs, n_patterns=11, band_hex_width=2, max_hamming=3
+        ).collect()
+    }
+    assert wide == narrow
+    assert len(wide) > 0
+    with pytest.raises(ValueError, match="pigeonhole"):
+        audio_contour_verified_pairs(docs, band_hex_width=4, max_hamming=7)
+
+
+def test_audio_dedup_pipeline_clusters_patterns(spark):
+    # with zero noise collisions same-pattern clips should mostly land
+    # in one cluster; the contract columns and survivor rule must hold
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        audio_dedup_pipeline,
+    )
+
+    docs = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    out = audio_dedup_pipeline(docs, n_patterns=6).collect()
+    assert len(out) == 60
+    by_doc = {r.doc_id: r for r in out}
+    for r in out:
+        assert r.is_survivor == (r.doc_id == r.cluster_id)
+        # cluster id is the min doc in its cluster
+        assert r.cluster_id <= r.doc_id
+        assert by_doc[r.cluster_id].cluster_size == r.cluster_size
+    # near-dup structure was actually found (not 60 singletons)
+    assert sum(1 for r in out if r.cluster_size > 1) > 0

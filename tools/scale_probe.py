@@ -275,6 +275,21 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
             docs_i, n_patterns=37 * mult, band_hex_width=4, max_hamming=3
         ).write.format("noop").mode("overwrite").save()
 
+    def audio_dedup_compute() -> None:
+        # audio near-dedup chain (synth WAV -> real decode -> window
+        # energies -> contour signature -> wide-block Hamming LSH ->
+        # pinned verify -> CC -> survivor). Pattern space scales WITH
+        # the mult so cluster sizes stay constant and pair volume stays
+        # linear; wide blocks from birth (the r7 image lesson)
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            audio_dedup_pipeline,
+        )
+
+        docs_i = amplify(docs_tbl, mult, ["doc_id"])
+        audio_dedup_pipeline(docs_i, n_patterns=37 * mult).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
     def image_pipeline_k3_compute() -> None:
         # the COMPOSED wide-block pipeline (pairs -> CC -> survivor),
         # i.e. corpus_image_dedup_pipeline_wide's plan: the r7 verdict
@@ -347,6 +362,28 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
             "noop"
         ).mode("overwrite").save()
 
+    # k=2 fuzzy matching (the heaviest bench row, 23.6s at sf0.1 — r7
+    # verdict ask #4). Replicas prefix names with TRIPLED letters
+    # ('AAA', 'BBB', ...): any cross-replica pair is >= 3 edits apart,
+    # beyond the k=2 threshold, so the name-pattern space scales WITH
+    # the mult — cluster sizes (and the synthetic fixture's dense-
+    # cluster artifact) stay CONSTANT per replica and true-pair volume
+    # grows linearly by construction. Amplifying the fixed fixture
+    # instead would quadratically densify its single dense cluster and
+    # measure the fixture, not the plan.
+    reps3 = [
+        cust.select(F.concat(F.lit(chr(65 + r) * 3), F.col("c_name")).alias("c_name"))
+        for r in range(mult)
+    ]
+    cust_m3 = reps3[0]
+    for rep in reps3[1:]:
+        cust_m3 = cust_m3.unionByName(rep)
+
+    def fuzzy_k2_compute() -> None:
+        fuzzy_self_pairs(cust_m3, "c_name", max_distance=2).select(
+            "name_a", "name_b", "dist"
+        ).write.format("noop").mode("overwrite").save()
+
     # Exact-Jaccard prefix filter with the r6 set-intersect verify.
     # Replicas prefix EVERY token with a digit-safe replica tag
     # (regexp on the word boundary; letters past 'Z' would hit regex
@@ -393,8 +430,10 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         "image_dedup": (image_dedup_compute, n_docs_i * mult),
         "image_dedup_k3": (image_dedup_k3_compute, n_docs_i * mult),
         "image_pipeline_k3": (image_pipeline_k3_compute, n_docs_i * mult),
+        "audio_dedup": (audio_dedup_compute, n_docs_i * mult),
         "web_corpus_prep": (web_prep, n_docs_i * mult),
         "fuzzy_er_closure": (fuzzy_er_compute, n_cust * mult),
+        "fuzzy_k2": (fuzzy_k2_compute, n_cust * mult),
         "jaccard_verify": (jaccard_verify_compute, n_docs * mult),
     }
 
@@ -636,6 +675,48 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         )
         assert_no_checkpoint_broadcasts(plan, "kcore_peel")
 
+    def fuzzy_k2_stays_grouped_no_join() -> None:
+        # the k=2 blocking generates pairs from GROUPED variant buckets
+        # (explode -> groupBy(variant) -> upper triangle), deliberately
+        # NOT a variant self-join: the audit pins that shape at the
+        # largest mult — no join operator of any kind may appear (a
+        # rewrite to a self-join would re-explode the neighborhood
+        # twice and hand AQE a broadcastable mis-estimated side), and
+        # no broadcast exchange may appear over the exploded variants
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.fuzzy import (
+            fuzzy_self_pairs,
+        )
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_name")
+        reps3 = [
+            cust.select(
+                F.concat(F.lit(chr(65 + r) * 3), F.col("c_name")).alias("c_name")
+            )
+            for r in range(mult)
+        ]
+        cust_m3 = reps3[0]
+        for rep in reps3[1:]:
+            cust_m3 = cust_m3.unionByName(rep)
+        df = fuzzy_self_pairs(cust_m3, "c_name", max_distance=2).select(
+            "name_a", "name_b", "dist"
+        )
+        plan = final_plan(df)
+        for join_node in (
+            "SortMergeJoin",
+            "BroadcastHashJoin",
+            "ShuffledHashJoin",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ):
+            assert join_node not in plan, (
+                f"fuzzy_k2 grew a {join_node} at mult={mult} — the grouped-"
+                "bucket pair generation degraded to a join"
+            )
+        assert "BroadcastExchange" not in plan, (
+            f"fuzzy_k2 broadcasts at mult={mult} — nothing in this plan "
+            "is model-sized"
+        )
+
     def image_dedup_k3_pins_hold() -> None:
         # the wide-block scale path at the audit mult: the dHash
         # signature checkpoint feeds blocking AND both verify sides, so
@@ -668,6 +749,7 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         "consume_e2e_compute": consume_e2e_no_data_sized_broadcast,
         "consume_e2e_staged": consume_e2e_staged_scans_parquet,
         "fuzzy_er_closure": fuzzy_er_round_join_stays_smj,
+        "fuzzy_k2": fuzzy_k2_stays_grouped_no_join,
         "jaccard_verify": jaccard_verify_pins_hold,
         "recsys_cooccur": recsys_topk_stays_grouped,
         "kcore_peel": kcore_round_join_stays_smj,
