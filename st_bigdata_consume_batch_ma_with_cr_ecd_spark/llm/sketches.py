@@ -269,3 +269,89 @@ def heavy_hitters_mg(
         .where(F.col("cnt") * (cap + 1) > 2 * F.col("__n"))
         .select("item", "cnt")
     )
+
+
+# --------------------------------------------------------------------------
+# Symbolic HyperLogLog (r7 verdict ask #3): register-based cardinality
+# estimation with a deterministic md5 hash, so an external SQL engine
+# replays the sketch BIT-FOR-BIT — the hash-verifiable companion to
+# Spark's engine-internal hll_sketch_agg/approx_count_distinct (whose
+# binary sketches no oracle can recompute). Same algorithm (Flajolet
+# et al. 2007, HyperLogLog): bucket = top b hash bits, register =
+# max over observations of (leading zeros of the remaining bits + 1),
+# estimate = alpha_m * m^2 / sum(2^-M_j) with the standard
+# linear-counting small-range correction.
+# --------------------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: Sequence[str], *, b: int = 8
+) -> DataFrame:
+    """Sparse HLL registers per group: ``(group_cols..., bucket,
+    rho_max)`` — bucket from the top ``b`` bits of ``md5(key)``,
+    ``rho`` from the next 56 bits (leading zeros + 1; zero word ->
+    57). Absent buckets mean register 0. One groupBy — map-side
+    combine contracts every mapper to <= m cells per group before the
+    shuffle, the fixed-memory property that makes HLL the 100-TB
+    cardinality answer. Registers MERGE by a further max-groupBy
+    (:func:`hll_estimate` demonstrates), exactly like any partial
+    aggregate."""
+    if b % 4 != 0 or not 4 <= b <= 16:
+        # whole hex digits keep the bucket/word split exact in any engine
+        raise ValueError(f"b must be a multiple of 4 in [4, 16], got {b}")
+    hexd = b // 4
+    h = F.md5(F.col(key_col).cast("string"))
+    bucket = F.conv(F.substring(h, 1, hexd), 16, 10).cast("int")
+    nbits = 4 * (16 - hexd)  # bits in the rho word (56 for b=8)
+    whex = F.substring(h, hexd + 1, 16 - hexd)
+    rho = (
+        F.when(whex == F.lit("0" * (16 - hexd)), F.lit(nbits + 1))
+        .otherwise(nbits + 1 - F.length(F.conv(whex, 16, 2)))
+        .cast("int")
+    )
+    rows = df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+    return rows.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho_max"))
+
+
+def hll_estimate(
+    regs: DataFrame, group_cols: Sequence[str], *, b: int = 8, round_to: int = 2
+) -> DataFrame:
+    """HLL estimate per group from sparse registers: ``(group_cols...,
+    n_zero, harmonic_scaled, est)``. The harmonic sum is kept as an
+    EXACT integer — sum over all m registers of ``2^(nbits+1-M)``
+    (each term a power of two <= 2^57, exactly representable; the sum
+    as DECIMAL(38,0)) — so the sketch state hashes exactly across
+    engines; only the final estimate touches floats, and it rounds
+    through DECIMAL. Small-range (linear counting) correction applies
+    when ``E_raw <= 2.5 m`` and zero registers exist; the large-range
+    correction (E > 2^32/30) never triggers at these cardinalities and
+    is deliberately omitted."""
+    m = 1 << b
+    nbits = 64 - b
+    spark = regs.sparkSession
+    groups = regs.select(*group_cols).distinct()
+    buckets = spark.range(m).select(F.col("id").cast("int").alias("bucket"))
+    dense = groups.crossJoin(F.broadcast(buckets)).join(
+        regs, [*group_cols, "bucket"], "left"
+    )
+    rho = F.coalesce(F.col("rho_max"), F.lit(0))
+    term = F.pow(F.lit(2.0), F.lit(nbits + 1) - rho).cast("decimal(38,0)")
+    aggd = dense.groupBy(*group_cols).agg(
+        F.sum(term).cast("decimal(38,0)").alias("harmonic_scaled"),
+        F.sum((rho == 0).cast("int")).cast("int").alias("n_zero"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale = alpha * m * m * float(2 ** (nbits + 1))  # one exact literal
+    e_raw = F.lit(scale) / F.col("harmonic_scaled").cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("n_zero").cast("double"))
+    est = F.when((e_raw <= 2.5 * m) & (F.col("n_zero") > 0), linear).otherwise(e_raw)
+    return aggd.select(
+        *group_cols,
+        "n_zero",
+        # STRING, not decimal(38,0): pandas fetch paths coerce wide
+        # decimals to float64 ("36893488147419103232" -> 3.689e19),
+        # which silently loses the exactness the scaled sum exists for
+        # (the same driver-hash hazard as DuckDB HUGEINT sums)
+        F.col("harmonic_scaled").cast("string").alias("harmonic_scaled"),
+        F.round(est.cast("decimal(24,6)"), round_to).cast("double").alias("est"),
+    )

@@ -4524,6 +4524,163 @@ def stats_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_type.drop("sketch").unionByName(merged)
 
 
+# the estimate-scale literal shared verbatim by the Spark expression
+# and the SQL replay (alpha_256 * 256^2 * 2^57): ONE float constant so
+# both engines start the E_raw division from the identical double
+_HLL_B = 8
+_HLL_M = 1 << _HLL_B
+_HLL_SCALE = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M * float(2 ** (64 - _HLL_B + 1))
+
+
+@register(
+    "sketch_hll_symbolic_merge",
+    # the oracle replays the ENTIRE sketch symbolically: md5 bucket/rho
+    # split, per-type register max, the register-level union-merge
+    # (max-of-max), the exact integer harmonic sum, and the estimate
+    # with the linear-counting branch — the hash-verifiable companion
+    # the r7 verdict asked for next to the engine-internal
+    # stats_hll_sketch_merge (whose binary sketches no oracle can
+    # recompute)
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::INT AS bucket,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 3, 14) = '00000000000000'
+                    THEN 57
+                    ELSE 57 - length(bin(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 14))::UBIGINT))
+               END AS rho
+        FROM events
+    ),
+    regs AS (SELECT event_type, bucket, max(rho) AS rho_max FROM obs GROUP BY 1, 2),
+    merged_regs AS (
+        SELECT '__all__' AS event_type, bucket, max(rho_max) AS rho_max
+        FROM regs GROUP BY 2
+    ),
+    all_regs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged_regs),
+    grid AS (
+        SELECT g.event_type, CAST(r.range AS INT) AS bucket
+        FROM (SELECT DISTINCT event_type FROM all_regs) g, range(0, 256) r
+    ),
+    dense AS (
+        SELECT g.event_type, coalesce(a.rho_max, 0) AS rho_max
+        FROM grid g LEFT JOIN all_regs a
+          ON g.event_type = a.event_type AND g.bucket = a.bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(sum(CAST(pow(2.0, 57 - rho_max) AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS harmonic_scaled,
+               CAST(sum(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END) AS INT) AS n_zero
+        FROM dense GROUP BY 1
+    )
+    SELECT event_type, n_zero,
+           CAST(harmonic_scaled AS VARCHAR) AS harmonic_scaled,
+           CAST(round(CAST(
+               CASE WHEN {_HLL_SCALE!r} / CAST(harmonic_scaled AS DOUBLE) <= 640.0
+                         AND n_zero > 0
+                    THEN 256.0 * ln(256.0 / n_zero)
+                    ELSE {_HLL_SCALE!r} / CAST(harmonic_scaled AS DOUBLE)
+               END AS DECIMAL(24,6)), 2) AS DOUBLE) AS est
+    FROM agg
+    """,
+    doc="Symbolic HyperLogLog with register-level merge "
+    "(llm/sketches.py:hll_registers/hll_estimate) — the "
+    "hash-verifiable companion to stats_hll_sketch_merge (r7 verdict "
+    "ask #3: the engine-internal HLL++ sketches kept that query on "
+    "the driver's weaker rows-only check; this one puts the SAME "
+    "algorithm — md5-derived bucket/rho split, max-registers, "
+    "max-of-max union merge, exact-integer harmonic sum, "
+    "linear-counting small-range correction — under the full value "
+    "hash). One sketch per event type plus the merged '__all__' row; "
+    "registers are fixed-size mergeable state (one map-side-combined "
+    "groupBy), the estimate a closed-form expression over 256 "
+    "register values.",
+    tags=("bench",),
+)
+def sketch_hll_symbolic_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.sketches import hll_estimate, hll_registers
+
+    ev = read_testdata(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"], b=_HLL_B)
+    merged = regs.groupBy("bucket").agg(F.max("rho_max").alias("rho_max")).select(
+        F.lit("__all__").alias("event_type"), "bucket", "rho_max"
+    )
+    return hll_estimate(
+        regs.unionByName(merged), ["event_type"], b=_HLL_B
+    )
+
+
+@register(
+    "stats_sketch_error_audit",
+    # the oracle computes the EXACT side (distinct users, row counts)
+    # and claims TRUE for every bound flag: Spark's engine-internal
+    # sketches (approx_count_distinct HLL++, percentile_approx GK) are
+    # deterministic for fixed data, so the flags are stable values —
+    # if a Spark upgrade or regression pushes a sketch estimate out of
+    # its published error bound, a flag flips false and the driver's
+    # value hash goes red. This makes the error CONTRACT of the
+    # rows-only stats_approx_sketches hashable (r7 verdict ask #3).
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS users_within_bound,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM events GROUP BY 1
+    """,
+    doc="Sketch error audit — binds the engine-internal sketches of "
+    "stats_approx_sketches to their published error bounds under the "
+    "driver hash: approx_count_distinct (rsd 2%) must land within "
+    "6% + 1 of the exact distinct count (3 sigma), and each "
+    "percentile_approx(accuracy 10000) value must sit at a rank "
+    "within n/10000 + 1 of the target rank (the Greenwald-Khanna "
+    "guarantee), checked by exact rank-counting joins (count of "
+    "values <=/< the returned quantile). All comparisons are exact "
+    "integer/decimal arithmetic on Spark's side; the oracle computes "
+    "the exact counts and pins every flag TRUE.",
+)
+def stats_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10000).alias("__pa"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    ranked = (
+        ev.join(F.broadcast(approx.select("event_type", "__pa")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") <= F.col("__pa")[0]).cast("long")).alias("__le50"),
+            F.sum((F.col("value") < F.col("__pa")[0]).cast("long")).alias("__lt50"),
+            F.sum((F.col("value") <= F.col("__pa")[1]).cast("long")).alias("__le95"),
+            F.sum((F.col("value") < F.col("__pa")[1]).cast("long")).alias("__lt95"),
+        )
+    )
+    n = F.col("n_events")
+    eps_rank = n / 10000 + 1  # GK rank tolerance at accuracy 10000, +1 slack
+
+    def rank_ok(le, lt, p):
+        # the returned value's rank interval [lt+1, le] must intersect
+        # [p*n - eps, p*n + eps]
+        return (F.col(le) >= p * n - eps_rank) & (F.col(lt) + 1 <= p * n + eps_rank)
+
+    users_ok = (
+        F.abs(F.col("__approx_users") - F.col("exact_users"))
+        <= F.col("exact_users") * 0.06 + 1
+    )
+    return approx.join(ranked, "event_type").select(
+        "event_type",
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        users_ok.alias("users_within_bound"),
+        rank_ok("__le50", "__lt50", 0.5).alias("p50_rank_ok"),
+        rank_ok("__le95", "__lt95", 0.95).alias("p95_rank_ok"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Count-Min sketch (r4): deterministic, oracle-replayable frequency sketch
 # --------------------------------------------------------------------------

@@ -79,6 +79,10 @@ FORCE_RECHECK: frozenset[str] = frozenset(
         "text_html_block_features",
         "web_url_canonicalize",
         "pipeline_web_corpus_prep",
+        # r8: gained a FULL oracle (previously rows-only — the trainer
+        # replay unrolls the 2 Lloyd iterations); re-verify under the
+        # strengthened check (r7 verdict ask #3)
+        "ann_topk_ivf",
     }
 )
 

@@ -530,6 +530,44 @@ def test_hll_sketch_merge_estimates_within_error(spark, sf_dir):
     assert sum(v for k, v in rows.items() if k != "__all__") > rows["__all__"]
 
 
+def test_symbolic_hll_accuracy_and_merge(spark, sf_dir):
+    # the md5-register HLL (llm/sketches.py) must (a) estimate within
+    # the published ~1.04/sqrt(m) error (generous 4-sigma bound here),
+    # (b) merge registers into the GLOBAL estimate (max-of-max, not a
+    # sum of per-group estimates), and (c) keep the harmonic sum an
+    # exact integer (the hash-stable sketch state)
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    regs = hll_registers(ev, "user_id", ["event_type"], b=8)
+    merged = regs.groupBy("bucket").agg(F.max("rho_max").alias("rho_max")).select(
+        F.lit("__all__").alias("event_type"), "bucket", "rho_max"
+    )
+    out = {
+        r.event_type: r
+        for r in hll_estimate(regs.unionByName(merged), ["event_type"], b=8).collect()
+    }
+    exact_all = ev.select("user_id").distinct().count()
+    rel_err = 4 * 1.04 / (256**0.5)  # 4 sigma at m=256 ~ 26%
+    assert abs(out["__all__"].est - exact_all) <= max(5, rel_err * exact_all)
+    exact_by_type = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for t, n in exact_by_type.items():
+        assert abs(out[t].est - n) <= max(5, rel_err * n), (t, out[t].est, n)
+    # merged estimate is global, not the (double-counting) per-type sum
+    assert sum(r.est for t, r in out.items() if t != "__all__") > out["__all__"].est
+    # sketch state is integer-exact: 256 power-of-two terms, max 2^57
+    for r in out.values():
+        s = int(r.harmonic_scaled)
+        assert 256 <= s <= 256 * 2**57 and r.n_zero >= 0
+
+
 def test_repetition_stats_run_length_mode(spark):
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.text import repetition_stats
 
