@@ -439,6 +439,54 @@ def audio_contour_signature(
     )
 
 
+def vad_segments(
+    windows: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    energy_threshold: int,
+) -> DataFrame:
+    """Voice-activity segmentation over :func:`audio_energy_windows`
+    output — the step an ASR-corpus pipeline runs between windowed
+    features and clip chunking: windows with L1 energy ABOVE the
+    threshold are speech, and maximal runs of consecutive speech
+    windows become segments via the classic gaps-and-islands grouping
+    (``window_idx - row_number()`` is constant within a run). Returns
+    one row per segment: ``(id, seg_idx, start_window, end_window,
+    n_windows, energy)`` with ``seg_idx`` numbering a clip's segments
+    0..n-1 in time order.
+
+    Integer-exact throughout (int64 energies, integer threshold), so a
+    SQL oracle replays it bit-for-bit. Shuffle shape: the run grouping
+    is one window function plus one groupBy on (id, run) — both
+    partition by the clip id, so AQE plans a single exchange; cost
+    tracks total window count (corpus bytes), never corpus pairs. A
+    production caller chains ``where(n_windows >= min_run)`` for a
+    hangover filter; the raw runs keep this operator deterministic and
+    composable."""
+    from pyspark.sql import Window
+
+    speech = windows.where(F.col("sum_abs") > energy_threshold)
+    w_doc = Window.partitionBy(id_col).orderBy("window_idx")
+    runs = speech.withColumn(
+        "__run", F.col("window_idx") - F.row_number().over(w_doc)
+    )
+    seg = runs.groupBy(id_col, "__run").agg(
+        F.min("window_idx").alias("start_window"),
+        F.max("window_idx").alias("end_window"),
+        F.count(F.lit(1)).cast("int").alias("n_windows"),
+        F.sum("sum_abs").cast("bigint").alias("energy"),
+    )
+    w_seg = Window.partitionBy(id_col).orderBy("start_window")
+    return seg.select(
+        F.col(id_col),
+        (F.row_number().over(w_seg) - 1).cast("int").alias("seg_idx"),
+        F.col("start_window").cast("int").alias("start_window"),
+        F.col("end_window").cast("int").alias("end_window"),
+        "n_windows",
+        "energy",
+    )
+
+
 AUGMENT_SCHEMA = "doc_id long, payload binary, aug string"
 
 

@@ -3257,6 +3257,24 @@ def audio_contour_verified_pairs(
     image-probe trick)."""
     from ..llm.multimodal import audio_contour_signature, audio_energy_windows
 
+    wavs = _audio_fixture_wavs(docs, n_patterns)
+    sigs = audio_contour_signature(
+        audio_energy_windows(wavs, window=16)
+    ).localCheckpoint(eager=True)  # feeds blocking + verify
+    return hamming_verified_pairs(
+        sigs, "sig", band_hex_width=band_hex_width, max_hamming=max_hamming
+    )
+
+
+def _audio_fixture_wavs(docs: DataFrame, n_patterns: int = 37) -> DataFrame:
+    """The deterministic audio fixture corpus shared by the audio-dedup
+    and VAD queries: one 1040-sample int16 RIFF/WAVE clip per document
+    — 65 windows of 16 identical samples, per-window amplitude =
+    md5-base pattern (keyed by ``doc_id % n_patterns``, 0..249) plus
+    per-doc noise (0..4) — REALLY encoded with llm/codecs.encode_wav,
+    so every consumer decodes actual bytes. The decode-side 16-sample
+    windowing reads back exactly E(w) = 16 * v(d, w)."""
+
     def gen(batches):
         import hashlib as _hl
 
@@ -3278,18 +3296,10 @@ def audio_contour_verified_pairs(
                     [_h(f"{g}:{w}", 250) + _h(f"{d}:{w}", 5) for w in range(65)],
                     dtype=np.int16,
                 )
-                # 16 identical samples per window: the decode-side
-                # 16-sample windowing reads back exactly E(w) = 16*v(w)
                 payloads.append(encode_wav(np.repeat(v, 16), 16000))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    wavs = docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
-    sigs = audio_contour_signature(
-        audio_energy_windows(wavs, window=16)
-    ).localCheckpoint(eager=True)  # feeds blocking + verify
-    return hamming_verified_pairs(
-        sigs, "sig", band_hex_width=band_hex_width, max_hamming=max_hamming
-    )
+    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
 
 
 def audio_dedup_pipeline(
@@ -3323,6 +3333,60 @@ def audio_dedup_pipeline(
         "cluster_id",
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+@register(
+    "audio_vad_segments",
+    # the oracle replays the fixture window-amplitude formula, the
+    # 16x energy scaling the real decode produces, the speech
+    # threshold, and the gaps-and-islands run grouping symbolically —
+    # while Spark decodes real WAV bytes and runs the window+groupBy
+    # plan (llm/multimodal.vad_segments)
+    oracle="""
+    WITH awin AS (
+        SELECT doc_id, w,
+               16 * (CAST(('0x' || substr(md5(CAST(doc_id % 37 AS VARCHAR) || ':' ||
+                    CAST(w AS VARCHAR)), 1, 8))::UBIGINT % 250 AS BIGINT)
+             + CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                    CAST(w AS VARCHAR)), 1, 8))::UBIGINT % 5 AS BIGINT)) AS e
+        FROM documents, range(0, 65) AS t(w)
+    ),
+    sp AS (SELECT doc_id, w, e FROM awin WHERE e > 2032),
+    runs AS (
+        SELECT doc_id, w, e,
+               w - row_number() OVER (PARTITION BY doc_id ORDER BY w) AS grp
+        FROM sp
+    ),
+    seg AS (
+        SELECT doc_id, min(w) AS start_window, max(w) AS end_window,
+               CAST(count(*) AS INT) AS n_windows,
+               CAST(sum(e) AS BIGINT) AS energy
+        FROM runs GROUP BY doc_id, grp
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_window) - 1 AS INT) AS seg_idx,
+           CAST(start_window AS INT) AS start_window,
+           CAST(end_window AS INT) AS end_window,
+           n_windows, energy
+    FROM seg
+    """,
+    doc="Voice-activity segmentation (llm/multimodal.py:vad_segments) "
+    "— the step between windowed audio features and clip chunking in "
+    "an ASR-corpus pipeline: real WAV decode -> 16-sample window L1 "
+    "energies -> speech threshold (energy > 2032, i.e. amplitude >= "
+    "128 of the 0..254 fixture range) -> maximal consecutive-window "
+    "runs via the gaps-and-islands window_idx - row_number grouping "
+    "-> per-segment (start, end, n_windows, energy). Integer-exact; "
+    "one clip-partitioned exchange; the oracle replays the whole "
+    "chain symbolically.",
+)
+def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.multimodal import audio_energy_windows, vad_segments
+
+    wavs = _audio_fixture_wavs(_docs(spark, sf_dir))
+    return vad_segments(
+        audio_energy_windows(wavs, window=16), energy_threshold=2032
     )
 
 
