@@ -3443,6 +3443,124 @@ def corpus_audio_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dedup_pipeline(_docs(spark, sf_dir))
 
 
+# the three per-modality closure chains of the cross-modal summary
+# oracle share one WITH RECURSIVE; the image/audio cluster tails are
+# name-prefixed copies of _cluster_oracle_tail's shape
+def _prefixed_closure(p: str, pairs_cte: str) -> str:
+    return f"""
+    {p}edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM {pairs_cte}
+        UNION
+        SELECT doc_b, doc_a FROM {pairs_cte}
+    ),
+    {p}comp(node, label) AS (
+        SELECT src, src FROM {p}edges
+        UNION
+        SELECT e.dst, c.label FROM {p}comp c JOIN {p}edges e ON c.node = e.src
+    ),
+    {p}labels AS (SELECT node, min(label) AS cluster_id FROM {p}comp GROUP BY node),
+    {p}assigned AS (
+        SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN {p}labels l ON d.doc_id = l.node
+    ),
+    {p}sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM {p}assigned GROUP BY 1
+    )"""
+
+
+@register(
+    "corpus_multimodal_dedup_summary",
+    # ONE value hash over all three modality verdicts: the oracle
+    # replays the exact-text fingerprint grouping, the full image
+    # chain (pixel formula -> dHash -> hamming <= 3 pairs -> recursive
+    # closure), and the full audio chain (window amplitudes -> contour
+    # bits -> hamming <= 3 pairs -> closure), then joins the three
+    # cluster assignments per document
+    oracle=rf"""
+    WITH RECURSIVE {_img_dhash_ctes(3)},
+    {_audio_contour_ctes(3)},{_prefixed_closure("i", "img_pairs")},{_prefixed_closure("a", "audio_pairs")},
+    tfp AS (
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    tcl AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY fp) AS text_cluster,
+               CAST(count(*) OVER (PARTITION BY fp) AS BIGINT) AS text_dups
+        FROM tfp
+    )
+    SELECT t.doc_id, t.text_cluster, t.text_dups,
+           ia.cluster_id AS image_cluster, isz.cluster_size AS image_dups,
+           aa.cluster_id AS audio_cluster, asz.cluster_size AS audio_dups,
+           (t.doc_id = t.text_cluster AND t.doc_id = ia.cluster_id
+            AND t.doc_id = aa.cluster_id) AS is_canonical,
+           (t.text_dups > 1 OR isz.cluster_size > 1 OR asz.cluster_size > 1) AS any_duplicate
+    FROM tcl t
+    JOIN iassigned ia ON ia.doc_id = t.doc_id
+    JOIN isizes isz ON isz.cluster_id = ia.cluster_id
+    JOIN aassigned aa ON aa.doc_id = t.doc_id
+    JOIN asizes asz ON asz.cluster_id = aa.cluster_id
+    """,
+    doc="Cross-modal dedup summary — what a multimodal training-corpus "
+    "pipeline actually decides per record: the per-document cluster "
+    "assignment and multiplicity from THREE independent dedup signals "
+    "(exact text fingerprint; wide-block image dHash clusters; "
+    "wide-block audio contour clusters), joined under one value hash, "
+    "with the combined verdicts is_canonical (min-id survivor in "
+    "EVERY modality — the row a keep-one-copy policy retains) and "
+    "any_duplicate (flagged by ANY modality — the row a strict "
+    "near-dup filter drops). Plan shape: three independent "
+    "per-modality chains (each already individually scale-probed) "
+    "plus two doc-keyed joins of honest-estimate doc-sized sides — "
+    "no new shuffle class. Deliberately NOT bench-tagged: it composes "
+    "two already-benched pipelines, so a bench row would double-count "
+    "their cost; its own oracle row is the correctness gate.",
+)
+def corpus_multimodal_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    img = image_dedup_pipeline(docs).select(
+        "doc_id",
+        F.col("cluster_id").alias("image_cluster"),
+        F.col("cluster_size").alias("image_dups"),
+    )
+    aud = audio_dedup_pipeline(docs).select(
+        "doc_id",
+        F.col("cluster_id").alias("audio_cluster"),
+        F.col("cluster_size").alias("audio_dups"),
+    )
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    w = Window.partitionBy("__fp")
+    txt = docs.select("doc_id", fp.alias("__fp")).select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("text_cluster"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("text_dups"),
+    )
+    out = txt.join(img, "doc_id").join(aud, "doc_id")
+    is_canonical = (
+        (F.col("doc_id") == F.col("text_cluster"))
+        & (F.col("doc_id") == F.col("image_cluster"))
+        & (F.col("doc_id") == F.col("audio_cluster"))
+    )
+    any_dup = (
+        (F.col("text_dups") > 1) | (F.col("image_dups") > 1) | (F.col("audio_dups") > 1)
+    )
+    return out.select(
+        "doc_id",
+        "text_cluster",
+        "text_dups",
+        "image_cluster",
+        F.col("image_dups").cast("bigint").alias("image_dups"),
+        "audio_cluster",
+        F.col("audio_dups").cast("bigint").alias("audio_dups"),
+        is_canonical.alias("is_canonical"),
+        any_dup.alias("any_duplicate"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus-prep composite: the full training-data chain in one plan
 # --------------------------------------------------------------------------
