@@ -717,6 +717,49 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
             "is model-sized"
         )
 
+    def image_pipeline_k3_pins_hold() -> None:
+        # the COMPOSED wide-block pipeline at the audit mult: on top of
+        # the pair-stage pins (image_dedup_k3_pins_hold), the connected-
+        # components rounds join checkpointed frontier edges against
+        # label sets — the same non-demotable checkpoint-broadcast class
+        # as kcore/fuzzy closures — and the survivor join must stay
+        # data-shaped (no cartesian/BNLJ)
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            image_dedup_pipeline,
+        )
+
+        docs_a = amplify(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+            mult,
+            ["doc_id"],
+        )
+        plan = final_plan(image_dedup_pipeline(docs_a, n_patterns=37 * mult))
+        assert "SortMergeJoin" in plan, "image pipeline joins lost their merge pins"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert_no_checkpoint_broadcasts(plan, "image_pipeline_k3")
+
+    def audio_dedup_pins_hold() -> None:
+        # the audio chain's signature checkpoint feeds blocking AND both
+        # verify sides (the shared hamming_verified_pairs tail), then
+        # the CC closure — identical hazard profile to the image
+        # pipeline, audited on its own plan because the signature is
+        # built from a window aggregate (different estimate path)
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            audio_dedup_pipeline,
+        )
+
+        docs_a = amplify(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+            mult,
+            ["doc_id"],
+        )
+        plan = final_plan(audio_dedup_pipeline(docs_a, n_patterns=37 * mult))
+        assert "SortMergeJoin" in plan, "audio pipeline joins lost their merge pins"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert_no_checkpoint_broadcasts(plan, "audio_dedup")
+
     def image_dedup_k3_pins_hold() -> None:
         # the wide-block scale path at the audit mult: the dHash
         # signature checkpoint feeds blocking AND both verify sides, so
@@ -754,6 +797,8 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         "recsys_cooccur": recsys_topk_stays_grouped,
         "kcore_peel": kcore_round_join_stays_smj,
         "image_dedup_k3": image_dedup_k3_pins_hold,
+        "image_pipeline_k3": image_pipeline_k3_pins_hold,
+        "audio_dedup": audio_dedup_pins_hold,
     }
 
 
