@@ -181,6 +181,20 @@ def cosine_pairs_lsh(
     embedding regions): a B-member bucket emits B(B-1)/2 candidate
     pairs, the classic LSH skew failure at 100-TB corpora.
 
+    KEY-WIDTH-vs-CORPUS note (the r7 image-LSH lesson, stated here
+    because this operator has the same shape): an ``n_planes``-bit
+    table has only ``2^n_planes`` distinct buckets, so mean bucket
+    occupancy grows linearly with the corpus. Unlike the (fixed) image
+    blocking, the planes here are a PARAMETER: size ``n_planes`` so
+    ``2^n_planes`` tracks ``corpus / target_bucket_size`` (e.g. ~26
+    planes for 10^9 vectors at ~15/bucket), trading recall per table
+    for bounded buckets, and buy recall back with more tables —
+    exactly Manku et al.'s trade. With undersized planes the cap keeps
+    the op BOUNDED but increasingly lossy (hot buckets are dropped, so
+    recall decays as the corpus outgrows the key space) — under-dedup,
+    never a blown-up task; the default (8 planes, cap 1000) fits
+    ~10^5-10^6 vectors.
+
     Returns (id_a < id_b, cosine >= threshold); recall < 1 by design —
     a pair is only seen if it shares a bucket. Deterministic via the
     seeded hyperplanes, so an oracle can replay the exact bucketing.
