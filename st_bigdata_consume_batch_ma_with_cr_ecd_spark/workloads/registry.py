@@ -53,38 +53,47 @@ REGISTRY: dict[str, QuerySpec] = {}
 # the FULL registry locally every round — the rotation only decides
 # which slice lands in the driver's own record.
 
-# Queries whose registered semantics OR physical computation changed
-# THIS round: treated as never-checked so the driver re-verifies them
-# even if a past round checked the old behavior. "Physical computation"
-# includes implementation reworks that claim identical outputs (a new
+# Queries whose registered semantics OR physical computation changed,
+# mapped to the ROUND in which the change landed: treated as
+# never-checked so the driver re-verifies them even if a past round
+# checked the old behavior. "Physical computation" includes
+# implementation reworks that claim identical outputs (a new
 # verify-join shape, a different staging strategy) — the r6 review
 # found the narrower output-semantics-only reading let the
 # prefix-filter verify rewrite ship on a pre-rework driver green; the
 # driver record is the contract of record, so reworks re-enter the
 # window the round they land. Pure refactors (rename, move, comment)
 # still don't qualify.
-FORCE_RECHECK: frozenset[str] = frozenset(
-    {
-        # r8: the HTML extractor and URL canonicalizer changed OUTPUT
-        # semantics (r7 ADVICE + VERDICT ask #5): script/style/head
-        # bodies are now stripped before block split, the block-tag
-        # alternation is anchored (no more <path>/<link>/<track>
-        # prefix-matches), url_host's default-port strip is
-        # scheme-aware, and canonicalize_url adds RFC 3986 §6.2.2
-        # percent-encoding normalization. Every query composing those
-        # expressions re-enters the driver window this round.
-        # (r7's dedup_jaccard_prefix_filter entry cleared after its r7
-        # driver green — the list records PENDING re-verifications.)
-        "text_html_main_content",
-        "text_html_block_features",
-        "web_url_canonicalize",
-        "pipeline_web_corpus_prep",
-        # r8: gained a FULL oracle (previously rows-only — the trainer
-        # replay unrolls the 2 Lloyd iterations); re-verify under the
-        # strengthened check (r7 verdict ask #3)
-        "ann_topk_ivf",
-    }
-)
+#
+# The value is the DECLARED round, which makes self-expiry precise: a
+# query front-runs while its last driver green is OLDER than the round
+# its behavior changed, and rotates normally once a same-or-later
+# record covers it. (The previous frozenset expired against "the
+# newest record file", which mis-fired in exactly the common case: a
+# query green in round N whose semantics change in round N+1 was
+# treated as already re-verified because its N green equalled the
+# newest record — the stale green satisfied the old condition and the
+# rework would have shipped ungated, the r6 complaint all over again.)
+FORCE_RECHECK: dict[str, int] = {
+    # r8: the HTML extractor and URL canonicalizer changed OUTPUT
+    # semantics (r7 ADVICE + VERDICT ask #5): script/style/head
+    # bodies are now stripped before block split, the block-tag
+    # alternation is anchored (no more <path>/<link>/<track>
+    # prefix-matches), url_host's default-port strip is
+    # scheme-aware, and canonicalize_url adds RFC 3986 §6.2.2
+    # percent-encoding normalization. Every query composing those
+    # expressions re-enters the driver window this round.
+    # (r7's dedup_jaccard_prefix_filter entry cleared after its r7
+    # driver green — the map records PENDING re-verifications.)
+    "text_html_main_content": 8,
+    "text_html_block_features": 8,
+    "web_url_canonicalize": 8,
+    "pipeline_web_corpus_prep": 8,
+    # r8: gained a FULL oracle (previously rows-only — the trainer
+    # replay unrolls the 2 Lloyd iterations); re-verify under the
+    # strengthened check (r7 verdict ask #3)
+    "ann_topk_ivf": 8,
+}
 
 # Queries pinned into EVERY driver window regardless of rotation age
 # (r4 review ask #8): the consume-batch e2e composes the entire
@@ -169,11 +178,11 @@ def _ordered_specs() -> list[QuerySpec]:
     lead), oldest-registered then registration order as the tiebreaks —
     deterministic for a given set of record files.
 
-    FORCE_RECHECK is SELF-EXPIRING: it front-runs the window only until
-    the driver's newest record file contains the query (i.e. the
-    changed semantics have been re-verified once), after which the
-    query rotates normally — otherwise a stale force list would pin
-    window slots forever."""
+    FORCE_RECHECK is SELF-EXPIRING: a query front-runs the window only
+    while its last PASSED driver check predates the round its behavior
+    was declared changed (the map value), after which it rotates
+    normally — otherwise a stale force list would pin window slots
+    forever."""
     last = _last_checked_round()
     newest = max(last.values(), default=0)
     first = _first_registered()
@@ -181,9 +190,10 @@ def _ordered_specs() -> list[QuerySpec]:
 
     def sort_key(spec: QuerySpec) -> tuple[int, int, int]:
         rnd = last.get(spec.name)
+        since = FORCE_RECHECK.get(spec.name)
         if spec.name in ALWAYS_CHECK:
             rnd = -2  # pinned into every window, ahead of everything
-        elif spec.name in FORCE_RECHECK and (rnd is None or rnd < newest):
+        elif since is not None and (rnd is None or rnd < since):
             rnd = -1  # ahead even of never-checked: semantics changed
         elif rnd is None:
             rnd = 0

@@ -121,7 +121,7 @@ def test_driver_window_rotation_invariants():
     order = list(queries_map())
     assert sorted(order) == sorted(REGISTRY), "rotation must be a permutation"
     assert order == list(queries_map()), "rotation must be deterministic"
-    missing = [n for n in (FORCE_RECHECK | ALWAYS_CHECK) if n not in REGISTRY]
+    missing = [n for n in (set(FORCE_RECHECK) | ALWAYS_CHECK) if n not in REGISTRY]
     assert not missing, f"FORCE_RECHECK/ALWAYS_CHECK names not registered: {missing}"
 
     last = _last_checked_round()
@@ -132,8 +132,12 @@ def test_driver_window_rotation_invariants():
         # ALWAYS_CHECK pins into every window, ahead of everything
         if name in ALWAYS_CHECK:
             return -2
-        # FORCE_RECHECK self-expires once the newest record covers it
-        if name in FORCE_RECHECK and (rnd is None or rnd < newest):
+        # FORCE_RECHECK self-expires once a record from the declared
+        # round (or later) covers the query — NOT when any newest
+        # record merely exists (a green from the round BEFORE the
+        # change must not satisfy the recheck)
+        since = FORCE_RECHECK.get(name)
+        if since is not None and (rnd is None or rnd < since):
             return -1
         return 0 if rnd is None else rnd
 
