@@ -222,3 +222,65 @@ def test_canonicalize_url_edge_cases(spark):
         assert r.c == r.want, r
     host = df.select(url_host("url").alias("h")).collect()
     assert {r.h for r in host} == {"host.com", "host.com:8080", "h.io"}
+
+
+# ------------------------------------------------------------ properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# a URL grammar wide enough to hit every normalization branch: mixed-
+# case scheme/host, optional default/non-default port, path segments
+# with %-escapes (valid upper/lower, invalid, dangling), tracking and
+# content params in shuffled order, optional fragment
+_seg = st.text(
+    alphabet="abcXYZ019-._~%2Ff6C", min_size=0, max_size=8
+)
+_urls = st.builds(
+    lambda scheme, host, port, segs, params, frag: (
+        scheme
+        + "://"
+        + host
+        + port
+        + "/"
+        + "/".join(segs)
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTtPs"]),
+    host=st.sampled_from(["Ex.COM", "ex.com", "A-b.example.ORG"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    segs=st.lists(_seg, max_size=3),
+    params=st.lists(
+        st.sampled_from(
+            ["id=1", "ref=h%2Fx", "ref=h%2fx", "utm_source=t", "gclid=9", "q=%41%7e", "q=%zz"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from(["", "#top", "#a%2f"]),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(urls=st.lists(_urls, min_size=1, max_size=8, unique=True))
+def test_canonicalize_url_is_idempotent(spark, urls):
+    # RFC 3986 §6 normalization is a projection: applying it to its own
+    # output must be a no-op (catches unstable param sorting, double
+    # percent-decoding, and port-strip/scheme-case interactions)
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = df.select(canonicalize_url("url").alias("c"))
+    twice = once.select("c", canonicalize_url("c").alias("cc")).collect()
+    for r in twice:
+        assert r.cc == r.c, (r.c, r.cc)
+
+
+@settings(max_examples=30, deadline=None)
+@given(parts=st.lists(_seg, min_size=1, max_size=8, unique=True))
+def test_percent_normalize_is_idempotent(spark, parts):
+    df = spark.createDataFrame([(p,) for p in parts], ["p"])
+    out = df.select(
+        percent_normalize("p").alias("a"),
+    ).select("a", percent_normalize("a").alias("b")).collect()
+    for r in out:
+        assert r.b == r.a, (r.a, r.b)
