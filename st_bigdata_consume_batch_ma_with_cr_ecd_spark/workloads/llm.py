@@ -3877,6 +3877,74 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4, iters=2)
 
 
+@register(
+    "ann_ivf_recall_table",
+    # per-query recall of the trained-IVF top-k against the exact
+    # brute-force top-k — the quality metric an ANN deployment actually
+    # monitors. The oracle intersects the two symbolic replays (the
+    # unrolled-trainer IVF oracle and the quadratic brute oracle), so
+    # both the index quality AND both ranking paths sit under one hash.
+    oracle=f"""
+    WITH ivf AS ({_ivf_trained_oracle()}),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id ASC) AS rn
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                  FROM embeddings) q
+            JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                  FROM embeddings) c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rn <= 5
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS INT) AS k,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_hits,
+           CAST(round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DECIMAL(10,4))
+                      / count(*), 4) AS DOUBLE) AS recall_at_5
+    FROM brute b
+    LEFT JOIN ivf i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc="Per-query recall@5 of the trained-IVF index against exact "
+    "brute-force cosine — the ANN quality table the r7 verdict "
+    "suggested as the rows-only companion (the direct trainer oracle "
+    "landed too, so this query additionally pins the RELATIONSHIP "
+    "between the two paths: brute top-k left-joined with IVF top-k, "
+    "hits counted, recall as an exact DECIMAL-rounded ratio). A "
+    "probe-parameter regression (fewer cells probed, a broken "
+    "quantizer) shows up as a recall drop and flips the hash.",
+)
+def ann_ivf_recall_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import brute_force_topk, ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    ivf = ivf_topk(embs, queries, k=5, n_centroids=16, n_probe=4, iters=2).select(
+        "query_id", F.col("neighbor_id").alias("__ivf_n")
+    )
+    brute = brute_force_topk(embs, queries, k=5).select("query_id", "neighbor_id")
+    joined = brute.join(
+        ivf,
+        (brute.query_id == ivf.query_id) & (F.col("neighbor_id") == F.col("__ivf_n")),
+        "left",
+    ).select(brute.query_id, "neighbor_id", "__ivf_n")
+    hits = F.sum(F.col("__ivf_n").isNotNull().cast("int")).cast("int")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        hits.alias("n_hits"),
+        F.round(
+            (hits.cast("decimal(10,4)") / F.count(F.lit(1))), 4
+        )
+        .cast("double")
+        .alias("recall_at_5"),
+    )
+
+
 # Fixed literal centroids for the SERVING-path IVF query: the
 # production shape is "train the coarse quantizer once offline, reuse
 # per batch" (llm/similarity.ivf_topk docstring), and with the
