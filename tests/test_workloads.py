@@ -151,6 +151,53 @@ def test_driver_window_rotation_invariants():
         assert order[: len(stale)] == stale
 
 
+def test_force_recheck_expires_against_declared_round():
+    # the r8 fix: a query driver-GREEN in round N whose semantics
+    # change in round N+1 must front-run the next window — the old
+    # expiry ("the newest record file contains the query") was
+    # satisfied by the stale round-N green and shipped the rework
+    # ungated. The declared-round map must (a) front-run while the
+    # last green predates the declared round, (b) expire once a
+    # same-or-later green exists, (c) front-run never-checked names.
+    def front_runs(last_green, declared):
+        # mirror of _ordered_specs' condition, kept in lockstep
+        return declared is not None and (last_green is None or last_green < declared)
+
+    assert front_runs(7, 8), "green the round BEFORE the change must re-enter"
+    assert front_runs(None, 8), "never-checked forced names lead"
+    assert not front_runs(8, 8), "a green from the declared round expires the force"
+    assert not front_runs(9, 8), "later greens stay expired"
+    assert not front_runs(7, None), "unlisted names never front-run"
+
+    # and the live registry agrees: every currently forced name with a
+    # last green OLDER than its declared round must sort ahead of every
+    # non-pinned, non-forced name in the actual window order
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads import queries_map
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.registry import (
+        ALWAYS_CHECK,
+        FORCE_RECHECK,
+        _last_checked_round,
+    )
+
+    last = _last_checked_round()
+    order = list(queries_map())
+    pos = {n: i for i, n in enumerate(order)}
+    active = [
+        n for n, since in FORCE_RECHECK.items()
+        if front_runs(last.get(n), since) and n not in ALWAYS_CHECK
+    ]
+    ordinary = [
+        n for n in order
+        if n not in ALWAYS_CHECK and n not in FORCE_RECHECK and last.get(n) is not None
+    ]
+    if active and ordinary:
+        worst_forced = max(pos[n] for n in active)
+        best_ordinary = min(pos[n] for n in ordinary)
+        assert worst_forced < best_ordinary, (
+            "an actively forced query sorted behind an already-checked one"
+        )
+
+
 def test_rotation_treats_failed_driver_rows_as_unchecked(tmp_path):
     # A hash_match:false (or err) row in a driver record must NOT count
     # as "checked that round" — otherwise a failed query rotates to the
