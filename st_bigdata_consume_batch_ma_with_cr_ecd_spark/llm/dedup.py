@@ -731,6 +731,7 @@ def simhash_candidate_pairs(
     bits: int = 64,
     band_hex_width: int = 4,
     max_bucket_size: int | None = None,
+    pair_filter_sql: str | None = None,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any aligned block of the
     SimHash (``band_hex_width`` hex chars) — the standard hamming-LSH
@@ -739,7 +740,12 @@ def simhash_candidate_pairs(
     ``substring`` shared by EVERY doc — one universal bucket, silent
     O(n²) pair explosion — so the mismatch is rejected up front.
     ``max_bucket_size`` caps degenerate blocks (e.g. the all-zero block
-    of empty docs), the corpus-scale skew guard."""
+    of empty docs), the corpus-scale skew guard. ``pair_filter_sql``
+    (a SQL boolean over ``x``/``y``, the smaller/larger doc id)
+    restricts pairs INSIDE grouped-bucket pair generation — the
+    incremental-dedup hook shared with ``lsh_candidate_pairs``:
+    rejected pairs are never emitted or shuffled (see
+    ``_bucket_pairs``)."""
     hex_chars = bits // 4
     if bits % 4 or hex_chars % band_hex_width:
         raise ValueError(
@@ -763,7 +769,9 @@ def simhash_candidate_pairs(
         ).cast("array<string>"),
     ).otherwise(blocks)
     b = sigs.select(F.col(id_col).alias("doc"), F.explode(guard).alias("block"))
-    return _bucket_pairs(b, "block", max_bucket_size=max_bucket_size)
+    return _bucket_pairs(
+        b, "block", max_bucket_size=max_bucket_size, pair_filter_sql=pair_filter_sql
+    )
 
 
 def winnowing_fingerprints(

@@ -61,7 +61,30 @@ BLOCK_TAG_SPLIT = (
     r"</?(?:div|p|h[1-6]|li|ul|ol|table|tr|td|th|nav|header|footer|"
     r"article|section|aside|blockquote|body|html)(?:>|[\s/][^>]*>)"
 )
+
+# The FUSED page-segmentation pattern (r8 verdict ask #4): ONE split
+# pass both deletes invisible elements (a whole <script>/<style>/<head>
+# element is a delimiter, so its tags AND body vanish) and cuts blocks
+# at block-level tags — replacing the previous regexp_replace +
+# regexp_split two-pass, which re-scanned and re-allocated every page.
+# The invisible branch comes FIRST so a block tag inside a script body
+# is consumed by the element match, never seen by the block branch.
+# Two deliberate semantics refinements vs the two-pass chain, both
+# HTML-correct: (a) an invisible element now also DELIMITS blocks
+# (text on either side of a mid-paragraph <script> becomes two blocks
+# — script placement is block-level in practice, and the shallow
+# classifier scores the halves independently); (b) the leading (?is)
+# flags now cover the block alternation too, so <DIV>/<P> split
+# case-insensitively (tag names are case-insensitive per the HTML
+# spec; the old split silently missed uppercase tags).
+SEGMENT_SPLIT_RE = f"{INVISIBLE_MARKUP_RE}|{BLOCK_TAG_SPLIT}"
+
 _ANY_TAG = r"<[^>]*>"
+# tag-strip + whitespace-collapse in ONE pass: any maximal run of
+# tags/whitespace becomes a single space (equivalent to the previous
+# replace-tags-then-collapse two-pass — both map every such run to one
+# space — at one page scan instead of two)
+TEXT_STRIP_RE = r"(?:<[^>]*>|\s+)+"
 _ANCHOR_TEXT = r"<a[^>]*>([^<]*)</a>"
 
 
@@ -117,12 +140,17 @@ def percent_normalize(part: Column | str) -> Column:
 
 def _default_port_stripped(auth: Column) -> Column:
     """Scheme-aware default-port strip over a lowercased
-    ``scheme://host[:port]`` authority: ``:80`` only for http, ``:443``
-    only for https — the non-default ports http://host:443 and
-    https://host:80 are kept (r7 ADVICE: a scheme-blind strip collapsed
-    them)."""
-    auth = F.regexp_replace(auth, r"^(http://[^/?#:]*):80$", "$1")
-    return F.regexp_replace(auth, r"^(https://[^/?#:]*):443$", "$1")
+    ``scheme://[userinfo@]host[:port]`` authority: ``:80`` only for
+    http, ``:443`` only for https — the non-default ports
+    http://host:443 and https://host:80 are kept (r7 ADVICE: a
+    scheme-blind strip collapsed them). The host class is the greedy
+    ``[^/?#]*`` WITHOUT excluding ``:`` so the anchored ``:80$`` match
+    is the port after the LAST colon — authorities carrying userinfo
+    (``http://user:pw@host:80``) strip their default port too (r8
+    ADVICE: the old ``[^/?#:]*`` class could not cross the userinfo
+    colon, silently keeping ``:80`` there)."""
+    auth = F.regexp_replace(auth, r"^(http://[^/?#]*):80$", "$1")
+    return F.regexp_replace(auth, r"^(https://[^/?#]*):443$", "$1")
 
 
 def canonicalize_url(url: Column | str) -> Column:
@@ -187,14 +215,16 @@ def url_host(url: Column | str) -> Column:
 
 
 def strip_tags(html: Column | str) -> Column:
-    """Visible text of an HTML fragment: every tag replaced by a space,
-    whitespace collapsed, trimmed. Identical regex semantics in any
-    POSIX-regex engine, so SQL oracles replay it verbatim. (Does NOT
-    remove script/style/head bodies — callers that need that run
-    :func:`remove_invisible_markup` first, as the block extractor
-    does.)"""
+    """Visible text of an HTML fragment: every maximal run of tags and
+    whitespace collapses to a single space (``TEXT_STRIP_RE`` — ONE
+    regex pass; equivalent to the old replace-tags-then-collapse
+    two-pass, r8 verdict ask #4), trimmed. Identical regex semantics
+    in any POSIX-regex engine, so SQL oracles replay it verbatim.
+    (Does NOT remove script/style/head bodies — callers that need that
+    run :func:`remove_invisible_markup` first, or split with
+    ``SEGMENT_SPLIT_RE`` as the block extractor does.)"""
     c = F.col(html) if isinstance(html, str) else html
-    return F.trim(F.regexp_replace(F.regexp_replace(c, _ANY_TAG, " "), r"\s+", " "))
+    return F.trim(F.regexp_replace(c, TEXT_STRIP_RE, " "))
 
 
 def html_block_features(
@@ -211,9 +241,13 @@ def html_block_features(
     link_chars, is_content)``.
 
     ``<script>``/``<style>``/``<head>`` elements are deleted (tags AND
-    bodies) before segmentation — their text is never visible content
-    and JS/CSS bodies otherwise pass the shallow classifier on real
-    pages (r7 ADVICE).
+    bodies) — their text is never visible content and JS/CSS bodies
+    otherwise pass the shallow classifier on real pages (r7 ADVICE).
+    Since r9 the deletion is FUSED into the segmentation split
+    (``SEGMENT_SPLIT_RE``): whole invisible elements are delimiters,
+    so the page is scanned ONCE instead of replace-then-split (r8
+    verdict ask #4 — the extra page-scale pass was the measured cost
+    of the r8 hardening).
 
     ``block_idx`` numbers the NON-EMPTY blocks 0..n-1 in document
     order (empty fragments between adjacent tags are dropped before
@@ -230,7 +264,7 @@ def html_block_features(
     frags = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(remove_invisible_markup(F.col(html_col)), BLOCK_TAG_SPLIT)
+            F.split(F.col(html_col), SEGMENT_SPLIT_RE)
         ).alias("__pos", "__raw"),
     )
     text = strip_tags(F.col("__raw"))

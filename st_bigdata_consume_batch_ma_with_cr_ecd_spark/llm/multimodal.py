@@ -387,6 +387,7 @@ def audio_contour_signature(
     *,
     id_col: str = "doc_id",
     n_bits: int = 64,
+    window: int | None = None,
 ) -> DataFrame:
     """Energy-contour sign-delta signature per clip — the audio
     analogue of the image dHash (:func:`dhash_images`): bit ``w`` is
@@ -398,17 +399,27 @@ def audio_contour_signature(
     way the raw energies don't — the standard robust fingerprint trick
     (dHash for images, sign-of-delta spectral fingerprints for audio).
 
-    Clips shorter than ``n_bits + 1`` windows emit no row (not enough
-    contour to compare — the "no signature" contract shared with
-    dhash_images). One shuffle: a single groupBy(id) collecting the
-    bounded (n_bits + 1)-window prefix; the pairwise compare and hex
-    pack are array expressions on the grouped row. Everything is
-    integer-exact (``sum_abs`` is an int64 L1 energy), so a SQL oracle
-    replays the signature symbolically."""
+    Pass ``window`` (the :func:`audio_energy_windows` window size) to
+    exclude a trailing PARTIAL window from the contour: a short last
+    window carries proportionally less energy, so its contour bit is
+    systematically biased toward 0 (r8 ADVICE) — with the filter, a
+    clip whose first ``n_bits + 1`` windows include the partial one
+    emits no signature instead of a biased one. ``window=None`` keeps
+    the unfiltered behavior for window frames produced elsewhere.
+
+    Clips with fewer than ``n_bits + 1`` (full) windows emit no row
+    (not enough contour to compare — the "no signature" contract
+    shared with dhash_images). One shuffle: a single groupBy(id)
+    collecting the bounded (n_bits + 1)-window prefix; the pairwise
+    compare and hex pack are array expressions on the grouped row.
+    Everything is integer-exact (``sum_abs`` is an int64 L1 energy),
+    so a SQL oracle replays the signature symbolically."""
     if n_bits % 32 != 0:
         # packed 32 bits per conv() call (conv is exact to 64 bits;
         # 32-bit halves keep headroom and pad to whole hex bytes)
         raise ValueError(f"n_bits must be a multiple of 32, got {n_bits}")
+    if window is not None:
+        windows = windows.where(F.col("n") == window)
     grouped = (
         windows.where(F.col("window_idx") <= n_bits)
         .groupBy(id_col)

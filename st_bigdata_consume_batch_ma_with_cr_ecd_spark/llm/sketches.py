@@ -325,7 +325,18 @@ def hll_estimate(
     through DECIMAL. Small-range (linear counting) correction applies
     when ``E_raw <= 2.5 m`` and zero registers exist; the large-range
     correction (E > 2^32/30) never triggers at these cardinalities and
-    is deliberately omitted."""
+    is deliberately omitted.
+
+    Cross-engine parity note on ``est`` (r8 ADVICE — the analogue of
+    the IVF mean-parity caveat): the final rounding runs through Spark
+    decimal HALF_UP (double -> decimal(24,6) -> round ``round_to``),
+    while a DuckDB oracle casts/rounds with DuckDB decimal semantics —
+    an estimate quotient landing EXACTLY on a rounding tie could in
+    principle round differently across engines. ``n_zero`` and
+    ``harmonic_scaled`` are exact integers and carry the full sketch
+    state, so oracles should anchor on those and treat ``est`` as
+    derived; the registered queries' fixed datasets are verified
+    tie-free at sf0.001/0.01/0.1 (the driver hash covers est there)."""
     m = 1 << b
     nbits = 64 - b
     spark = regs.sparkSession

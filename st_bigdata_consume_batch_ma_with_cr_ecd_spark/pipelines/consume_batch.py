@@ -34,6 +34,7 @@ dropped (inner as-of join); ``fraudLevelId <= 0`` drops null-fraud rows.
 
 from __future__ import annotations
 
+import itertools
 from dataclasses import dataclass
 from datetime import date, timedelta
 
@@ -420,6 +421,24 @@ def shape_json_output(
     return nest_columns(out, sep="_")
 
 
+_STAGING_SEQ = itertools.count()
+
+
+def _managed_staging_dir() -> str:
+    """A fresh per-call stage-0 staging path under the system tmp dir:
+    pid + monotone counter, so concurrent frames from repeated calls in
+    one process never overwrite each other's still-referenced files.
+    One stage-0 parquet copy per call; long-running callers (bench
+    loops, job drivers) pass ``stage0_staging`` explicitly and own the
+    lifecycle — the registered e2e query and the CLI both do."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stage0_{os.getpid()}_{next(_STAGING_SEQ)}"
+    )
+
+
 def consume_batch(
     changelog: DataFrame,
     texts: DataFrame,
@@ -433,46 +452,53 @@ def consume_batch(
     *,
     slices: tuple[SliceSpec, ...] = DEFAULT_SLICES,
     materialize: bool = False,
+    stage0_mode: str = "staged",
     stage0_storage=None,
     stage0_staging: str | None = None,
 ) -> DataFrame:
     """The full job (script/main.py:300-368): stage 0 once, stages 1-3 +
-    modify_data per slice, UNION ALL accumulation. Cache the merged
-    change-log — every slice reads it (reference C1).
+    modify_data per slice, UNION ALL accumulation. Stage-0 is shared by
+    every slice (reference C1 cache policy); WHERE it lives is the
+    ``stage0_mode`` knob.
 
+    ``stage0_mode="staged"`` (the DEFAULT since r9 — the r8 review's
+    one weak item was defaulting to the mode that loses at every
+    measured scale >= sf0.1): the merged change-log is written ONCE to
+    a snappy-parquet staging table, then every slice chain scans the
+    staged files. A parquet staging table has no cache-residency
+    limit, gets columnar scan + pruning on the read side, and its
+    write cost is one pass over stage-0 (which ``materialize=True``
+    pays anyway); the 64x probe measured 86.5s staged vs 230.8s cached
+    (the cached path's superlinear knee is cache pressure, and the
+    round-6 StorageLevel A/B proved no storage level fixes it), and
+    even at sf0.1 staged wins (6.9s vs 11.8s driver bench). The
+    staging dir is managed (a fresh per-call tmp dir) unless
+    ``stage0_staging`` names a path; callers that sink many runs
+    should pass an explicit path they own and reuse.
+
+    ``stage0_mode="cached"`` keeps stage-0 in the block-manager cache —
+    the documented SMALL-INPUT variant: when the merged change-log is
+    tiny (unit-test fixtures, sub-sf0.01 slices), the parquet
+    write+read round-trip costs more than it saves, and cached wins.
     ``materialize=True`` runs one count() job to fill the cache before
     the slice plans are consumed: a single downstream action over the
     union would otherwise race all four slices into the cold cache and
-    recompute stage-0 per slice subtree (the e2e workload materializes
-    the same way before its concurrent slice writes).
+    recompute stage-0 per slice subtree. ``stage0_storage`` overrides
+    the cache's StorageLevel (cached mode only) — the tunable for
+    memory-bound clusters (round-6 A/B: the default deserialized
+    columnar cache was fastest at 64x; MEMORY_AND_DISK paid ~5%).
 
-    ``stage0_storage`` overrides the stage-0 cache's StorageLevel —
-    the tunable for cluster deploys where the merged change-log
-    outgrows executor memory. Measured at 64x amplification on
-    local[32] (SCALE.md round 6): the DEFAULT deserialized columnar
-    cache was fastest (185s) — serialized MEMORY_AND_DISK paid ~5%
-    (195s) and DISK_ONLY hit a local-mode block-manager race — so the
-    default stands and the knob stays for genuinely memory-bound
-    clusters.
-
-    ``stage0_staging`` (r6 review ask #1) bypasses the cache tier
-    entirely: write the merged change-log ONCE to a snappy-parquet
-    staging table at the given path, then every slice chain scans the
-    staged files. This is the scale mode for when stage-0 outgrows
-    what the cluster's cache tier holds — the 64x probe measured the
-    cached path's superlinear knee (4.65x per 4x data) as cache
-    pressure, and the round-6 storage-level A/B proved no StorageLevel
-    fixes it; a parquet staging table has no residency limit, gets
-    columnar scan + pruning on the read side, and its write cost is
-    one pass over stage-0 (which ``materialize=True`` pays anyway).
-    Mutually exclusive with ``stage0_storage``; implies
-    materialization (the write IS the one-pass job)."""
+    ``stage0_staging`` (r6 review ask #1) names an explicit staging
+    path (implies staged mode; the write IS the materialization)."""
+    if stage0_mode not in ("staged", "cached"):
+        raise ValueError(f"stage0_mode must be 'staged' or 'cached', got {stage0_mode!r}")
     merged = merge_delete(filter_changelog(changelog), dates.first_day_past)
-    if stage0_staging is not None:
+    if stage0_staging is not None or stage0_mode == "staged":
         if stage0_storage is not None:
-            raise ValueError("stage0_staging and stage0_storage are mutually exclusive")
-        merged.write.mode("overwrite").parquet(stage0_staging)
-        merged = changelog.sparkSession.read.parquet(stage0_staging)
+            raise ValueError("stage0 staging and stage0_storage are mutually exclusive")
+        staging = stage0_staging if stage0_staging is not None else _managed_staging_dir()
+        merged.write.mode("overwrite").parquet(staging)
+        merged = changelog.sparkSession.read.parquet(staging)
     else:
         merged = merged.persist(stage0_storage) if stage0_storage is not None else merged.cache()
         if materialize:

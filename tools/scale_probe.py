@@ -202,6 +202,7 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
             t["changelog"], t["texts"], t["visibility"], t["fraud"],
             t["contacts"], t["visits"], t["bundeslaender"], t["stadtlandkreise"],
             _DATES,
+            stage0_mode="cached",
             materialize=True,
         )
         df.write.format("noop").mode("overwrite").save()
@@ -546,6 +547,7 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
             t["changelog"], t["texts"], t["visibility"], t["fraud"],
             t["contacts"], t["visits"], t["bundeslaender"], t["stadtlandkreise"],
             _DATES,
+            stage0_mode="cached",
             materialize=True,
         )
         try:
