@@ -4124,6 +4124,135 @@ def ann_topk_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, queries, k=5, n_probe=2, centroids=_IVF_FIXED_CENTROIDS)
 
 
+def _ivf_index_tables(spark, centroids, assignments, root: str):
+    """Persist a trained IVF index into the versioned lakehouse and
+    read it back: centroids EXPLODED to scalar rows (cid, pos, m) —
+    model-sized, no array columns so zone-map stats stay exact — and
+    the assignment table (vec_id, cid) PARTITIONED BY CELL (the
+    inverted file IS this partitioning: a query batch that probes few
+    cells prunes to those partitions at the manifest). Returns the
+    (centroids list, index frame) REad back from storage, so serving
+    provably consumes the stored index, not the in-memory model."""
+    import shutil
+
+    from ..sinks.versioned import create_versioned_table, read_versioned_table
+
+    shutil.rmtree(root, ignore_errors=True)
+    cent_rows = [
+        (cid, pos, float(v)) for cid, c in enumerate(centroids) for pos, v in enumerate(c)
+    ]
+    cent_df = spark.createDataFrame(cent_rows, "cid int, pos int, m double")
+    create_versioned_table(cent_df, f"{root}/centroids", ["cid"])
+    create_versioned_table(assignments, f"{root}/cells", ["cid"])
+
+    stored = read_versioned_table(spark, f"{root}/centroids").collect()
+    by_cid: dict[int, dict[int, float]] = {}
+    for r in stored:
+        by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
+    dim = len(by_cid[0])
+    cents = [[by_cid[c][p] for p in range(dim)] for c in range(len(by_cid))]
+    return cents, read_versioned_table(spark, f"{root}/cells")
+
+
+@register(
+    "ann_topk_ivf_stored",
+    # the storage round-trip is value-preserving (doubles through
+    # parquet are exact; assignments are integers), so the stored-index
+    # serving path sits under the SAME unrolled-trainer oracle as
+    # ann_topk_ivf — the hash covers train -> explode/store -> read ->
+    # rebuild -> serve end to end
+    oracle=_ivf_trained_oracle(),
+    doc="IVF ANN served from a PERSISTED index (r8 verdict ask #6 — "
+    "ann_topk_ivf retrains per run; real ANN serving reads a stored "
+    "index): the trained coarse quantizer is written to the versioned "
+    "lakehouse as two tables — centroids exploded to scalar (cid, pos, "
+    "m) rows, and the cell-assignment inverted file PARTITIONED BY "
+    "cid — then read back (latest version) and served with "
+    "llm/similarity.ivf_topk_served: corpus cell membership comes from "
+    "the STORED table (no corpus-side UDF pass at query time), only "
+    "the 10 queries run the centroid probe. At cluster scale the "
+    "cid-partitioned index prunes a low-fan-out query batch to its "
+    "probed cells' partitions at the manifest before any scan. The "
+    "oracle replays the whole chain (hash-sampled init, two unrolled "
+    "Lloyd steps, cell indexing, probe selection, in-cell exact "
+    "top-k); the parquet round-trip is bit-preserving for doubles, so "
+    "any divergence in store/read/rebuild flips the hash.",
+)
+def ann_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..llm.similarity import (
+        ivf_cell_assignments,
+        ivf_topk_served,
+        train_ivf_centroids,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    trained = train_ivf_centroids(embs, n_centroids=16, iters=2)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_index")
+    cents, index = _ivf_index_tables(
+        spark, trained, ivf_cell_assignments(embs, centroids=trained), root
+    )
+    return ivf_topk_served(
+        embs, queries, index, centroids=cents, k=5, n_probe=4
+    )
+
+
+@register(
+    "ann_ivf_index_merge_serve",
+    # the quantizer is trained on the HISTORIC corpus only; the
+    # arriving batch is assigned with the stored centroids and MERGEd
+    # into the index — the oracle restricts init + both Lloyd steps to
+    # the historic rows (train_where) while the final cell assignment
+    # and serving cover every vector, exactly the incremental contract
+    oracle=_ivf_trained_oracle(train_where="vec_id % 5 <> 0"),
+    doc="INCREMENTAL IVF index maintenance (r8 verdict ask #6 bonus): "
+    "the nightly-ANN shape — train the coarse quantizer ONCE on the "
+    "historic corpus (vec_id % 5 <> 0), persist centroids + inverted "
+    "file as versioned tables, then MERGE the arriving batch's "
+    "assignments (computed with the STORED centroids — the quantizer "
+    "is never retrained per batch) into the cid-partitioned index as "
+    "a new atomic version, read the post-merge snapshot, and serve "
+    "top-k over the FULL corpus from it. Copy-on-write touches only "
+    "the batch's cells' partitions; per-batch index cost tracks the "
+    "batch. The oracle unrolls the historic-only training and replays "
+    "assignment + serving over everything, so a merge that drops, "
+    "duplicates, or mis-assigns batch vectors flips the hash.",
+)
+def ann_ivf_index_merge_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..llm.similarity import (
+        ivf_cell_assignments,
+        ivf_topk_served,
+        train_ivf_centroids,
+    )
+    from ..sinks.versioned import merge_versioned_table, read_versioned_table
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    hist = embs.where(F.col("vec_id") % 5 != 0)
+    batch = embs.where(F.col("vec_id") % 5 == 0)
+
+    trained = train_ivf_centroids(hist, n_centroids=16, iters=2)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_ivf_index_incr")
+    cents, _ = _ivf_index_tables(
+        spark, trained, ivf_cell_assignments(hist, centroids=trained), root
+    )
+    merge_versioned_table(
+        spark,
+        f"{root}/cells",
+        ivf_cell_assignments(batch, centroids=cents),
+        keys=["vec_id"],
+        partition_by=["cid"],
+    )
+    index = read_versioned_table(spark, f"{root}/cells")  # post-merge snapshot
+    return ivf_topk_served(embs, queries, index, centroids=cents, k=5, n_probe=4)
+
+
 def _minhash_incremental_oracle() -> str:
     # the standard minhash oracle restricted to pairs touching the
     # "new batch" (doc_id % 5 = 0): incremental-dedup semantics
