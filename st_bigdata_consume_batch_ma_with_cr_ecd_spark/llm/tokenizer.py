@@ -228,6 +228,151 @@ def bpe_train(
 
 
 # --------------------------------------------------------------------------
+# UNIGRAM-LM TRAINING (r9): the SentencePiece-style third trainer
+# --------------------------------------------------------------------------
+#
+# Completes the tokenizer family (BPE train/encode, WordPiece greedy
+# encode): a unigram language model over subword pieces (Kudo 2018,
+# "Subword Regularization"), trained by hard (Viterbi) EM over the
+# word-TYPE table — the documented Viterbi approximation of
+# SentencePiece's full EM, chosen because every statistic it produces
+# is an INTEGER (segment counts weighted by word frequency), which
+# makes the trained model bit-replayable by a SQL oracle with the
+# iterations unrolled (the Lloyd/ALS/BPE precedent). The distributed
+# parts are exactly the corpus-shaped ones: word-type stats, seed
+# substring counts, and the per-word Viterbi pass (Arrow-batched);
+# only the piece-probability table (the model) crosses the driver
+# between iterations, like bpe_train's best-pair collect.
+#
+# Determinism contract (shared with the oracle, which unrolls the DP
+# positions as lateral-alias columns and walks backpointers with a
+# bounded recursive CTE): piece probabilities are exact integer
+# divisions in IEEE double (identical in any engine); Viterbi scores
+# are products of those doubles in a fixed association order (DP
+# position ascending), so they are bit-identical; the argmax tiebreak
+# is (score, piece length) lexicographic — max score, then LONGEST
+# piece.
+
+
+def _viterbi_segment(
+    w: str, probs: dict[str, float], max_piece_len: int
+) -> list[str]:
+    """Best segmentation of ``w`` under a unigram piece model: DP over
+    end positions; candidate (score, l) pairs compared as tuples so
+    ties prefer the longer piece — the exact comparison the oracle's
+    ``list_max`` over {'v', 'l'} structs performs."""
+    m = len(w)
+    best = [0.0] * (m + 1)
+    best[0] = 1.0
+    back = [0] * (m + 1)
+    for i in range(1, m + 1):
+        bv, bl = -1.0, 0
+        for l in range(1, min(max_piece_len, i) + 1):
+            cand = best[i - l] * probs.get(w[i - l : i], 0.0)
+            if cand > bv or (cand == bv and l > bl):
+                bv, bl = cand, l
+        best[i], back[i] = bv, bl
+    pieces = []
+    i = m
+    while i > 0:
+        l = back[i]
+        pieces.append(w[i - l : i])
+        i -= l
+    return pieces
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_word_len: int = 16,
+    max_piece_len: int = 4,
+    min_seed_count: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """Train a unigram-LM subword vocabulary; returns the final
+    ``(piece, piece_count)`` table (pieces used by at least one word's
+    Viterbi segmentation in the last E step, with their corpus-weighted
+    segment counts — the integer sufficient statistics of the model;
+    probabilities are ``piece_count / sum(piece_count)``).
+
+    Seed vocabulary: every substring of length <= ``max_piece_len``
+    over the word-type table with corpus-weighted occurrence count >=
+    ``min_seed_count``, plus ALL single characters (so every word
+    stays segmentable). Each EM iteration Viterbi-segments every word
+    type under the previous probabilities and re-counts; pieces no
+    segmentation uses drop out. Words longer than ``max_word_len``
+    are excluded from the statistics (the bound that lets the oracle
+    unroll the DP; production vocab training caps word length the
+    same way — SentencePiece's own trainer truncates long "sentences").
+
+    Scale shape: word-type contraction first (Heaps' law — vocabulary
+    grows ~sqrt(corpus)); seed counting is one explode + sum over word
+    TYPES; each E step is one Arrow-batched pass over word types plus
+    a piece-keyed sum with map-side combine. The model (piece probs)
+    is collected per iteration like the IVF centroids / BPE merge
+    table — never the data."""
+    words = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .where((F.col("w") != "") & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # reused by seed pass + every E step
+    )
+
+    def _sub_expr(l: int):
+        def f(i):
+            return F.col("w").substr(i, F.lit(l))
+
+        return f
+
+    parts = []
+    for l in range(1, max_piece_len + 1):
+        idx = F.sequence(F.lit(1), F.length("w") - (l - 1))
+        parts.append(
+            F.when(F.length("w") >= l, F.transform(idx, _sub_expr(l))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    seeds = (
+        words.select(F.explode(F.concat(*parts)).alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .where((F.col("cnt") >= min_seed_count) | (F.length("piece") == 1))
+        .collect()
+    )
+    counts = {r["piece"]: int(r["cnt"]) for r in seeds}
+
+    def _e_step(probs: dict[str, float]) -> DataFrame:
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out_p: list[str] = []
+                out_n: list[int] = []
+                for w, n in zip(pdf["w"], pdf["n"]):
+                    for piece in _viterbi_segment(w, probs, max_piece_len):
+                        out_p.append(piece)
+                        out_n.append(int(n))
+                yield pd.DataFrame({"piece": out_p, "n": out_n})
+
+        return (
+            words.mapInPandas(gen, "piece string, n long")
+            .groupBy("piece")
+            .agg(F.sum("n").cast("bigint").alias("piece_count"))
+        )
+
+    out = None
+    for it in range(iters):
+        total = sum(counts.values())
+        probs = {p: c / total for p, c in counts.items()}
+        out = _e_step(probs)
+        if it < iters - 1:
+            counts = {r["piece"]: int(r["piece_count"]) for r in out.collect()}
+    return out
+
+
+# --------------------------------------------------------------------------
 # BPE ENCODING (r4): the serving half of bpe_train, pure JVM
 # --------------------------------------------------------------------------
 #

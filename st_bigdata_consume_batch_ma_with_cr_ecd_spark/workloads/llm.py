@@ -1660,6 +1660,154 @@ def tokenizer_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIGRAM_MAX_WORD = 16
+_UNIGRAM_MAX_PIECE = 4
+_UNIGRAM_MIN_SEED = 2
+_UNIGRAM_ITERS = 2
+
+
+def _unigram_em_iteration_sql(k: int) -> str:
+    """One unrolled hard-EM iteration of the unigram-LM trainer (reads
+    piece probs from ``p{k-1}``, emits counts ``c{k}`` and probs
+    ``p{k}``): per-word piece-probability map -> Viterbi DP as a chain
+    of {max_word_len} CTEs carrying a ROLLING 4-register window
+    (va..vd = v[i-4..i-1]; a flat lateral-alias unroll would inline
+    the 4-way recurrence exponentially — measured hang — while the CTE
+    chain stays linear) -> backpointer walk as a bounded recursive CTE
+    -> corpus-weighted integer segment counts. The candidate argmax is
+    ``list_max`` over {'v','l'} structs — max score, then LONGEST
+    piece, the exact tuple comparison the Spark-side python DP uses;
+    scores are products of identical IEEE doubles in identical order,
+    so the chosen paths match bit-for-bit across engines."""
+    parts = [f"""
+    wp{k} AS (
+        SELECT wt.w, t.i, ls.l, pr.p
+        FROM wt
+        CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) ls,
+        unnest(generate_series(ls.l, len(wt.w))) AS t(i)
+        JOIN p{k - 1} pr ON pr.piece = substr(wt.w, CAST(t.i - ls.l + 1 AS INT), ls.l)
+    ),
+    mp{k} AS (
+        SELECT w, map(list(i * 8 + l ORDER BY i * 8 + l),
+                      list(p ORDER BY i * 8 + l)) AS mp
+        FROM wp{k} GROUP BY w
+    ),
+    d{k}_0 AS (
+        SELECT wt.w, wt.n, m.mp,
+               CAST(0.0 AS DOUBLE) AS va, CAST(0.0 AS DOUBLE) AS vb,
+               CAST(0.0 AS DOUBLE) AS vc, CAST(1.0 AS DOUBLE) AS vd,
+               []::INTEGER[] AS bl
+        FROM wt JOIN mp{k} m ON wt.w = m.w
+    )"""]
+    regs = ("vd", "vc", "vb", "va")  # v[i-1], v[i-2], v[i-3], v[i-4]
+    for i in range(1, _UNIGRAM_MAX_WORD + 1):
+        cands = ", ".join(
+            f"{{'v': {regs[l - 1]} * coalesce(mp[{i * 8 + l}][1], CAST(0.0 AS DOUBLE)), 'l': {l}}}"
+            for l in range(1, _UNIGRAM_MAX_PIECE + 1)
+        )
+        s = f"list_max([{cands}])"
+        parts.append(f"""
+    d{k}_{i} AS (
+        SELECT w, n, mp, vb AS va, vc AS vb, vd AS vc,
+               ({s}).v AS vd, bl || [({s}).l] AS bl
+        FROM d{k}_{i - 1}
+    )""")
+    parts.append(f"""
+    dpf{k} AS (SELECT w, n, bl FROM d{k}_{_UNIGRAM_MAX_WORD}),
+    walk{k}(w, pos) AS (
+        SELECT w, CAST(len(w) AS INT) FROM dpf{k}
+        UNION ALL
+        SELECT wk.w, wk.pos - d.bl[wk.pos]
+        FROM walk{k} wk JOIN dpf{k} d ON wk.w = d.w
+        WHERE wk.pos > 0
+    ),
+    segs{k} AS (
+        SELECT wk.w, substr(wk.w, CAST(wk.pos - d.bl[wk.pos] + 1 AS INT), d.bl[wk.pos]) AS piece
+        FROM walk{k} wk JOIN dpf{k} d ON wk.w = d.w
+        WHERE wk.pos > 0
+    ),
+    c{k} AS (
+        SELECT s.piece, CAST(sum(d.n) AS BIGINT) AS cnt
+        FROM segs{k} s JOIN dpf{k} d ON s.w = d.w
+        GROUP BY s.piece
+    ),
+    p{k} AS (
+        SELECT piece, CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c{k}) AS p
+        FROM c{k}
+    )""")
+    return ",".join(parts)
+
+
+def _unigram_train_oracle() -> str:
+    """Full symbolic replay of llm/tokenizer.unigram_train: word-type
+    stats, the overlapping-substring seed vocabulary (count >= min_seed
+    OR single char), and {_UNIGRAM_ITERS} unrolled Viterbi-EM
+    iterations. All output statistics are integers; the only floats
+    are the piece probabilities (exact integer divisions, identical in
+    IEEE double across engines) and the DP score products (fixed
+    association order), which select segmentations but never reach
+    the hash."""
+    head = rf"""
+    WITH RECURSIVE
+    uwords AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+    ),
+    wt AS (
+        SELECT w, count(*) AS n FROM uwords
+        WHERE w <> '' AND len(w) <= {_UNIGRAM_MAX_WORD}
+        GROUP BY w
+    ),
+    subs AS (
+        SELECT substr(w, CAST(t.i AS INT), ls.l) AS piece, n
+        FROM wt
+        CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) ls,
+        unnest(generate_series(1, len(w) - ls.l + 1)) AS t(i)
+    ),
+    c0 AS (
+        SELECT piece, CAST(sum(n) AS BIGINT) AS cnt
+        FROM subs GROUP BY piece
+        HAVING CAST(sum(n) AS BIGINT) >= {_UNIGRAM_MIN_SEED} OR len(piece) = 1
+    ),
+    p0 AS (
+        SELECT piece, CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c0) AS p
+        FROM c0
+    ),"""
+    body = ",".join(_unigram_em_iteration_sql(k) for k in range(1, _UNIGRAM_ITERS + 1))
+    return head + body + f"\n    SELECT piece, cnt AS piece_count FROM c{_UNIGRAM_ITERS}"
+
+
+@register(
+    "tokenizer_unigram_train",
+    oracle=_unigram_train_oracle(),
+    doc="The UNIGRAM-LM (SentencePiece-style) TOKENIZER TRAINER under "
+    "the driver's value hash — completes the tokenizer family next to "
+    "bpe_train and the WordPiece greedy encoder (r8 verdict ask #7): "
+    "hard (Viterbi) EM over the word-TYPE table (Kudo 2018's model, "
+    "Viterbi E-step so every trained statistic is an INTEGER segment "
+    "count — the property that makes the model hash-replayable). Seed "
+    "vocab = all substrings <= 4 chars with corpus-weighted count >= "
+    "2 plus all single chars; 2 EM iterations, each one Arrow-batched "
+    "Viterbi pass over word types + a piece-keyed integer sum; only "
+    "the piece-probability model crosses the driver between "
+    "iterations (the bpe_train/IVF precedent). Scores are products of "
+    "exact integer-division doubles in pinned order with a (score, "
+    "longest-piece) argmax, so the DuckDB oracle — unrolled DP as "
+    "rolling-register CTE chains plus a bounded recursive backpointer "
+    "walk — picks bit-identical segmentations.",
+    tags=("bench",),
+)
+def tokenizer_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.tokenizer import unigram_train
+
+    return unigram_train(
+        _docs(spark, sf_dir),
+        max_word_len=_UNIGRAM_MAX_WORD,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+        min_seed_count=_UNIGRAM_MIN_SEED,
+        iters=_UNIGRAM_ITERS,
+    )
+
+
 @register(
     "tokenize_bpe_encode",
     oracle=_bpe_encode_oracle(),

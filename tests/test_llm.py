@@ -387,6 +387,52 @@ def test_ivf_topk_recall_vs_bruteforce(spark, sf_dir):
     assert all(v == 5 for v in per_q.values())
 
 
+def test_unigram_train_counts_cover_corpus(spark):
+    # the Viterbi-EM unigram trainer (r9): every word type is covered
+    # exactly once by its segmentation, so the character mass of the
+    # counted pieces must equal the corpus character mass — and the
+    # high-frequency subwords must surface as whole pieces
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.tokenizer import unigram_train
+
+    text1 = "the cat the cat thecat"
+    text2 = "the mat the mat themat"
+    df = spark.createDataFrame([(text1,), (text2,)], ["text"])
+    rows = unigram_train(df).collect()
+    mass = sum(r.piece_count * len(r.piece) for r in rows)
+    words = (text1 + " " + text2).split()
+    assert mass == sum(len(w) for w in words)
+    pieces = {r.piece: r.piece_count for r in rows}
+    # 'the' occurs 4x standalone + inside thecat/themat; the EM must
+    # keep it a single piece (it dominates the seed statistics)
+    assert pieces.get("the", 0) >= 4
+    # every counted piece is an actual substring of some corpus word
+    assert all(any(p in w for w in words) for p in pieces)
+    # words longer than max_word_len are excluded from the statistics
+    long_word = "x" * 20
+    df2 = spark.createDataFrame([(f"{text1} {long_word}",)], ["text"])
+    rows2 = unigram_train(df2).collect()
+    assert not any("x" in r.piece for r in rows2)
+
+
+def test_unigram_viterbi_segment_reference():
+    # pure-python sanity of the DP against hand-checkable cases: the
+    # (score, longest-piece) argmax and the walk
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.tokenizer import (
+        _viterbi_segment,
+    )
+
+    probs = {"ab": 0.4, "a": 0.2, "b": 0.2, "c": 0.2}
+    # 'ab' as one piece (0.4) beats 'a'+'b' (0.04); pieces come back
+    # in reverse document order (the backpointer walk)
+    assert list(reversed(_viterbi_segment("abc", probs, 4))) == ["ab", "c"]
+    # equal-score tie prefers the longer piece: p(ab) == p(a)*p(b)
+    probs2 = {"ab": 0.25, "a": 0.5, "b": 0.5}
+    assert list(reversed(_viterbi_segment("ab", probs2, 4))) == ["ab"]
+    # unreachable chars segment through the char fallback only if seeded
+    probs3 = {"a": 1.0}
+    assert _viterbi_segment("aa", probs3, 4) == ["a", "a"]
+
+
 def test_ivf_served_from_stored_index_equals_in_memory(spark, sf_dir, tmp_path):
     # r9 (r8 verdict ask #6): persisting the trained index (exploded
     # centroids + cid-partitioned inverted file) and serving from the
