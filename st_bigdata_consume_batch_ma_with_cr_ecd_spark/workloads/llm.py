@@ -3754,15 +3754,22 @@ def _prefixed_closure(p: str, pairs_cte: str) -> str:
     "their cost; its own oracle row is the correctness gate.",
 )
 def corpus_multimodal_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal_dedup_summary(_docs(spark, sf_dir))
+
+
+def multimodal_dedup_summary(docs: DataFrame, *, n_patterns: int = 37) -> DataFrame:
+    """The chain behind ``corpus_multimodal_dedup_summary``, over any
+    (doc_id, text) frame — shared with the scale probe (r8 verdict ask
+    #8), which amplifies the input and scales ``n_patterns`` with the
+    amplification so per-modality cluster sizes stay constant."""
     from pyspark.sql import Window
 
-    docs = _docs(spark, sf_dir)
-    img = image_dedup_pipeline(docs).select(
+    img = image_dedup_pipeline(docs, n_patterns=n_patterns).select(
         "doc_id",
         F.col("cluster_id").alias("image_cluster"),
         F.col("cluster_size").alias("image_dups"),
     )
-    aud = audio_dedup_pipeline(docs).select(
+    aud = audio_dedup_pipeline(docs, n_patterns=n_patterns).select(
         "doc_id",
         F.col("cluster_id").alias("audio_cluster"),
         F.col("cluster_size").alias("audio_dups"),

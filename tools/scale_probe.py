@@ -247,8 +247,10 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
     # web-corpus prep composite (URL canon -> mirror dedup window ->
     # HTML extract over survivors): per-row regex work + one window +
     # one doc-sized join — expected linear; the probe guards the
-    # composition. Amplified doc_ids keep the 5-variant mirror groups
-    # intact (the group key doc_id DIV 5 shifts with the replica).
+    # composition. Amplified doc_ids keep the 6-variant mirror groups
+    # intact within each replica (the group key doc_id DIV 6 shifts
+    # with the replica; replica-boundary groups are at most partial,
+    # which the canonicalizer handles like any short group).
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
         web_corpus_prep,
     )
@@ -306,6 +308,63 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         image_dedup_pipeline(docs_i, n_patterns=37 * mult).write.format(
             "noop"
         ).mode("overwrite").save()
+
+    def multimodal_summary_compute() -> None:
+        # the cross-modal dedup summary composition (r8 verdict ask #8:
+        # corpus_multimodal_dedup_summary composes two audited
+        # pipelines plus a text-fingerprint window and two doc-keyed
+        # joins, but had no probe of its own). Pattern space scales
+        # with the mult like the per-modality probes; replica texts are
+        # tag-prefixed so exact-text clusters stay constant per replica
+        # (untagged replicas would grow every text cluster with the
+        # mult and measure window skew, not the composition).
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            multimodal_dedup_summary,
+        )
+
+        reps = [
+            docs_full.select(
+                (F.col("doc_id") + F.lit(r * SHIFT)).alias("doc_id"),
+                F.concat(F.lit(f"R{r}x"), F.col("text")).alias("text"),
+            )
+            for r in range(mult)
+        ]
+        docs_mm = reps[0]
+        for rep in reps[1:]:
+            docs_mm = docs_mm.unionByName(rep)
+        multimodal_dedup_summary(docs_mm, n_patterns=37 * mult).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    # incremental modal dedup twins (r8 verdict ask #5): the corpus
+    # grows with the mult but the ARRIVING BATCH stays a constant
+    # absolute size (doc_id % (5 * mult) = 0 — the same 1/(5*mult)
+    # fraction of a mult-times-larger corpus), so the pair stage's
+    # cost must stay flat while the signature stage scans the corpus
+    # linearly (at 100 TB the historic signatures come from a stored
+    # table; the probe measures the pair machinery, which is the part
+    # that would otherwise go quadratic).
+    def image_incr_compute() -> None:
+        docs_i = amplify(docs_tbl, mult, ["doc_id"])
+        image_dhash_verified_pairs(
+            docs_i,
+            n_patterns=37 * mult,
+            band_hex_width=4,
+            max_hamming=3,
+            pair_filter_sql=f"x % {5 * mult} = 0 OR y % {5 * mult} = 0",
+        ).write.format("noop").mode("overwrite").save()
+
+    def audio_incr_compute() -> None:
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            audio_contour_verified_pairs,
+        )
+
+        docs_i = amplify(docs_tbl, mult, ["doc_id"])
+        audio_contour_verified_pairs(
+            docs_i,
+            n_patterns=37 * mult,
+            pair_filter_sql=f"x % {5 * mult} = 0 OR y % {5 * mult} = 0",
+        ).write.format("noop").mode("overwrite").save()
 
     # k-core peel on the thresholded (>= 2 shared orders) co-purchase
     # graph: replicas are disjoint components, so the cascade runs
@@ -432,6 +491,9 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
         "image_dedup_k3": (image_dedup_k3_compute, n_docs_i * mult),
         "image_pipeline_k3": (image_pipeline_k3_compute, n_docs_i * mult),
         "audio_dedup": (audio_dedup_compute, n_docs_i * mult),
+        "multimodal_summary": (multimodal_summary_compute, n_docs_i * mult),
+        "image_incr": (image_incr_compute, n_docs_i * mult),
+        "audio_incr": (audio_incr_compute, n_docs_i * mult),
         "web_corpus_prep": (web_prep, n_docs_i * mult),
         "fuzzy_er_closure": (fuzzy_er_compute, n_cust * mult),
         "fuzzy_k2": (fuzzy_k2_compute, n_cust * mult),
@@ -762,6 +824,53 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         assert "BroadcastNestedLoopJoin" not in plan
         assert_no_checkpoint_broadcasts(plan, "audio_dedup")
 
+    def multimodal_summary_pins_hold() -> None:
+        # the cross-modal composition: both modality chains keep their
+        # audited shapes AND the three-way verdict join of doc-sized
+        # honest-estimate sides stays hash/merge-planned (r8 verdict
+        # ask #8 — confirm the summary join adds no hazard class)
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            multimodal_dedup_summary,
+        )
+
+        docs_a = amplify(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text"),
+            mult,
+            ["doc_id"],
+        )
+        plan = final_plan(multimodal_dedup_summary(docs_a, n_patterns=37 * mult))
+        assert "SortMergeJoin" in plan, "multimodal chains lost their merge pins"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert_no_checkpoint_broadcasts(plan, "multimodal_summary")
+
+    def incr_pair_filter_inside_generation() -> None:
+        # the incremental twins must keep the batch restriction INSIDE
+        # grouped-bucket pair generation — a Filter above a Generate,
+        # never a join against a batch table (the dedup_incremental_
+        # minhash contract, now on the Hamming path)
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            image_dhash_verified_pairs,
+        )
+
+        docs_a = amplify(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+            mult,
+            ["doc_id"],
+        )
+        plan = final_plan(
+            image_dhash_verified_pairs(
+                docs_a,
+                n_patterns=37 * mult,
+                band_hex_width=4,
+                max_hamming=3,
+                pair_filter_sql=f"x % {5 * mult} = 0 OR y % {5 * mult} = 0",
+            )
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert_no_checkpoint_broadcasts(plan, "image_incr")
+
     def image_dedup_k3_pins_hold() -> None:
         # the wide-block scale path at the audit mult: the dHash
         # signature checkpoint feeds blocking AND both verify sides, so
@@ -801,6 +910,8 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         "image_dedup_k3": image_dedup_k3_pins_hold,
         "image_pipeline_k3": image_pipeline_k3_pins_hold,
         "audio_dedup": audio_dedup_pins_hold,
+        "multimodal_summary": multimodal_summary_pins_hold,
+        "image_incr": incr_pair_filter_inside_generation,
     }
 
 
@@ -815,6 +926,14 @@ def main() -> int:
         help="after the timed runs, re-execute the audited probes at the "
         "largest mult and assert their final adaptive plans (SMJ pins "
         "hold, no data-sized broadcasts)",
+    )
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions for every timed run "
+        "(ignores the per-probe SCALED_SHUFFLE rules) — the A/B knob for "
+        "diagnosing whether a probe step is partition-bound",
     )
     ap.add_argument(
         "--audit-only",
@@ -852,6 +971,8 @@ def main() -> int:
     }
 
     def shuffle_for(name: str, mult: int) -> int:
+        if args.shuffle_partitions is not None:
+            return args.shuffle_partitions
         return SCALED_SHUFFLE.get(name, lambda _m: cpus)(mult)
 
     def run(obj) -> None:
