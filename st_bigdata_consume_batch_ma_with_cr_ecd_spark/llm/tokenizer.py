@@ -373,6 +373,145 @@ def unigram_train(
 
 
 # --------------------------------------------------------------------------
+# UNIGRAM-LM ENCODING (r9): the serving half of unigram_train, pure JVM
+# --------------------------------------------------------------------------
+#
+# Applying a trained unigram model does not need Python either: the
+# Viterbi DP over a word's (bounded) positions unrolls into a chain of
+# whole-stage-codegen expressions — a rolling 4-register window of
+# best scores (va..vd) plus a parallel window of segment counts, with
+# the argmax as `greatest()` over (score, piece_length) structs (Spark
+# compares struct fields lexicographically, the same (v, l) tuple
+# order the trainer and the SQL oracle use). Piece probabilities come
+# from a literal map (offline-trained stand-in, like DEFAULT_MERGES /
+# the IVF fixed centroids). Tracking the segment COUNT alongside the
+# score removes the need for a backpointer walk entirely: the chosen
+# candidate's count is its predecessor's count + 1.
+
+#: offline-trained stand-in unigram vocabulary as (piece, weight):
+#: frequent subwords (all within the DP's max_piece_len of 4 — the
+#: same bound the trainer's seed vocabulary uses) plus the latin
+#: alphabet as fallback single chars (weights are the integer counts
+#: a trainer would emit; probabilities are weight / total, computed
+#: identically by the Spark literals and the oracle's VALUES table).
+DEFAULT_UNIGRAM_VOCAB: tuple[tuple[str, int], ...] = (
+    ("the", 50), ("scan", 20), ("part", 20), ("hash", 20),
+    ("tab", 12), ("le", 12), ("val", 12), ("ue", 12), ("spa", 12),
+    ("rk", 12), ("bat", 12), ("ch", 12), ("mer", 10), ("ge", 10),
+    ("wind", 10), ("ow", 10), ("er", 15), ("in", 15), ("re", 15),
+    ("on", 15), ("at", 15), ("ing", 12), ("ed", 12), ("es", 12),
+) + tuple((c, 5) for c in "abcdefghijklmnopqrstuvwxyz")
+
+
+def unigram_encode_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    vocab: Sequence[tuple[str, int]] = DEFAULT_UNIGRAM_VOCAB,
+    max_word_len: int = 16,
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Per-document unigram-LM token accounting with ZERO Python in
+    the hot path: every whitespace word of <= ``max_word_len`` chars
+    is Viterbi-segmented under the literal ``vocab``, and the per-doc
+    aggregate reports ``(id, n_words, n_covered, n_pieces,
+    pieces_per_word)`` — ``n_covered`` counts DP-eligible words with a
+    positive-probability segmentation (a word containing an
+    out-of-vocab character, or longer than the bound, is excluded
+    from the piece stats), ``pieces_per_word`` is pieces / covered
+    words (the fertility metric; NULL when nothing is covered).
+
+    The DP is ONE ``F.aggregate`` fold over ``sequence(1, len(word))``
+    whose accumulator carries a rolling 4-register window of (score,
+    segment count) pairs — runtime-iterative, so the 4-way recurrence
+    never materializes as a duplicated expression tree (the same
+    blowup the trainer's oracle avoids with chained CTEs). The argmax
+    is ``greatest()`` over ``struct(score, piece_len, count)`` —
+    Spark's field-order struct comparison IS the (max score, longest
+    piece) tiebreak the trainer and its oracle use. Tracking the
+    segment count in the accumulator removes the backpointer walk
+    entirely: the chosen candidate's count is its predecessor's + 1.
+
+    The word-length bound matches :func:`unigram_train` (and keeps
+    the SQL oracle's unrolled replay finite); longer words count in
+    ``n_words`` only. One explode + one per-doc aggregate, no UDF, no
+    extra shuffle."""
+    total = sum(wt for _, wt in vocab)
+    if any(len(pc) > max_piece_len or not pc for pc, _ in vocab):
+        raise ValueError(f"vocab pieces must be 1..{max_piece_len} chars")
+    pmap = F.create_map(
+        *[x for pc, wt in vocab for x in (F.lit(pc), F.lit(wt / total))]
+    )
+
+    w = F.col("__w")
+    zero = F.lit(0.0).cast("double")
+    regs = ("vd", "vc", "vb", "va")  # score at i-1, i-2, i-3, i-4
+    cnts = ("cd", "cc", "cb", "ca")
+
+    def step(acc, i):
+        cands = []
+        for l in range(1, max_piece_len + 1):
+            piece = w.substr(i - F.lit(l) + 1, F.lit(l))
+            p = F.when(
+                i >= l, F.coalesce(F.element_at(F.col("__pm"), piece), zero)
+            ).otherwise(zero)
+            cands.append(
+                F.struct(
+                    (acc[regs[l - 1]] * p).alias("v"),
+                    F.lit(l).alias("l"),
+                    (acc[cnts[l - 1]] + 1).alias("c"),
+                )
+            )
+        best = F.greatest(*cands)
+        return F.struct(
+            best["v"].alias("vd"),
+            acc["vd"].alias("vc"),
+            acc["vc"].alias("vb"),
+            acc["vb"].alias("va"),
+            best["c"].alias("cd"),
+            acc["cd"].alias("cc"),
+            acc["cc"].alias("cb"),
+            acc["cb"].alias("ca"),
+        )
+
+    init = F.struct(
+        F.lit(1.0).cast("double").alias("vd"),
+        zero.alias("vc"),
+        zero.alias("vb"),
+        zero.alias("va"),
+        F.lit(0).alias("cd"),
+        F.lit(0).alias("cc"),
+        F.lit(0).alias("cb"),
+        F.lit(0).alias("ca"),
+    )
+    fin = F.aggregate(F.sequence(F.lit(1), F.length(w)), init, step)
+
+    words = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__w")
+    ).where(w != "")
+    eligible = F.length(w) <= max_word_len
+    scored = words.withColumn("__pm", pmap).select(
+        id_col,
+        eligible.alias("__el"),
+        F.when(eligible, fin["vd"]).otherwise(zero).alias("__score"),
+        F.when(eligible, fin["cd"]).otherwise(F.lit(0)).alias("__np"),
+    )
+    covered = (F.col("__el") & (F.col("__score") > 0)).cast("int")
+    out = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        F.sum(covered).cast("bigint").alias("n_covered"),
+        F.sum(covered * F.col("__np")).cast("bigint").alias("n_pieces"),
+    )
+    return out.withColumn(
+        "pieces_per_word",
+        F.when(
+            F.col("n_covered") > 0, F.round(F.col("n_pieces") / F.col("n_covered"), 4)
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
 # BPE ENCODING (r4): the serving half of bpe_train, pure JVM
 # --------------------------------------------------------------------------
 #

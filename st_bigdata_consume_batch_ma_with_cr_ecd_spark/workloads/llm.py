@@ -1808,6 +1808,107 @@ def tokenizer_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unigram_encode_oracle() -> str:
+    """Symbolic replay of llm/tokenizer.unigram_encode_counts: the
+    literal vocab as a VALUES table, the Viterbi DP over word TYPES as
+    the trainer-oracle's rolling-register CTE chain — extended with a
+    parallel segment-count register file and a capture-at-own-length
+    column (coalesce(final, CASE len(w) = i ...)), so no backpointer
+    walk — then a doc-occurrence join for the per-doc stats."""
+    from ..llm.tokenizer import DEFAULT_UNIGRAM_VOCAB
+
+    total = sum(wt for _, wt in DEFAULT_UNIGRAM_VOCAB)
+    values = ", ".join(f"('{p}', {wt})" for p, wt in DEFAULT_UNIGRAM_VOCAB)
+    parts = [rf"""
+    WITH uv AS (SELECT * FROM (VALUES {values}) AS t(piece, wt)),
+    pv AS (SELECT piece, CAST(wt AS DOUBLE) / CAST({total} AS DOUBLE) AS p FROM uv),
+    dw AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        FROM documents
+    ),
+    dwf AS (SELECT doc_id, w FROM dw WHERE w <> ''),
+    uwt AS (SELECT DISTINCT w FROM dwf WHERE len(w) <= {_UNIGRAM_MAX_WORD}),
+    uwp AS (
+        SELECT uwt.w, t.i, ls.l, pr.p
+        FROM uwt
+        CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS l) ls,
+        unnest(generate_series(ls.l, len(uwt.w))) AS t(i)
+        JOIN pv pr ON pr.piece = substr(uwt.w, CAST(t.i - ls.l + 1 AS INT), ls.l)
+    ),
+    ump AS (
+        SELECT w, map(list(i * 8 + l ORDER BY i * 8 + l),
+                      list(p ORDER BY i * 8 + l)) AS mp
+        FROM uwp GROUP BY w
+    ),
+    ue_0 AS (
+        SELECT uwt.w, m.mp,
+               CAST(0.0 AS DOUBLE) AS va, CAST(0.0 AS DOUBLE) AS vb,
+               CAST(0.0 AS DOUBLE) AS vc, CAST(1.0 AS DOUBLE) AS vd,
+               0 AS ca, 0 AS cb, 0 AS cc, 0 AS cd,
+               CAST(NULL AS DOUBLE) AS final_v, CAST(NULL AS INT) AS final_c
+        FROM uwt LEFT JOIN ump m ON uwt.w = m.w
+    )"""]
+    regs = ("vd", "vc", "vb", "va")
+    cnts = ("cd", "cc", "cb", "ca")
+    for i in range(1, _UNIGRAM_MAX_WORD + 1):
+        cands = ", ".join(
+            f"{{'v': {regs[l - 1]} * coalesce(mp[{i * 8 + l}][1], CAST(0.0 AS DOUBLE)),"
+            f" 'l': {l}, 'c': {cnts[l - 1]} + 1}}"
+            for l in range(1, _UNIGRAM_MAX_PIECE + 1)
+        )
+        s = f"list_max([{cands}])"
+        parts.append(f"""
+    ue_{i} AS (
+        SELECT w, mp, vb AS va, vc AS vb, vd AS vc, ({s}).v AS vd,
+               cb AS ca, cc AS cb, cd AS cc, ({s}).c AS cd,
+               coalesce(final_v, CASE WHEN len(w) = {i} THEN ({s}).v END) AS final_v,
+               coalesce(final_c, CASE WHEN len(w) = {i} THEN ({s}).c END) AS final_c
+        FROM ue_{i - 1}
+    )""")
+    parts.append(f"""
+    enc AS (SELECT w, final_v, final_c FROM ue_{_UNIGRAM_MAX_WORD})
+    SELECT f.doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(CASE WHEN e.final_v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           CAST(sum(CASE WHEN e.final_v > 0 THEN e.final_c ELSE 0 END) AS BIGINT) AS n_pieces,
+           CASE WHEN sum(CASE WHEN e.final_v > 0 THEN 1 ELSE 0 END) > 0
+                THEN round(sum(CASE WHEN e.final_v > 0 THEN e.final_c ELSE 0 END) * 1.0
+                           / sum(CASE WHEN e.final_v > 0 THEN 1 ELSE 0 END), 4)
+           END AS pieces_per_word
+    FROM dwf f LEFT JOIN enc e ON f.w = e.w
+    GROUP BY f.doc_id""")
+    return ",".join(parts)
+
+
+@register(
+    "tokenize_unigram_encode",
+    oracle=_unigram_encode_oracle(),
+    doc="UNIGRAM-LM ENCODING with zero Python (the serving half of "
+    "tokenizer_unigram_train, completing the train/serve pairing the "
+    "BPE family already has): a literal offline-trained vocab folds "
+    "into ONE F.aggregate expression per word — the Viterbi DP as a "
+    "runtime fold over sequence(1, len(word)) whose accumulator "
+    "carries rolling (score, segment-count) registers, with "
+    "greatest() over (score, piece_len, count) structs as the argmax "
+    "(Spark's field-order struct comparison IS the max-score-then-"
+    "longest-piece tiebreak; a flat expression unroll would duplicate "
+    "the 4-way recurrence exponentially). No UDF, no extra shuffle: "
+    "one explode + one per-doc aggregate. The oracle replays the DP "
+    "with the trainer-oracle's rolling-register CTE chain plus a "
+    "capture-at-own-length column, over word TYPES joined back to "
+    "doc occurrences.",
+    tags=("bench",),
+)
+def tokenize_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.tokenizer import unigram_encode_counts
+
+    return unigram_encode_counts(
+        _docs(spark, sf_dir),
+        max_word_len=_UNIGRAM_MAX_WORD,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+    )
+
+
 @register(
     "tokenize_bpe_encode",
     oracle=_bpe_encode_oracle(),

@@ -433,6 +433,48 @@ def test_unigram_viterbi_segment_reference():
     assert _viterbi_segment("aa", probs3, 4) == ["a", "a"]
 
 
+def test_unigram_encode_counts_matches_python_dp(spark):
+    # the zero-UDF fold encoder must agree with the trainer's python
+    # DP (same probs, same (score, longest-piece) tiebreak) on crafted
+    # docs covering: multi-piece words, uncovered words (digits),
+    # over-length words, and a doc with nothing covered
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.tokenizer import (
+        DEFAULT_UNIGRAM_VOCAB,
+        _viterbi_segment,
+        unigram_encode_counts,
+    )
+
+    total = sum(wt for _, wt in DEFAULT_UNIGRAM_VOCAB)
+    probs = {p: wt / total for p, wt in DEFAULT_UNIGRAM_VOCAB}
+    docs = [
+        (1, "the sparktable merge rebatch"),
+        (2, "zz99 12345 the"),
+        (3, "9999 ####"),
+        (4, ("x" * 20) + " window at"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in unigram_encode_counts(df).collect()}
+    for doc_id, text in docs:
+        words = text.split()
+        n_cov = n_pieces = 0
+        for w in words:
+            if len(w) > 16:
+                continue
+            pieces = _viterbi_segment(w, probs, 4)
+            score_pos = all(probs.get(p, 0.0) > 0.0 for p in pieces)
+            if score_pos:
+                n_cov += 1
+                n_pieces += len(pieces)
+        r = got[doc_id]
+        assert r.n_words == len(words)
+        assert r.n_covered == n_cov, (doc_id, r)
+        assert r.n_pieces == n_pieces, (doc_id, r)
+        if n_cov == 0:
+            assert r.pieces_per_word is None
+        else:
+            assert r.pieces_per_word == round(n_pieces / n_cov, 4)
+
+
 def test_ivf_served_from_stored_index_equals_in_memory(spark, sf_dir, tmp_path):
     # r9 (r8 verdict ask #6): persisting the trained index (exploded
     # centroids + cid-partitioned inverted file) and serving from the
