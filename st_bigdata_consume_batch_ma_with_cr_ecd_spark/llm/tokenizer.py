@@ -490,14 +490,30 @@ def unigram_encode_counts(
     words = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__w")
     ).where(w != "")
+    # the DP runs over word TYPES, not occurrences (the Heaps'-law
+    # contraction every trainer here uses, and the same shape as this
+    # query's oracle): higher-order folds evaluate interpreted, so
+    # paying the fold once per distinct word instead of once per token
+    # cut the benched sf0.1 cost ~20x (22.4s -> ~1s). One extra
+    # distinct+join shuffle, both sides word-type-sized.
     eligible = F.length(w) <= max_word_len
-    scored = words.withColumn("__pm", pmap).select(
-        id_col,
-        eligible.alias("__el"),
-        F.when(eligible, fin["vd"]).otherwise(zero).alias("__score"),
-        F.when(eligible, fin["cd"]).otherwise(F.lit(0)).alias("__np"),
+    types = (
+        words.select("__w")
+        .distinct()
+        .where(eligible)
+        .withColumn("__pm", pmap)
+        .select(
+            "__w",
+            (fin["vd"] > 0).alias("__cov"),
+            fin["cd"].alias("__np"),
+        )
     )
-    covered = (F.col("__el") & (F.col("__score") > 0)).cast("int")
+    scored = words.join(types, "__w", "left").select(
+        id_col,
+        F.coalesce(F.col("__cov"), F.lit(False)).alias("__cov"),
+        F.coalesce(F.col("__np"), F.lit(0)).alias("__np"),
+    )
+    covered = F.col("__cov").cast("int")
     out = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_words"),
         F.sum(covered).cast("bigint").alias("n_covered"),
