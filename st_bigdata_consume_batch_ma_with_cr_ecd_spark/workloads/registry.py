@@ -75,36 +75,10 @@ REGISTRY: dict[str, QuerySpec] = {}
 # newest record — the stale green satisfied the old condition and the
 # rework would have shipped ungated, the r6 complaint all over again.)
 FORCE_RECHECK: dict[str, int] = {
-    # (the six r8 entries cleared after their d8 greens — the map
-    # records PENDING re-verifications only, r8 verdict ask #2.)
-    #
-    # r9: the flagship e2e's default stage-0 tier flipped from cached
-    # to staged (the r8 verdict's one weak item) — same rows by
-    # construction (the cached twin keeps the same oracle and pytest
-    # enforces row-identity), but the driver record must cover the
-    # NEW default composition. ALWAYS_CHECK already pins it; the
-    # entry documents the declared-round contract explicitly.
-    "pipeline_consume_batch_e2e": 9,
-    # r9: the HTML extractor fused its page-scale regex passes (the
-    # invisible-region strip now participates in the block split as a
-    # delimiter alternation, and strip_tags collapses tags+whitespace
-    # in ONE replace — r8 verdict ask #4), and canonicalize_url /
-    # url_host handle userinfo authorities (r8 ADVICE: the default
-    # port after user:pw@ was no longer stripped); the URL fixture
-    # gained a userinfo mirror class, so outputs change. Every query
-    # composing those expressions re-enters the driver window.
-    "text_html_main_content": 9,
-    "text_html_block_features": 9,
-    "web_url_canonicalize": 9,
-    "pipeline_web_corpus_prep": 9,
-    # r9: audio_contour_signature excludes the trailing short window
-    # from the contour (r8 ADVICE: a partial window biased the last
-    # bit toward 0) — identical outputs on the full-window fixtures,
-    # but a physical rework of the signature chain re-enters per the
-    # r6 reworks-re-enter rule.
-    "dedup_audio_contour_pairs": 9,
-    "corpus_audio_dedup_pipeline": 9,
-    "corpus_multimodal_dedup_summary": 9,
+    # (the eight r9 entries cleared after their d9 greens — the map
+    # records PENDING re-verifications only, r9 verdict ask #2. The
+    # r10 window therefore leads with the 10 d4-era rows and the
+    # stalest d5 cohort, per the rotation's own ordering.)
 }
 
 # Queries pinned into EVERY driver window regardless of rotation age

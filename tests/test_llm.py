@@ -1367,3 +1367,92 @@ def test_heavy_hitters_mg_empty_and_null_items(spark):
     out = {r.item: r.cnt for r in heavy_hitters_mg(df, "v", capacity=2).collect()}
     # stream after filtering: a a a b (n=4); threshold 2*4/3 = 2.67
     assert out == {"a": 3}
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup served from the stored signature table (r9 verdict ask #1)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_served_matches_recompute_twins(spark, sf_dir):
+    # the store->merge->serve path must be row-identical to the
+    # recompute twin: storage is value-preserving and the historic/batch
+    # doc_id sets are disjoint, so any divergence is a store/merge bug
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.registry import (
+        REGISTRY,
+    )
+
+    for served, twin in [
+        ("dedup_image_incremental_served", "dedup_image_incremental_pairs"),
+        ("dedup_audio_incremental_served", "dedup_audio_incremental_pairs"),
+        ("dedup_minhash_incremental_served", "dedup_incremental_minhash"),
+    ]:
+        got = sorted(map(tuple, REGISTRY[served].fn(spark, sf_dir).collect()))
+        want = sorted(map(tuple, REGISTRY[twin].fn(spark, sf_dir).collect()))
+        assert got == want, f"{served} diverged from {twin}"
+        assert got, f"{served} produced no pairs — vacuous comparison"
+
+
+def test_served_signature_store_history_zero_io(spark, sf_dir):
+    # the nightly MERGE must copy-on-write ONLY the batch's ingest
+    # bucket: the historic partition's manifest entries (file paths)
+    # must be carried over byte-identical — at 100 TB this is the
+    # difference between an incremental job and a full rewrite
+    import os
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        _read_manifest,
+        list_versions,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        _served_signature_table,
+        image_dhash_signatures,
+    )
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    hist = image_dhash_signatures(docs.where("doc_id % 5 != 0"))
+    batch = image_dhash_signatures(docs.where("doc_id % 5 = 0"))
+    snap = _served_signature_table(spark, "pytest_zero_io", hist, batch)
+    import tempfile
+
+    table = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sigs_pytest_zero_io_{os.getpid()}",
+        "signatures",
+    )
+    versions = list_versions(spark, table)
+    assert len(versions) == 2, "expected exactly create + merge versions"
+    m0 = _read_manifest(spark, table, versions[0])
+    m1 = _read_manifest(spark, table, versions[1])
+    hist_entries_0 = [e for e in m0["entries"] if e["partition"]["ingest_bucket"] == 0]
+    hist_entries_1 = [e for e in m1["entries"] if e["partition"]["ingest_bucket"] == 0]
+    assert hist_entries_0 == hist_entries_1, (
+        "merge rewrote the historic partition — COW must touch only the batch bucket"
+    )
+    batch_entries_1 = [e for e in m1["entries"] if e["partition"]["ingest_bucket"] == 1]
+    assert batch_entries_1, "merge did not publish the batch partition"
+    # and the snapshot covers both slices exactly once
+    assert snap.count() == 40
+    assert snap.select("doc_id").distinct().count() == 40
+
+
+def test_served_pair_plan_is_parquet_fed(spark, sf_dir):
+    # serving must never re-decode payloads: after the eager store +
+    # merge, the returned pair DataFrame's plan is pure parquet scans —
+    # zero python stages (MapInPandas/ArrowEval) below the pair tail
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.registry import (
+        REGISTRY,
+    )
+
+    for name in (
+        "dedup_image_incremental_served",
+        "dedup_minhash_incremental_served",
+    ):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan parquet" in plan, f"{name}: serving lost its parquet scan"
+        for py_node in ("MapInPandas", "ArrowEval", "BatchEvalPython"):
+            assert py_node not in plan, (
+                f"{name}: serving plan contains {py_node} — historic "
+                "payloads are being re-decoded at query time"
+            )
