@@ -538,15 +538,60 @@ def ivf_cell_assignments(
     id_col: str = "vec_id",
     *,
     centroids: list[list[float]],
+    carry_vectors: bool = False,
 ) -> DataFrame:
     """Each corpus vector's IVF cell: ``(id_col, cid)`` under the given
     coarse quantizer — the INDEX a production ANN deployment persists
     (the inverted file is exactly this assignment table, partitioned by
     cell). One vectorized UDF pass, no shuffle; new batches assign with
-    the same stored centroids and MERGE into the index table."""
+    the same stored centroids and MERGE into the index table.
+
+    ``carry_vectors=True`` keeps the vector column alongside — the
+    SELF-CONTAINED inverted file (what FAISS's IVF lists physically
+    store): serving then reads the probed cells' partitions and has
+    both ids and vectors, with no corpus-side join or scan at all."""
     assign1 = _assign_udf(centroids, 1)
-    return corpus.select(
-        F.col(id_col), assign1(_to_double(F.col(vec_col)))[0].alias("cid")
+    cols = [F.col(id_col)] + ([F.col(vec_col)] if carry_vectors else [])
+    return corpus.select(*cols, assign1(_to_double(F.col(vec_col)))[0].alias("cid"))
+
+
+def ivf_topk_from_inverted_file(
+    inv: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF serving from a SELF-CONTAINED inverted file ``(id, vector,
+    cid)`` — typically a pruned ``read_versioned_table(...,
+    partition_filter={'cid': probed_cells})`` of the stored index: the
+    probed partitions ARE the candidate set, so serving cost is
+    O(probed cells), never a corpus scan or corpus-side join (the
+    difference between this and :func:`ivf_topk_served`, which still
+    joins the full corpus for vectors). Queries exclude themselves by
+    id, matching the other IVF paths."""
+    cv = _to_double(F.col(vec_col))
+    c = inv.select(
+        F.col(id_col).alias("neighbor_id"),
+        cv.alias("__cv"),
+        _norm(cv).alias("__cn"),
+        F.col("cid").alias("__cell"),
+    )
+    q = _with_norm(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), F.col("__norm").alias("__qn")
+    )
+    probe_n = _assign_udf(centroids, n_probe)
+    q = q.withColumn("__cell", F.explode(probe_n(F.col("__qv"))))
+    sim = _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
+    cands = c.join(q, (c.__cell == q.__cell) & (F.col("query_id") != F.col("neighbor_id"))).select(
+        "query_id", "neighbor_id", F.round(sim, round_to).alias("cosine")
+    )
+    return top_n_per_group(
+        cands, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], n=k
     )
 
 
@@ -590,6 +635,34 @@ def ivf_topk_served(
     return top_n_per_group(
         cands, ["query_id"], [F.col("cosine").desc(), F.col("neighbor_id").asc()], n=k
     )
+
+
+def ivf_probed_cells(
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    centroids: list[list[float]],
+    n_probe: int = 4,
+) -> list[int]:
+    """The distinct IVF cells a query batch probes, computed with the
+    SAME vectorized assignment UDF serving uses (identical cosine math
+    and tie-breaking), so pruning the stored index to exactly these
+    cells is candidate-complete: an index row outside the probed set
+    can never survive :func:`ivf_topk_served`'s cell equi-join anyway.
+    The driver crossing is bounded by ``n_centroids`` ints — model-
+    sized. This is the read-side half of the cid-partitioned inverted
+    file: pass the result as ``partition_filter={"cid": cells}`` to
+    ``read_versioned_table`` and a low-fan-out query batch prunes the
+    index scan to its cells' partitions at the MANIFEST (no listing,
+    no IO on unprobed cells)."""
+    probe_n = _assign_udf(centroids, n_probe)
+    rows = (
+        queries.select(F.explode(probe_n(_to_double(F.col(vec_col)))).alias("cid"))
+        .distinct()
+        .collect()
+    )
+    return sorted(int(r["cid"]) for r in rows)
 
 
 # --------------------------------------------------------------------------

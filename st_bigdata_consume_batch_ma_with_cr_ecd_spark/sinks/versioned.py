@@ -633,10 +633,23 @@ def read_versioned_table(
         unknown = set(partition_filter) - set(m["partition_by"])
         if unknown:
             raise VersionedTableError(f"not partition columns: {sorted(unknown)}")
+
+        def _part_matches(have, want) -> bool:
+            # a list/tuple/set of values is IN semantics — the shape a
+            # multi-cell index probe needs (e.g. an IVF query batch
+            # pruning to its n_probe*|batch| probed cells); a scalar
+            # stays equality
+            if isinstance(want, (list, tuple, set, frozenset)):
+                return have in want
+            return have == want
+
         entries = [
             e
             for e in entries
-            if all(e["partition"].get(c) == v_ for c, v_ in partition_filter.items())
+            if all(
+                _part_matches(e["partition"].get(c), v_)
+                for c, v_ in partition_filter.items()
+            )
         ]
     def _check_filter_cols(cols, which: str) -> None:
         unknown = set(cols) - {f.name for f in schema.fields}

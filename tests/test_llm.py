@@ -1456,3 +1456,51 @@ def test_served_pair_plan_is_parquet_fed(spark, sf_dir):
                 f"{name}: serving plan contains {py_node} — historic "
                 "payloads are being re-decoded at query time"
             )
+
+
+def test_ivf_pruned_index_read_is_candidate_complete(spark, sf_dir, tmp_path):
+    # pruning the stored inverted file to the query batch's probed
+    # cells must be result-identical to serving from the full index
+    # (an unprobed cell's rows can never survive the cell equi-join),
+    # while provably reading fewer files at the manifest
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        ivf_cell_assignments,
+        ivf_probed_cells,
+        ivf_topk_served,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        create_versioned_table,
+        read_versioned_table,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        _IVF_FIXED_CENTROIDS,
+        _embs,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where("vec_id < 10")
+    cents = _IVF_FIXED_CENTROIDS
+    path = str(tmp_path / "cells")
+    create_versioned_table(
+        ivf_cell_assignments(embs, centroids=cents), path, ["cid"]
+    )
+    cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
+    assert cells and len(cells) < len(cents), (
+        "probe set should be a strict subset of cells for pruning to matter"
+    )
+    full = read_versioned_table(spark, path)
+    pruned = read_versioned_table(spark, path, partition_filter={"cid": cells})
+    assert len(pruned.inputFiles()) < len(full.inputFiles()), (
+        "manifest pruning read as many files as the full index"
+    )
+    got = sorted(
+        map(tuple, ivf_topk_served(
+            embs, queries, pruned, centroids=cents, k=5, n_probe=2
+        ).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_topk_served(
+            embs, queries, full, centroids=cents, k=5, n_probe=2
+        ).collect())
+    )
+    assert got == want and got

@@ -348,6 +348,23 @@ def test_partition_filter_prunes_at_the_manifest(spark, tmp_path):
     assert empty.count() == 0 and empty.schema == _base(spark).schema
 
 
+def test_partition_filter_accepts_value_lists(spark, tmp_path):
+    # IN semantics for multi-partition probes (the IVF query batch
+    # shape: prune the inverted file to the probed cells' partitions)
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 1, 2.0), (3, 2, 3.0), (4, 1, 4.0)],
+        "id long, cid int, val double",
+    )
+    create_versioned_table(df, path, ["cid"])
+    pruned = read_versioned_table(spark, path, partition_filter={"cid": [0, 2]})
+    assert rows(pruned) == {(1, 0, 1.0), (3, 2, 3.0)}
+    assert all(("cid=0" in f or "cid=2" in f) for f in pruned.inputFiles())
+    # empty list = no matching partitions, schema intact
+    empty = read_versioned_table(spark, path, partition_filter={"cid": []})
+    assert empty.count() == 0 and empty.schema == df.schema
+
+
 def test_numeric_looking_string_partition_values_survive_reads(spark, tmp_path):
     # regression: directory-name inference types by VALUE ('01' -> 1);
     # the reader must take partition values from the manifest instead

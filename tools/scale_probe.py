@@ -51,8 +51,21 @@ def amplify(df: DataFrame, mult: int, key_cols: list[str]) -> DataFrame:
 
 _BASE_COUNTS: dict[str, tuple[int, int]] = {}
 
+# per-(sf, mult) stores built ONCE, untimed, for the serve-only probes:
+# the signature tables / IVF index a nightly job reads are built by
+# PRIOR nights — timing their construction would re-measure the
+# full-recompute path the served design exists to avoid
+_SIG_STORES: dict[tuple, str] = {}
+_IVF_STORES: dict[tuple, tuple] = {}
 
-def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataFrame, int]]:
+
+def probes(
+    spark: SparkSession, sf_dir: str, mult: int, only: set[str] | None = None
+) -> dict[str, tuple[DataFrame, int]]:
+    def want(name: str) -> bool:
+        # expensive store builds are gated on the probe being selected;
+        # --only runs must not pay for stores they never serve from
+        return only is None or name in only
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     if sf_dir not in _BASE_COUNTS:  # constant across mults — count once
@@ -366,6 +379,157 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
             pair_filter_sql=f"x % {5 * mult} = 0 OR y % {5 * mult} = 0",
         ).write.format("noop").mode("overwrite").save()
 
+    # SERVED incremental dedup (r9 verdict ask #1's measurement): the
+    # image_incr/audio_incr probes above hold the batch constant but
+    # still re-decode the WHOLE corpus for signatures every run — their
+    # residual linear growth is that scan. The *_served probes read the
+    # HISTORIC signatures from a versioned signature table (built once
+    # per (sf, mult), untimed — prior nights' output) and time the true
+    # nightly cost: batch signatures + atomic MERGE + batch-restricted
+    # pair generation over the post-merge snapshot. TOTAL timed cost
+    # must now track the batch, not the corpus.
+    import os as _os2
+    import shutil as _sh
+    import tempfile as _tf
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        create_versioned_table,
+        merge_versioned_table,
+        read_versioned_table,
+    )
+
+    def _ensure_sig_store(modality: str, sig_fn) -> str:
+        key = (modality, sf_dir, mult)
+        if key not in _SIG_STORES:
+            root = _os2.path.join(
+                _tf.gettempdir(),
+                f"spark_graft_probe_sigs_{modality}_{_os2.getpid()}_m{mult}",
+            )
+            _sh.rmtree(root, ignore_errors=True)
+            table = f"{root}/signatures"
+            docs_i = amplify(docs_tbl, mult, ["doc_id"])
+            hist = sig_fn(
+                docs_i.where(f"doc_id % {5 * mult} != 0"), n_patterns=37 * mult
+            )
+            create_versioned_table(
+                hist.withColumn("ingest_bucket", F.lit(0)), table, ["ingest_bucket"]
+            )
+            _SIG_STORES[key] = table
+        return _SIG_STORES[key]
+
+    def _served_compute(modality: str, sig_fn, sig_col: str):
+        table = _SIG_STORES[(modality, sf_dir, mult)]
+
+        def compute() -> None:
+            from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+                hamming_verified_pairs,
+            )
+
+            docs_i = amplify(docs_tbl, mult, ["doc_id"])
+            batch = sig_fn(
+                docs_i.where(f"doc_id % {5 * mult} = 0"), n_patterns=37 * mult
+            )
+            merge_versioned_table(
+                spark,
+                table,
+                batch.withColumn("ingest_bucket", F.lit(1)),
+                keys=["doc_id"],
+                partition_by=["ingest_bucket"],
+            )
+            sigs = read_versioned_table(spark, table)
+            hamming_verified_pairs(
+                sigs.select("doc_id", sig_col),
+                sig_col,
+                band_hex_width=4,
+                max_hamming=3,
+                pair_filter_sql=f"x % {5 * mult} = 0 OR y % {5 * mult} = 0",
+            ).write.format("noop").mode("overwrite").save()
+
+        return compute
+
+    image_served_compute = audio_served_compute = None
+    if want("image_served"):
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            image_dhash_signatures,
+        )
+
+        _ensure_sig_store("image", image_dhash_signatures)
+        image_served_compute = _served_compute(
+            "image", image_dhash_signatures, "dhash"
+        )
+    if want("audio_served"):
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            audio_contour_signatures,
+        )
+
+        _ensure_sig_store("audio", audio_contour_signatures)
+        audio_served_compute = _served_compute(
+            "audio", audio_contour_signatures, "sig"
+        )
+
+    # IVF SERVING alone (r9 verdict ask #3: the stored-index queries
+    # shipped with an argument, not a measurement): the vector-carrying
+    # inverted file is trained + persisted once per (sf, mult), untimed;
+    # the timed serve = probed-cell computation for a CONSTANT 10-query
+    # batch + manifest-pruned read of those cells' partitions + in-cell
+    # exact top-k. Construction also prints the file-count
+    # before/after pruning — the manifest-level cid-pruning evidence.
+    ivf_served_compute = None
+    n_embs = 0
+    if want("ivf_served"):
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+            ivf_cell_assignments,
+            ivf_probed_cells,
+            ivf_topk_from_inverted_file,
+            train_ivf_centroids,
+        )
+
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if sf_dir + "/embs" not in _BASE_COUNTS:
+            _BASE_COUNTS[sf_dir + "/embs"] = (embs.count(), 0)
+        n_embs = _BASE_COUNTS[sf_dir + "/embs"][0]
+        key = (sf_dir, mult)
+        if key not in _IVF_STORES:
+            root = _os2.path.join(
+                _tf.gettempdir(), f"spark_graft_probe_ivf_{_os2.getpid()}_m{mult}"
+            )
+            _sh.rmtree(root, ignore_errors=True)
+            embs_m = amplify(embs, mult, ["vec_id"])
+            trained = train_ivf_centroids(embs_m, n_centroids=16, iters=2)
+            cents = [[float(x) for x in c] for c in trained]
+            create_versioned_table(
+                ivf_cell_assignments(embs_m, centroids=cents, carry_vectors=True),
+                f"{root}/cells",
+                ["cid"],
+            )
+            # pruning evidence (untimed): files the full read touches vs
+            # the probed-cells read — the manifest drops the rest
+            queries = embs_m.where(F.col("vec_id") < 10)
+            cells = ivf_probed_cells(queries, centroids=cents, n_probe=4)
+            full_files = len(read_versioned_table(spark, f"{root}/cells").inputFiles())
+            pruned_files = len(
+                read_versioned_table(
+                    spark, f"{root}/cells", partition_filter={"cid": cells}
+                ).inputFiles()
+            )
+            print(
+                f"ivf_served mult={mult}: probed {len(cells)}/16 cells, "
+                f"index files {full_files} -> {pruned_files} after manifest pruning"
+            )
+            _IVF_STORES[key] = (root, cents)
+        root, cents = _IVF_STORES[key]
+
+        def ivf_served_compute() -> None:
+            embs_m = amplify(embs, mult, ["vec_id"])
+            queries = embs_m.where(F.col("vec_id") < 10)
+            cells = ivf_probed_cells(queries, centroids=cents, n_probe=4)
+            inv = read_versioned_table(
+                spark, f"{root}/cells", partition_filter={"cid": cells}
+            )
+            ivf_topk_from_inverted_file(
+                inv, queries, centroids=cents, k=5, n_probe=4
+            ).write.format("noop").mode("overwrite").save()
+
     # k-core peel on the thresholded (>= 2 shared orders) co-purchase
     # graph: replicas are disjoint components, so the cascade runs
     # per-replica and cost tracks edge volume. Wrapped as a callable —
@@ -475,7 +639,14 @@ def probes(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, tuple[DataF
             "noop"
         ).mode("overwrite").save()
 
-    return {
+    served = {}
+    if image_served_compute is not None:
+        served["image_served"] = (image_served_compute, n_docs_i * mult)
+    if audio_served_compute is not None:
+        served["audio_served"] = (audio_served_compute, n_docs_i * mult)
+    if ivf_served_compute is not None:
+        served["ivf_served"] = (ivf_served_compute, n_embs * mult)
+    return served | {
         "scan_agg": (agg, n_li * mult),
         "window_top1": (topn, n_li * mult),
         "shuffle_join_agg": (join, (n_li + n_o) * mult),
@@ -687,7 +858,7 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         # the basket table), the top-k must keep its partial
         # WindowGroupLimit below the shuffle, and nothing data-sized may
         # broadcast. Rebuild the probe's own DF at the audit mult.
-        recsys_df, _ = probes(spark, sf_dir, mult)["recsys_cooccur"]
+        recsys_df, _ = probes(spark, sf_dir, mult, {"recsys_cooccur"})["recsys_cooccur"]
         plan = final_plan(recsys_df)
         assert "WindowGroupLimit" in plan, "top-k lost its partial group limit"
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
@@ -982,7 +1153,7 @@ def main() -> int:
             obj.write.format("noop").mode("overwrite").save()
 
     def selected(spark, sf, mult):
-        items = probes(spark, sf, mult)
+        items = probes(spark, sf, mult, only or None)
         return {n: v for n, v in items.items() if not only or n in only}
 
     results: dict[str, dict[int, float]] = {}
