@@ -77,6 +77,36 @@ def main() -> int:
 
     _drop_persistent_blocks()  # warm-up queries checkpoint too
 
+    # SETTLE GUARD (r9 verdict ask #8): the recorded bench number on
+    # this box depends on machine state — r9's unsettled/settled spread
+    # was 238s vs 182s for identical code (a double-run minutes after a
+    # 17-minute pytest measured 10-20% high across every heavy row). A
+    # ~3.6s canary (q1 + w1) is timed TWICE; if the two passes disagree
+    # by >10% the machine is still paging/compiling/contended, so sleep
+    # and retry before recording. The JSON carries the verdict either
+    # way ("settled") — refusing to print would break the driver's
+    # one-line contract, but an unsettled flag makes the run
+    # non-comparable by construction instead of silently high.
+    settled = True
+    for attempt in range(3):
+        passes = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _run("q1_pricing_summary", sf_dir)
+            _run("w1_latest_per_group", sf_dir)
+            passes.append(time.perf_counter() - t0)
+        ratio = max(passes) / max(min(passes), 1e-9)
+        settled = ratio <= 1.10
+        if settled:
+            break
+        print(
+            f"# settle guard: canary self-disagreement {ratio:.2f}x "
+            f"(attempt {attempt + 1}/3); sleeping 30s",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+    _drop_persistent_blocks()
+
     timings: dict[str, float] = {}
     for spec in bench_specs():
         t0 = time.perf_counter()
@@ -104,6 +134,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "settled": settled,
             }
         )
     )

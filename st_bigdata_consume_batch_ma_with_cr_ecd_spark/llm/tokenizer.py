@@ -372,6 +372,128 @@ def unigram_train(
     return out
 
 
+def unigram_train_pruned(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    max_word_len: int = 16,
+    max_piece_len: int = 4,
+    min_seed_count: int = 2,
+    iters: int = 2,
+    prune_denom: int = 5,
+) -> DataFrame:
+    """:func:`unigram_train` plus SentencePiece's vocabulary-PRUNING
+    schedule (Kudo 2018 §3.2 — the step the plain hard-EM trainer
+    skips): after each E step the bottom ``1/prune_denom`` of
+    MULTI-char pieces by loss-if-removed are dropped, and single-char
+    pieces are never pruned (coverability). Returns the final pruned
+    ``(piece, piece_count)`` model table.
+
+    Loss proxy: under Viterbi counts the likelihood contribution of
+    piece x is c(x)*ln(p(x)) with p = c/total, so loss-if-removed
+    ~ c*ln(total/c), which is STRICTLY INCREASING in c on
+    [1, total/e] (always the regime here) — the count ordering IS the
+    loss ordering, so the prune is an integer rank filter over the
+    count table (cnt ASC, piece ASC tiebreak; drop rn <= m div
+    prune_denom), exactly replayable in SQL with no transcendental
+    functions near the hash.
+
+    Character floor: every single char from the seed universe stays in
+    the model with count >= 1 (``greatest(viterbi_count, 1)`` — a
+    Laplace-style floor). This keeps the load-bearing oracle invariant
+    (see the d_0 INNER-join note in workloads/llm.py): every word
+    always retains a positive-probability all-chars segmentation, so
+    no word ever drops from the oracle's piece-map join and the DP
+    never enters the all-zero-score regime where the l>i candidate
+    asymmetry could desync the engines.
+
+    The prune + floor is computed IN SPARK over the E-step output (a
+    vocab-sized single-partition window — model-sized by Heaps'
+    contraction, like the BPE merge table); only the resulting model
+    crosses the driver between iterations, as in the base trainer."""
+    from pyspark.sql import Window
+
+    words = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        .where((F.col("w") != "") & (F.length("w") <= max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _sub_expr(l: int):
+        def f(i):
+            return F.col("w").substr(i, F.lit(l))
+
+        return f
+
+    parts = []
+    for l in range(1, max_piece_len + 1):
+        idx = F.sequence(F.lit(1), F.length("w") - (l - 1))
+        parts.append(
+            F.when(F.length("w") >= l, F.transform(idx, _sub_expr(l))).otherwise(
+                F.array().cast("array<string>")
+            )
+        )
+    seeds = (
+        words.select(F.explode(F.concat(*parts)).alias("piece"), "n")
+        .groupBy("piece")
+        .agg(F.sum("n").alias("cnt"))
+        .where((F.col("cnt") >= min_seed_count) | (F.length("piece") == 1))
+        .collect()
+    )
+    counts = {r["piece"]: int(r["cnt"]) for r in seeds}
+    chars = sorted(p for p in counts if len(p) == 1)
+    spark = df.sparkSession
+    chars_df = spark.createDataFrame([(c,) for c in chars], "piece string")
+
+    def _e_step(probs: dict[str, float]) -> DataFrame:
+        def gen(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                out_p: list[str] = []
+                out_n: list[int] = []
+                for w, n in zip(pdf["w"], pdf["n"]):
+                    for piece in _viterbi_segment(w, probs, max_piece_len):
+                        out_p.append(piece)
+                        out_n.append(int(n))
+                yield pd.DataFrame({"piece": out_p, "n": out_n})
+
+        return (
+            words.mapInPandas(gen, "piece string, n long")
+            .groupBy("piece")
+            .agg(F.sum("n").cast("bigint").alias("piece_count"))
+        )
+
+    def _prune_floor(estep_out: DataFrame) -> DataFrame:
+        floored = chars_df.join(estep_out, "piece", "left").select(
+            "piece",
+            F.greatest(F.coalesce("piece_count", F.lit(0)), F.lit(1))
+            .cast("bigint")
+            .alias("piece_count"),
+        )
+        w = Window.orderBy(F.col("piece_count").asc(), F.col("piece").asc())
+        ranked = (
+            estep_out.where(F.length("piece") > 1)
+            .withColumn("rn", F.row_number().over(w))
+            .withColumn("m", F.count(F.lit(1)).over(Window.partitionBy()))
+        )
+        kept = ranked.where(F.expr(f"rn > m div {prune_denom}")).select(
+            "piece", "piece_count"
+        )
+        return floored.unionByName(kept)
+
+    out = None
+    for it in range(iters):
+        total = sum(counts.values())
+        probs = {p: c / total for p, c in counts.items()}
+        out = _prune_floor(_e_step(probs))
+        if it < iters - 1:
+            counts = {r["piece"]: int(r["piece_count"]) for r in out.collect()}
+    return out
+
+
 # --------------------------------------------------------------------------
 # UNIGRAM-LM ENCODING (r9): the serving half of unigram_train, pure JVM
 # --------------------------------------------------------------------------

@@ -1664,9 +1664,10 @@ _UNIGRAM_MAX_WORD = 16
 _UNIGRAM_MAX_PIECE = 4
 _UNIGRAM_MIN_SEED = 2
 _UNIGRAM_ITERS = 2
+_UNIGRAM_PRUNE_DENOM = 5  # pruned trainer: drop bottom 1/5 of multi-char pieces
 
 
-def _unigram_em_iteration_sql(k: int) -> str:
+def _unigram_em_iteration_sql(k: int, *, prune: bool = False) -> str:
     """One unrolled hard-EM iteration of the unigram-LM trainer (reads
     piece probs from ``p{k-1}``, emits counts ``c{k}`` and probs
     ``p{k}``): per-word piece-probability map -> Viterbi DP as a chain
@@ -1678,7 +1679,16 @@ def _unigram_em_iteration_sql(k: int) -> str:
     ``list_max`` over {'v','l'} structs — max score, then LONGEST
     piece, the exact tuple comparison the Spark-side python DP uses;
     scores are products of identical IEEE doubles in identical order,
-    so the chosen paths match bit-for-bit across engines."""
+    so the chosen paths match bit-for-bit across engines.
+
+    ``prune=True`` adds the SentencePiece vocabulary-pruning step
+    between the M step and the next model (llm/tokenizer.
+    unigram_train_pruned): ``f{k}`` floors every seed single char to
+    count >= 1 (coverability — keeps the d_0 invariant above), and
+    ``pr{k}`` drops the bottom ``m div {prune_denom}`` multi-char
+    pieces by (cnt ASC, piece ASC) — the integer rank filter that IS
+    the loss-if-removed ordering (see the trainer's monotonicity
+    note); ``p{k}`` then normalizes over the pruned table."""
     parts = [f"""
     wp{k} AS (
         SELECT wt.w, t.i, ls.l, pr.p
@@ -1693,6 +1703,20 @@ def _unigram_em_iteration_sql(k: int) -> str:
         FROM wp{k} GROUP BY w
     ),
     d{k}_0 AS (
+        -- INNER join: a word with zero in-vocab pieces would drop here,
+        -- and the l>i candidates list_max scans sit at score 0.0, while
+        -- the Spark-side python DP emits pieces for EVERY word and only
+        -- scans l<=i. The engines agree because every word provably
+        -- keeps a positive-probability segmentation across iterations:
+        -- single-char pieces are always seeded (the min_seed bypass)
+        -- and a piece segmenting some word survives that iteration's
+        -- counts. This invariant is LOAD-BEARING (r9 ADVICE): dropping
+        -- the single-char seed bypass or adding piece PRUNING that can
+        -- remove a word's last covering piece would silently desync
+        -- Spark from this oracle instead of failing loudly — any such
+        -- change must re-establish full coverage (as
+        -- tokenizer_unigram_train_pruned does by never pruning
+        -- single-char pieces).
         SELECT wt.w, wt.n, m.mp,
                CAST(0.0 AS DOUBLE) AS va, CAST(0.0 AS DOUBLE) AS vb,
                CAST(0.0 AS DOUBLE) AS vc, CAST(1.0 AS DOUBLE) AS vd,
@@ -1730,15 +1754,35 @@ def _unigram_em_iteration_sql(k: int) -> str:
         SELECT s.piece, CAST(sum(d.n) AS BIGINT) AS cnt
         FROM segs{k} s JOIN dpf{k} d ON s.w = d.w
         GROUP BY s.piece
+    )""")
+    model = f"c{k}"
+    if prune:
+        model = f"pr{k}"
+        parts.append(f"""
+    f{k} AS (
+        SELECT ch.piece, CAST(greatest(coalesce(c.cnt, 0), 1) AS BIGINT) AS cnt
+        FROM (SELECT piece FROM c0 WHERE len(piece) = 1) ch
+        LEFT JOIN c{k} c ON c.piece = ch.piece
     ),
+    pr{k} AS (
+        SELECT piece, cnt FROM f{k}
+        UNION ALL
+        SELECT piece, cnt FROM (
+            SELECT piece, cnt,
+                   row_number() OVER (ORDER BY cnt ASC, piece ASC) AS rn,
+                   count(*) OVER () AS m
+            FROM c{k} WHERE len(piece) > 1
+        ) WHERE rn > m // {_UNIGRAM_PRUNE_DENOM}
+    )""")
+    parts.append(f"""
     p{k} AS (
-        SELECT piece, CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c{k}) AS p
-        FROM c{k}
+        SELECT piece, CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM {model}) AS p
+        FROM {model}
     )""")
     return ",".join(parts)
 
 
-def _unigram_train_oracle() -> str:
+def _unigram_train_oracle(*, prune: bool = False) -> str:
     """Full symbolic replay of llm/tokenizer.unigram_train: word-type
     stats, the overlapping-substring seed vocabulary (count >= min_seed
     OR single char), and {_UNIGRAM_ITERS} unrolled Viterbi-EM
@@ -1746,7 +1790,9 @@ def _unigram_train_oracle() -> str:
     are the piece probabilities (exact integer divisions, identical in
     IEEE double across engines) and the DP score products (fixed
     association order), which select segmentations but never reach
-    the hash."""
+    the hash. ``prune=True`` replays unigram_train_pruned instead
+    (each iteration adds the f{k} character floor and pr{k} rank-
+    filter prune; output = the final pruned model)."""
     head = rf"""
     WITH RECURSIVE
     uwords AS (
@@ -1772,8 +1818,12 @@ def _unigram_train_oracle() -> str:
         SELECT piece, CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM c0) AS p
         FROM c0
     ),"""
-    body = ",".join(_unigram_em_iteration_sql(k) for k in range(1, _UNIGRAM_ITERS + 1))
-    return head + body + f"\n    SELECT piece, cnt AS piece_count FROM c{_UNIGRAM_ITERS}"
+    body = ",".join(
+        _unigram_em_iteration_sql(k, prune=prune)
+        for k in range(1, _UNIGRAM_ITERS + 1)
+    )
+    final = f"pr{_UNIGRAM_ITERS}" if prune else f"c{_UNIGRAM_ITERS}"
+    return head + body + f"\n    SELECT piece, cnt AS piece_count FROM {final}"
 
 
 @register(
@@ -1805,6 +1855,38 @@ def tokenizer_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_piece_len=_UNIGRAM_MAX_PIECE,
         min_seed_count=_UNIGRAM_MIN_SEED,
         iters=_UNIGRAM_ITERS,
+    )
+
+
+@register(
+    "tokenizer_unigram_train_pruned",
+    oracle=_unigram_train_oracle(prune=True),
+    doc="The unigram-LM trainer WITH SentencePiece's vocabulary-"
+    "pruning schedule (r9 verdict ask #5 — the half that makes the "
+    "trainer production-shaped: Kudo 2018 prunes the vocabulary "
+    "between EM rounds, keeping single chars): after each Viterbi E "
+    "step the bottom 1/5 of multi-char pieces by loss-if-removed are "
+    "dropped and seed single chars are floored to count >= 1 "
+    "(coverability — preserves the d_0 oracle invariant). The loss "
+    "ordering reduces to the COUNT ordering exactly (c*ln(total/c) is "
+    "strictly increasing in c below total/e — llm/tokenizer."
+    "unigram_train_pruned's monotonicity note), so the prune is an "
+    "integer rank filter with a total (cnt, piece) order, replayed by "
+    "the oracle as a row_number window over the unrolled count table. "
+    "Prune + floor run IN SPARK over the E-step output (vocab-sized "
+    "single-partition window, the model tier); only the pruned model "
+    "crosses the driver between iterations.",
+)
+def tokenizer_unigram_train_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.tokenizer import unigram_train_pruned
+
+    return unigram_train_pruned(
+        _docs(spark, sf_dir),
+        max_word_len=_UNIGRAM_MAX_WORD,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+        min_seed_count=_UNIGRAM_MIN_SEED,
+        iters=_UNIGRAM_ITERS,
+        prune_denom=_UNIGRAM_PRUNE_DENOM,
     )
 
 
@@ -3141,12 +3223,25 @@ _IMG_DHASH_CTES_BASE = """px AS (
 _IMG_DHASH_CTES = _img_dhash_ctes(7)
 
 
-def image_dhash_signatures(docs: DataFrame, *, n_patterns: int = 37) -> DataFrame:
+def image_dhash_signatures(
+    docs: DataFrame, *, n_patterns: int = 37, payload_scale: int = 1
+) -> DataFrame:
     """The SIGNATURE stage of the image near-dedup chain — fixture BMP
     synthesis + real decode/resize/dHash — split out (r9 verdict ask
     #1) so the incremental-served queries can compute signatures for
     the ARRIVING BATCH only while historic signatures come from the
-    stored signature table. Returns (doc_id, dhash)."""
+    stored signature table. Returns (doc_id, dhash).
+
+    ``payload_scale`` grows the PAYLOAD without changing a single
+    dHash bit: the 9x8 formula grid is block-upsampled by
+    ``2 * payload_scale`` instead of 2, and ``resize_nearest``'s
+    ``(i * H) // 9`` index math lands exactly on block starts for any
+    integer factor, so the sampled grid is the formula values
+    regardless of scale. This is the probe's knob for measuring the
+    served-vs-recompute slope at realistic payload sizes (a scale-8
+    image is 144x128x3 ~ 55 KB — decode cost grows ~scale^2 while the
+    16-byte signature stays fixed); every oracle stays valid at any
+    scale."""
 
     def gen(batches):
         import hashlib as _hl
@@ -3159,6 +3254,7 @@ def image_dhash_signatures(docs: DataFrame, *, n_patterns: int = 37) -> DataFram
         def _h(key: str, mod: int) -> int:
             return int(_hl.md5(key.encode("utf-8")).hexdigest()[:8], 16) % mod
 
+        up = 2 * payload_scale
         for pdf in batches:
             ids = pdf["doc_id"]
             payloads = []
@@ -3172,9 +3268,9 @@ def image_dhash_signatures(docs: DataFrame, *, n_patterns: int = 37) -> DataFram
                     ],
                     dtype=np.uint8,
                 )
-                # 2x2 block upsample: the dhash kernel's 9x8 nearest-
+                # block upsample: the dhash kernel's 9x8 nearest-
                 # neighbor grid samples back exactly the formula values
-                big = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+                big = np.repeat(np.repeat(v, up, axis=0), up, axis=1)
                 payloads.append(encode_bmp(np.stack([big] * 3, axis=2)))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
@@ -3942,15 +4038,17 @@ def _prefixed_closure(p: str, pairs_cte: str) -> str:
     )"""
 
 
-@register(
-    "corpus_multimodal_dedup_summary",
-    # ONE value hash over all three modality verdicts: the oracle
-    # replays the exact-text fingerprint grouping, the full image
-    # chain (pixel formula -> dHash -> hamming <= 3 pairs -> recursive
-    # closure), and the full audio chain (window amplitudes -> contour
-    # bits -> hamming <= 3 pairs -> closure), then joins the three
-    # cluster assignments per document
-    oracle=rf"""
+def _multimodal_summary_oracle(where: str = "") -> str:
+    """ONE value hash over all three modality verdicts: replays the
+    exact-text fingerprint grouping, the full image chain (pixel
+    formula -> dHash -> hamming <= 3 pairs -> recursive closure), and
+    the full audio chain (window amplitudes -> contour bits -> pairs ->
+    closure), then joins the three cluster assignments per document.
+    ``where`` optionally restricts the FINAL verdict rows (the
+    incremental variant outputs the arriving batch's verdicts only —
+    against full-corpus cluster state, so the per-modality CTEs stay
+    unrestricted)."""
+    return rf"""
     WITH RECURSIVE {_img_dhash_ctes(3)},
     {_audio_contour_ctes(3)},{_prefixed_closure("i", "img_pairs")},{_prefixed_closure("a", "audio_pairs")},
     tfp AS (
@@ -3975,7 +4073,13 @@ def _prefixed_closure(p: str, pairs_cte: str) -> str:
     JOIN isizes isz ON isz.cluster_id = ia.cluster_id
     JOIN aassigned aa ON aa.doc_id = t.doc_id
     JOIN asizes asz ON asz.cluster_id = aa.cluster_id
-    """,
+    {where}
+    """
+
+
+@register(
+    "corpus_multimodal_dedup_summary",
+    oracle=_multimodal_summary_oracle(),
     doc="Cross-modal dedup summary — what a multimodal training-corpus "
     "pipeline actually decides per record: the per-document cluster "
     "assignment and multiplicity from THREE independent dedup signals "
@@ -4020,6 +4124,176 @@ def multimodal_dedup_summary(docs: DataFrame, *, n_patterns: int = 37) -> DataFr
         F.count(F.lit(1)).over(w).cast("bigint").alias("text_dups"),
     )
     out = txt.join(img, "doc_id").join(aud, "doc_id")
+    is_canonical = (
+        (F.col("doc_id") == F.col("text_cluster"))
+        & (F.col("doc_id") == F.col("image_cluster"))
+        & (F.col("doc_id") == F.col("audio_cluster"))
+    )
+    any_dup = (
+        (F.col("text_dups") > 1) | (F.col("image_dups") > 1) | (F.col("audio_dups") > 1)
+    )
+    return out.select(
+        "doc_id",
+        "text_cluster",
+        "text_dups",
+        "image_cluster",
+        F.col("image_dups").cast("bigint").alias("image_dups"),
+        "audio_cluster",
+        F.col("audio_dups").cast("bigint").alias("audio_dups"),
+        is_canonical.alias("is_canonical"),
+        any_dup.alias("any_duplicate"),
+    )
+
+
+@register(
+    "corpus_multimodal_incremental_summary",
+    # the batch verdicts against FULL-corpus cluster state: star edges
+    # (node -> stored historic label) reproduce historic connectivity
+    # exactly, so closure over stars + batch-touching pairs equals the
+    # full-corpus closure and the SAME oracle — filtered to the batch —
+    # pins the whole store/merge/star-replay chain
+    oracle=_multimodal_summary_oracle(where="WHERE t.doc_id % 5 = 0"),
+    doc="INCREMENTAL cross-modal dedup summary (r9 verdict ask #6 — "
+    "the nightly shape of corpus_multimodal_dedup_summary): per "
+    "ARRIVING-BATCH document (doc_id % 5 = 0), the three-modality "
+    "verdict against full-corpus cluster state, computed without "
+    "re-decoding or re-pairing history. Last night's state is three "
+    "versioned stores per modality kind: signature tables (dHash / "
+    "audio contour / text fingerprint) and historic cluster "
+    "assignments. Tonight: batch signatures only are computed and "
+    "MERGEd (copy-on-write touches the batch bucket), batch-touching "
+    "pairs come from the batch-restricted pair generation over the "
+    "post-merge snapshot, and historic connectivity replays from the "
+    "stored assignments as STAR edges (node -> stored label, one edge "
+    "per historic doc — the standard incremental-CC compression) so "
+    "the closure runs over |docs| star edges + |batch pairs|, never "
+    "|historic pairs|. Batch docs can MERGE historic clusters through "
+    "new edges — labels and sizes then match the full recompute "
+    "exactly, which is what the shared oracle verifies.",
+)
+def corpus_multimodal_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ..operators.graph import assign_cluster_ids
+    from ..sinks.versioned import (
+        create_versioned_table,
+        merge_versioned_table,
+        read_versioned_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    hist_docs = docs.where(F.col("doc_id") % 5 != 0)
+    batch_docs = docs.where(F.col("doc_id") % 5 == 0)
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_mm_incr_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    def modal_incremental(name: str, sig_fn, sig_col: str) -> DataFrame:
+        # LAST NIGHT: historic signatures + historic-only cluster
+        # assignments persisted (the checkpoint feeds pairs AND store)
+        hist_sigs = sig_fn(hist_docs).localCheckpoint(eager=True)
+        hist_pairs = hamming_verified_pairs(
+            hist_sigs, sig_col, band_hex_width=4, max_hamming=3
+        )
+        hist_assign = assign_cluster_ids(
+            hist_docs.select("doc_id"),
+            hist_pairs.select("doc_a", "doc_b"),
+            "doc_id",
+            "doc_a",
+            "doc_b",
+            pairs_distinct=True,
+        )
+        sig_table = f"{root}/{name}/signatures"
+        create_versioned_table(
+            hist_sigs.withColumn("ingest_bucket", F.lit(0)),
+            sig_table,
+            ["ingest_bucket"],
+        )
+        cl_table = f"{root}/{name}/clusters"
+        create_versioned_table(
+            hist_assign.withColumn("ingest_bucket", F.lit(0)),
+            cl_table,
+            ["ingest_bucket"],
+        )
+        # TONIGHT: batch payloads decode; MERGE batch signatures;
+        # batch-restricted pairs over the snapshot; historic components
+        # replay as star edges from the stored assignment
+        merge_versioned_table(
+            spark,
+            sig_table,
+            sig_fn(batch_docs).withColumn("ingest_bucket", F.lit(1)),
+            keys=["doc_id"],
+            partition_by=["ingest_bucket"],
+        )
+        sigs = read_versioned_table(spark, sig_table)
+        batch_pairs = hamming_verified_pairs(
+            sigs.select("doc_id", sig_col),
+            sig_col,
+            band_hex_width=4,
+            max_hamming=3,
+            pair_filter_sql=_INCR_BATCH_SQL,
+        )
+        stored = read_versioned_table(spark, cl_table)
+        star = stored.where(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
+        )
+        assigned = assign_cluster_ids(
+            docs.select("doc_id"),
+            star.unionByName(batch_pairs.select("doc_a", "doc_b")),
+            "doc_id",
+            "doc_a",
+            "doc_b",
+            pairs_distinct=True,
+        )
+        sizes = assigned.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+        )
+        return assigned.join(sizes, "cluster_id").select(
+            "doc_id",
+            F.col("cluster_id").alias(f"{name}_cluster"),
+            F.col("cluster_size").alias(f"{name}_dups"),
+        )
+
+    # text: the fingerprint IS the signature — store historic fps,
+    # merge batch fps, window over the snapshot
+    fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    t_table = f"{root}/text/fingerprints"
+    create_versioned_table(
+        hist_docs.select("doc_id", fp.alias("fp")).withColumn(
+            "ingest_bucket", F.lit(0)
+        ),
+        t_table,
+        ["ingest_bucket"],
+    )
+    merge_versioned_table(
+        spark,
+        t_table,
+        batch_docs.select("doc_id", fp.alias("fp")).withColumn(
+            "ingest_bucket", F.lit(1)
+        ),
+        keys=["doc_id"],
+        partition_by=["ingest_bucket"],
+    )
+    fps = read_versioned_table(spark, t_table)
+    w = Window.partitionBy("fp")
+    txt = fps.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("text_cluster"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("text_dups"),
+    )
+
+    img = modal_incremental("image", image_dhash_signatures, "dhash")
+    aud = modal_incremental("audio", audio_contour_signatures, "sig")
+    out = (
+        txt.join(img, "doc_id")
+        .join(aud, "doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+    )
     is_canonical = (
         (F.col("doc_id") == F.col("text_cluster"))
         & (F.col("doc_id") == F.col("image_cluster"))

@@ -522,6 +522,46 @@ def test_consume_batch_staged_equals_cached(spark, fixture_tables, tmp_path):
         )
     with pytest.raises(ValueError):
         consume_batch(*args, stage0_mode="nonsense")
+    # an EXPLICIT cached request cannot be silently overridden by the
+    # staging path's staged-mode implication (r9 ADVICE)
+    with pytest.raises(ValueError):
+        consume_batch(
+            *args, stage0_mode="cached", stage0_staging=str(tmp_path / "s3")
+        )
+
+
+def test_managed_staging_dirs_are_bounded_and_swept(spark, fixture_tables):
+    """The staged DEFAULT's managed per-call tmp dirs must not leak
+    (r9 verdict ask #7): each new managed call removes the previous
+    call's dir — a process holds at most ONE stage-0 copy — and the
+    atexit sweep removes the last one."""
+    import os
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.pipelines import (
+        consume_batch as cb_mod,
+    )
+
+    _, t = fixture_tables
+    args = (
+        t["changelog"], t["texts"], t["visibility"], t["fraud"], t["contacts"], t["visits"],
+        t["bundeslaender"], t["stadtlandkreise"], DATES,
+    )
+    first = consume_batch(*args)  # managed staged default
+    assert len(cb_mod._MANAGED_DIRS) == 1
+    first_dir = cb_mod._MANAGED_DIRS[0]
+    assert os.path.isdir(first_dir)
+    first.write.format("noop").mode("overwrite").save()  # consume fully
+    second = consume_batch(*args)
+    # the previous call's copy is gone; only the live one remains
+    assert not os.path.exists(first_dir)
+    assert len(cb_mod._MANAGED_DIRS) == 1
+    second_dir = cb_mod._MANAGED_DIRS[0]
+    assert second_dir != first_dir and os.path.isdir(second_dir)
+    second.write.format("noop").mode("overwrite").save()
+    # the atexit hook sweeps whatever remains
+    cb_mod._cleanup_managed_staging()
+    assert not os.path.exists(second_dir)
+    assert cb_mod._MANAGED_DIRS == []
 
 
 def test_cli_driver_writes_all_three_sinks(spark, fixture_tables, tmp_path):

@@ -1504,3 +1504,68 @@ def test_ivf_pruned_index_read_is_candidate_complete(spark, sf_dir, tmp_path):
         ).collect())
     )
     assert got == want and got
+
+
+def test_unigram_train_pruned_matches_python_reference(spark):
+    # the pruned trainer's whole loop (seed -> E step -> count ->
+    # char floor -> rank-filter prune, twice) against an independent
+    # python reference over the same corpus; also non-vacuous: the
+    # prune must actually drop multi-char pieces vs the base trainer
+    from collections import Counter
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.tokenizer import (
+        _viterbi_segment,
+        unigram_train,
+        unigram_train_pruned,
+    )
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat sat on the hat",
+        "scanning the parquet table",
+        "hash the partition table",
+        "the value of the scan",
+        "merge the batch window",
+    ] * 4
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    MAXW, MAXP, SEED, ITERS, DENOM = 16, 4, 2, 2, 5
+
+    wc: Counter = Counter()
+    for t in texts:
+        for w in t.strip().split():
+            if w and len(w) <= MAXW:
+                wc[w] += 1
+    cnt: Counter = Counter()
+    for w, n in wc.items():
+        for l in range(1, MAXP + 1):
+            for i in range(len(w) - l + 1):
+                cnt[w[i : i + l]] += n
+    counts = {p: c for p, c in cnt.items() if c >= SEED or len(p) == 1}
+    chars = sorted(p for p in counts if len(p) == 1)
+    for _ in range(ITERS):
+        total = sum(counts.values())
+        probs = {p: c / total for p, c in counts.items()}
+        new: Counter = Counter()
+        for w, n in wc.items():
+            for piece in _viterbi_segment(w, probs, MAXP):
+                new[piece] += n
+        floored = {c: max(new.get(c, 0), 1) for c in chars}
+        multi = sorted(
+            ((p, c) for p, c in new.items() if len(p) > 1),
+            key=lambda t: (t[1], t[0]),
+        )
+        counts = {**floored, **dict(multi[len(multi) // DENOM :])}
+
+    got = {
+        r["piece"]: r["piece_count"]
+        for r in unigram_train_pruned(
+            df, max_word_len=MAXW, max_piece_len=MAXP, min_seed_count=SEED,
+            iters=ITERS, prune_denom=DENOM,
+        ).collect()
+    }
+    assert got == counts
+    base = {r["piece"] for r in unigram_train(df, iters=ITERS).collect()}
+    dropped = {p for p in base if len(p) > 1} - set(got)
+    assert dropped, "prune was vacuous — no multi-char piece removed"
+    # coverability floor: every seed single char is in the model, > 0
+    assert all(c in got and got[c] >= 1 for c in chars)

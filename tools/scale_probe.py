@@ -448,6 +448,7 @@ def probes(
         return compute
 
     image_served_compute = audio_served_compute = None
+    image_served_mb_compute = image_incr_mb_compute = None
     if want("image_served"):
         from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
             image_dhash_signatures,
@@ -467,13 +468,55 @@ def probes(
             "audio", audio_contour_signatures, "sig"
         )
 
+    # payload-realistic served-vs-recompute pair (the 18x16 fixture's
+    # decode is so cheap that parquet+merge overhead masks the served
+    # design's point): payload_scale=8 grows each BMP to 144x128 (~55
+    # KB — thumbnail-sized) WITHOUT changing a dHash bit, so the
+    # recompute twin pays ~scale^2 more decode while the served path's
+    # per-night cost stays signature-bound. At 100 TB payloads are MBs
+    # and signatures stay 16 bytes — this pair measures that slope
+    # separation directly.
+    if want("image_served_mb") or want("image_incr_mb"):
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            hamming_verified_pairs,
+            image_dhash_signatures,
+        )
+
+        def _img_sigs_mb(d, n_patterns):
+            return image_dhash_signatures(
+                d, n_patterns=n_patterns, payload_scale=8
+            )
+
+        if want("image_served_mb"):
+            _ensure_sig_store("image_mb", _img_sigs_mb)
+            image_served_mb_compute = _served_compute(
+                "image_mb", _img_sigs_mb, "dhash"
+            )
+
+        def image_incr_mb_compute() -> None:
+            docs_i = amplify(docs_tbl, mult, ["doc_id"])
+            sigs = _img_sigs_mb(
+                docs_i, n_patterns=37 * mult
+            ).localCheckpoint(eager=True)
+            hamming_verified_pairs(
+                sigs,
+                "dhash",
+                band_hex_width=4,
+                max_hamming=3,
+                pair_filter_sql=f"x % {5 * mult} = 0 OR y % {5 * mult} = 0",
+            ).write.format("noop").mode("overwrite").save()
+
     # IVF SERVING alone (r9 verdict ask #3: the stored-index queries
     # shipped with an argument, not a measurement): the vector-carrying
     # inverted file is trained + persisted once per (sf, mult), untimed;
-    # the timed serve = probed-cell computation for a CONSTANT 10-query
+    # the timed serve = probed-cell computation for a CONSTANT 3-query
     # batch + manifest-pruned read of those cells' partitions + in-cell
-    # exact top-k. Construction also prints the file-count
-    # before/after pruning — the manifest-level cid-pruning evidence.
+    # exact top-k. LOW-FAN-OUT regime on purpose — 64 cells, n_probe=2,
+    # 3 queries, so the batch probes <= 6/64 cells and the manifest
+    # pruning has something real to prune (the registered query's
+    # 10x4-of-16 regime probes nearly every cell: it tests the pruned
+    # path's correctness, not its payoff). Construction also prints the
+    # file-count before/after pruning — the cid-pruning evidence.
     ivf_served_compute = None
     n_embs = 0
     if want("ivf_served"):
@@ -484,6 +527,7 @@ def probes(
             train_ivf_centroids,
         )
 
+        IVF_CELLS, IVF_PROBE = 64, 2
         embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         if sf_dir + "/embs" not in _BASE_COUNTS:
             _BASE_COUNTS[sf_dir + "/embs"] = (embs.count(), 0)
@@ -495,7 +539,7 @@ def probes(
             )
             _sh.rmtree(root, ignore_errors=True)
             embs_m = amplify(embs, mult, ["vec_id"])
-            trained = train_ivf_centroids(embs_m, n_centroids=16, iters=2)
+            trained = train_ivf_centroids(embs_m, n_centroids=IVF_CELLS, iters=2)
             cents = [[float(x) for x in c] for c in trained]
             create_versioned_table(
                 ivf_cell_assignments(embs_m, centroids=cents, carry_vectors=True),
@@ -504,8 +548,8 @@ def probes(
             )
             # pruning evidence (untimed): files the full read touches vs
             # the probed-cells read — the manifest drops the rest
-            queries = embs_m.where(F.col("vec_id") < 10)
-            cells = ivf_probed_cells(queries, centroids=cents, n_probe=4)
+            queries = embs_m.where(F.col("vec_id") < 3)
+            cells = ivf_probed_cells(queries, centroids=cents, n_probe=IVF_PROBE)
             full_files = len(read_versioned_table(spark, f"{root}/cells").inputFiles())
             pruned_files = len(
                 read_versioned_table(
@@ -513,7 +557,7 @@ def probes(
                 ).inputFiles()
             )
             print(
-                f"ivf_served mult={mult}: probed {len(cells)}/16 cells, "
+                f"ivf_served mult={mult}: probed {len(cells)}/{IVF_CELLS} cells, "
                 f"index files {full_files} -> {pruned_files} after manifest pruning"
             )
             _IVF_STORES[key] = (root, cents)
@@ -521,13 +565,13 @@ def probes(
 
         def ivf_served_compute() -> None:
             embs_m = amplify(embs, mult, ["vec_id"])
-            queries = embs_m.where(F.col("vec_id") < 10)
-            cells = ivf_probed_cells(queries, centroids=cents, n_probe=4)
+            queries = embs_m.where(F.col("vec_id") < 3)
+            cells = ivf_probed_cells(queries, centroids=cents, n_probe=IVF_PROBE)
             inv = read_versioned_table(
                 spark, f"{root}/cells", partition_filter={"cid": cells}
             )
             ivf_topk_from_inverted_file(
-                inv, queries, centroids=cents, k=5, n_probe=4
+                inv, queries, centroids=cents, k=5, n_probe=IVF_PROBE
             ).write.format("noop").mode("overwrite").save()
 
     # k-core peel on the thresholded (>= 2 shared orders) co-purchase
@@ -644,6 +688,10 @@ def probes(
         served["image_served"] = (image_served_compute, n_docs_i * mult)
     if audio_served_compute is not None:
         served["audio_served"] = (audio_served_compute, n_docs_i * mult)
+    if image_served_mb_compute is not None:
+        served["image_served_mb"] = (image_served_mb_compute, n_docs_i * mult)
+    if image_incr_mb_compute is not None:
+        served["image_incr_mb"] = (image_incr_mb_compute, n_docs_i * mult)
     if ivf_served_compute is not None:
         served["ivf_served"] = (ivf_served_compute, n_embs * mult)
     return served | {
