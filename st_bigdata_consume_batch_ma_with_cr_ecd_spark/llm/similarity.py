@@ -688,23 +688,11 @@ def pq_codebooks(
     ]
 
 
-def pq_encode(
-    df: DataFrame,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    *,
-    codebooks: list[list[list[float]]],
-) -> DataFrame:
-    """Product-quantization encode: each vector splits into subvectors,
-    each subvector maps to its nearest (L2) codebook entry — 64 float32
-    (256 B) become 8 single-byte codes, the 32x memory compression that
-    makes billion-vector ANN indexes fit in RAM at all.
-
-    Vectorized per Arrow batch: one ``(batch, codes)`` distance matrix
-    per subspace via numpy, no per-row Python. Ties break toward the
-    lowest code id (numpy argmin first-hit == the oracle's
-    ``ORDER BY dist, cid``). Returns (id, codes array<int>).
-    """
+def _pq_encode_udf(codebooks):
+    """Vectorized PQ-encode pandas UDF over a double-array column: one
+    ``(batch, codes)`` distance matrix per subspace via numpy, no
+    per-row Python. Ties break toward the lowest code id (numpy argmin
+    first-hit == the oracle's ``ORDER BY dist, cid``)."""
     books = [np.asarray(b, dtype=np.float64) for b in codebooks]
     sub = books[0].shape[1]
 
@@ -731,8 +719,132 @@ def pq_encode(
             out[valid] = vals
         return pd.Series(out)
 
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Product-quantization encode: each vector splits into subvectors,
+    each subvector maps to its nearest (L2) codebook entry — 64 float32
+    (256 B) become 8 single-byte codes, the 32x memory compression that
+    makes billion-vector ANN indexes fit in RAM at all. Returns
+    (id, codes array<int>); kernel in :func:`_pq_encode_udf`.
+    """
+    encode = _pq_encode_udf(codebooks)
     return df.where(F.col(vec_col).isNotNull()).select(
         F.col(id_col), encode(_to_double(F.col(vec_col))).alias("codes")
+    )
+
+
+def ivf_pq_inverted_file(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """The IVFADC index payload — ``(id, codes, cid)`` in ONE pass over
+    the corpus (both vectorized UDFs in the same projection; no join):
+    what a FAISS-style deployment physically persists, cid-partitioned
+    so each cell's list holds 8-byte PQ codes and the float vectors are
+    never stored or read at query time."""
+    encode = _pq_encode_udf(codebooks)
+    assign1 = _assign_udf(centroids, 1)
+    v = _to_double(F.col(vec_col))
+    return corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        encode(v).alias("codes"),
+        assign1(v)[0].alias("cid"),
+    )
+
+
+def _pq_query_tables(
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Per-query ADC lookup tables (subspace x code -> L2^2 of query
+    subvector vs codebook entry), computed from the COLLECTED query
+    vectors — the model-sized side, same collect budget as the IVF
+    centroids — returned as a broadcastable (query_id, table) frame."""
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = books[0].shape[1]
+    qrows = (
+        queries.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v"))
+        .collect()
+    )
+    table_rows = []
+    for r in qrows:
+        q = np.asarray(r["__v"], dtype=np.float64)
+        table = [
+            [
+                float(((q[j * sub : (j + 1) * sub] - book[c]) ** 2).sum())
+                for c in range(book.shape[0])
+            ]
+            for j, book in enumerate(books)
+        ]
+        table_rows.append((r[id_col], table))
+    id_type = queries.schema[id_col].dataType.simpleString()
+    return queries.sparkSession.createDataFrame(
+        table_rows, f"query_id {id_type}, table array<array<double>>"
+    )
+
+
+def ivf_pq_topk_adc(
+    inv: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVFADC serving — the composition billion-vector ANN actually
+    runs (Jégou et al. PAMI 2011; FAISS's IVFPQ): candidates come from
+    the probed cells of a PQ-coded inverted file ``(id, codes, cid)``
+    (typically a manifest-pruned ``read_versioned_table`` holding only
+    the probed cells' partitions), and each candidate is scored by
+    ASYMMETRIC distance: 8 lookups into the query's broadcast
+    (subspace x code) table, summed JVM-side. Neither a float corpus
+    vector nor an unprobed cell is ever read at query time. Returns
+    (query_id, neighbor_id, adc_dist)."""
+    tables = _pq_query_tables(queries, vec_col, id_col, codebooks)
+    probe_n = _assign_udf(centroids, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_n(_to_double(F.col(vec_col)))).alias("__cell"),
+    )
+    cands = (
+        inv.select(
+            F.col(id_col).alias("neighbor_id"), "codes", F.col("cid").alias("__cell")
+        )
+        .join(q, "__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    score = F.round(
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("table"), lambda c, t: t[c]),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        round_to,
+    )
+    scored = cands.join(F.broadcast(tables), "query_id").select(
+        "query_id", "neighbor_id", score.alias("adc_dist")
+    )
+    return top_n_per_group(
+        scored, ["query_id"], [F.col("adc_dist").asc(), F.col("neighbor_id").asc()], n=k
     )
 
 
