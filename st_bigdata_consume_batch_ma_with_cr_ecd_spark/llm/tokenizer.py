@@ -467,7 +467,12 @@ def unigram_train_pruned(
         )
 
     def _prune_floor(estep_out: DataFrame) -> DataFrame:
-        floored = chars_df.join(estep_out, "piece", "left").select(
+        # merge pin: the E-step aggregate inherits the word-type
+        # checkpoint's underestimate, and a LEFT join preserving the
+        # tiny char side can only broadcast the RIGHT (vocab) side —
+        # the non-demotable estimate-driven broadcast class the hazard
+        # sweep flags. SMJ of two model-sized tables costs nothing.
+        floored = chars_df.join(estep_out.hint("merge"), "piece", "left").select(
             "piece",
             F.greatest(F.coalesce("piece_count", F.lit(0)), F.lit(1))
             .cast("bigint")
