@@ -517,9 +517,9 @@ def probes(
     # 10x4-of-16 regime probes nearly every cell: it tests the pruned
     # path's correctness, not its payoff). Construction also prints the
     # file-count before/after pruning — the cid-pruning evidence.
-    ivf_served_compute = None
+    ivf_served_compute = ivfpq_served_compute = None
     n_embs = 0
-    if want("ivf_served"):
+    if want("ivf_served") or want("ivfpq_served"):
         from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
             ivf_cell_assignments,
             ivf_probed_cells,
@@ -573,6 +573,52 @@ def probes(
             ivf_topk_from_inverted_file(
                 inv, queries, centroids=cents, k=5, n_probe=IVF_PROBE
             ).write.format("noop").mode("overwrite").save()
+
+        # IVFADC twin: same trained quantizer and probed-cell pruning,
+        # but the inverted file carries 8-byte PQ CODES instead of the
+        # float vectors (32x smaller cells) and serving is asymmetric
+        # distance — broadcast per-query tables, 8 lookups per
+        # candidate. The pair (ivf_served vs ivfpq_served) measures
+        # what PQ buys at serve time beyond the shared pruning.
+        if want("ivfpq_served"):
+            from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+                ivf_pq_inverted_file,
+                ivf_pq_topk_adc,
+                pq_codebooks,
+            )
+
+            pq_key = (sf_dir, mult, "pq")
+            books = pq_codebooks(n_subspaces=8, n_codes=16, dim=64, seed=13)
+            if pq_key not in _IVF_STORES:
+                pq_root = _os2.path.join(
+                    _tf.gettempdir(),
+                    f"spark_graft_probe_ivfpq_{_os2.getpid()}_m{mult}",
+                )
+                _sh.rmtree(pq_root, ignore_errors=True)
+                embs_m = amplify(embs, mult, ["vec_id"])
+                create_versioned_table(
+                    ivf_pq_inverted_file(
+                        embs_m, centroids=cents, codebooks=books
+                    ),
+                    f"{pq_root}/cells",
+                    ["cid"],
+                )
+                _IVF_STORES[pq_key] = (pq_root, cents)
+            pq_root, _ = _IVF_STORES[pq_key]
+
+            def ivfpq_served_compute() -> None:
+                embs_m = amplify(embs, mult, ["vec_id"])
+                queries = embs_m.where(F.col("vec_id") < 3)
+                cells = ivf_probed_cells(
+                    queries, centroids=cents, n_probe=IVF_PROBE
+                )
+                inv = read_versioned_table(
+                    spark, f"{pq_root}/cells", partition_filter={"cid": cells}
+                )
+                ivf_pq_topk_adc(
+                    inv, queries, centroids=cents, codebooks=books,
+                    k=5, n_probe=IVF_PROBE,
+                ).write.format("noop").mode("overwrite").save()
 
     # k-core peel on the thresholded (>= 2 shared orders) co-purchase
     # graph: replicas are disjoint components, so the cascade runs
@@ -694,6 +740,8 @@ def probes(
         served["image_incr_mb"] = (image_incr_mb_compute, n_docs_i * mult)
     if ivf_served_compute is not None:
         served["ivf_served"] = (ivf_served_compute, n_embs * mult)
+    if ivfpq_served_compute is not None:
+        served["ivfpq_served"] = (ivfpq_served_compute, n_embs * mult)
     return served | {
         "scan_agg": (agg, n_li * mult),
         "window_top1": (topn, n_li * mult),
