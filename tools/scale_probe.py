@@ -1111,6 +1111,95 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         assert "BroadcastNestedLoopJoin" not in plan
         assert_no_checkpoint_broadcasts(plan, "multimodal_summary")
 
+    def image_served_plan_is_parquet_fed() -> None:
+        # the nightly serve at the audit mult: after the batch MERGE,
+        # the pair plan must be fed by PARQUET SCANS of the signature
+        # table — zero python decode stages (a MapInPandas anywhere
+        # below the pair tail means historic payloads are being
+        # re-decoded at query time, the exact weakness the served
+        # design closes) — and the verify joins must keep their pins
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+            merge_versioned_table,
+            read_versioned_table,
+        )
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            hamming_verified_pairs,
+            image_dhash_signatures,
+        )
+
+        probes(spark, sf_dir, mult, {"image_served"})  # store at this mult
+        table = _SIG_STORES[("image", sf_dir, mult)]
+        docs_a = amplify(
+            spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id"),
+            mult,
+            ["doc_id"],
+        )
+        batch = image_dhash_signatures(
+            docs_a.where(f"doc_id % {5 * mult} = 0"), n_patterns=37 * mult
+        )
+        merge_versioned_table(
+            spark,
+            table,
+            batch.withColumn("ingest_bucket", F.lit(1)),
+            keys=["doc_id"],
+            partition_by=["ingest_bucket"],
+        )
+        sigs = read_versioned_table(spark, table)
+        df = hamming_verified_pairs(
+            sigs.select("doc_id", "dhash"),
+            "dhash",
+            band_hex_width=4,
+            max_hamming=3,
+            pair_filter_sql=f"x % {5 * mult} = 0 OR y % {5 * mult} = 0",
+        )
+        plan = final_plan(df)
+        assert "Scan parquet" in plan, "served pairs lost their parquet scan"
+        for py_node in ("MapInPandas", "ArrowEval", "BatchEvalPython"):
+            assert py_node not in plan, (
+                f"served pair plan contains {py_node} at mult={mult} — "
+                "historic payloads re-decoded at query time"
+            )
+        assert "SortMergeJoin" in plan, "served verify joins lost their pins"
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert_no_checkpoint_broadcasts(plan, "image_served")
+
+    def ivf_served_no_corpus_side() -> None:
+        # serving from the pruned inverted file must stay
+        # self-contained: parquet scans of the index only (the query
+        # side's tiny UDF explode is expected — 3 rows), no cartesian /
+        # nested-loop, and the candidate join keyed on the cell id
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+            ivf_probed_cells,
+            ivf_topk_from_inverted_file,
+        )
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+            read_versioned_table,
+        )
+
+        probes(spark, sf_dir, mult, {"ivf_served"})  # index at this mult
+        root, cents = _IVF_STORES[(sf_dir, mult)]
+        embs_m = amplify(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"), mult, ["vec_id"]
+        )
+        queries = embs_m.where(F.col("vec_id") < 3)
+        cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
+        inv = read_versioned_table(
+            spark, f"{root}/cells", partition_filter={"cid": cells}
+        )
+        pruned_files = len(inv.inputFiles())
+        full_files = len(read_versioned_table(spark, f"{root}/cells").inputFiles())
+        assert pruned_files < full_files, (
+            f"manifest pruning read {pruned_files}/{full_files} files at "
+            f"mult={mult} — nothing was pruned"
+        )
+        plan = final_plan(
+            ivf_topk_from_inverted_file(inv, queries, centroids=cents, k=5, n_probe=2)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "WindowGroupLimit" in plan, "IVF top-k lost its partial group limit"
+
     def incr_pair_filter_inside_generation() -> None:
         # the incremental twins must keep the batch restriction INSIDE
         # grouped-bucket pair generation — a Filter above a Generate,
@@ -1179,6 +1268,8 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         "audio_dedup": audio_dedup_pins_hold,
         "multimodal_summary": multimodal_summary_pins_hold,
         "image_incr": incr_pair_filter_inside_generation,
+        "image_served": image_served_plan_is_parquet_fed,
+        "ivf_served": ivf_served_no_corpus_side,
     }
 
 
