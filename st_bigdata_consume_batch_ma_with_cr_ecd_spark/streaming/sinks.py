@@ -215,3 +215,135 @@ def cms_batch_writer(
         )
 
     return write
+
+
+def signature_dedup_batch_writer(
+    sig_table: str,
+    pairs_table: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_shingle: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    id_partition_range: int = 10_000,
+    app_id: str = "sig-dedup",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` CONTINUOUS incremental near-dedup — the
+    streaming face of the nightly ``dedup_*_incremental_served``
+    queries: per micro-batch of (id, text) documents,
+
+    1. MinHash signatures are computed for the ARRIVING BATCH ONLY
+       (historic payloads are never re-shingled);
+    2. the batch signatures MERGE into the versioned SIGNATURE STORE
+       as one atomic version (``txn=(app_id, epoch)`` — a replayed
+       epoch is skipped inside the publishing rename, the repo's
+       transactional exactly-once);
+    3. candidate pairs TOUCHING THE BATCH are generated over the
+       post-merge snapshot with the batch membership carried as a
+       boolean flag INTO grouped-bucket pair generation
+       (``lsh_candidate_pairs(flag_col=...)`` — a stream's batch is
+       data-defined, so the id-predicate ``pair_filter_sql`` hook
+       cannot express it); old-vs-old pairs never materialize;
+    4. the new pairs MERGE into the verdict table keyed on
+       (doc_a, doc_b), partitioned by the epoch that discovered them
+       (append-shaped copy-on-write: an epoch's merge writes only its
+       own partition unless it re-finds an existing pair).
+
+    Invariant (pytest + the registered query's oracle pin it): with
+    unique doc ids across the stream, EVERY true candidate pair is
+    discovered exactly once — at the arrival of its later side — so
+    after the stream drains, the pairs table equals the full-corpus
+    batch recompute REGARDLESS of how the rows were split into
+    micro-batches. (Uncapped buckets: a bucket-size cap would make the
+    result arrival-order-dependent — a bucket can be under the cap
+    when early pairs emit and over it in the final corpus.)
+
+    Crash between the two merges: the signature merge's txn marker
+    makes the replay skip step 2, while step 3 recomputes the same
+    pairs from the (already merged) snapshot and step 4's own txn
+    marker admits them once — both tables converge.
+
+    The signature store partitions by ``id div id_partition_range``:
+    monotone-id streams (log offsets, snowflake ids) touch only tail
+    partitions per merge, so per-epoch index maintenance stays
+    batch-sized."""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        from ..llm.dedup import lsh_candidate_pairs, minhash_signatures
+        from ..sinks.versioned import (
+            create_versioned_table,
+            list_versions,
+            merge_versioned_table,
+            read_versioned_table,
+        )
+
+        spark = batch.sparkSession
+        sigs_b = minhash_signatures(
+            batch, text_col, id_col, k_shingle=k_shingle, num_hashes=num_hashes
+        ).withColumn(
+            "id_range", (F.col(id_col) / F.lit(id_partition_range)).cast("bigint")
+        )
+        if sigs_b.isEmpty():
+            return
+        if not list_versions(spark, sig_table):
+            # bootstrap epoch: the create is convergent (same keys
+            # re-upsert to the same rows), transactional thereafter
+            create_versioned_table(sigs_b, sig_table, ["id_range"])
+        else:
+            merge_versioned_table(
+                spark,
+                sig_table,
+                sigs_b,
+                keys=[id_col],
+                partition_by=["id_range"],
+                txn=(app_id, epoch_id),
+            )
+        snap = read_versioned_table(spark, sig_table)
+        flags = sigs_b.select(F.col(id_col)).withColumn("__new", F.lit(True))
+        flagged = snap.join(flags, id_col, "left").withColumn(
+            "__new", F.coalesce(F.col("__new"), F.lit(False))
+        )
+        pairs = lsh_candidate_pairs(
+            flagged.select(id_col, "signature", "__new"),
+            id_col,
+            bands=bands,
+            rows_per_band=rows_per_band,
+            flag_col="__new",
+        ).withColumn("found_epoch", F.lit(int(epoch_id)).cast("bigint"))
+        if not list_versions(spark, pairs_table):
+            create_versioned_table(pairs, pairs_table, ["found_epoch"])
+        else:
+            merge_versioned_table(
+                spark,
+                pairs_table,
+                pairs,
+                keys=["doc_a", "doc_b"],
+                partition_by=["found_epoch"],
+                txn=(app_id, epoch_id),
+            )
+
+    return write
+
+
+def run_signature_dedup_stream(
+    stream: DataFrame,
+    sig_table: str,
+    pairs_table: str,
+    *,
+    checkpoint_dir: str,
+    **writer_kwargs,
+) -> None:
+    """Drain a bounded document stream through the continuous
+    incremental-dedup writer (availableNow, so tests and backfills
+    terminate)."""
+    (
+        stream.writeStream.foreachBatch(
+            signature_dedup_batch_writer(sig_table, pairs_table, **writer_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -5048,6 +5048,81 @@ def dedup_minhash_incremental_served(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _minhash_uncapped_oracle() -> str:
+    # the standard minhash oracle WITHOUT the hot-bucket cap: the
+    # streaming invariant ("every pair found exactly once, at its
+    # later side's arrival, so the drained stream equals the batch
+    # recompute for ANY micro-batch split") only holds uncapped — a
+    # bucket can be under the cap when early pairs emit and over it in
+    # the final corpus, which would make a capped result depend on
+    # arrival order
+    return _minhash_oracle().replace(
+        f" HAVING count(*) <= {_MINHASH_BUCKET_CAP}", ""
+    )
+
+
+@register(
+    "streaming_incremental_dedup",
+    oracle=_minhash_uncapped_oracle(),
+    doc="CONTINUOUS incremental near-dedup as a STREAMING job — the "
+    "always-on evolution of dedup_minhash_incremental_served: the "
+    "documents table arrives as three micro-batches (disjoint doc_id "
+    "slices, one file per trigger); each epoch computes MinHash "
+    "signatures for the ARRIVING batch only, MERGEs them into the "
+    "versioned signature store as one atomic transactionally-"
+    "idempotent version (txn=(app, epoch) — replay-safe), and "
+    "generates candidate pairs TOUCHING THE BATCH over the post-merge "
+    "snapshot with batch membership carried as a boolean flag INSIDE "
+    "grouped-bucket pair generation (lsh_candidate_pairs(flag_col=) — "
+    "a stream's batch is data-defined, so no id predicate can express "
+    "it); discovered pairs MERGE into an epoch-partitioned verdict "
+    "table. The oracle is the plain full-corpus batch recompute: with "
+    "unique ids, every true pair is discovered exactly once (at its "
+    "later side's arrival), so the drained verdict table must equal "
+    "the batch pair set bit-for-bit REGARDLESS of the micro-batch "
+    "split — the exactly-once claim under the driver's value hash.",
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import read_versioned_table
+    from ..streaming.sinks import run_signature_dedup_stream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_dedup_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    # three "days" of arrivals: disjoint doc_id slices, ONE flat file
+    # each so maxFilesPerTrigger=1 makes each slice its own micro-batch
+    for i in range(3):
+        tmp = f"{root}/tmp{i}"
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, f"{src}/batch{i}.parquet")
+        shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_signature_dedup_stream(
+        stream,
+        f"{root}/sigs",
+        f"{root}/pairs",
+        checkpoint_dir=f"{root}/ckpt",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        rows_per_band=_ROWS_PER_BAND,
+    )
+    return read_versioned_table(spark, f"{root}/pairs").select("doc_a", "doc_b")
+
+
 # PQ codebooks: fixed literals (offline-trained stand-in), distinct
 # seed from the IVF/LSH/SemDeDup constants.
 def _pq_books():

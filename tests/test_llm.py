@@ -1569,3 +1569,92 @@ def test_unigram_train_pruned_matches_python_reference(spark):
     assert dropped, "prune was vacuous — no multi-char piece removed"
     # coverability floor: every seed single char is in the model, > 0
     assert all(c in got and got[c] >= 1 for c in chars)
+
+
+def test_flagged_pair_generation_equals_id_predicate(spark, sf_dir):
+    # lsh_candidate_pairs(flag_col=...) with flags matching an id
+    # predicate must emit exactly the pair_filter_sql pairs — the two
+    # batch-restriction hooks are semantically one mechanism
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = minhash_signatures(docs, k_shingle=3, num_hashes=16).localCheckpoint(
+        eager=True
+    )
+    by_pred = sorted(
+        map(tuple, lsh_candidate_pairs(
+            sigs, pair_filter_sql="x % 5 = 0 OR y % 5 = 0"
+        ).collect())
+    )
+    flagged = sigs.withColumn("__new", F.col("doc_id") % 5 == 0)
+    by_flag = sorted(
+        map(tuple, lsh_candidate_pairs(
+            flagged.select("doc_id", "signature", "__new"), flag_col="__new"
+        ).collect())
+    )
+    assert by_flag == by_pred and by_flag
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_candidate_pairs(
+            flagged.select("doc_id", "signature", "__new"),
+            flag_col="__new",
+            pair_filter_sql="x % 5 = 0",
+        )
+
+
+def test_streaming_dedup_split_invariant_and_equals_batch(spark, sf_dir, tmp_path):
+    # the continuous-dedup invariant: for ANY micro-batch split, the
+    # drained pairs table equals the full-corpus batch recompute (every
+    # pair found exactly once, at its later side's arrival)
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        read_versioned_table,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        read_testdata,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.sinks import (
+        signature_dedup_batch_writer,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    want = sorted(
+        map(tuple, lsh_candidate_pairs(
+            minhash_signatures(docs, k_shingle=3, num_hashes=16)
+        ).select("doc_a", "doc_b").collect())
+    )
+    for name, n_splits, mod in (("s2", 2, 2), ("s3", 3, 3)):
+        write = signature_dedup_batch_writer(
+            str(tmp_path / name / "sigs"), str(tmp_path / name / "pairs"),
+            app_id=f"t-{name}",
+        )
+        for epoch in range(n_splits):
+            write(docs.where(F.col("doc_id") % mod == epoch), epoch)
+        got = sorted(
+            map(tuple, read_versioned_table(spark, str(tmp_path / name / "pairs"))
+                .select("doc_a", "doc_b").collect())
+        )
+        assert got == want and got, f"split {name} diverged from batch recompute"
+    # replaying an epoch (crash between checkpoint and table commits)
+    # must converge, not double-apply: the txn marker skips the
+    # signature re-merge and the pairs re-merge admits identical rows
+    write = signature_dedup_batch_writer(
+        str(tmp_path / "s2" / "sigs"), str(tmp_path / "s2" / "pairs"),
+        app_id="t-s2",
+    )
+    write(docs.where(F.col("doc_id") % 2 == 1), 1)  # replay epoch 1
+    got = sorted(
+        map(tuple, read_versioned_table(spark, str(tmp_path / "s2" / "pairs"))
+            .select("doc_a", "doc_b").collect())
+    )
+    assert got == want
