@@ -5340,6 +5340,73 @@ def ann_topk_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_recall_table",
+    # per-query recall of the full IVFADC chain against exact brute
+    # force: IVFPQ loses neighbors BOTH ways — probed-cell misses
+    # (coarse quantizer) AND asymmetric-distance re-ranking errors
+    # (PQ codes) — so this is the number a production PQ deployment
+    # tunes n_probe / codebook size against. Both symbolic replays sit
+    # under one hash.
+    oracle=f"""
+    WITH ivfpq AS ({_ivfpq_stored_oracle()}),
+    brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                                c.vec_id ASC) AS rn
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                  FROM embeddings) q
+            JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+                  FROM embeddings) c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < 10
+        ) WHERE rn <= 5
+    )
+    SELECT b.query_id,
+           CAST(count(*) AS INT) AS k,
+           CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_hits,
+           CAST(round(CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DECIMAL(10,4))
+                      / count(*), 4) AS DOUBLE) AS recall_at_5
+    FROM brute b
+    LEFT JOIN ivfpq i ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    """,
+    doc="Per-query recall@5 of the full IVFADC chain (stored PQ-coded "
+    "inverted file, manifest-pruned cells, asymmetric-distance "
+    "ranking) against exact brute-force cosine — the companion to "
+    "ann_ivf_recall_table that additionally charges the PQ "
+    "quantization error to the score, i.e. the number a deployment "
+    "tunes n_probe and codebook size against. Any regression in the "
+    "coarse quantizer, the codes, the pruned read, or the ADC ranking "
+    "moves a hit count and flips the hash.",
+)
+def ann_ivfpq_recall_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import brute_force_topk
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    ivfpq = ann_topk_ivfpq_stored(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("__pq_n")
+    )
+    brute = brute_force_topk(embs, queries, k=5).select("query_id", "neighbor_id")
+    joined = brute.join(
+        ivfpq,
+        (brute.query_id == ivfpq.query_id) & (F.col("neighbor_id") == F.col("__pq_n")),
+        "left",
+    ).select(brute.query_id, "neighbor_id", "__pq_n")
+    hits = F.sum(F.col("__pq_n").isNotNull().cast("int")).cast("int")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        hits.alias("n_hits"),
+        F.round((hits.cast("decimal(10,4)") / F.count(F.lit(1))), 4)
+        .cast("double")
+        .alias("recall_at_5"),
+    )
+
+
+@register(
     "stats_approx_sketches",
     oracle=None,  # HLL++ / KLL sketch internals are engine-specific; error bound pytested
     doc="Sketch-based stats: approx_count_distinct (HyperLogLog++, rsd 2%) and "
