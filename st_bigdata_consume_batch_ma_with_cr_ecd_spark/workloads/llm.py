@@ -1782,7 +1782,7 @@ def _unigram_em_iteration_sql(k: int, *, prune: bool = False) -> str:
     return ",".join(parts)
 
 
-def _unigram_train_oracle(*, prune: bool = False) -> str:
+def _unigram_train_oracle(*, prune: bool = False, cte_only: bool = False) -> str:
     """Full symbolic replay of llm/tokenizer.unigram_train: word-type
     stats, the overlapping-substring seed vocabulary (count >= min_seed
     OR single char), and {_UNIGRAM_ITERS} unrolled Viterbi-EM
@@ -1792,9 +1792,11 @@ def _unigram_train_oracle(*, prune: bool = False) -> str:
     association order), which select segmentations but never reach
     the hash. ``prune=True`` replays unigram_train_pruned instead
     (each iteration adds the f{k} character floor and pr{k} rank-
-    filter prune; output = the final pruned model)."""
+    filter prune; output = the final pruned model). ``cte_only=True``
+    returns just the CTE body (no WITH keyword, no final SELECT) so a
+    downstream oracle can chain the trained model into its own CTEs
+    (the train->encode composition)."""
     head = rf"""
-    WITH RECURSIVE
     uwords AS (
         SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
     ),
@@ -1823,7 +1825,14 @@ def _unigram_train_oracle(*, prune: bool = False) -> str:
         for k in range(1, _UNIGRAM_ITERS + 1)
     )
     final = f"pr{_UNIGRAM_ITERS}" if prune else f"c{_UNIGRAM_ITERS}"
-    return head + body + f"\n    SELECT piece, cnt AS piece_count FROM {final}"
+    if cte_only:
+        return head + body
+    return (
+        "\n    WITH RECURSIVE"
+        + head
+        + body
+        + f"\n    SELECT piece, cnt AS piece_count FROM {final}"
+    )
 
 
 @register(
@@ -1890,20 +1899,45 @@ def tokenizer_unigram_train_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def _unigram_encode_oracle() -> str:
+def _unigram_encode_oracle(
+    model_ctes: str | None = None, model_table: str | None = None
+) -> str:
     """Symbolic replay of llm/tokenizer.unigram_encode_counts: the
     literal vocab as a VALUES table, the Viterbi DP over word TYPES as
     the trainer-oracle's rolling-register CTE chain — extended with a
     parallel segment-count register file and a capture-at-own-length
     column (coalesce(final, CASE len(w) = i ...)), so no backpointer
-    walk — then a doc-occurrence join for the per-doc stats."""
+    walk — then a doc-occurrence join for the per-doc stats.
+
+    ``model_ctes``/``model_table``: instead of the literal vocab,
+    chain a TRAINER oracle's CTE body in front and read the model from
+    its final count table — the train->encode composition: pv becomes
+    the exact double division of the trained integer counts, which is
+    IEEE-identical to the Spark side's python-float ``wt / total``
+    literals (both are correctly rounded divisions of the same exact
+    integers)."""
     from ..llm.tokenizer import DEFAULT_UNIGRAM_VOCAB
 
-    total = sum(wt for _, wt in DEFAULT_UNIGRAM_VOCAB)
-    values = ", ".join(f"('{p}', {wt})" for p, wt in DEFAULT_UNIGRAM_VOCAB)
-    parts = [rf"""
+    if model_ctes is not None:
+        # MATERIALIZED: pv references the model twice (scalar-subquery
+        # total + the select), and the per-(i,l) piece join fans out
+        # further — without the hint DuckDB re-inlines the ENTIRE
+        # trainer chain per reference (measured 129s vs 25s at sf0.01)
+        head = rf"""
+    WITH RECURSIVE {model_ctes},
+    model AS MATERIALIZED (SELECT piece, cnt FROM {model_table}),
+    pv AS (
+        SELECT piece,
+               CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM model) AS p
+        FROM model
+    ),"""
+    else:
+        total = sum(wt for _, wt in DEFAULT_UNIGRAM_VOCAB)
+        values = ", ".join(f"('{p}', {wt})" for p, wt in DEFAULT_UNIGRAM_VOCAB)
+        head = rf"""
     WITH uv AS (SELECT * FROM (VALUES {values}) AS t(piece, wt)),
-    pv AS (SELECT piece, CAST(wt AS DOUBLE) / CAST({total} AS DOUBLE) AS p FROM uv),
+    pv AS (SELECT piece, CAST(wt AS DOUBLE) / CAST({total} AS DOUBLE) AS p FROM uv),"""
+    parts = [head + rf"""
     dw AS (
         SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
         FROM documents
@@ -1986,6 +2020,52 @@ def tokenize_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return unigram_encode_counts(
         _docs(spark, sf_dir),
+        max_word_len=_UNIGRAM_MAX_WORD,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+    )
+
+
+@register(
+    "pipeline_tokenizer_train_encode",
+    # the trainer's CTE body chains into the encoder's DP: pv is the
+    # exact double division of the TRAINED pruned counts, IEEE-equal to
+    # the Spark side's python-float vocab literals (same exact-integer
+    # divisions) — one hash over train -> prune -> serve
+    oracle=_unigram_encode_oracle(
+        model_ctes=_unigram_train_oracle(prune=True, cte_only=True),
+        model_table=f"pr{_UNIGRAM_ITERS}",
+    ),
+    doc="TRAIN-THEN-TOKENIZE under one value hash — the production "
+    "tokenizer pipeline end to end: the pruned unigram-LM trainer "
+    "(tokenizer_unigram_train_pruned's exact semantics) learns the "
+    "vocabulary from the corpus, the model crosses the driver once "
+    "(vocab-sized, the BPE/IVF precedent), and the ZERO-UDF Viterbi "
+    "encoder (tokenize_unigram_encode's fold) re-tokenizes the SAME "
+    "corpus under the learned probabilities, reporting per-doc "
+    "coverage and fertility. The oracle chains the full trainer "
+    "replay (seed, 2 pruned EM iterations, character floor) into the "
+    "encoder's rolling-register DP — a divergence anywhere in "
+    "training, pruning, model transfer, or serving flips the hash. "
+    "Thanks to the character floor every word is covered, so the "
+    "fertility column is the honest quality readout of the trained "
+    "vocab.",
+)
+def pipeline_tokenizer_train_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.tokenizer import unigram_encode_counts, unigram_train_pruned
+
+    docs = _docs(spark, sf_dir)
+    model = unigram_train_pruned(
+        docs,
+        max_word_len=_UNIGRAM_MAX_WORD,
+        max_piece_len=_UNIGRAM_MAX_PIECE,
+        min_seed_count=_UNIGRAM_MIN_SEED,
+        iters=_UNIGRAM_ITERS,
+        prune_denom=_UNIGRAM_PRUNE_DENOM,
+    )
+    vocab = sorted((r["piece"], int(r["piece_count"])) for r in model.collect())
+    return unigram_encode_counts(
+        docs,
+        vocab=vocab,
         max_word_len=_UNIGRAM_MAX_WORD,
         max_piece_len=_UNIGRAM_MAX_PIECE,
     )
