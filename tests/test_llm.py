@@ -1658,3 +1658,63 @@ def test_streaming_dedup_split_invariant_and_equals_batch(spark, sf_dir, tmp_pat
             .select("doc_a", "doc_b").collect())
     )
     assert got == want
+
+
+def test_signature_store_nightly_maintenance(spark, sf_dir, tmp_path):
+    # the operational lifecycle of a continuously merged signature
+    # store: nightly merges accumulate versions and small files;
+    # OPTIMIZE (compact) must change layout only — identical pairs
+    # served before and after — and VACUUM must reclaim superseded
+    # commits while the latest version keeps reading
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+        lsh_candidate_pairs,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        compact_versioned_table,
+        list_versions,
+        read_versioned_table,
+        vacuum_versioned_table,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        read_testdata,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.streaming.sinks import (
+        signature_dedup_batch_writer,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    sig_table = str(tmp_path / "sigs")
+    write = signature_dedup_batch_writer(
+        sig_table, str(tmp_path / "pairs"), app_id="t-maint"
+    )
+    # at production scale every merge's COW rewrite spans many tasks,
+    # fragmenting the touched partition dir; at test scale AQE
+    # coalesces the tiny merge to one task (= one file), so emulate
+    # the big-partition layout with the same knob a real writer hits:
+    # maxRecordsPerFile splitting one task's output into many files
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    try:
+        for epoch in range(3):
+            write(docs.where(F.col("doc_id") % 3 == epoch), epoch)
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    assert len(list_versions(spark, sig_table)) == 3  # create + 2 merges
+
+    def served_pairs():
+        snap = read_versioned_table(spark, sig_table)
+        return sorted(
+            map(tuple, lsh_candidate_pairs(
+                snap.select("doc_id", "signature")
+            ).collect())
+        )
+
+    before = served_pairs()
+    files_before = len(read_versioned_table(spark, sig_table).inputFiles())
+    assert compact_versioned_table(spark, sig_table), "nothing compacted"
+    after = served_pairs()
+    files_after = len(read_versioned_table(spark, sig_table).inputFiles())
+    assert after == before and after, "compaction changed served pairs"
+    assert files_after < files_before, "compaction did not reduce files"
+    removed = vacuum_versioned_table(spark, sig_table, keep_last=1, min_age_seconds=0)
+    assert removed, "vacuum reclaimed nothing"
+    assert served_pairs() == before, "vacuum broke the latest version"
