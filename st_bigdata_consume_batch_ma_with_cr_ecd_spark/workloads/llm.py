@@ -5308,20 +5308,38 @@ def ann_topk_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(embs, embs.where(F.col("vec_id") < 10), codebooks=_PQ_BOOKS, k=5)
 
 
-def _ivfpq_stored_oracle(n_probe: int = 2, k: int = 5) -> str:
+def _ivfpq_stored_oracle(n_probe: int = 2, k: int = 5, *, packed: bool = False) -> str:
     """IVFADC replay: literal coarse centroids (the ann_topk_ivf_fixed
     quantizer) assign every vector a cell and every query its probed
     cells; PQ codes come from the shared _pq_codes_cte literals; the
     ADC score is the ann_topk_pq_fixed qtab sum restricted to the
     probed cells' candidates. The parquet round-trip of (id, codes,
     cid) is integer-exact, so the hash covers encode -> store ->
-    manifest-pruned read -> ADC serve end to end."""
+    manifest-pruned read -> ADC serve end to end.
+
+    ``packed``: replay the BIT-PACKED index instead — the 8 4-bit
+    codes collapse into one BIGINT word (``sum(code << 4j)``) and the
+    scoring side unpacks code j as ``(packed >> 4j) & 15`` before the
+    lookup-table join, the same round trip llm/similarity.pack_pq_codes
+    / ivf_pq_packed_topk_adc runs (Spark divides instead of shifting —
+    integer-exact either way), so a packing that clobbered or
+    reordered any nibble would flip the hash."""
     rows = ",\n        ".join(
         f"({cid}, {[float(x) for x in c]}::DOUBLE[])"
         for cid, c in enumerate(_IVF_FIXED_CENTROIDS)
     )
+    packed_ctes = """
+    packedt AS (
+        SELECT vec_id, sum(CAST(code AS BIGINT) << (4 * j)) AS packed
+        FROM codes GROUP BY vec_id
+    ),
+    unpacked AS (
+        SELECT p.vec_id, js.j,
+               CAST((p.packed >> (4 * js.j)) & 15 AS INTEGER) AS code
+        FROM packedt p CROSS JOIN (SELECT unnest(range(8)) AS j) js
+    ),"""
     return f"""
-    WITH {_pq_codes_cte()},
+    WITH {_pq_codes_cte()},{packed_ctes if packed else ""}
     cent AS (
         SELECT cid AS ccid, c AS cc, sqrt(list_dot_product(c, c)) AS ccnrm
         FROM (VALUES {rows}) AS t(cid, c)
@@ -5352,7 +5370,7 @@ def _ivfpq_stored_oracle(n_probe: int = 2, k: int = 5) -> str:
                round(sum(qt.d), 6) AS adc_dist
         FROM query_cells qc
         JOIN corpus_cell cc2 ON cc2.ccid = qc.ccid AND cc2.vec_id <> qc.vec_id
-        JOIN codes c ON c.vec_id = cc2.vec_id
+        JOIN {"unpacked" if packed else "codes"} c ON c.vec_id = cc2.vec_id
         JOIN qtab qt ON qt.query_id = qc.vec_id AND qt.j = c.j AND qt.cid = c.code
         GROUP BY 1, 2
     )
@@ -5415,6 +5433,62 @@ def ann_topk_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"{root}/cells", partition_filter={"cid": cells}
     )
     return ivf_pq_topk_adc(
+        inv, queries, centroids=cents, codebooks=_PQ_BOOKS, k=5, n_probe=2
+    )
+
+
+@register(
+    "ann_topk_ivfpq_packed",
+    oracle=_ivfpq_stored_oracle(packed=True),
+    doc="IVFADC serving from a BIT-PACKED stored index — the SCALE.md "
+    "round-10 next step made real: the 8 4-bit PQ codes collapse into "
+    "ONE fixed-width integer word (llm/similarity.pack_pq_codes — "
+    "zip_with against literal power-of-two multipliers, JVM-only), so "
+    "an index row is 16 bytes of flat int64 data columns instead of "
+    "an array column with repetition levels; at 10^9 vectors that is "
+    "a ~16 GB inverted file (vs 256 GB of float32), small enough to "
+    "pin in the page cache of a single serving node. The word is "
+    "BIGINT, not INT32: code 15 in the top subspace sets bit 31, "
+    "which overflows Spark's SIGNED int under ANSI arithmetic, and "
+    "neither Spark nor parquet-from-Spark has an unsigned type "
+    "(FAISS's uint32 has no lossless Spark carrier). Serving unpacks "
+    "code j as (packed div 16^j) mod 16 inline in the broadcast-"
+    "table lookup (llm/similarity.ivf_pq_packed_topk_adc) — integer-"
+    "exact under the 2^53 double mantissa — so scores are bit-equal "
+    "to the unpacked path; the oracle replays pack (sum of shifted "
+    "codes) and unpack (shift + mask) in BIGINT bit arithmetic, "
+    "pinning every nibble of the packing through store -> manifest-"
+    "pruned read -> ADC rank.",
+)
+def ann_topk_ivfpq_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..llm.similarity import (
+        ivf_pq_packed_inverted_file,
+        ivf_pq_packed_topk_adc,
+        ivf_probed_cells,
+    )
+    from ..sinks.versioned import create_versioned_table, read_versioned_table
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    cents = _IVF_FIXED_CENTROIDS
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfpq_packed_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    create_versioned_table(
+        ivf_pq_packed_inverted_file(embs, centroids=cents, codebooks=_PQ_BOOKS),
+        f"{root}/cells",
+        ["cid"],
+    )
+    cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
+    inv = read_versioned_table(
+        spark, f"{root}/cells", partition_filter={"cid": cells}
+    )
+    return ivf_pq_packed_topk_adc(
         inv, queries, centroids=cents, codebooks=_PQ_BOOKS, k=5, n_probe=2
     )
 

@@ -801,6 +801,58 @@ def test_pq_topk_adc_matches_manual_tables(spark):
     assert got == [(2, 200.0), (1, 400.0)]
 
 
+def test_pack_pq_codes_roundtrip_and_packed_adc_bitequal(spark, sf_dir):
+    # (a) pack is exactly invertible for every corpus vector, including
+    # code 15 in the top subspace (bit 31 — the case that forced the
+    # BIGINT carrier); (b) the packed ADC serving path returns the
+    # bit-identical ranking and scores of the unpacked path
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        ivf_pq_inverted_file,
+        ivf_pq_packed_inverted_file,
+        ivf_pq_packed_topk_adc,
+        ivf_pq_topk_adc,
+        pq_codebooks,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        read_testdata,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        _IVF_FIXED_CENTROIDS,
+    )
+
+    books = pq_codebooks(n_subspaces=8, n_codes=16, dim=64, seed=13)
+    cents = _IVF_FIXED_CENTROIDS
+    embs = read_testdata(spark, sf_dir, "embeddings")
+    inv = ivf_pq_inverted_file(embs, centroids=cents, codebooks=books)
+    packed = ivf_pq_packed_inverted_file(embs, centroids=cents, codebooks=books)
+    want = {r.vec_id: list(r.codes) for r in inv.collect()}
+    got = {
+        r.vec_id: [(r.packed >> (4 * j)) & 15 for j in range(8)]
+        for r in packed.collect()
+    }
+    assert got == want
+
+    # synthetic all-15 codes: 15 << 28 sets bit 31, the word that a
+    # signed int32 cannot hold
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        pack_pq_codes,
+    )
+
+    hot = spark.createDataFrame([(0, [15] * 8)], "vec_id long, codes array<int>")
+    word = hot.select(pack_pq_codes(F.col("codes")).alias("p")).head().p
+    assert word == 0xFFFFFFFF and [(word >> (4 * j)) & 15 for j in range(8)] == [15] * 8
+
+    queries = embs.where(F.col("vec_id") < 5)
+    plain = ivf_pq_topk_adc(
+        inv, queries, centroids=cents, codebooks=books, k=5, n_probe=2
+    )
+    packed_out = ivf_pq_packed_topk_adc(
+        packed, queries, centroids=cents, codebooks=books, k=5, n_probe=2
+    )
+    key = lambda r: (r.query_id, r.neighbor_id, r.adc_dist)
+    assert sorted(map(key, packed_out.collect())) == sorted(map(key, plain.collect()))
+
+
 def test_subword_encoder_property_against_reference():
     # hypothesis: greedy longest-match against a brute-force reference
     # (try all vocab pieces at each position, longest then lexicographic)
