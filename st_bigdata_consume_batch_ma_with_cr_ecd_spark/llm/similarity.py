@@ -264,6 +264,64 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    *,
+    k: int = 5,
+    dup_threshold: float = 0.85,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the k
+    MOST similar corpus vectors that are provably not positives —
+    same-label rows are excluded (label = the supervision proxy) and so
+    are near-duplicates (cosine >= ``dup_threshold``, the SemDeDup-style
+    false-negative guard: an unlabeled copy of the anchor must never be
+    pushed away as a negative).
+
+    Same scale shape as :func:`brute_force_topk` (anchors broadcast, one
+    corpus pass, partial per-anchor top-k); at corpus scale swap the
+    scorer for the stored-IVF candidate generator — the filter and rank
+    compose unchanged on the candidate stream.
+
+    Returns (anchor_id, anchor_label, negative_id, negative_label,
+    cosine, neg_rank)."""
+    cv = _to_double(F.col(vec_col))
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        cv.alias("__cv"),
+        _norm(cv).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        cv.alias("__qv"),
+        _norm(cv).alias("__qn"),
+    )
+    sim = F.round(
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), round_to
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("anchor_id") != F.col("negative_id")
+    ).select("anchor_id", "anchor_label", "negative_id", "negative_label", sim.alias("cosine"))
+    hard = scored.where(
+        (F.col("cosine") < F.lit(dup_threshold))
+        & (F.col("negative_label") != F.col("anchor_label"))
+    )
+    return top_n_per_group(
+        hard,
+        ["anchor_id"],
+        [F.col("cosine").desc(), F.col("negative_id").asc()],
+        n=k,
+        rank_col="neg_rank",
+        keep_rank=True,
+    ).withColumn("neg_rank", F.col("neg_rank").cast("int"))
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

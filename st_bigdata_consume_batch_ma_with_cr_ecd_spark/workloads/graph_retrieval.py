@@ -56,7 +56,11 @@ _BM25_B = 0.75
 _BM25_TOPK = 5
 
 
-def _bm25_oracle() -> str:
+def _bm25_scored_sql() -> str:
+    """The shared WITH-body producing ``scored(query_id, doc_id, score)``
+    — consumed by the BM25 top-k oracle AND the hybrid-RRF oracle so the
+    two replay the identical determinism contract (round-8 per-term,
+    exact DECIMAL sum, round-4 total)."""
     q_values = ", ".join(
         f"('{qid}', '{t}')" for qid, terms in _BM25_QUERIES for t in terms
     )
@@ -65,7 +69,7 @@ def _bm25_oracle() -> str:
     # per-term scores round at 8 then sum exactly as DECIMAL so the
     # per-document total is independent of term order.
     return f"""
-    WITH queries(query_id, token) AS (SELECT * FROM (VALUES {q_values})),
+    queries(query_id, token) AS (SELECT * FROM (VALUES {q_values})),
     tok AS (
         SELECT doc_id, unnest({_DUCK_TOKENS}) AS token FROM documents
     ),
@@ -91,7 +95,12 @@ def _bm25_oracle() -> str:
         SELECT query_id, doc_id,
                CAST(round(sum(CAST(round(s, 8) AS DECIMAL(30,8))), 4) AS DOUBLE) AS score
         FROM term_scores GROUP BY 1, 2
-    )
+    )"""
+
+
+def _bm25_oracle() -> str:
+    return f"""
+    WITH {_bm25_scored_sql()}
     SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank FROM (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY score DESC, doc_id ASC
@@ -116,6 +125,21 @@ def _bm25_oracle() -> str:
     tags=("bench",),
 )
 def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _bm25_scores(spark, sf_dir)
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        n=_BM25_TOPK,
+        rank_col="rank",
+        keep_rank=True,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 scores (query_id, doc_id, score) for every document holding
+    at least one query term — the pre-top-k table both the ranked
+    retrieval query and the hybrid RRF fusion consume."""
     docs = read_testdata(spark, sf_dir, "documents")
     queries = spark.createDataFrame(
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
@@ -167,19 +191,160 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("query_id", "doc_id", s.alias("s"))
     )
-    scored = term_scores.groupBy("query_id", "doc_id").agg(
+    return term_scores.groupBy("query_id", "doc_id").agg(
         F.round(F.sum(F.round(F.col("s"), 8).cast("decimal(30,8)")), 4)
         .cast("double")
         .alias("score")
     )
-    return top_n_per_group(
-        scored,
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 ∪ dense ANN, fused by reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+# Each hybrid query carries BOTH representations: the BM25 token list
+# (shared with _BM25_QUERIES) and a dense anchor — the embedding of a
+# designated corpus vector standing in for the encoded query text (the
+# fixture has no text encoder; in production this column arrives from
+# the same model that embedded the corpus). doc_id and vec_id share the
+# 0..N-1 key space by fixture construction (TESTDATA.md).
+_RRF_ANCHORS: list[tuple[str, int]] = [
+    ("q_spark_join", 0),
+    ("q_batch_window", 1),
+    ("q_vector_scan", 2),
+]
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_POOL = 20  # per-system candidate pool depth
+_RRF_TOPK = 5
+
+
+def _rrf_oracle() -> str:
+    a_values = ", ".join(f"('{qid}', {vid})" for qid, vid in _RRF_ANCHORS)
+    return f"""
+    WITH {_bm25_scored_sql()},
+    anchors(query_id, avid) AS (SELECT * FROM (VALUES {a_values})),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    dense_scored AS (
+        SELECT a.query_id, c.vec_id AS doc_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM anchors a
+        JOIN e q ON q.vec_id = a.avid
+        JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    dense_ranked AS (
+        SELECT query_id, doc_id, rank_d FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank_d
+            FROM dense_scored
+        ) WHERE rank_d <= {_RRF_POOL}
+    ),
+    sparse_ranked AS (
+        SELECT query_id, doc_id, rank_s FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_s
+            FROM scored
+        ) WHERE rank_s <= {_RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(s.query_id, d.query_id) AS query_id,
+               coalesce(s.doc_id, d.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({_RRF_K} + s.rank_s), 0)
+                     + coalesce(1.0 / ({_RRF_K} + d.rank_d), 0), 6) AS rrf_score,
+               CAST(s.rank_s AS INT) AS sparse_rank,
+               CAST(d.rank_d AS INT) AS dense_rank
+        FROM sparse_ranked s
+        FULL OUTER JOIN dense_ranked d
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rn AS INT) AS fused_rank,
+           sparse_rank, dense_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rn
+        FROM fused
+    ) WHERE rn <= {_RRF_TOPK}
+    """
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    oracle=_rrf_oracle(),
+    doc="Hybrid retrieval: the BM25 sparse ranking and an exact-cosine "
+    "dense ranking each contribute a top-20 candidate pool per query, "
+    "fused by reciprocal-rank fusion (1/(60+rank), Cormack et al. 2009) "
+    "into a top-5. RRF consumes RANKS only, so fusion inherits both "
+    "systems' determinism contracts (BM25's round-8/DECIMAL/round-4 "
+    "chain; cosine's round-6) and needs no score calibration between "
+    "incommensurable scales. Scale shape: each system's cost is its own "
+    "(both already pool-bounded — posting-list-sparse BM25, broadcast-"
+    "query dense scan); fusion itself is a full outer join of two "
+    "POOL-sized tables per query — never corpus-sized. The dense anchor "
+    "is a designated corpus embedding per query (no text encoder in the "
+    "fixture); sparse_rank/dense_rank stay in the output so downstream "
+    "rerankers can see which system surfaced each hit.",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import brute_force_topk
+
+    anchors = spark.createDataFrame(_RRF_ANCHORS, "query_id string, avid bigint")
+    embs = read_testdata(spark, sf_dir, "embeddings")
+    dense_pool = brute_force_topk(
+        embs, embs.where(F.col("vec_id").isin([v for _, v in _RRF_ANCHORS])), k=_RRF_POOL
+    )
+    # brute_force_topk's query_id is the anchor VEC id: re-rank the
+    # pool (row_number over the same total order — identical ranks on
+    # the top-k subset) and map to the query name via the tiny anchor
+    # table. Rename neighbor_id -> doc_id: the fixture's vec/doc key
+    # spaces coincide.
+    dense_ranked = (
+        top_n_per_group(
+            dense_pool.withColumnRenamed("query_id", "avid"),
+            ["avid"],
+            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+            n=_RRF_POOL,
+            rank_col="rank_d",
+            keep_rank=True,
+        )
+        .join(F.broadcast(anchors), "avid")
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank_d")
+    )
+    sparse_ranked = top_n_per_group(
+        _bm25_scores(spark, sf_dir),
         ["query_id"],
         [F.col("score").desc(), F.col("doc_id").asc()],
-        n=_BM25_TOPK,
-        rank_col="rank",
+        n=_RRF_POOL,
+        rank_col="rank_s",
         keep_rank=True,
-    ).withColumn("rank", F.col("rank").cast("int"))
+    ).select("query_id", "doc_id", "rank_s")
+    fused = sparse_ranked.join(dense_ranked, ["query_id", "doc_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_s")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_d")), F.lit(0.0)),
+        6,
+    )
+    scored = fused.select(
+        "query_id",
+        "doc_id",
+        rrf.alias("rrf_score"),
+        F.col("rank_s").cast("int").alias("sparse_rank"),
+        F.col("rank_d").cast("int").alias("dense_rank"),
+    )
+    return (
+        top_n_per_group(
+            scored,
+            ["query_id"],
+            [F.col("rrf_score").desc(), F.col("doc_id").asc()],
+            n=_RRF_TOPK,
+            rank_col="fused_rank",
+            keep_rank=True,
+        )
+        .withColumn("fused_rank", F.col("fused_rank").cast("int"))
+        .select("query_id", "doc_id", "rrf_score", "fused_rank", "sparse_rank", "dense_rank")
+    )
 
 
 # ---------------------------------------------------------------------------

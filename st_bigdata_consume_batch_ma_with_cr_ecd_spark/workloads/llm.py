@@ -877,6 +877,57 @@ def knn_classify_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Literal logistic-regression weights for classifier_lr_inference:
+_HARDNEG_DUP_T = 0.85
+_HARDNEG_K = 5
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+               c.vec_id AS negative_id, c.label AS negative_label,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    ),
+    hard AS (
+        SELECT * FROM scored
+        WHERE cosine < {_HARDNEG_DUP_T} AND negative_label <> anchor_label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cosine,
+           CAST(rn AS INT) AS neg_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cosine DESC, negative_id ASC) AS rn
+        FROM hard
+    ) WHERE rn <= {_HARDNEG_K}
+    """,
+    doc="Hard-negative mining for contrastive training: per anchor "
+    "(vec_id % 50 = 0), the 5 most-similar corpus vectors that are "
+    "provably not positives — same-label rows excluded (label = the "
+    "supervision proxy) and near-duplicates excluded (cosine >= 0.85, "
+    "the false-negative guard: an unlabeled copy of the anchor must "
+    "never be pushed away as a negative). Anchors broadcast against one "
+    "corpus pass; WindowGroupLimit keeps the per-anchor top-k partial. "
+    "At corpus scale the brute-force scorer swaps for the stored-IVF "
+    "candidate generator; the guard filter and rank compose unchanged.",
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import hard_negative_topk
+
+    embs = _embs(spark, sf_dir)
+    anchors = embs.where(F.col("vec_id") % 50 == 0)
+    return hard_negative_topk(
+        embs, anchors, k=_HARDNEG_K, dup_threshold=_HARDNEG_DUP_T
+    )
+
+
 # computed ONCE in Python and embedded as the same numeric literals in
 # both engines, so no engine-side math shapes the model itself.
 import math as _math

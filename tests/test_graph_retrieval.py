@@ -363,3 +363,79 @@ def test_als_rank2_recovers_planted_factors(spark):
     err_trained = sq_err(p, q)
     assert err_trained < err_init * 1e-3
     assert err_trained < 1e-4  # planted rank-2 structure is recoverable
+
+
+def test_hybrid_rrf_fuses_rank_contributions(spark, tmp_path):
+    # Engineered micro-corpus: doc 1 is rank 1 in BOTH systems for
+    # q_spark_join (its text carries both query terms at high tf; its
+    # embedding is near-parallel to the query anchor vec 0), so fusion
+    # must sum both 1/(60+1) contributions; docs surfaced by a single
+    # system carry exactly one term and a NULL rank for the other.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+        retrieval_hybrid_rrf,
+    )
+
+    docs = [
+        (1, "spark join spark join spark"),
+        (2, "spark filter scan table row"),
+        (3, "quiet corpus page nothing here"),
+        (4, "spark once among filler words"),  # sparse-only: no embedding row
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                "text": [d[1] for d in docs],
+                "lang": ["en"] * len(docs),
+                "source": ["s"] * len(docs),
+                "n_chars": pa.array([5] * len(docs), pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # anchor: q_spark_join
+        (1, [0.99, 0.1, 0.0, 0.0]),  # doc 1: dense rank 1 for q_spark_join
+        (2, [0.0, 1.0, 0.0, 0.0]),  # anchor: q_vector_scan (orthogonal)
+        (3, [0.9, 0.43, 0.0, 0.0]),  # dense-only hit, rank 2
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+                "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        ),
+        tmp_path / "embeddings.parquet",
+    )
+    out = retrieval_hybrid_rrf(spark, str(tmp_path)).collect()
+    sj = {r.doc_id: r for r in out if r.query_id == "q_spark_join"}
+    top = min(sj.values(), key=lambda r: r.fused_rank)
+    assert top.doc_id == 1 and (top.sparse_rank, top.dense_rank) == (1, 1)
+    assert top.rrf_score == pytest.approx(round(2.0 / 61.0, 6), abs=1e-9)
+    # doc 2 sits in BOTH pools (every vector ranks in a 4-row corpus):
+    # its fused score is the exact two-term sum
+    assert sj[2].sparse_rank is not None and sj[2].dense_rank is not None
+    assert sj[2].rrf_score == pytest.approx(
+        round(1.0 / (60 + sj[2].sparse_rank) + 1.0 / (60 + sj[2].dense_rank), 6),
+        abs=1e-9,
+    )
+    # doc 4: sparse-only (text hit, embedding absent from the corpus)
+    assert sj[4].dense_rank is None
+    assert sj[4].rrf_score == pytest.approx(
+        round(1.0 / (60 + sj[4].sparse_rank), 6), abs=1e-9
+    )
+    # vec 3: dense-only (no parquet doc text contains a query term)
+    assert sj[3].sparse_rank is None
+    assert sj[3].rrf_score == pytest.approx(
+        round(1.0 / (60 + sj[3].dense_rank), 6), abs=1e-9
+    )
+    # every fused list respects the (score DESC, doc_id ASC) total order
+    for qid in {r.query_id for r in out}:
+        rows = sorted((r for r in out if r.query_id == qid), key=lambda r: r.fused_rank)
+        keys = [(-r.rrf_score, r.doc_id) for r in rows]
+        assert keys == sorted(keys)

@@ -1770,3 +1770,31 @@ def test_signature_store_nightly_maintenance(spark, sf_dir, tmp_path):
     removed = vacuum_versioned_table(spark, sig_table, keep_last=1, min_age_seconds=0)
     assert removed, "vacuum reclaimed nothing"
     assert served_pairs() == before, "vacuum broke the latest version"
+
+
+def test_hard_negative_mining_guards(spark):
+    # anchor 0 (label 0); vec 1 = same direction, DIFFERENT label ->
+    # excluded by the near-duplicate guard (an unlabeled copy must not
+    # become a negative); vec 2 = same label -> excluded as a positive;
+    # vecs 3/4 = true hard negatives, ranked by cosine.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [2.0, 0.0, 0.0], 1),  # cosine 1.0 with anchor: dup-guarded
+        (2, [0.9, 0.4, 0.0], 0),  # same label: positive, excluded
+        (3, [0.8, 0.6, 0.0], 1),  # cosine 0.8: hard negative rank 1
+        (4, [0.0, 1.0, 0.0], 1),  # cosine 0.0: hard negative rank 2
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = hard_negative_topk(
+        embs, embs.where(F.col("vec_id") == 0), k=5, dup_threshold=0.85
+    ).collect()
+    assert [(r.negative_id, r.neg_rank) for r in out] == [(3, 1), (4, 2)]
+    assert all(r.anchor_id == 0 and r.anchor_label == 0 for r in out)
+    assert all(r.negative_label != 0 for r in out)
+    assert out[0].cosine == pytest.approx(0.8, abs=1e-6)
