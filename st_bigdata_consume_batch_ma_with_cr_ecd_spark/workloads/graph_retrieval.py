@@ -348,6 +348,176 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval evaluation: nDCG@5 across the three rankers
+# ---------------------------------------------------------------------------
+
+import math as _m
+
+_NDCG_K = 5
+# Discount weights 1/log2(pos+1) computed ONCE in Python and embedded
+# as the same 8-decimal literals in both engines — log2 differs in the
+# last ulp between JVM and C runtimes, so the discounts must never be
+# recomputed engine-side.
+_NDCG_DISC: list[tuple[int, float]] = [
+    (i, round(1.0 / _m.log2(i + 1), 8)) for i in range(1, _NDCG_K + 1)
+]
+
+
+def _ndcg_oracle() -> str:
+    a_values = ", ".join(f"('{qid}', {vid})" for qid, vid in _RRF_ANCHORS)
+    d_values = ", ".join(f"({p}, CAST({d!r} AS DOUBLE))" for p, d in _NDCG_DISC)
+    return f"""
+    WITH b AS ({_bm25_oracle()}),
+    h AS ({_rrf_oracle()}),
+    anchors(query_id, avid) AS (SELECT * FROM (VALUES {a_values})),
+    disc(pos, disc) AS (SELECT * FROM (VALUES {d_values})),
+    e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    dense_scored AS (
+        SELECT a.query_id, c.vec_id AS doc_id,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM anchors a
+        JOIN e q ON q.vec_id = a.avid
+        JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    retrieved AS (
+        SELECT query_id, doc_id, rank AS pos, 'bm25' AS system FROM b
+        UNION ALL
+        SELECT query_id, doc_id, fused_rank AS pos, 'hybrid' AS system FROM h
+        UNION ALL
+        SELECT query_id, doc_id, rn AS pos, 'dense' AS system FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rn
+            FROM dense_scored
+        ) WHERE rn <= {_NDCG_K}
+    ),
+    qlabel AS (
+        SELECT a.query_id, e.label AS anchor_label
+        FROM anchors a JOIN e ON e.vec_id = a.avid
+    ),
+    nrel AS (
+        SELECT q.query_id, count(*) AS r
+        FROM qlabel q JOIN e ON e.label = q.anchor_label
+        GROUP BY 1
+    ),
+    dcg AS (
+        SELECT r.query_id, r.system,
+               sum(CAST(round(
+                   (CASE WHEN e.label = q.anchor_label THEN 1 ELSE 0 END) * d.disc,
+               8) AS DECIMAL(20,8))) AS dcg
+        FROM retrieved r
+        JOIN e ON e.vec_id = r.doc_id
+        JOIN qlabel q ON q.query_id = r.query_id
+        JOIN disc d ON d.pos = r.pos
+        GROUP BY 1, 2
+    ),
+    idcg AS (
+        SELECT n.query_id,
+               sum(CAST(round(d.disc, 8) AS DECIMAL(20,8))) AS idcg
+        FROM nrel n JOIN disc d ON d.pos <= least(n.r, {_NDCG_K})
+        GROUP BY 1
+    )
+    SELECT dcg.query_id, dcg.system,
+           round(CAST(dcg.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg
+    FROM dcg JOIN idcg i ON i.query_id = dcg.query_id
+    """
+
+
+@register(
+    "eval_retrieval_ndcg",
+    oracle=_ndcg_oracle(),
+    doc="nDCG@5 for each of the three rankers (bm25 / dense / hybrid "
+    "RRF) per query: binary relevance = corpus label matches the "
+    "query anchor's label; iDCG from the GLOBAL relevant count (min "
+    "k), so systems are compared against the same ideal. Discount "
+    "weights 1/log2(pos+1) are Python-computed 8-decimal literals on "
+    "BOTH engines (JVM and C log2 differ in the last ulp); DCG sums "
+    "them as exact DECIMAL. Scale shape: the eval joins only the "
+    "k-sized retrieved lists against the label table — the heavy "
+    "lifting is the rankers themselves, each already pool-bounded.",
+)
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import brute_force_topk
+
+    anchors = spark.createDataFrame(_RRF_ANCHORS, "query_id string, avid bigint")
+    disc = spark.createDataFrame(_NDCG_DISC, "pos int, disc double")
+    embs = read_testdata(spark, sf_dir, "embeddings")
+
+    sparse = top_n_per_group(
+        _bm25_scores(spark, sf_dir),
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        n=_NDCG_K,
+        rank_col="pos",
+        keep_rank=True,
+    ).select("query_id", "doc_id", "pos", F.lit("bm25").alias("system"))
+    dense = (
+        top_n_per_group(
+            brute_force_topk(
+                embs,
+                embs.where(F.col("vec_id").isin([v for _, v in _RRF_ANCHORS])),
+                k=_NDCG_K,
+            ).withColumnRenamed("query_id", "avid"),
+            ["avid"],
+            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+            n=_NDCG_K,
+            rank_col="pos",
+            keep_rank=True,
+        )
+        .join(F.broadcast(anchors), "avid")
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            "pos",
+            F.lit("dense").alias("system"),
+        )
+    )
+    hybrid = retrieval_hybrid_rrf(spark, sf_dir).select(
+        "query_id",
+        "doc_id",
+        F.col("fused_rank").alias("pos"),
+        F.lit("hybrid").alias("system"),
+    )
+    retrieved = sparse.unionByName(dense).unionByName(hybrid)
+
+    # labels is CORPUS-sized: the k-sized retrieved lists are the
+    # broadcast side, never the label table
+    labels = embs.select(F.col("vec_id").alias("doc_id"), "label")
+    qlabel = embs.join(
+        F.broadcast(anchors), F.col("vec_id") == F.col("avid")
+    ).select("query_id", F.col("label").alias("anchor_label"))
+    nrel = embs.select("label").join(
+        F.broadcast(qlabel), F.col("label") == F.col("anchor_label")
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("r"))
+
+    rel = (F.col("label") == F.col("anchor_label")).cast("int")
+    dcg = (
+        labels.join(F.broadcast(retrieved), "doc_id")
+        .join(F.broadcast(qlabel), "query_id")
+        .join(F.broadcast(disc), "pos")
+        .groupBy("query_id", "system")
+        .agg(
+            F.sum(F.round(rel * F.col("disc"), 8).cast("decimal(20,8)")).alias("dcg")
+        )
+    )
+    idcg = (
+        nrel.join(F.broadcast(disc), F.col("pos") <= F.least(F.col("r"), F.lit(_NDCG_K)))
+        .groupBy("query_id")
+        .agg(F.sum(F.round(F.col("disc"), 8).cast("decimal(20,8)")).alias("idcg"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "system",
+        F.round(
+            F.col("dcg").cast("double") / F.col("idcg").cast("double"), 6
+        ).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PageRank, fixed iteration budget
 # ---------------------------------------------------------------------------
 

@@ -439,3 +439,20 @@ def test_hybrid_rrf_fuses_rank_contributions(spark, tmp_path):
         rows = sorted((r for r in out if r.query_id == qid), key=lambda r: r.fused_rank)
         keys = [(-r.rrf_score, r.doc_id) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_ndcg_eval_bounds_and_system_coverage(spark, sf_dir):
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+        eval_retrieval_ndcg,
+    )
+
+    rows = eval_retrieval_ndcg(spark, sf_dir).collect()
+    by_query = {}
+    for r in rows:
+        by_query.setdefault(r.query_id, {})[r.system] = r.ndcg
+    # every query evaluates all three rankers, and nDCG is a proper
+    # normalized metric: within [0, 1] (1 only if the top-k is ideal)
+    for qid, systems in by_query.items():
+        assert set(systems) == {"bm25", "dense", "hybrid"}
+        for v in systems.values():
+            assert 0.0 <= v <= 1.0
