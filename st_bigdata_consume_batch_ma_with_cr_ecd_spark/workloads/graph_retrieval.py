@@ -254,8 +254,11 @@ def _rrf_oracle() -> str:
                coalesce(s.doc_id, d.doc_id) AS doc_id,
                round(coalesce(1.0 / ({_RRF_K} + s.rank_s), 0)
                      + coalesce(1.0 / ({_RRF_K} + d.rank_d), 0), 6) AS rrf_score,
-               CAST(s.rank_s AS INT) AS sparse_rank,
-               CAST(d.rank_d AS INT) AS dense_rank
+               -- rank 0 = "not surfaced by this system": keeps the
+               -- columns NON-NULL int (a nullable INT degrades to
+               -- float64 through every pandas fetch path — dtype audit)
+               CAST(coalesce(s.rank_s, 0) AS INT) AS sparse_rank,
+               CAST(coalesce(d.rank_d, 0) AS INT) AS dense_rank
         FROM sparse_ranked s
         FULL OUTER JOIN dense_ranked d
           ON s.query_id = d.query_id AND s.doc_id = d.doc_id
@@ -284,8 +287,9 @@ def _rrf_oracle() -> str:
     "query dense scan); fusion itself is a full outer join of two "
     "POOL-sized tables per query — never corpus-sized. The dense anchor "
     "is a designated corpus embedding per query (no text encoder in the "
-    "fixture); sparse_rank/dense_rank stay in the output so downstream "
-    "rerankers can see which system surfaced each hit.",
+    "fixture); sparse_rank/dense_rank stay in the output (0 = not in "
+    "that system's pool) so downstream rerankers can see which system "
+    "surfaced each hit.",
 )
 def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.similarity import brute_force_topk
@@ -330,8 +334,11 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "doc_id",
         rrf.alias("rrf_score"),
-        F.col("rank_s").cast("int").alias("sparse_rank"),
-        F.col("rank_d").cast("int").alias("dense_rank"),
+        # rank 0 = "not surfaced by this system" (non-null int by
+        # construction; a nullable INT degrades to float64 through
+        # every pandas fetch path — dtype audit)
+        F.coalesce(F.col("rank_s"), F.lit(0)).cast("int").alias("sparse_rank"),
+        F.coalesce(F.col("rank_d"), F.lit(0)).cast("int").alias("dense_rank"),
     )
     return (
         top_n_per_group(

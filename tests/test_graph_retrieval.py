@@ -419,18 +419,19 @@ def test_hybrid_rrf_fuses_rank_contributions(spark, tmp_path):
     assert top.rrf_score == pytest.approx(round(2.0 / 61.0, 6), abs=1e-9)
     # doc 2 sits in BOTH pools (every vector ranks in a 4-row corpus):
     # its fused score is the exact two-term sum
-    assert sj[2].sparse_rank is not None and sj[2].dense_rank is not None
+    assert sj[2].sparse_rank > 0 and sj[2].dense_rank > 0
     assert sj[2].rrf_score == pytest.approx(
         round(1.0 / (60 + sj[2].sparse_rank) + 1.0 / (60 + sj[2].dense_rank), 6),
         abs=1e-9,
     )
-    # doc 4: sparse-only (text hit, embedding absent from the corpus)
-    assert sj[4].dense_rank is None
+    # doc 4: sparse-only (text hit, embedding absent from the corpus);
+    # rank 0 = "not surfaced by this system"
+    assert sj[4].dense_rank == 0
     assert sj[4].rrf_score == pytest.approx(
         round(1.0 / (60 + sj[4].sparse_rank), 6), abs=1e-9
     )
     # vec 3: dense-only (no parquet doc text contains a query term)
-    assert sj[3].sparse_rank is None
+    assert sj[3].sparse_rank == 0
     assert sj[3].rrf_score == pytest.approx(
         round(1.0 / (60 + sj[3].dense_rank), 6), abs=1e-9
     )
