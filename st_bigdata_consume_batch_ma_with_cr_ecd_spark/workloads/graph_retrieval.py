@@ -136,11 +136,15 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("rank", F.col("rank").cast("int"))
 
 
-def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25_scores(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """BM25 scores (query_id, doc_id, score) for every document holding
     at least one query term — the pre-top-k table both the ranked
-    retrieval query and the hybrid RRF fusion consume."""
-    docs = read_testdata(spark, sf_dir, "documents")
+    retrieval query and the hybrid RRF fusion consume. ``docs``
+    overrides the corpus (scale probes inject amplified replicas)."""
+    if docs is None:
+        docs = read_testdata(spark, sf_dir, "documents")
     queries = spark.createDataFrame(
         [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
         "query_id string, token string",
@@ -291,11 +295,17 @@ def _rrf_oracle() -> str:
     "that system's pool) so downstream rerankers can see which system "
     "surfaced each hit.",
 )
-def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def retrieval_hybrid_rrf(
+    spark: SparkSession,
+    sf_dir: str,
+    docs: DataFrame | None = None,
+    embs: DataFrame | None = None,
+) -> DataFrame:
     from ..llm.similarity import brute_force_topk
 
     anchors = spark.createDataFrame(_RRF_ANCHORS, "query_id string, avid bigint")
-    embs = read_testdata(spark, sf_dir, "embeddings")
+    if embs is None:
+        embs = read_testdata(spark, sf_dir, "embeddings")
     dense_pool = brute_force_topk(
         embs, embs.where(F.col("vec_id").isin([v for _, v in _RRF_ANCHORS])), k=_RRF_POOL
     )
@@ -317,7 +327,7 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank_d")
     )
     sparse_ranked = top_n_per_group(
-        _bm25_scores(spark, sf_dir),
+        _bm25_scores(spark, sf_dir, docs=docs),
         ["query_id"],
         [F.col("score").desc(), F.col("doc_id").asc()],
         n=_RRF_POOL,

@@ -729,6 +729,33 @@ def probes(
             "noop"
         ).mode("overwrite").save()
 
+    # Hybrid RRF retrieval at amplified corpus. Replicas copy texts
+    # VERBATIM (doc_id shift only), so query-term posting lists grow
+    # x mult — the honest worst case for the sparse half (the tf/df
+    # index build is corpus-linear by nature; production amortizes it
+    # across queries). Embeddings amplify by vec_id shift; the anchors
+    # stay in replica 0 and the dense brute-force scorer scans the full
+    # amplified corpus — at production scale that half swaps for the
+    # stored-IVF serving path (ivf_served, sublinear above). The point
+    # this probe pins: FUSION cost stays flat — its full outer join
+    # inputs are <= 20 rows per query at every mult, so the end-to-end
+    # slope is exactly the sum of the two rankers' own slopes.
+    docs_plain_m = amplify(docs_full, mult, ["doc_id"])
+    embs_r = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    if sf_dir + "/embs_r" not in _BASE_COUNTS:
+        _BASE_COUNTS[sf_dir + "/embs_r"] = (embs_r.count(), 0)
+    n_embs_r = _BASE_COUNTS[sf_dir + "/embs_r"][0]
+    embs_m = amplify(embs_r, mult, ["vec_id"])
+
+    def hybrid_rrf_compute() -> None:
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+            retrieval_hybrid_rrf,
+        )
+
+        retrieval_hybrid_rrf(
+            spark, sf_dir, docs=docs_plain_m, embs=embs_m
+        ).write.format("noop").mode("overwrite").save()
+
     served = {}
     if image_served_compute is not None:
         served["image_served"] = (image_served_compute, n_docs_i * mult)
@@ -765,6 +792,7 @@ def probes(
         "fuzzy_er_closure": (fuzzy_er_compute, n_cust * mult),
         "fuzzy_k2": (fuzzy_k2_compute, n_cust * mult),
         "jaccard_verify": (jaccard_verify_compute, n_docs * mult),
+        "hybrid_rrf": (hybrid_rrf_compute, (n_docs + n_embs_r) * mult),
     }
 
 
