@@ -1283,7 +1283,67 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
     # allocation at 64x, so it must run against a clean heap; the fuzzy
     # audit's checkpoint blocks are unpersisted explicitly either way
     # (the ordering + cleanup is what the first 64x run OOM'd without)
+    def hybrid_rrf_fusion_stays_pool_bounded() -> None:
+        # the hybrid retrieval's load-bearing plan facts at the audit
+        # mult: the RRF fusion keeps its full-outer shape over
+        # pool-capped inputs (each ranker's partial WindowGroupLimit
+        # still present), no cross join appears, and every broadcast in
+        # the plan is INTENT (F.broadcast of the literal query/anchor
+        # tables or a bounded contraction), not an estimate-driven pick
+        # — triaged with the hazard-sweep technique: estimate-driven
+        # broadcasts vanish under autoBroadcastJoinThreshold=-1, hinted
+        # ones survive, so the strict-flag count must not drop.
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+            retrieval_hybrid_rrf,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs_m = amplify(docs, mult, ["doc_id"])
+        embs_m = amplify(embs, mult, ["vec_id"])
+
+        plan = final_plan(retrieval_hybrid_rrf(spark, sf_dir, docs=docs_m, embs=embs_m))
+        assert "FullOuter" in plan, "RRF fusion join vanished from the final plan"
+        assert "CartesianProduct" not in plan, "hybrid grew an unguarded cross join"
+        assert plan.count("WindowGroupLimit") >= 3, (
+            "a ranker lost its partial top-k group limit"
+        )
+
+        import contextlib
+        import importlib.util
+        import io as _io
+
+        spec = importlib.util.spec_from_file_location(
+            "explain_audit", Path(__file__).resolve().parent / "explain_audit.py"
+        )
+        ea = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ea)
+
+        def strict_flags(threshold: str | None) -> list[str]:
+            old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            if threshold is not None:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+            try:
+                df = retrieval_hybrid_rrf(spark, sf_dir, docs=docs_m, embs=embs_m)
+                buf = _io.StringIO()
+                with contextlib.redirect_stdout(buf):
+                    df.explain("formatted")
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+            return ea.checkpoint_broadcast_flags(buf.getvalue(), strict=True)
+
+        default_n = len(strict_flags(None))
+        pinned_n = len(strict_flags("-1"))
+        assert default_n <= pinned_n, (
+            f"hybrid_rrf: {default_n - pinned_n} estimate-driven "
+            f"checkpoint broadcast(s) at mult={mult} (default {default_n} "
+            f"strict flags vs {pinned_n} under threshold=-1)"
+        )
+
     return {
+        "hybrid_rrf": hybrid_rrf_fusion_stays_pool_bounded,
         "consume_e2e_compute": consume_e2e_no_data_sized_broadcast,
         "consume_e2e_staged": consume_e2e_staged_scans_parquet,
         "fuzzy_er_closure": fuzzy_er_round_join_stays_smj,
