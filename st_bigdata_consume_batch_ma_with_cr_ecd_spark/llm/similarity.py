@@ -590,6 +590,68 @@ def ivf_topk(
     )
 
 
+def hard_negative_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    *,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+    dup_threshold: float = 0.85,
+    round_to: int = 6,
+) -> DataFrame:
+    """:func:`hard_negative_topk` on the IVF serving path — the corpus
+    scale shape: candidates come from each anchor's ``n_probe`` nearest
+    coarse-quantizer cells (cell equi-join, cost tracks probed-cell
+    population, never the corpus), then the same two guards — no
+    same-label positives, no near-duplicates (cosine >=
+    ``dup_threshold``) — and the per-anchor top-k. Recall caveat: a
+    hard negative living in an unprobed cell is missed, the standard
+    IVF trade (quantified by the recall-table queries); the guards only
+    ever REMOVE candidates, so IVF-served output is always a subset of
+    the brute-force miner's candidate universe."""
+    cv = _to_double(F.col(vec_col))
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        cv.alias("__cv"),
+        _norm(cv).alias("__cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        cv.alias("__qv"),
+        _norm(cv).alias("__qn"),
+    )
+    assign1 = _assign_udf(centroids, 1)
+    probe_n = _assign_udf(centroids, n_probe)
+    c = c.withColumn("__cell", assign1(F.col("__cv"))[0])
+    q = q.withColumn("__cell", F.explode(probe_n(F.col("__qv"))))
+    sim = F.round(
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), round_to
+    )
+    cands = c.join(
+        q, (c.__cell == q.__cell) & (F.col("anchor_id") != F.col("negative_id"))
+    ).select(
+        "anchor_id", "anchor_label", "negative_id", "negative_label", sim.alias("cosine")
+    )
+    hard = cands.where(
+        (F.col("cosine") < F.lit(dup_threshold))
+        & (F.col("negative_label") != F.col("anchor_label"))
+    )
+    return top_n_per_group(
+        hard,
+        ["anchor_id"],
+        [F.col("cosine").desc(), F.col("negative_id").asc()],
+        n=k,
+        rank_col="neg_rank",
+        keep_rank=True,
+    ).withColumn("neg_rank", F.col("neg_rank").cast("int"))
+
+
 def ivf_cell_assignments(
     corpus: DataFrame,
     vec_col: str = "embedding",

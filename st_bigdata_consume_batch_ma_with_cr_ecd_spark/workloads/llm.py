@@ -4922,6 +4922,85 @@ def ann_topk_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(embs, queries, k=5, n_probe=2, centroids=_IVF_FIXED_CENTROIDS)
 
 
+def _hardneg_ivf_oracle() -> str:
+    rows = ",\n        ".join(
+        f"({cid}, {[float(x) for x in c]}::DOUBLE[])"
+        for cid, c in enumerate(_IVF_FIXED_CENTROIDS)
+    )
+    return f"""
+    WITH cent AS (
+        SELECT cid, c, sqrt(list_dot_product(c, c)) AS cnrm
+        FROM (VALUES {rows}) AS t(cid, c)
+    ),
+    e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    ranked_cells AS (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, cent.c) / (e.nrm * cent.cnrm) DESC,
+                            cent.cid ASC) AS rn
+        FROM e CROSS JOIN cent
+    ),
+    corpus_cell AS (SELECT vec_id, cid FROM ranked_cells WHERE rn = 1),
+    anchor_cells AS (
+        SELECT vec_id, cid FROM ranked_cells WHERE rn <= 2 AND vec_id % 50 = 0
+    ),
+    scored AS (
+        SELECT a.vec_id AS anchor_id, qe.label AS anchor_label,
+               c.vec_id AS negative_id, ce.label AS negative_label,
+               round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS cosine
+        FROM anchor_cells a
+        JOIN corpus_cell c ON a.cid = c.cid AND a.vec_id <> c.vec_id
+        JOIN e qe ON qe.vec_id = a.vec_id
+        JOIN e ce ON ce.vec_id = c.vec_id
+    ),
+    hard AS (
+        SELECT * FROM scored
+        WHERE cosine < {_HARDNEG_DUP_T} AND negative_label <> anchor_label
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, cosine,
+           CAST(rn AS INT) AS neg_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY anchor_id ORDER BY cosine DESC, negative_id ASC) AS rn
+        FROM hard
+    ) WHERE rn <= {_HARDNEG_K}
+    """
+
+
+@register(
+    "mine_hard_negatives_ivf",
+    oracle=_hardneg_ivf_oracle(),
+    doc="mine_hard_negatives on the IVF serving path — the corpus "
+    "scale shape promised by the brute-force miner's docstring: "
+    "candidates come from each anchor's 2 nearest coarse-quantizer "
+    "cells (8 literal centroids, the ann_topk_ivf_fixed quantizer), so "
+    "candidate cost tracks probed-cell population, never the corpus; "
+    "the same-label and near-duplicate (cosine >= 0.85) guards and the "
+    "per-anchor top-5 apply unchanged on the candidate stream. The "
+    "standard IVF recall trade (a negative in an unprobed cell is "
+    "missed) is the accepted price; the exact oracle replays centroid "
+    "assignment, probing, guards, and rank.",
+)
+def mine_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import hard_negative_topk_ivf
+
+    embs = _embs(spark, sf_dir)
+    anchors = embs.where(F.col("vec_id") % 50 == 0)
+    return hard_negative_topk_ivf(
+        embs,
+        anchors,
+        centroids=_IVF_FIXED_CENTROIDS,
+        k=_HARDNEG_K,
+        n_probe=2,
+        dup_threshold=_HARDNEG_DUP_T,
+    )
+
+
 def _ivf_index_tables(spark, centroids, assignments, root: str):
     """Persist a trained IVF index into the versioned lakehouse and
     read it back: centroids EXPLODED to scalar rows (cid, pos, m) —

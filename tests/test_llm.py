@@ -1798,3 +1798,33 @@ def test_hard_negative_mining_guards(spark):
     assert all(r.anchor_id == 0 and r.anchor_label == 0 for r in out)
     assert all(r.negative_label != 0 for r in out)
     assert out[0].cosine == pytest.approx(0.8, abs=1e-6)
+
+
+def test_hard_negative_ivf_dominated_by_brute(spark, sf_dir):
+    # the IVF miner searches a SUBSET of the brute miner's candidate
+    # universe (only probed cells), so per anchor its i-th best cosine
+    # can never exceed the brute miner's i-th best; both guards must
+    # hold identically on its output.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        mine_hard_negatives,
+        mine_hard_negatives_ivf,
+    )
+
+    brute = {}
+    for r in mine_hard_negatives(spark, sf_dir).collect():
+        brute.setdefault(r.anchor_id, []).append(r)
+    served = {}
+    for r in mine_hard_negatives_ivf(spark, sf_dir).collect():
+        served.setdefault(r.anchor_id, []).append(r)
+    assert served, "IVF miner returned nothing"
+    for aid, rows in served.items():
+        rows.sort(key=lambda r: r.neg_rank)
+        for r in rows:
+            assert r.negative_label != r.anchor_label
+            assert r.cosine < 0.85
+        b = sorted(brute[aid], key=lambda r: r.neg_rank)
+        for i, r in enumerate(rows[: len(b)]):
+            assert r.cosine <= b[i].cosine + 1e-9, (
+                f"anchor {aid}: IVF rank {i + 1} cosine {r.cosine} beats "
+                f"brute {b[i].cosine} — subset property violated"
+            )
