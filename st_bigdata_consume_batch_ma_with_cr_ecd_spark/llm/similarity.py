@@ -289,6 +289,32 @@ def hard_negative_topk(
 
     Returns (anchor_id, anchor_label, negative_id, negative_label,
     cosine, neg_rank)."""
+    scored = _anchor_scored(corpus, queries, vec_col, id_col, label_col, round_to)
+    hard = scored.where(
+        (F.col("cosine") < F.lit(dup_threshold))
+        & (F.col("negative_label") != F.col("anchor_label"))
+    )
+    return top_n_per_group(
+        hard,
+        ["anchor_id"],
+        [F.col("cosine").desc(), F.col("negative_id").asc()],
+        n=k,
+        rank_col="neg_rank",
+        keep_rank=True,
+    ).withColumn("neg_rank", F.col("neg_rank").cast("int"))
+
+
+def _anchor_scored(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    label_col: str,
+    round_to: int,
+) -> DataFrame:
+    """All (anchor, candidate) cosines with both labels — the anchors
+    broadcast against one corpus pass; hard-negative mining and
+    triplet building both select from this frame."""
     cv = _to_double(F.col(vec_col))
     c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("negative_id"),
@@ -305,21 +331,79 @@ def hard_negative_topk(
     sim = F.round(
         _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), round_to
     )
-    scored = c.join(
+    return c.join(
         F.broadcast(q), F.col("anchor_id") != F.col("negative_id")
     ).select("anchor_id", "anchor_label", "negative_id", "negative_label", sim.alias("cosine"))
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    *,
+    k: int = 5,
+    dup_threshold: float = 0.85,
+    round_to: int = 6,
+) -> DataFrame:
+    """Training-triplet construction: per anchor, the HARDEST positive
+    (the least-similar same-label vector — maximum learning signal; a
+    near-duplicate positive teaches nothing) paired with the k hardest
+    negatives from :func:`hard_negative_topk`'s guard-filtered ranking,
+    with the per-pair margin (positive cosine minus negative cosine —
+    negative margins are the pairs a margin-loss actually moves).
+
+    The positive and negative selections each run their own
+    anchors-broadcast corpus pass (two scans, deliberately: Catalyst
+    does not reuse the subtree, and checkpointing the scored frame
+    would materialize anchors x corpus rows — at 10 anchors that is
+    10x the corpus, far dearer than a second scan); everything after
+    the scans is per-anchor-bounded. At corpus scale the scorer swaps
+    for the IVF candidate generator exactly as in
+    :func:`hard_negative_topk_ivf`.
+
+    Returns (anchor_id, anchor_label, positive_id, pos_cosine,
+    negative_id, neg_cosine, margin, neg_rank)."""
+    scored = _anchor_scored(corpus, queries, vec_col, id_col, label_col, round_to)
+    pos = top_n_per_group(
+        scored.where(F.col("negative_label") == F.col("anchor_label")),
+        ["anchor_id"],
+        [F.col("cosine").asc(), F.col("negative_id").asc()],
+        n=1,
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("negative_id").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    )
     hard = scored.where(
         (F.col("cosine") < F.lit(dup_threshold))
         & (F.col("negative_label") != F.col("anchor_label"))
     )
-    return top_n_per_group(
+    neg = top_n_per_group(
         hard,
         ["anchor_id"],
         [F.col("cosine").desc(), F.col("negative_id").asc()],
         n=k,
         rank_col="neg_rank",
         keep_rank=True,
-    ).withColumn("neg_rank", F.col("neg_rank").cast("int"))
+    ).select(
+        "anchor_id",
+        "negative_id",
+        F.col("cosine").alias("neg_cosine"),
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+    )
+    return pos.join(neg, "anchor_id").select(
+        "anchor_id",
+        "anchor_label",
+        "positive_id",
+        "pos_cosine",
+        "negative_id",
+        "neg_cosine",
+        F.round(F.col("pos_cosine") - F.col("neg_cosine"), round_to).alias("margin"),
+        "neg_rank",
+    )
 
 
 def lsh_bucketed_topk(

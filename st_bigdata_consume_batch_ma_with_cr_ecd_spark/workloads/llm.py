@@ -928,6 +928,65 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mine_contrastive_triplets",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+               c.vec_id AS cand_id, c.label AS cand_label,
+               round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    ),
+    pos AS (
+        SELECT anchor_id, anchor_label, cand_id AS positive_id,
+               cosine AS pos_cosine
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id ORDER BY cosine ASC, cand_id ASC) AS rn
+            FROM scored WHERE cand_label = anchor_label
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT anchor_id, cand_id AS negative_id, cosine AS neg_cosine,
+               CAST(rn AS INT) AS neg_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id ORDER BY cosine DESC, cand_id ASC) AS rn
+            FROM scored
+            WHERE cosine < {_HARDNEG_DUP_T} AND cand_label <> anchor_label
+        ) WHERE rn <= {_HARDNEG_K}
+    )
+    SELECT p.anchor_id, p.anchor_label, p.positive_id, p.pos_cosine,
+           n.negative_id, n.neg_cosine,
+           round(p.pos_cosine - n.neg_cosine, 6) AS margin, n.neg_rank
+    FROM pos p JOIN neg n ON p.anchor_id = n.anchor_id
+    """,
+    doc="Contrastive training-triplet construction: per anchor "
+    "(vec_id % 50 = 0), the HARDEST positive (least-similar same-label "
+    "vector — a near-duplicate positive teaches nothing) paired with "
+    "the 5 hardest guard-filtered negatives (mine_hard_negatives' "
+    "ranking), with the per-pair margin pos_cosine - neg_cosine — the "
+    "rows a margin loss actually moves are the negative margins. Two "
+    "anchors-broadcast corpus passes (cheaper than materializing the "
+    "anchors x corpus score frame); per-anchor-bounded after the "
+    "scans; IVF candidate generation swaps in at corpus scale.",
+)
+def mine_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import contrastive_triplets
+
+    embs = _embs(spark, sf_dir)
+    anchors = embs.where(F.col("vec_id") % 50 == 0)
+    return contrastive_triplets(
+        embs, anchors, k=_HARDNEG_K, dup_threshold=_HARDNEG_DUP_T
+    )
+
+
 # computed ONCE in Python and embedded as the same numeric literals in
 # both engines, so no engine-side math shapes the model itself.
 import math as _math

@@ -1828,3 +1828,33 @@ def test_hard_negative_ivf_dominated_by_brute(spark, sf_dir):
                 f"anchor {aid}: IVF rank {i + 1} cosine {r.cosine} beats "
                 f"brute {b[i].cosine} — subset property violated"
             )
+
+
+def test_contrastive_triplets_hardest_positive_and_margin(spark):
+    # anchor 0 (label 0): positives are vecs 2 (cos~0.91) and 5
+    # (cos~0.6) -> the HARDEST (least similar) positive is 5; negatives
+    # follow mine_hard_negatives' guarded ranking; margin = pos - neg.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        contrastive_triplets,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (2, [0.9, 0.4, 0.0], 0),   # easy positive (high cosine)
+        (5, [0.6, 0.8, 0.0], 0),   # hardest positive (low cosine)
+        (1, [2.0, 0.0, 0.0], 1),   # dup-guarded (cosine 1.0)
+        (3, [0.8, 0.6, 0.0], 1),   # negative rank 1
+        (4, [0.0, 1.0, 0.0], 1),   # negative rank 2
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = contrastive_triplets(
+        embs, embs.where(F.col("vec_id") == 0), k=5, dup_threshold=0.85
+    ).collect()
+    out.sort(key=lambda r: r.neg_rank)
+    assert [(r.positive_id, r.negative_id) for r in out] == [(5, 3), (5, 4)]
+    for r in out:
+        assert r.pos_cosine == pytest.approx(0.6, abs=1e-6)
+        assert r.margin == pytest.approx(round(r.pos_cosine - r.neg_cosine, 6), abs=1e-9)
+    # the rank-1 negative (cos 0.8) is HARDER than the positive (0.6):
+    # a negative margin, exactly the pair a margin loss trains on
+    assert out[0].margin < 0 < out[1].margin
