@@ -363,6 +363,11 @@ def contrastive_triplets(
     for the IVF candidate generator exactly as in
     :func:`hard_negative_topk_ivf`.
 
+    An anchor with NO other same-label vector has no trainable triplet
+    and is dropped (the pos-neg inner join — deliberate, and the
+    oracle's inner join mirrors it; emit a LEFT join + null positive
+    upstream if a pipeline needs to count the dropped anchors).
+
     Returns (anchor_id, anchor_label, positive_id, pos_cosine,
     negative_id, neg_cosine, margin, neg_rank)."""
     scored = _anchor_scored(corpus, queries, vec_col, id_col, label_col, round_to)
