@@ -334,19 +334,33 @@ def retrieval_hybrid_rrf(
         rank_col="rank_s",
         keep_rank=True,
     ).select("query_id", "doc_id", "rank_s")
+    return rrf_fuse(sparse_ranked, dense_ranked, k=_RRF_TOPK, rrf_k=_RRF_K)
+
+
+def rrf_fuse(
+    sparse_ranked: DataFrame,
+    dense_ranked: DataFrame,
+    *,
+    k: int = _RRF_TOPK,
+    rrf_k: int = _RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings
+    ``(query_id, doc_id, rank_s)`` and ``(query_id, doc_id, rank_d)``:
+    rrf = sum over present systems of 1/(rrf_k + rank), round-6; top-k
+    per query under (score DESC, doc_id ASC). Pool-bounded full outer
+    join — never corpus-sized. Rank 0 in the output = "not surfaced by
+    this system" (non-null int by construction; a nullable INT degrades
+    to float64 through every pandas fetch path — dtype audit)."""
     fused = sparse_ranked.join(dense_ranked, ["query_id", "doc_id"], "full_outer")
     rrf = F.round(
-        F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_s")), F.lit(0.0))
-        + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("rank_d")), F.lit(0.0)),
+        F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_s")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(rrf_k) + F.col("rank_d")), F.lit(0.0)),
         6,
     )
     scored = fused.select(
         "query_id",
         "doc_id",
         rrf.alias("rrf_score"),
-        # rank 0 = "not surfaced by this system" (non-null int by
-        # construction; a nullable INT degrades to float64 through
-        # every pandas fetch path — dtype audit)
         F.coalesce(F.col("rank_s"), F.lit(0)).cast("int").alias("sparse_rank"),
         F.coalesce(F.col("rank_d"), F.lit(0)).cast("int").alias("dense_rank"),
     )
@@ -355,7 +369,7 @@ def retrieval_hybrid_rrf(
             scored,
             ["query_id"],
             [F.col("rrf_score").desc(), F.col("doc_id").asc()],
-            n=_RRF_TOPK,
+            n=k,
             rank_col="fused_rank",
             keep_rank=True,
         )
