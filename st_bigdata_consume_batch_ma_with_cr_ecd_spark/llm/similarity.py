@@ -701,7 +701,17 @@ def hard_negative_topk_ivf(
     hard negative living in an unprobed cell is missed, the standard
     IVF trade (quantified by the recall-table queries); the guards only
     ever REMOVE candidates, so IVF-served output is always a subset of
-    the brute-force miner's candidate universe."""
+    the brute-force miner's candidate universe.
+
+    Cost honesty: cell assignment here is INLINE (one pass over the
+    corpus) — the right shape for large anchor batches, where every
+    cell ends up probed by someone and a corpus pass is inherent. A
+    small anchor batch should instead read the persisted inverted file
+    and prune to its probed cells at the manifest
+    (:func:`ivf_topk_from_inverted_file` + ``read_versioned_table(...,
+    partition_filter={'cid': cells})``) — then the guards and rank
+    compose on that pruned candidate stream and the corpus is never
+    scanned at query time."""
     cv = _to_double(F.col(vec_col))
     c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("negative_id"),
