@@ -290,6 +290,20 @@ def hard_negative_topk(
     Returns (anchor_id, anchor_label, negative_id, negative_label,
     cosine, neg_rank)."""
     scored = _anchor_scored(corpus, queries, vec_col, id_col, label_col, round_to)
+    return _guarded_topk(scored, k=k, dup_threshold=dup_threshold)
+
+
+def _guarded_topk(scored: DataFrame, *, k: int, dup_threshold: float) -> DataFrame:
+    """THE hard-negative guard + ranking, shared by every miner
+    (brute-force, IVF-served, triplet builder — one definition so the
+    guard semantics cannot drift apart, r10 ADVICE): from a candidate
+    stream (anchor_id, anchor_label, negative_id, negative_label,
+    cosine), keep rows that are provably trainable negatives — drop
+    same-label candidates (label = the supervision proxy) and
+    near-duplicates (cosine >= ``dup_threshold``, the SemDeDup-style
+    false-negative guard) — then rank per anchor under the
+    (cosine DESC, negative_id ASC) total order, top ``k``, int
+    ``neg_rank``."""
     hard = scored.where(
         (F.col("cosine") < F.lit(dup_threshold))
         & (F.col("negative_label") != F.col("anchor_label"))
@@ -382,22 +396,11 @@ def contrastive_triplets(
         F.col("negative_id").alias("positive_id"),
         F.col("cosine").alias("pos_cosine"),
     )
-    hard = scored.where(
-        (F.col("cosine") < F.lit(dup_threshold))
-        & (F.col("negative_label") != F.col("anchor_label"))
-    )
-    neg = top_n_per_group(
-        hard,
-        ["anchor_id"],
-        [F.col("cosine").desc(), F.col("negative_id").asc()],
-        n=k,
-        rank_col="neg_rank",
-        keep_rank=True,
-    ).select(
+    neg = _guarded_topk(scored, k=k, dup_threshold=dup_threshold).select(
         "anchor_id",
         "negative_id",
         F.col("cosine").alias("neg_cosine"),
-        F.col("neg_rank").cast("int").alias("neg_rank"),
+        "neg_rank",
     )
     return pos.join(neg, "anchor_id").select(
         "anchor_id",
@@ -737,18 +740,7 @@ def hard_negative_topk_ivf(
     ).select(
         "anchor_id", "anchor_label", "negative_id", "negative_label", sim.alias("cosine")
     )
-    hard = cands.where(
-        (F.col("cosine") < F.lit(dup_threshold))
-        & (F.col("negative_label") != F.col("anchor_label"))
-    )
-    return top_n_per_group(
-        hard,
-        ["anchor_id"],
-        [F.col("cosine").desc(), F.col("negative_id").asc()],
-        n=k,
-        rank_col="neg_rank",
-        keep_rank=True,
-    ).withColumn("neg_rank", F.col("neg_rank").cast("int"))
+    return _guarded_topk(cands, k=k, dup_threshold=dup_threshold)
 
 
 def ivf_cell_assignments(

@@ -426,18 +426,20 @@ def _ndcg_oracle() -> str:
         ) WHERE rn <= {_NDCG_K}
     ),
     qlabel AS (
-        SELECT a.query_id, e.label AS anchor_label
+        SELECT a.query_id, a.avid, e.label AS anchor_label
         FROM anchors a JOIN e ON e.vec_id = a.avid
     ),
     nrel AS (
         SELECT q.query_id, count(*) AS r
         FROM qlabel q JOIN e ON e.label = q.anchor_label
+                              AND e.vec_id <> q.avid
         GROUP BY 1
     ),
     dcg AS (
         SELECT r.query_id, r.system,
                sum(CAST(round(
-                   (CASE WHEN e.label = q.anchor_label THEN 1 ELSE 0 END) * d.disc,
+                   (CASE WHEN e.label = q.anchor_label
+                         AND e.vec_id <> q.avid THEN 1 ELSE 0 END) * d.disc,
                8) AS DECIMAL(20,8))) AS dcg
         FROM retrieved r
         JOIN e ON e.vec_id = r.doc_id
@@ -462,8 +464,13 @@ def _ndcg_oracle() -> str:
     oracle=_ndcg_oracle(),
     doc="nDCG@5 for each of the three rankers (bm25 / dense / hybrid "
     "RRF) per query: binary relevance = corpus label matches the "
-    "query anchor's label; iDCG from the GLOBAL relevant count (min "
-    "k), so systems are compared against the same ideal. Discount "
+    "query anchor's label; the anchor document ITSELF is non-relevant "
+    "and excluded from the relevant count (r10 ADVICE: the dense "
+    "ranker self-excludes the anchor while bm25/hybrid can retrieve "
+    "its doc_id — counting it was a cross-system bias whenever a "
+    "label class has <= k+1 members); iDCG from the GLOBAL relevant "
+    "count (min k), so systems are compared against the same ideal. "
+    "Discount "
     "weights 1/log2(pos+1) are Python-computed 8-decimal literals on "
     "BOTH engines (JVM and C log2 differ in the last ulp); DCG sums "
     "them as exact DECIMAL. Scale shape: the eval joins only the "
@@ -519,12 +526,17 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = embs.select(F.col("vec_id").alias("doc_id"), "label")
     qlabel = embs.join(
         F.broadcast(anchors), F.col("vec_id") == F.col("avid")
-    ).select("query_id", F.col("label").alias("anchor_label"))
-    nrel = embs.select("label").join(
-        F.broadcast(qlabel), F.col("label") == F.col("anchor_label")
+    ).select("query_id", "avid", F.col("label").alias("anchor_label"))
+    # the anchor itself never counts as relevant (r10 ADVICE): exclude
+    # it from the relevant-population count AND the judgment below
+    nrel = embs.select("vec_id", "label").join(
+        F.broadcast(qlabel),
+        (F.col("label") == F.col("anchor_label")) & (F.col("vec_id") != F.col("avid")),
     ).groupBy("query_id").agg(F.count(F.lit(1)).alias("r"))
 
-    rel = (F.col("label") == F.col("anchor_label")).cast("int")
+    rel = (
+        (F.col("label") == F.col("anchor_label")) & (F.col("doc_id") != F.col("avid"))
+    ).cast("int")
     dcg = (
         labels.join(F.broadcast(retrieved), "doc_id")
         .join(F.broadcast(qlabel), "query_id")

@@ -75,10 +75,14 @@ REGISTRY: dict[str, QuerySpec] = {}
 # newest record — the stale green satisfied the old condition and the
 # rework would have shipped ungated, the r6 complaint all over again.)
 FORCE_RECHECK: dict[str, int] = {
-    # (the eight r9 entries cleared after their d9 greens — the map
-    # records PENDING re-verifications only, r9 verdict ask #2. The
-    # r10 window therefore leads with the 10 d4-era rows and the
-    # stalest d5 cohort, per the rotation's own ordering.)
+    # (the map records PENDING re-verifications only — entries clear
+    # once a same-or-later driver green covers them, r9 verdict ask #2.)
+    #
+    # r11: relevance semantics changed — the anchor document itself no
+    # longer counts as relevant (excluded from nrel AND the judgment;
+    # r10 ADVICE cross-system-bias fix), so the d10 green covers the
+    # OLD definition.
+    "eval_retrieval_ndcg": 11,
 }
 
 # Queries pinned into EVERY driver window regardless of rotation age

@@ -1305,6 +1305,11 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         embs_m = amplify(embs, mult, ["vec_id"])
 
         plan = final_plan(retrieval_hybrid_rrf(spark, sf_dir, docs=docs_m, embs=embs_m))
+        # final_plan materialized _bm25_scores' lazy localCheckpoints
+        # (tf is (doc_id, token)-grained at 64x); release them before
+        # the strict-flag A/B re-executes the query twice more (r10
+        # ADVICE — the blocks otherwise outlive the fn)
+        _drop_persistent_blocks(spark)
         assert "FullOuter" in plan, "RRF fusion join vanished from the final plan"
         assert "CartesianProduct" not in plan, "hybrid grew an unguarded cross join"
         assert plan.count("WindowGroupLimit") >= 3, (
@@ -1343,7 +1348,6 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         )
 
     return {
-        "hybrid_rrf": hybrid_rrf_fusion_stays_pool_bounded,
         "consume_e2e_compute": consume_e2e_no_data_sized_broadcast,
         "consume_e2e_staged": consume_e2e_staged_scans_parquet,
         "fuzzy_er_closure": fuzzy_er_round_join_stays_smj,
@@ -1358,7 +1362,27 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         "image_incr": incr_pair_filter_inside_generation,
         "image_served": image_served_plan_is_parquet_fed,
         "ivf_served": ivf_served_no_corpus_side,
+        # hybrid_rrf LAST (r10 ADVICE): final_plan materializes
+        # _bm25_scores' lazy localCheckpoint frames (tf is
+        # (doc_id, token)-grained at 64x) three times over — once for
+        # the plan, twice for the strict-flag A/B — and those blocks
+        # are only reclaimable via the post-audit sweep below; running
+        # it first would put the e2e audit (the biggest single
+        # allocation, which must see a clean heap) on a dirty one.
+        "hybrid_rrf": hybrid_rrf_fusion_stays_pool_bounded,
     }
+
+
+def _drop_persistent_blocks(spark) -> None:
+    """Release every persistent RDD block (localCheckpoints included) —
+    bench.py's inter-query cleanup: the async ContextCleaner lags
+    Python refcounts, so without this each audit/probe runs against
+    executors still carrying its predecessors' blocks (the documented
+    64x OOM mode)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        it.next().getValue().unpersist(False)
 
 
 def main() -> int:
@@ -1471,6 +1495,11 @@ def main() -> int:
                 audit()
             finally:
                 spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
+                # checkpoint blocks an audit materialized must not
+                # outlive it (r10 ADVICE: hybrid_rrf's tf/dl frames
+                # dirtied the heap the e2e audit depends on)
+                _drop_persistent_blocks(spark)
+                spark.catalog.clearCache()
             print(f"PLAN-AUDIT {name:18s} mult={mults[-1]}  OK")
 
     if args.audit_only:
