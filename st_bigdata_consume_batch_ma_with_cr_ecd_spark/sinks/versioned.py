@@ -776,15 +776,26 @@ def _read_entries(
     if not entries:
         return spark.createDataFrame([], schema)
     field_by_name = {f.name: f for f in schema.fields}
+    # data files carry the table schema MINUS the partition columns
+    # (written via partitionBy); pin it explicitly so each entry's read
+    # is listing-only — unpinned, spark.read.parquet does a driver-side
+    # footer read PER ENTRY for schema inference, which turns a
+    # 12-entry pruned read into ~30s of planning (r11 finding while
+    # timing the BM25 posting reads). Files from before an add-only
+    # evolution simply lack the new column and read as typed nulls —
+    # the same contract the inference path provided.
+    data_schema = StructType(
+        [f for f in schema.fields if f.name not in set(partition_by)]
+    )
     parts_df: DataFrame | None = None
     for e in sorted(entries, key=lambda x: x["dir"]):
         if use_file_lists and e.get("files") is not None:
             # zone-map skipping selected a subset of the dir's files
-            piece = spark.read.parquet(
+            piece = spark.read.schema(data_schema).parquet(
                 *[f"{path}/{e['dir']}/{f['name']}" for f in e["files"]]
             )
         else:
-            piece = spark.read.parquet(f"{path}/{e['dir']}")
+            piece = spark.read.schema(data_schema).parquet(f"{path}/{e['dir']}")
         for c in partition_by:
             piece = piece.withColumn(
                 c, F.lit(e["partition"][c]).cast(field_by_name[c].dataType)

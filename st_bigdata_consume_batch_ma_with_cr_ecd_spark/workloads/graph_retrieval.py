@@ -2031,3 +2031,421 @@ def recsys_als_train_rank2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("f1") + F.lit(0.0)).alias("f1"),
         (F.col("f2") + F.lit(0.0)).alias("f2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored BM25 inverted index: build -> nightly MERGE -> manifest-pruned serve
+# ---------------------------------------------------------------------------
+
+# Term-bucket count, the index's serving-partition grain. 8 keeps the
+# fixture's manifests small; a 100-TB deployment raises it to O(10^3)
+# so a query touching t terms reads ~t/10^3 of the posting bytes —
+# the knob trades manifest size against pruning selectivity, exactly
+# like the IVF index's n_centroids.
+_BM25_TB = 8
+
+
+def _term_bucket_py(token: str) -> int:
+    """Python twin of the Spark term-bucket expression (md5-prefix mod
+    _BM25_TB): serving computes the query terms' buckets DRIVER-side
+    (model-sized work) to build the manifest partition_filter. Parity
+    with the Spark/DuckDB twins is the repo's standard md5 contract
+    (functions.columns.md5_prefix_int)."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode("utf-8")).hexdigest()[:8], 16) % _BM25_TB
+
+
+def _term_bucket_col(token):
+    from ..functions.columns import md5_prefix_int
+
+    return (md5_prefix_int(token).cast("decimal(10,0)") % _BM25_TB).cast("int")
+
+
+def _bm25_postings(docs: DataFrame, seg: int) -> DataFrame:
+    """One segment's posting rows ``(token, doc_id, tf, dl, seg, tb)``.
+
+    dl (the document's token count) is DENORMALIZED into every posting
+    — the Lucene norms-per-posting shape — so serving needs ONLY the
+    query terms' posting partitions plus the 1-row stats table: never
+    a doc-level length join, never a corpus scan, at query time. The
+    per-posting cost is one extra int; the per-query win is an entire
+    table's absence from the serving path."""
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token")).where(
+        F.col("token") != ""
+    )
+    # tf fans out to dl AND the posting rows; checkpoint so the
+    # tokenize/explode/aggregate subtree runs once per segment build
+    # (the _bm25_scores lesson — Catalyst does not reuse the subtree)
+    tf = (
+        tok.groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # merge pin: dl is DOC-sized behind a checkpoint whose bare scan
+    # AQE can never measure (the r6 checkpoint-broadcast hazard)
+    return tf.join(dl.hint("merge"), "doc_id").select(
+        "token",
+        "doc_id",
+        "tf",
+        "dl",
+        F.lit(seg).alias("seg"),
+        _term_bucket_col(F.col("token")).alias("tb"),
+    )
+
+
+def _bm25_seg_stats(docs: DataFrame, postings: DataFrame) -> DataFrame:
+    """One segment's contribution to the corpus stats row: n_docs
+    counts EVERY document (empty-token docs too — the same population
+    _bm25_scores' nd aggregate counts), total_len sums tf over the
+    segment's postings (= sum of dl over its docs)."""
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tl = postings.agg(
+        F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("total_len")
+    )
+    return nd.crossJoin(tl).select(F.lit(0).alias("sid"), "n_docs", "total_len")
+
+
+def _bm25_index_root(spark: SparkSession, docs: DataFrame, name: str) -> str:
+    """Build the historic BM25 index, MERGE the arriving batch, return
+    the table root — the nightly index-maintenance job (r10 verdict
+    ask #1, mirroring workloads.llm._served_signature_table).
+
+    Layout: ``postings`` partitioned by (seg, tb) — seg is the ingest
+    segment (the Lucene segment model: a nightly merge WRITES only its
+    own segment's partitions, so historic posting files are never
+    rewritten even though batch terms scatter across every term
+    bucket), tb the term bucket serving prunes on (partition_filter
+    matches tb across all segments). ``stats`` is the 1-row corpus
+    aggregate (n_docs, total_len), upserted per merge by pure
+    addition — reading it is O(1), so serving never scans a doc-level
+    table for the average document length.
+
+    The arriving batch is doc_id % 5 = 0 (the repo's standard arrival
+    stand-in); historic/batch doc sets are disjoint, tokenization is
+    deterministic, and posting values are exact ints — so the
+    post-merge index equals the full-corpus index and the FULL-corpus
+    oracle pins the whole store->merge->serve chain: a merge that
+    drops, duplicates, or mis-buckets a posting changes tf/df/dl and
+    flips the hash. The root embeds the pid (r9 ADVICE)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import (
+        create_versioned_table,
+        merge_versioned_table,
+        read_versioned_table,
+    )
+
+    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    hist_docs = docs.where(F.col("doc_id") % 5 != 0)
+    batch_docs = docs.where(F.col("doc_id") % 5 == 0)
+
+    hist_p = _bm25_postings(hist_docs, seg=0)
+    create_versioned_table(hist_p, f"{root}/postings", ["seg", "tb"])
+    create_versioned_table(
+        _bm25_seg_stats(hist_docs, hist_p), f"{root}/stats", ["sid"]
+    )
+
+    # nightly MERGE: tokenize the BATCH only; postings land in the
+    # batch's own segment partitions (copy-on-write touches no
+    # seg=0 entry — pytest pins the historic manifest byte-identical),
+    # stats update by adding the batch's contribution to the stored row
+    batch_p = _bm25_postings(batch_docs, seg=1)
+    merge_versioned_table(
+        spark,
+        f"{root}/postings",
+        batch_p,
+        keys=["token", "doc_id"],
+        partition_by=["seg", "tb"],
+    )
+    new_stats = (
+        read_versioned_table(spark, f"{root}/stats")
+        .unionByName(_bm25_seg_stats(batch_docs, batch_p))
+        .groupBy("sid")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_len").cast("bigint").alias("total_len"),
+        )
+    )
+    merge_versioned_table(
+        spark, f"{root}/stats", new_stats, keys=["sid"], partition_by=["sid"]
+    )
+    return root
+
+
+def _bm25_scores_served(spark: SparkSession, root: str) -> DataFrame:
+    """BM25 scores (query_id, doc_id, score) SERVED from the stored
+    inverted index: the query terms' buckets prune the posting read at
+    the MANIFEST (only those tb partitions' files are ever opened —
+    across every segment), df comes from the pruned posting lists
+    themselves (exact: a token's postings live wholly in its bucket),
+    and corpus stats are the 1-row stats table. Query-time cost is
+    posting-list-sized — no corpus scan, no tokenization, no doc-level
+    join (dl rides in each posting). Same round-8/DECIMAL/round-4
+    determinism contract as _bm25_scores, so the two serve identical
+    scores."""
+    from ..sinks.versioned import read_versioned_table
+
+    queries = spark.createDataFrame(
+        [(qid, t) for qid, terms in _BM25_QUERIES for t in terms],
+        "query_id string, token string",
+    )
+    buckets = sorted({_term_bucket_py(t) for _, terms in _BM25_QUERIES for t in terms})
+    postings = read_versioned_table(
+        spark, f"{root}/postings", partition_filter={"tb": buckets}
+    )
+    # the pruned read fans out to dfreq AND scoring; checkpoint so the
+    # posting partitions are read once
+    p_q = postings.join(
+        F.broadcast(queries.select("token").distinct()), "token"
+    ).localCheckpoint(eager=False)
+    # document frequency per query term — a <=|query terms|-row
+    # contraction of the posting lists (intent broadcast below)
+    dfreq = p_q.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = read_versioned_table(spark, f"{root}/stats").select("n_docs", "total_len")
+
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    avgdl = F.col("total_len") / F.col("n_docs")
+    s = (
+        idf
+        * (F.col("tf") * F.lit(_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * F.col("dl") / avgdl)
+        )
+    )
+    term_scores = (
+        p_q.join(F.broadcast(queries), "token")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", s.alias("s"))
+    )
+    return term_scores.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(F.round(F.col("s"), 8).cast("decimal(30,8)")), 4)
+        .cast("double")
+        .alias("score")
+    )
+
+
+@register(
+    "retrieval_bm25_served",
+    # disjoint historic/batch doc sets + deterministic tokenization +
+    # integer posting values mean the post-merge index equals the
+    # full-corpus index, so the SAME oracle as retrieval_bm25_topk
+    # pins the whole build->store->merge->pruned-read->score chain
+    oracle=_bm25_oracle(),
+    doc="BM25 top-5 SERVED FROM A STORED INVERTED INDEX (r10 verdict "
+    "ask #1 — retrieval_bm25_topk rebuilds tf/df/doclen from the "
+    "corpus per query): posting lists (token, doc_id, tf, dl) live in "
+    "the versioned lakehouse partitioned by (ingest segment, term "
+    "bucket); the nightly job tokenizes the ARRIVING BATCH only "
+    "(doc_id % 5 = 0) and MERGEs its postings as one atomic version "
+    "that writes only the batch segment's partitions (the Lucene "
+    "segment model — historic posting files are never rewritten), "
+    "while the 1-row corpus-stats table updates by addition. Serving "
+    "prunes the posting read to the query terms' buckets AT THE "
+    "MANIFEST, takes df from the pruned lists, dl from the posting "
+    "rows (denormalized, Lucene-norms style), and stats from one row "
+    "— query-time cost is posting-list-sized, never a corpus scan or "
+    "tokenization. The full-corpus oracle hash-pins the entire "
+    "store->merge->serve chain.",
+)
+def retrieval_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_testdata(spark, sf_dir, "documents")
+    root = _bm25_index_root(spark, docs, "bm25srv")
+    return top_n_per_group(
+        _bm25_scores_served(spark, root),
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        n=_BM25_TOPK,
+        rank_col="rank",
+        keep_rank=True,
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _rrf_served_oracle() -> str:
+    """Hybrid-RRF-served replay: the sparse half is the full-corpus BM25
+    CTE (store->merge is value-preserving, see retrieval_bm25_served);
+    the dense half replays the FIXED-centroid IVF serving path — cell
+    assignment (rn=1), 2-cell probing per anchor, exact cosine inside
+    probed cells, pool top-20 — then the same RRF fusion as
+    _rrf_oracle. Every stage deterministic, one value hash over both
+    index lifecycles."""
+    from .llm import _IVF_FIXED_CENTROIDS
+
+    rows = ",\n        ".join(
+        f"({cid}, {[float(x) for x in c]}::DOUBLE[])"
+        for cid, c in enumerate(_IVF_FIXED_CENTROIDS)
+    )
+    a_values = ", ".join(f"('{qid}', {vid})" for qid, vid in _RRF_ANCHORS)
+    return f"""
+    WITH {_bm25_scored_sql()},
+    cent AS (
+        SELECT cid, c, sqrt(list_dot_product(c, c)) AS cnrm
+        FROM (VALUES {rows}) AS t(cid, c)
+    ),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings
+    ),
+    ranked_cells AS (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, cent.c) / (e.nrm * cent.cnrm) DESC,
+                            cent.cid ASC) AS rn
+        FROM e CROSS JOIN cent
+    ),
+    corpus_cell AS (SELECT vec_id, cid FROM ranked_cells WHERE rn = 1),
+    anchors(query_id, avid) AS (SELECT * FROM (VALUES {a_values})),
+    q_cells AS (
+        SELECT a.query_id, a.avid, rc.cid
+        FROM anchors a JOIN ranked_cells rc ON rc.vec_id = a.avid AND rc.rn <= 2
+    ),
+    dense_scored AS (
+        SELECT q.query_id, c.vec_id AS doc_id,
+               round(list_dot_product(qe.v, ce.v) / (qe.nrm * ce.nrm), 6) AS cosine
+        FROM q_cells q
+        JOIN corpus_cell c ON q.cid = c.cid AND c.vec_id <> q.avid
+        JOIN e qe ON qe.vec_id = q.avid
+        JOIN e ce ON ce.vec_id = c.vec_id
+    ),
+    dense_ranked AS (
+        SELECT query_id, doc_id, rank_d FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, doc_id ASC) AS rank_d
+            FROM dense_scored
+        ) WHERE rank_d <= {_RRF_POOL}
+    ),
+    sparse_ranked AS (
+        SELECT query_id, doc_id, rank_s FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_s
+            FROM scored
+        ) WHERE rank_s <= {_RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(s.query_id, d.query_id) AS query_id,
+               coalesce(s.doc_id, d.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({_RRF_K} + s.rank_s), 0)
+                     + coalesce(1.0 / ({_RRF_K} + d.rank_d), 0), 6) AS rrf_score,
+               CAST(coalesce(s.rank_s, 0) AS INT) AS sparse_rank,
+               CAST(coalesce(d.rank_d, 0) AS INT) AS dense_rank
+        FROM sparse_ranked s
+        FULL OUTER JOIN dense_ranked d
+          ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rn AS INT) AS fused_rank,
+           sparse_rank, dense_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rn
+        FROM fused
+    ) WHERE rn <= {_RRF_TOPK}
+    """
+
+
+@register(
+    "retrieval_hybrid_rrf_served",
+    oracle=_rrf_served_oracle(),
+    doc="Hybrid retrieval SERVED ENTIRELY FROM STORED INDEXES — the "
+    "production twin of retrieval_hybrid_rrf, whose sparse half "
+    "recomputed tf/df from the corpus per query: the nightly job "
+    "MERGEs the arriving batch (id % 5 = 0) into BOTH index halves — "
+    "batch postings into the (segment, term-bucket)-partitioned BM25 "
+    "inverted file, batch vector assignments (computed with the "
+    "STORED fixed centroids, never retrained) into the "
+    "cid-partitioned self-contained IVF inverted file — and serving "
+    "reads only what the queries touch: the query terms' posting "
+    "buckets and the anchors' 2 probed cells per query, both pruned "
+    "AT THE MANIFEST. Fusion is the same pool-bounded reciprocal-rank "
+    "full outer join (1/(60+rank), top-5). The dense half pays the "
+    "standard IVF recall trade vs the brute-force twin (an unprobed "
+    "cell's neighbor is missed) — the oracle replays the fixed-"
+    "centroid assignment, probing, in-cell cosine, and fusion "
+    "exactly, so the hash pins both index lifecycles end to end.",
+)
+def retrieval_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..llm.similarity import (
+        ivf_cell_assignments,
+        ivf_probed_cells,
+        ivf_topk_from_inverted_file,
+    )
+    from ..sinks.versioned import (
+        create_versioned_table,
+        merge_versioned_table,
+        read_versioned_table,
+    )
+    from .llm import _IVF_FIXED_CENTROIDS
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    embs = read_testdata(spark, sf_dir, "embeddings")
+
+    # sparse half: build + nightly-merge the BM25 inverted index, then
+    # serve the pool from the pruned posting read
+    sroot = _bm25_index_root(spark, docs, "bm25hyb")
+    sparse_ranked = top_n_per_group(
+        _bm25_scores_served(spark, sroot),
+        ["query_id"],
+        [F.col("score").desc(), F.col("doc_id").asc()],
+        n=_RRF_POOL,
+        rank_col="rank_s",
+        keep_rank=True,
+    ).select("query_id", "doc_id", "rank_s")
+
+    # dense half: historic inverted file + batch MERGE (assignments
+    # computed with the stored centroids), then manifest-pruned serve
+    cents = _IVF_FIXED_CENTROIDS
+    droot = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_hyb_ivf_{os.getpid()}"
+    )
+    shutil.rmtree(droot, ignore_errors=True)
+    hist = embs.where(F.col("vec_id") % 5 != 0)
+    batch = embs.where(F.col("vec_id") % 5 == 0)
+    create_versioned_table(
+        ivf_cell_assignments(hist, centroids=cents, carry_vectors=True),
+        f"{droot}/cells",
+        ["cid"],
+    )
+    merge_versioned_table(
+        spark,
+        f"{droot}/cells",
+        ivf_cell_assignments(batch, centroids=cents, carry_vectors=True),
+        keys=["vec_id"],
+        partition_by=["cid"],
+    )
+    anchors = spark.createDataFrame(_RRF_ANCHORS, "query_id string, avid bigint")
+    qvecs = embs.where(F.col("vec_id").isin([v for _, v in _RRF_ANCHORS]))
+    cells = ivf_probed_cells(qvecs, centroids=cents, n_probe=2)
+    inv = read_versioned_table(
+        spark, f"{droot}/cells", partition_filter={"cid": cells}
+    )
+    dense_pool = ivf_topk_from_inverted_file(
+        inv, qvecs, centroids=cents, k=_RRF_POOL, n_probe=2
+    )
+    dense_ranked = (
+        top_n_per_group(
+            dense_pool.withColumnRenamed("query_id", "avid"),
+            ["avid"],
+            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+            n=_RRF_POOL,
+            rank_col="rank_d",
+            keep_rank=True,
+        )
+        .join(F.broadcast(anchors), "avid")
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "rank_d")
+    )
+    return rrf_fuse(sparse_ranked, dense_ranked, k=_RRF_TOPK, rrf_k=_RRF_K)

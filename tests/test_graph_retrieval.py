@@ -457,3 +457,89 @@ def test_ndcg_eval_bounds_and_system_coverage(spark, sf_dir):
         assert set(systems) == {"bm25", "dense", "hybrid"}
         for v in systems.values():
             assert 0.0 <= v <= 1.0
+
+
+def test_bm25_index_merge_history_zero_io_and_bucket_pruning(spark, sf_dir):
+    # the nightly posting MERGE writes only the BATCH segment's
+    # partitions (the Lucene segment model): every historic (seg=0)
+    # manifest entry must carry over byte-identical — at 100 TB this
+    # is the difference between appending a segment and rewriting the
+    # inverted file. And serving's partition_filter must prune the
+    # manifest to exactly the query terms' buckets.
+    import os
+    import tempfile
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        _read_manifest,
+        list_versions,
+        read_versioned_table,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        read_testdata,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+        _BM25_QUERIES,
+        _BM25_TB,
+        _bm25_index_root,
+        _bm25_scores,
+        _bm25_scores_served,
+        _term_bucket_py,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    root = _bm25_index_root(spark, docs, "bm25_pytest")
+    table = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_bm25_pytest_{os.getpid()}", "postings"
+    )
+
+    versions = list_versions(spark, table)
+    assert len(versions) == 2, "expected exactly create + merge versions"
+    m0 = _read_manifest(spark, table, versions[0])
+    m1 = _read_manifest(spark, table, versions[1])
+    hist0 = sorted(
+        (e["dir"] for e in m0["entries"] if e["partition"]["seg"] == 0)
+    )
+    hist1 = sorted(
+        (e["dir"] for e in m1["entries"] if e["partition"]["seg"] == 0)
+    )
+    assert hist0 == hist1 and hist0, (
+        "historic segment entries changed across the merge — the nightly "
+        "job rewrote history instead of appending its own segment"
+    )
+    assert any(e["partition"]["seg"] == 1 for e in m1["entries"]), (
+        "merge produced no batch-segment partitions"
+    )
+
+    # manifest-level pruning: the pruned read's plan must reference
+    # only the query buckets' directories
+    buckets = sorted({_term_bucket_py(t) for _, ts in _BM25_QUERIES for t in ts})
+    assert len(buckets) < _BM25_TB, "fixture queries cover every bucket — vacuous"
+    pruned = read_versioned_table(
+        spark, table, partition_filter={"tb": buckets}
+    )
+    n_pruned = len(
+        [e for e in m1["entries"] if e["partition"]["tb"] in buckets]
+    )
+    assert n_pruned < len(m1["entries"]), "pruning dropped nothing"
+    # inputFiles() lists the exact files the pruned plan will open:
+    # every file must live under a query-bucket partition dir, and
+    # every query-bucket entry must contribute (dir path shape:
+    # data/<commit>/seg=X/tb=Y)
+    read_dirs = {"/".join(f.split("/")[-3:-1]) for f in pruned.inputFiles()}
+    want_dirs = {
+        "/".join(e["dir"].split("/")[-2:])
+        for e in m1["entries"]
+        if e["partition"]["tb"] in buckets
+    }
+    drop_dirs = {
+        "/".join(e["dir"].split("/")[-2:])
+        for e in m1["entries"]
+        if e["partition"]["tb"] not in buckets
+    }
+    assert read_dirs == want_dirs, "pruned read opens the wrong partitions"
+    assert not (read_dirs & drop_dirs), "pruned read opens unqueried buckets"
+
+    # served scores equal the recompute twin's scores bit-for-bit
+    got = sorted(map(tuple, _bm25_scores_served(spark, root).collect()))
+    want = sorted(map(tuple, _bm25_scores(spark, sf_dir).collect()))
+    assert got == want and got, "served BM25 diverged from the recompute twin"
