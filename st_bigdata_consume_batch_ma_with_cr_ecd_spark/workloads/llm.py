@@ -5683,6 +5683,78 @@ def ann_topk_ivfpq_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivfpq_index_merge_serve",
+    # the coarse quantizer and codebooks are FIXED literals, PQ
+    # encoding is deterministic, and the historic/batch vec_id sets
+    # are disjoint — so the post-merge packed inverted file equals the
+    # full-corpus encode and the SAME stored-IVFADC oracle pins the
+    # encode->store->MERGE->prune->ADC chain: a merge that drops,
+    # duplicates, or mis-encodes a batch vector changes a code word
+    # and flips the hash
+    oracle=_ivfpq_stored_oracle(packed=True),
+    doc="INCREMENTAL IVFADC index maintenance (r10 verdict ask #2 — "
+    "ann_ivf_index_merge_serve's compressed-tier twin, completing the "
+    "index-lifecycle story): the nightly-ANN shape for the PQ-coded "
+    "index — historic vectors assign + PQ-encode into the bit-packed "
+    "inverted file (8x4-bit codes in one BIGINT word per vector) "
+    "persisted cid-partitioned; the arriving batch (vec_id % 5 = 0) "
+    "is assigned and encoded with the STORED centroids/codebooks "
+    "(never retrained per batch) and MERGEd as one atomic version — "
+    "copy-on-write touches only the batch's cells' partitions, so "
+    "per-night index cost tracks the batch while the index stays "
+    "16 bytes/vector. Serving reads the post-merge snapshot pruned "
+    "to the query batch's probed cells at the MANIFEST and ranks by "
+    "asymmetric distance (broadcast per-query tables, inline nibble "
+    "unpack). The maintenance lifecycle (OPTIMIZE/VACUUM of the code "
+    "table) is pytest-pinned like the signature store's.",
+)
+def ann_ivfpq_index_merge_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..llm.similarity import (
+        ivf_pq_packed_inverted_file,
+        ivf_pq_packed_topk_adc,
+        ivf_probed_cells,
+    )
+    from ..sinks.versioned import (
+        create_versioned_table,
+        merge_versioned_table,
+        read_versioned_table,
+    )
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    hist = embs.where(F.col("vec_id") % 5 != 0)
+    batch = embs.where(F.col("vec_id") % 5 == 0)
+    cents = _IVF_FIXED_CENTROIDS
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_ivfpq_incr_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    create_versioned_table(
+        ivf_pq_packed_inverted_file(hist, centroids=cents, codebooks=_PQ_BOOKS),
+        f"{root}/cells",
+        ["cid"],
+    )
+    merge_versioned_table(
+        spark,
+        f"{root}/cells",
+        ivf_pq_packed_inverted_file(batch, centroids=cents, codebooks=_PQ_BOOKS),
+        keys=["vec_id"],
+        partition_by=["cid"],
+    )
+    cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
+    inv = read_versioned_table(
+        spark, f"{root}/cells", partition_filter={"cid": cells}
+    )
+    return ivf_pq_packed_topk_adc(
+        inv, queries, centroids=cents, codebooks=_PQ_BOOKS, k=5, n_probe=2
+    )
+
+
+@register(
     "ann_ivfpq_recall_table",
     # per-query recall of the full IVFADC chain against exact brute
     # force: IVFPQ loses neighbors BOTH ways — probed-cell misses

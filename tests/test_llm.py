@@ -1858,3 +1858,89 @@ def test_contrastive_triplets_hardest_positive_and_margin(spark):
     # the rank-1 negative (cos 0.8) is HARDER than the positive (0.6):
     # a negative margin, exactly the pair a margin loss trains on
     assert out[0].margin < 0 < out[1].margin
+
+
+def test_ivfpq_code_table_nightly_maintenance(spark, sf_dir, tmp_path):
+    # the operational lifecycle of the continuously merged PQ code
+    # table (r10 verdict ask #2): nightly batch merges accumulate
+    # versions and small files in the touched cells' partitions;
+    # OPTIMIZE must change layout only — identical ADC top-k served
+    # before and after — and VACUUM must reclaim superseded commits
+    # while the latest version keeps serving
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        ivf_pq_packed_inverted_file,
+        ivf_pq_packed_topk_adc,
+        ivf_probed_cells,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        compact_versioned_table,
+        create_versioned_table,
+        list_versions,
+        merge_versioned_table,
+        read_versioned_table,
+        vacuum_versioned_table,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        read_testdata,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        _IVF_FIXED_CENTROIDS,
+        _PQ_BOOKS,
+    )
+
+    embs = read_testdata(spark, sf_dir, "embeddings")
+    queries = embs.where(F.col("vec_id") < 5)
+    table = str(tmp_path / "pq_cells")
+    cents = _IVF_FIXED_CENTROIDS
+
+    # three nightly arrivals; maxRecordsPerFile emulates the
+    # many-files-per-partition layout a multi-task COW rewrite
+    # produces at production scale (the signature-store test's trick)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "25")
+    try:
+        create_versioned_table(
+            ivf_pq_packed_inverted_file(
+                embs.where("vec_id % 3 = 0"), centroids=cents, codebooks=_PQ_BOOKS
+            ),
+            table,
+            ["cid"],
+        )
+        for epoch in (1, 2):
+            merge_versioned_table(
+                spark,
+                table,
+                ivf_pq_packed_inverted_file(
+                    embs.where(f"vec_id % 3 = {epoch}"),
+                    centroids=cents,
+                    codebooks=_PQ_BOOKS,
+                ),
+                keys=["vec_id"],
+                partition_by=["cid"],
+            )
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    assert len(list_versions(spark, table)) == 3  # create + 2 merges
+
+    cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
+
+    def served_topk():
+        inv = read_versioned_table(spark, table, partition_filter={"cid": cells})
+        return sorted(
+            map(
+                tuple,
+                ivf_pq_packed_topk_adc(
+                    inv, queries, centroids=cents, codebooks=_PQ_BOOKS, k=5, n_probe=2
+                ).collect(),
+            )
+        )
+
+    before = served_topk()
+    files_before = len(read_versioned_table(spark, table).inputFiles())
+    assert compact_versioned_table(spark, table), "nothing compacted"
+    after = served_topk()
+    files_after = len(read_versioned_table(spark, table).inputFiles())
+    assert after == before and after, "compaction changed the served ADC top-k"
+    assert files_after < files_before, "compaction did not reduce files"
+    removed = vacuum_versioned_table(spark, table, keep_last=1, min_age_seconds=0)
+    assert removed, "vacuum reclaimed nothing"
+    assert served_topk() == before, "vacuum broke the latest version"
