@@ -3472,10 +3472,17 @@ def pipeline_web_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return web_corpus_prep(_docs(spark, sf_dir))
 
 
-def web_corpus_prep(docs: DataFrame) -> DataFrame:
+def web_corpus_prep(docs: DataFrame, fp_prefix_tokens: int | None = None) -> DataFrame:
     """The chain behind ``pipeline_web_corpus_prep``, over any
     (doc_id, text) frame — shared with the scale probe so the probe can
-    amplify the input."""
+    amplify the input.
+
+    ``fp_prefix_tokens``: None fingerprints the FULL main content
+    (exact dedup key); an int fingerprints its first k tokens — the
+    coarse CANOPY fingerprint the corpus factory groups on (documents
+    sharing an opening passage collapse to one canonical owner, the
+    prefix-key analogue of URL-prefix dedup; exact-full-text is the
+    k -> infinity degenerate case)."""
     from pyspark.sql import Window
 
     from ..llm.markup import canonicalize_url, extract_main_content
@@ -3495,6 +3502,11 @@ def web_corpus_prep(docs: DataFrame) -> DataFrame:
     )
     extracted = extract_main_content(pages, "html", "doc_id", min_words=5)
     main = F.col("main_content")
+    fp_src = (
+        main
+        if fp_prefix_tokens is None
+        else F.array_join(F.slice(F.split(main, r"\s+"), 1, fp_prefix_tokens), " ")
+    )
     return kept.join(extracted, "doc_id").select(
         "doc_id",
         "canon_url",
@@ -3505,7 +3517,249 @@ def web_corpus_prep(docs: DataFrame) -> DataFrame:
         .otherwise(F.size(F.split(main, r"\s+")))
         .cast("int")
         .alias("n_words_main"),
-        F.md5(main).alias("content_fp"),
+        F.md5(fp_src).alias("content_fp"),
+    )
+
+
+# the corpus factory's quality gate: minimum extracted-main-content
+# token count. Chosen so both verdicts exist at every fixture SF.
+_FACTORY_MIN_WORDS = 10
+_FACTORY_PACK = 2048
+# canopy-fingerprint width: the fixture has no exact full-text dups,
+# so the factory dedups on the first 8 main-content tokens — documents
+# sharing an opening passage collapse (both dedup verdicts exercised
+# at every fixture SF); a production run tunes this toward exact
+_FACTORY_FP_TOKENS = 8
+
+
+def _factory_oracle() -> str:
+    """The nightly corpus-factory replay: URL canon -> mirror dedup ->
+    HTML extraction (the pipeline_web_corpus_prep chain verbatim) ->
+    exact content dedup against the merged fingerprint store (min
+    doc_id per fp owns the content) -> quality gate -> sequence
+    packing continuing from the HISTORIC corpus's stored token total."""
+    return rf"""
+    WITH urls AS (
+        SELECT doc_id, {_SYNTH_URL_DUCK} AS url
+        FROM documents
+    ),
+    {_URL_CANON_DUCK_CTES},
+    ranked AS (
+        -- mirror dedup is SCOPED PER INGEST SIDE (historic last night,
+        -- batch tonight): cross-side mirrors are the content store's
+        -- job, the nightly split the Spark twin runs as two prep chains
+        SELECT doc_id, canon_url,
+               row_number() OVER (PARTITION BY (doc_id % 5 = 0), canon_url
+                                  ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY (doc_id % 5 = 0), canon_url) AS n_mirrors
+        FROM canon_urls
+    ),
+    kept AS (SELECT doc_id, canon_url, n_mirrors FROM ranked WHERE rn = 1),
+    pages AS (
+        SELECT k.doc_id, {_synth_page_duck("d.doc_id", "d.text")} AS html
+        FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+    ),
+    {_html_extract_duck()},
+    prep AS (
+        SELECT k.doc_id, k.canon_url, CAST(k.n_mirrors AS BIGINT) AS n_mirrors,
+               CAST(CASE WHEN e.main_content = '' THEN 0
+                         ELSE len(regexp_split_to_array(e.main_content, '\s+')) END AS INT) AS n_words_main,
+               md5(array_to_string(regexp_split_to_array(e.main_content, '\s+')[1:{_FACTORY_FP_TOKENS}], ' ')) AS content_fp
+        FROM kept k JOIN extracted e ON k.doc_id = e.doc_id
+    ),
+    fp_min AS (SELECT content_fp, min(doc_id) AS owner FROM prep GROUP BY 1),
+    hist_fp_min AS (
+        SELECT content_fp, min(doc_id) AS owner
+        FROM prep WHERE doc_id % 5 <> 0 GROUP BY 1
+    ),
+    base AS (
+        SELECT CAST(coalesce(sum(p.n_words_main), 0) AS BIGINT) AS base_tokens
+        FROM prep p JOIN hist_fp_min h
+          ON h.content_fp = p.content_fp AND h.owner = p.doc_id
+        WHERE p.doc_id % 5 <> 0 AND p.n_words_main >= {_FACTORY_MIN_WORDS}
+    ),
+    batch_q AS (
+        SELECT p.doc_id, p.canon_url, p.n_mirrors, p.n_words_main,
+               p.content_fp, (p.doc_id = f.owner) AS is_survivor
+        FROM prep p JOIN fp_min f ON f.content_fp = p.content_fp
+        WHERE p.doc_id % 5 = 0 AND p.n_words_main >= {_FACTORY_MIN_WORDS}
+    ),
+    packed AS (
+        SELECT doc_id,
+               sum(n_words_main) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_words_main AS rel_off
+        FROM batch_q WHERE is_survivor
+    )
+    SELECT b.doc_id, b.canon_url, b.n_mirrors, b.content_fp,
+           b.n_words_main, b.is_survivor,
+           CAST(p.rel_off + base.base_tokens AS BIGINT) AS start_offset,
+           CAST((p.rel_off + base.base_tokens) // {_FACTORY_PACK} AS BIGINT) AS pack_id
+    FROM batch_q b
+    LEFT JOIN packed p ON p.doc_id = b.doc_id
+    CROSS JOIN base
+    """
+
+
+@register(
+    "pipeline_corpus_factory_nightly",
+    oracle=_factory_oracle(),
+    doc="The FULL nightly corpus-factory job under ONE value hash (r10 "
+    "verdict ask #6 — the LLM-pipeline sibling of "
+    "pipeline_consume_batch_e2e, composing the serving paths a "
+    "training-data team actually schedules): web prep (URL canon -> "
+    "mirror dedup -> HTML main-content extraction, the "
+    "pipeline_web_corpus_prep chain) runs PER INGEST SIDE — the "
+    "historic corpus was prepped last night (factory_store_build), "
+    "tonight's job decodes/extracts the ARRIVING BATCH only "
+    "(doc_id % 5 = 0), so mirror dedup scopes within each side and "
+    "cross-side duplicates are the content store's job — feeding a "
+    "STORED content-fingerprint dedup (an 8-token CANOPY fingerprint "
+    "of the extracted main content — the fixture has no exact "
+    "full-text dups, so the canopy exercises both verdicts; "
+    "production tunes the width toward exact): batch state MERGEs in "
+    "as one atomic ingest-bucket version and a batch doc survives iff "
+    "it owns (min doc_id) its fingerprint in the post-merge snapshot "
+    "— "
+    "then a quality gate (main content >= 10 tokens) and "
+    "sequence packing whose offsets CONTINUE from the historic "
+    "corpus's token total, read back from the store (the nightly "
+    "continuation: tonight's packs append to yesterday's). Output = "
+    "one row per quality-passing batch doc with dedup verdict and "
+    "pack placement (offsets null for non-survivors). Packing uses "
+    "the distributed prefix-sum, never a single-task window; the "
+    "store rows carry (fp, n_words, quality) so the historic base is "
+    "a STORE read, not a corpus recompute. Like every _served gate "
+    "row, the historic store is built in-query because a driver gate "
+    "query is self-contained; the scale probe times the nightly batch "
+    "alone while the stored corpus scales.",
+    tags=("bench",),
+)
+def pipeline_corpus_factory_nightly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    table = factory_store_build(
+        spark, docs.where(F.col("doc_id") % 5 != 0), "factory_gate"
+    )
+    return factory_nightly_batch(spark, docs.where(F.col("doc_id") % 5 == 0), table)
+
+
+def factory_store_build(spark: SparkSession, hist_docs: DataFrame, name: str) -> str:
+    """LAST NIGHT'S half of the corpus factory: prep the historic
+    corpus (its own mirror-dedup scope) and persist the content state
+    the nightly job serves from — (doc_id, content_fp, n_words_main)
+    per historic survivor, in the versioned store's ingest bucket 0.
+    Returns the table path. The scale probe builds this once, untimed,
+    per historic-corpus size; the gate query builds it in-query
+    because a driver gate query is self-contained."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import create_versioned_table
+
+    prep = web_corpus_prep(hist_docs, fp_prefix_tokens=_FACTORY_FP_TOKENS).select(
+        "doc_id", "content_fp", "n_words_main"
+    )
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{name}_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    table = f"{root}/content_state"
+    create_versioned_table(
+        prep.withColumn("ingest_bucket", F.lit(0)), table, ["ingest_bucket"]
+    )
+    return table
+
+
+def factory_nightly_batch(
+    spark: SparkSession, batch_docs: DataFrame, table: str
+) -> DataFrame:
+    """TONIGHT'S half: prep the arriving batch only (decode/extract
+    cost tracks the batch), MERGE its content state into the store as
+    one atomic ingest-bucket version, and compute dedup verdicts +
+    pack placement entirely from the post-merge SNAPSHOT — the
+    historic corpus is never re-prepped, only its stored state is
+    read."""
+    from ..operators.rowids import running_total
+    from ..sinks.versioned import merge_versioned_table, read_versioned_table
+
+    prep_b = (
+        web_corpus_prep(batch_docs, fp_prefix_tokens=_FACTORY_FP_TOKENS)
+        .select("doc_id", "canon_url", "n_mirrors", "n_words_main", "content_fp")
+        .localCheckpoint(eager=True)  # consumed by the merge AND the verdicts
+    )
+    merge_versioned_table(
+        spark,
+        table,
+        prep_b.select("doc_id", "content_fp", "n_words_main").withColumn(
+            "ingest_bucket", F.lit(1)
+        ),
+        keys=["doc_id"],
+        partition_by=["ingest_bucket"],
+    )
+    store = read_versioned_table(spark, table)
+
+    fp_min = store.groupBy("content_fp").agg(F.min("doc_id").alias("owner"))
+    hist_rows = store.where(F.col("ingest_bucket") == 0)
+    hist_fp_min = (
+        hist_rows.groupBy("content_fp")
+        .agg(F.min("doc_id").alias("h_owner"))
+        .select(F.col("content_fp").alias("h_fp"), "h_owner")
+    )
+    base = (
+        hist_rows.join(
+            hist_fp_min.hint("merge"),
+            (F.col("content_fp") == F.col("h_fp"))
+            & (F.col("doc_id") == F.col("h_owner")),
+        )
+        .where(F.col("n_words_main") >= _FACTORY_MIN_WORDS)
+        .agg(
+            F.coalesce(F.sum("n_words_main"), F.lit(0))
+            .cast("bigint")
+            .alias("base_tokens")
+        )
+    )
+
+    batch_q = (
+        prep_b.where(F.col("n_words_main") >= _FACTORY_MIN_WORDS)
+        # merge pin: prep_b is batch-sized behind a checkpoint whose
+        # bare scan AQE can never measure; fp_min is store-sized —
+        # both data-sized at a real night, neither may broadcast
+        .join(fp_min.hint("merge"), "content_fp")
+        .select(
+            "doc_id",
+            "canon_url",
+            "n_mirrors",
+            "n_words_main",
+            "content_fp",
+            (F.col("doc_id") == F.col("owner")).alias("is_survivor"),
+        )
+        .localCheckpoint(eager=True)  # consumed by packing AND the output join
+    )
+    packed = running_total(
+        batch_q.where(F.col("is_survivor")).select("doc_id", "n_words_main"),
+        ["doc_id"],
+        "n_words_main",
+        out_col="__cum",
+    ).select(
+        "doc_id", (F.col("__cum") - F.col("n_words_main")).alias("rel_off")
+    )
+    off = F.col("rel_off") + F.col("base_tokens")
+    # merge pin: packed is BATCH-sized behind the prefix-sum's
+    # materialization — an estimate-driven broadcast would be
+    # data-sized at a real nightly batch
+    return (
+        batch_q.join(packed.hint("merge"), "doc_id", "left")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "doc_id",
+            "canon_url",
+            "n_mirrors",
+            "content_fp",
+            "n_words_main",
+            "is_survivor",
+            off.cast("bigint").alias("start_offset"),
+            F.floor(off / F.lit(_FACTORY_PACK)).cast("bigint").alias("pack_id"),
+        )
     )
 
 
