@@ -482,6 +482,15 @@ def probes(
             image_dhash_signatures,
         )
 
+        # 55 KB payloads x the default 10k-row Arrow batch = ~550 MB of
+        # Arrow buffers PER TASK before the decode UDF sees a row; 32
+        # tasks overran the off-heap allocator at 64x (r11:
+        # org.apache.arrow.memory.OutOfMemoryException in the store
+        # build). Cap the batch so per-task buffers stay ~14 MB — the
+        # knob every big-binary mapInPandas pipeline must size to its
+        # payload, exactly as shuffle partitions are sized to rows.
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+
         def _img_sigs_mb(d, n_patterns):
             return image_dhash_signatures(
                 d, n_patterns=n_patterns, payload_scale=8
