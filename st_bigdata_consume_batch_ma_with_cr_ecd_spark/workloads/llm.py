@@ -3592,8 +3592,11 @@ def _factory_oracle() -> str:
     )
     SELECT b.doc_id, b.canon_url, b.n_mirrors, b.content_fp,
            b.n_words_main, b.is_survivor,
-           CAST(p.rel_off + base.base_tokens AS BIGINT) AS start_offset,
-           CAST((p.rel_off + base.base_tokens) // {_FACTORY_PACK} AS BIGINT) AS pack_id
+           -- -1 sentinel = "not packed" (a dropped duplicate): keeps the
+           -- offset columns NON-NULL BIGINT — a nullable int degrades to
+           -- float64 through every pandas fetch path (dtype audit)
+           CAST(coalesce(p.rel_off + base.base_tokens, -1) AS BIGINT) AS start_offset,
+           CAST(coalesce((p.rel_off + base.base_tokens) // {_FACTORY_PACK}, -1) AS BIGINT) AS pack_id
     FROM batch_q b
     LEFT JOIN packed p ON p.doc_id = b.doc_id
     CROSS JOIN base
@@ -3746,7 +3749,8 @@ def factory_nightly_batch(
     off = F.col("rel_off") + F.col("base_tokens")
     # merge pin: packed is BATCH-sized behind the prefix-sum's
     # materialization — an estimate-driven broadcast would be
-    # data-sized at a real nightly batch
+    # data-sized at a real nightly batch. -1 sentinel = "not packed"
+    # (keeps the offset columns non-null BIGINT, dtype audit).
     return (
         batch_q.join(packed.hint("merge"), "doc_id", "left")
         .crossJoin(F.broadcast(base))
@@ -3757,8 +3761,10 @@ def factory_nightly_batch(
             "content_fp",
             "n_words_main",
             "is_survivor",
-            off.cast("bigint").alias("start_offset"),
-            F.floor(off / F.lit(_FACTORY_PACK)).cast("bigint").alias("pack_id"),
+            F.coalesce(off, F.lit(-1)).cast("bigint").alias("start_offset"),
+            F.coalesce(F.floor(off / F.lit(_FACTORY_PACK)), F.lit(-1))
+            .cast("bigint")
+            .alias("pack_id"),
         )
     )
 
