@@ -3567,7 +3567,18 @@ def _factory_oracle() -> str:
                md5(array_to_string(regexp_split_to_array(e.main_content, '\s+')[1:{_FACTORY_FP_TOKENS}], ' ')) AS content_fp
         FROM kept k JOIN extracted e ON k.doc_id = e.doc_id
     ),
-    fp_min AS (SELECT content_fp, min(doc_id) AS owner FROM prep GROUP BY 1),
+    -- ownership is ARRIVAL-ORDER precedence, then min id: content the
+    -- historic corpus already packed must own its fingerprint — a
+    -- later arrival with a smaller doc_id is still the duplicate
+    fp_owner AS (
+        SELECT content_fp, doc_id AS owner FROM (
+            SELECT content_fp, doc_id, row_number() OVER (
+                PARTITION BY content_fp
+                ORDER BY (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) ASC,
+                         doc_id ASC) AS rn
+            FROM prep
+        ) WHERE rn = 1
+    ),
     hist_fp_min AS (
         SELECT content_fp, min(doc_id) AS owner
         FROM prep WHERE doc_id % 5 <> 0 GROUP BY 1
@@ -3581,7 +3592,7 @@ def _factory_oracle() -> str:
     batch_q AS (
         SELECT p.doc_id, p.canon_url, p.n_mirrors, p.n_words_main,
                p.content_fp, (p.doc_id = f.owner) AS is_survivor
-        FROM prep p JOIN fp_min f ON f.content_fp = p.content_fp
+        FROM prep p JOIN fp_owner f ON f.content_fp = p.content_fp
         WHERE p.doc_id % 5 = 0 AND p.n_words_main >= {_FACTORY_MIN_WORDS}
     ),
     packed AS (
@@ -3621,8 +3632,10 @@ def _factory_oracle() -> str:
     "full-text dups, so the canopy exercises both verdicts; "
     "production tunes the width toward exact): batch state MERGEs in "
     "as one atomic ingest-bucket version and a batch doc survives iff "
-    "it owns (min doc_id) its fingerprint in the post-merge snapshot "
-    "— "
+    "it owns its fingerprint in the post-merge snapshot under "
+    "ARRIVAL-ORDER precedence (earlier ingest bucket wins, then min "
+    "doc_id — content the historic corpus already packed can never be "
+    "re-owned by a later arrival) — "
     "then a quality gate (main content >= 10 tokens) and "
     "sequence packing whose offsets CONTINUE from the historic "
     "corpus's token total, read back from the store (the nightly "
@@ -3701,7 +3714,16 @@ def factory_nightly_batch(
     )
     store = read_versioned_table(spark, table)
 
-    fp_min = store.groupBy("content_fp").agg(F.min("doc_id").alias("owner"))
+    # ownership = ARRIVAL-ORDER precedence (earlier ingest bucket wins
+    # — content the historic corpus already packed owns its
+    # fingerprint even against a smaller-id later arrival), min doc_id
+    # within a bucket. One lexicographic struct-min aggregate, no
+    # window; generalizes to any number of nightly buckets.
+    fp_owner = (
+        store.groupBy("content_fp")
+        .agg(F.min(F.struct("ingest_bucket", "doc_id")).alias("o"))
+        .select("content_fp", F.col("o.doc_id").alias("owner"))
+    )
     hist_rows = store.where(F.col("ingest_bucket") == 0)
     hist_fp_min = (
         hist_rows.groupBy("content_fp")
@@ -3725,9 +3747,9 @@ def factory_nightly_batch(
     batch_q = (
         prep_b.where(F.col("n_words_main") >= _FACTORY_MIN_WORDS)
         # merge pin: prep_b is batch-sized behind a checkpoint whose
-        # bare scan AQE can never measure; fp_min is store-sized —
+        # bare scan AQE can never measure; fp_owner is store-sized —
         # both data-sized at a real night, neither may broadcast
-        .join(fp_min.hint("merge"), "content_fp")
+        .join(fp_owner.hint("merge"), "content_fp")
         .select(
             "doc_id",
             "canon_url",
