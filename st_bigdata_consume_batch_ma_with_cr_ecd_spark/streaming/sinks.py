@@ -347,3 +347,166 @@ def run_signature_dedup_stream(
         .start()
         .awaitTermination()
     )
+
+
+def corpus_factory_batch_writer(
+    state_table: str,
+    out_table: str,
+    *,
+    app_id: str = "corpus-factory",
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` CONTINUOUS corpus factory — the streaming face
+    of ``pipeline_corpus_factory_nightly``: per micro-batch of
+    (doc_id, text) documents,
+
+    1. web prep runs for the ARRIVING BATCH ONLY (URL canon -> mirror
+       dedup scoped WITHIN the batch -> HTML extraction -> canopy
+       content fingerprint) — historic payloads are never re-prepped;
+    2. the batch's content state MERGEs into the versioned state table
+       as one atomic ingest-bucket version (``txn=(app_id, epoch)`` —
+       a replayed epoch is skipped inside the publishing rename);
+    3. dedup verdicts come from the post-merge snapshot under
+       ARRIVAL-ORDER ownership (lexicographic min of (ingest_bucket,
+       doc_id) per fingerprint — content an earlier epoch packed can
+       never be re-owned);
+    4. quality-passing verdict rows land in the output table with
+       pack placement CONTINUING from prior epochs' survivor token
+       total — read from the OUTPUT table (prior verdicts are final
+       by the precedence rule), filtered to nights < this epoch so a
+       crash-replayed epoch recomputes the identical base.
+
+    After the stream drains, the output table equals the one
+    sequential replay of the nights regardless of crash/retry — the
+    registered query's oracle replays all nights as windowed SQL and
+    value-hashes the whole table."""
+
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        from ..sinks.versioned import (
+            create_versioned_table,
+            list_versions,
+            merge_versioned_table,
+            read_versioned_table,
+        )
+        from ..workloads.llm import (
+            _FACTORY_FP_TOKENS,
+            _FACTORY_MIN_WORDS,
+            _FACTORY_PACK,
+            web_corpus_prep,
+        )
+        from ..operators.rowids import running_total
+
+        spark = batch.sparkSession
+        if batch.isEmpty():
+            return
+        prep_b = (
+            web_corpus_prep(batch, fp_prefix_tokens=_FACTORY_FP_TOKENS)
+            .select("doc_id", "canon_url", "n_mirrors", "n_words_main", "content_fp")
+            .localCheckpoint(eager=True)  # merge + verdicts consume it
+        )
+        state_b = prep_b.select("doc_id", "content_fp", "n_words_main").withColumn(
+            "ingest_bucket", F.lit(int(epoch_id)).cast("bigint")
+        )
+        if not list_versions(spark, state_table):
+            create_versioned_table(state_b, state_table, ["ingest_bucket"])
+        else:
+            merge_versioned_table(
+                spark,
+                state_table,
+                state_b,
+                keys=["doc_id"],
+                partition_by=["ingest_bucket"],
+                txn=(f"{app_id}-state", epoch_id),
+            )
+        store = read_versioned_table(spark, state_table)
+        fp_owner = (
+            store.groupBy("content_fp")
+            .agg(F.min(F.struct("ingest_bucket", "doc_id")).alias("o"))
+            .select("content_fp", F.col("o.doc_id").alias("owner"))
+        )
+        batch_q = (
+            prep_b.where(F.col("n_words_main") >= _FACTORY_MIN_WORDS)
+            .join(fp_owner.hint("merge"), "content_fp")
+            .select(
+                "doc_id",
+                "canon_url",
+                "n_mirrors",
+                "n_words_main",
+                "content_fp",
+                (F.col("doc_id") == F.col("owner")).alias("is_survivor"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if list_versions(spark, out_table):
+            base = (
+                read_versioned_table(spark, out_table)
+                .where(
+                    (F.col("night") < F.lit(int(epoch_id))) & F.col("is_survivor")
+                )
+                .agg(
+                    F.coalesce(F.sum("n_words_main"), F.lit(0))
+                    .cast("bigint")
+                    .alias("base_tokens")
+                )
+            )
+        else:
+            base = spark.range(1).select(
+                F.lit(0).cast("bigint").alias("base_tokens")
+            )
+        packed = running_total(
+            batch_q.where(F.col("is_survivor")).select("doc_id", "n_words_main"),
+            ["doc_id"],
+            "n_words_main",
+            out_col="__cum",
+        ).select("doc_id", (F.col("__cum") - F.col("n_words_main")).alias("rel_off"))
+        off = F.col("rel_off") + F.col("base_tokens")
+        out = (
+            batch_q.join(packed.hint("merge"), "doc_id", "left")
+            .crossJoin(F.broadcast(base))
+            .select(
+                "doc_id",
+                "canon_url",
+                "n_mirrors",
+                "content_fp",
+                "n_words_main",
+                "is_survivor",
+                F.lit(int(epoch_id)).cast("int").alias("night"),
+                F.coalesce(off, F.lit(-1)).cast("bigint").alias("start_offset"),
+                F.coalesce(F.floor(off / F.lit(_FACTORY_PACK)), F.lit(-1))
+                .cast("bigint")
+                .alias("pack_id"),
+            )
+        )
+        if not list_versions(spark, out_table):
+            create_versioned_table(out, out_table, ["night"])
+        else:
+            merge_versioned_table(
+                spark,
+                out_table,
+                out,
+                keys=["doc_id"],
+                partition_by=["night"],
+                txn=(f"{app_id}-out", epoch_id),
+            )
+
+    return write
+
+
+def run_corpus_factory_stream(
+    stream: DataFrame,
+    state_table: str,
+    out_table: str,
+    *,
+    checkpoint_dir: str,
+    **writer_kwargs,
+) -> None:
+    """Drain a bounded document stream through the continuous corpus
+    factory (availableNow, so tests and backfills terminate)."""
+    (
+        stream.writeStream.foreachBatch(
+            corpus_factory_batch_writer(state_table, out_table, **writer_kwargs)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

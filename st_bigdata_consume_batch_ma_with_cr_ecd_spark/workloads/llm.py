@@ -3791,6 +3791,131 @@ def factory_nightly_batch(
     )
 
 
+def _factory_stream_oracle() -> str:
+    """The drained stream's output table replayed as ONE windowed SQL
+    pass: night = doc_id % 3 (the arrival slicing the Spark twin feeds
+    through the file source), mirror dedup scoped per night,
+    arrival-order fingerprint ownership, quality gate, and the global
+    arrival-order prefix sum that IS the nightly pack continuation."""
+    return rf"""
+    WITH urls AS (
+        SELECT doc_id, {_SYNTH_URL_DUCK} AS url
+        FROM documents
+    ),
+    {_URL_CANON_DUCK_CTES},
+    ranked AS (
+        SELECT doc_id, canon_url,
+               row_number() OVER (PARTITION BY doc_id % 3, canon_url
+                                  ORDER BY doc_id) AS rn,
+               count(*) OVER (PARTITION BY doc_id % 3, canon_url) AS n_mirrors
+        FROM canon_urls
+    ),
+    kept AS (SELECT doc_id, canon_url, n_mirrors FROM ranked WHERE rn = 1),
+    pages AS (
+        SELECT k.doc_id, {_synth_page_duck("d.doc_id", "d.text")} AS html
+        FROM kept k JOIN documents d ON k.doc_id = d.doc_id
+    ),
+    {_html_extract_duck()},
+    prep AS (
+        SELECT k.doc_id, CAST(k.doc_id % 3 AS INT) AS night,
+               k.canon_url, CAST(k.n_mirrors AS BIGINT) AS n_mirrors,
+               CAST(CASE WHEN e.main_content = '' THEN 0
+                         ELSE len(regexp_split_to_array(e.main_content, '\s+')) END AS INT) AS n_words_main,
+               md5(array_to_string(regexp_split_to_array(e.main_content, '\s+')[1:{_FACTORY_FP_TOKENS}], ' ')) AS content_fp
+        FROM kept k JOIN extracted e ON k.doc_id = e.doc_id
+    ),
+    fp_owner AS (
+        SELECT content_fp, doc_id AS owner FROM (
+            SELECT content_fp, doc_id, row_number() OVER (
+                PARTITION BY content_fp ORDER BY night ASC, doc_id ASC) AS rn
+            FROM prep
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT p.doc_id, p.night, p.canon_url, p.n_mirrors,
+               p.n_words_main, p.content_fp,
+               (p.doc_id = f.owner) AS is_survivor
+        FROM prep p JOIN fp_owner f ON f.content_fp = p.content_fp
+        WHERE p.n_words_main >= {_FACTORY_MIN_WORDS}
+    ),
+    packed AS (
+        SELECT doc_id,
+               sum(n_words_main) OVER (ORDER BY night, doc_id
+                                       ROWS UNBOUNDED PRECEDING)
+                   - n_words_main AS off
+        FROM q WHERE is_survivor
+    )
+    SELECT q.doc_id, q.canon_url, q.n_mirrors, q.content_fp,
+           q.n_words_main, q.is_survivor, q.night,
+           CAST(coalesce(p.off, -1) AS BIGINT) AS start_offset,
+           CAST(coalesce(p.off // {_FACTORY_PACK}, -1) AS BIGINT) AS pack_id
+    FROM q LEFT JOIN packed p ON p.doc_id = q.doc_id
+    """
+
+
+@register(
+    "streaming_corpus_factory",
+    oracle=_factory_stream_oracle(),
+    doc="CONTINUOUS (always-on) corpus factory — the Structured-"
+    "Streaming face of pipeline_corpus_factory_nightly, mirroring "
+    "streaming_incremental_dedup's shape: three arrival slices "
+    "(doc_id % 3, one file each) drain through foreachBatch; each "
+    "micro-batch web-preps ITS OWN documents only, MERGEs its content "
+    "state as one atomic txn-idempotent version, takes dedup verdicts "
+    "from the post-merge snapshot under arrival-order ownership "
+    "(earlier epoch wins, then min id), and appends quality-passing "
+    "verdict rows whose pack offsets CONTINUE from prior epochs' "
+    "survivor totals (read from the output table — prior verdicts are "
+    "final by the precedence rule, so a crash-replayed epoch "
+    "recomputes the identical base). The oracle replays all three "
+    "nights as one windowed SQL pass — a global arrival-order prefix "
+    "sum — so the value hash pins exactly-once across ANY crash/retry "
+    "schedule the checkpoint admits.",
+)
+def streaming_corpus_factory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..sinks.versioned import read_versioned_table
+    from ..streaming.sinks import run_corpus_factory_stream
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_factory_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    src = f"{root}/in"
+    os.makedirs(src, exist_ok=True)
+    # three "nights" of arrivals: doc_id % 3 slices, ONE flat file each
+    # so maxFilesPerTrigger=1 makes each slice its own micro-batch.
+    # Epoch ORDER matters here (offsets continue across nights), so
+    # pin strictly increasing mtimes — the file source orders by
+    # modification time, and sub-ms writes could otherwise tie.
+    t0 = 1_700_000_000
+    for i in range(3):
+        tmp = f"{root}/tmp{i}"
+        docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{src}/batch{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, (t0 + i, t0 + i))
+        shutil.rmtree(tmp)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_corpus_factory_stream(
+        stream,
+        f"{root}/state",
+        f"{root}/out",
+        checkpoint_dir=f"{root}/ckpt",
+    )
+    return read_versioned_table(spark, f"{root}/out")
+
+
 # --------------------------------------------------------------------------
 # Multimodal plumbing
 # --------------------------------------------------------------------------

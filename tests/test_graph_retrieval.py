@@ -543,3 +543,50 @@ def test_bm25_index_merge_history_zero_io_and_bucket_pruning(spark, sf_dir):
     got = sorted(map(tuple, _bm25_scores_served(spark, root).collect()))
     want = sorted(map(tuple, _bm25_scores(spark, sf_dir).collect()))
     assert got == want and got, "served BM25 diverged from the recompute twin"
+
+
+def test_bm25_index_nightly_maintenance(spark, sf_dir, tmp_path):
+    # segments accumulate nightly (the Lucene-segment cost of
+    # append-only merges): OPTIMIZE must be layout-only — identical
+    # served scores before and after — and VACUUM must reclaim
+    # superseded commits while the latest version keeps serving.
+    # Mirrors the signature-store and PQ-code-table lifecycle tests:
+    # the THIRD index family completes the maintenance story.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        compact_versioned_table,
+        list_versions,
+        read_versioned_table,
+        vacuum_versioned_table,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sources.readers import (
+        read_testdata,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+        _bm25_index_root,
+        _bm25_scores_served,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    # fragment the partition dirs the way a multi-task COW rewrite
+    # does at production scale (the signature-store test's trick)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", "200")
+    try:
+        root = _bm25_index_root(spark, docs, "bm25_maint")
+    finally:
+        spark.conf.unset("spark.sql.files.maxRecordsPerFile")
+    table = f"{root}/postings"
+    assert len(list_versions(spark, table)) == 2  # create + merge
+
+    def served():
+        return sorted(map(tuple, _bm25_scores_served(spark, root).collect()))
+
+    before = served()
+    files_before = len(read_versioned_table(spark, table).inputFiles())
+    assert compact_versioned_table(spark, table), "nothing compacted"
+    after = served()
+    files_after = len(read_versioned_table(spark, table).inputFiles())
+    assert after == before and after, "compaction changed served BM25 scores"
+    assert files_after < files_before, "compaction did not reduce files"
+    removed = vacuum_versioned_table(spark, table, keep_last=1, min_age_seconds=0)
+    assert removed, "vacuum reclaimed nothing"
+    assert served() == before, "vacuum broke the latest version"
