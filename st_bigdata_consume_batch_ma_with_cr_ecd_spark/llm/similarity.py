@@ -611,10 +611,94 @@ def reweighted_topk(
         )
     )
     w = weights.select("d", F.col("w").cast("decimal(12,8)").alias("w"))
+    # round the exact scale-18 sum to scale 10 BEFORE the double cast:
+    # at scale 18 the unscaled value exceeds 2^53, and DuckDB casts
+    # decimal->double via int128->double THEN /10^scale (two roundings)
+    # where Spark single-rounds — a one-ulp divergence. Scale 10 keeps
+    # the unscaled value exactly double-representable on both engines.
     scored = (
         z.join(F.broadcast(w), "d")
         .groupBy("query_id", "neighbor_id")
-        .agg(F.sum(F.col("w") * F.col("t")).cast("double").alias("rw_score"))
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("t")), 10)
+            .cast("decimal(20,10)")
+            .cast("double")
+            .alias("rw_score")
+        )
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.col("rw_score").desc(), F.col("neighbor_id").asc()],
+        n=k,
+    )
+
+
+def ivf_reweighted_topk_from_inverted_file(
+    inv: DataFrame,
+    queries: DataFrame,
+    weights: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """The TRAINED reweighting deployed on the stored-IVF serving path:
+    candidates come from the probed cells of a (typically manifest-
+    pruned) self-contained inverted file — the same cell equi-join as
+    :func:`ivf_topk_from_inverted_file` — and are RE-SCORED by the
+    diagonal-reweighted similarity (exact decimal per-dim terms x the
+    decimal weights, :func:`reweighted_topk`'s contract). The coarse
+    quantizer still assigns in the UNWEIGHTED space (production
+    re-trains the quantizer after a model update; until then the
+    mismatch is a recall trade — scores on probed candidates are
+    exact). Returns (query_id, neighbor_id, rw_score)."""
+    cv = _to_double(F.col(vec_col))
+    c = inv.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.transform(cv, lambda x: F.round(x / _norm(cv), 8)).alias("uc"),
+        F.col("cid").alias("__cell"),
+    )
+    qv = _to_double(F.col(vec_col))
+    probe_n = _assign_udf(centroids, n_probe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.transform(qv, lambda x: F.round(x / _norm(qv), 8)).alias("uq"),
+        F.explode(probe_n(qv)).alias("__cell"),
+    )
+    z = (
+        c.join(q, (c.__cell == q.__cell) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode(F.arrays_zip("uq", "uc")).alias("pos", "z"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("pos") + 1).cast("int").alias("d"),
+            F.round(F.col("z.uq") * F.col("z.uc"), 10)
+            .cast("decimal(11,10)")
+            .alias("t"),
+        )
+    )
+    w = weights.select("d", F.col("w").cast("decimal(12,8)").alias("w"))
+    # round the exact scale-18 sum to scale 10 BEFORE the double cast:
+    # at scale 18 the unscaled value exceeds 2^53, and DuckDB casts
+    # decimal->double via int128->double THEN /10^scale (two roundings)
+    # where Spark single-rounds — a one-ulp divergence. Scale 10 keeps
+    # the unscaled value exactly double-representable on both engines.
+    scored = (
+        z.join(F.broadcast(w), "d")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("t")), 10)
+            .cast("decimal(20,10)")
+            .cast("double")
+            .alias("rw_score")
+        )
     )
     return top_n_per_group(
         scored,

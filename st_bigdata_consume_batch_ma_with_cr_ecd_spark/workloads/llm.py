@@ -1150,7 +1150,12 @@ def train_triplet_reweighter(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN dd
     ),
     rw_scored AS (
-        SELECT t.anchor_id, t.cand_id, CAST(sum(w.w * t.t) AS DOUBLE) AS rw
+        -- scale-10 re-round before the double cast: DuckDB's
+        -- decimal->double is int128->double / 10^scale (two roundings)
+        -- while Spark single-rounds; at scale 10 the unscaled value
+        -- is < 2^53 and both cast exactly
+        SELECT t.anchor_id, t.cand_id,
+               CAST(CAST(round(sum(w.w * t.t), 10) AS DECIMAL(20,10)) AS DOUBLE) AS rw
         FROM rw_terms t JOIN w{_TRIP_EPOCHS} w ON w.d = t.d
         GROUP BY 1, 2
     ),
@@ -5660,6 +5665,119 @@ def ann_topk_ivf_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10)
     return ivf_topk(embs, queries, k=5, n_probe=2, centroids=_IVF_FIXED_CENTROIDS)
+
+
+def _reweighted_served_oracle() -> str:
+    """Train (the full unrolled triplet run) -> store/probe/prune (the
+    fixed-centroid IVF replay) -> reweighted ADC-style rescoring, one
+    hash over the whole deploy chain."""
+    rows = ",\n        ".join(
+        f"({cid}, {[float(x) for x in c]}::DOUBLE[])"
+        for cid, c in enumerate(_IVF_FIXED_CENTROIDS)
+    )
+    return f"""
+    WITH {_triplet_trainer_ctes()},
+    cent AS (
+        SELECT cid, c, sqrt(list_dot_product(c, c)) AS cnrm
+        FROM (VALUES {rows}) AS t(cid, c)
+    ),
+    ranked_cells AS (
+        SELECT e.vec_id, cent.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, cent.c) / (e.nrm * cent.cnrm) DESC,
+                            cent.cid ASC) AS rn
+        FROM e CROSS JOIN cent
+    ),
+    corpus_cell AS (SELECT vec_id, cid FROM ranked_cells WHERE rn = 1),
+    query_cells AS (
+        SELECT vec_id, cid FROM ranked_cells WHERE rn <= 2 AND vec_id < 10
+    ),
+    rw_terms AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, dd.d,
+               CAST(round(qa.u[dd.d] * qc.u[dd.d], 10) AS DECIMAL(11,10)) AS t
+        FROM query_cells q
+        JOIN corpus_cell c ON q.cid = c.cid AND c.vec_id <> q.vec_id
+        JOIN en qa ON qa.vec_id = q.vec_id
+        JOIN en qc ON qc.vec_id = c.vec_id
+        CROSS JOIN dd
+    ),
+    rw_scored AS (
+        -- scale-10 re-round before the double cast (see the eval
+        -- oracle's note: avoids DuckDB's int128 double-rounding)
+        SELECT query_id, neighbor_id,
+               CAST(CAST(round(sum(w.w * t.t), 10) AS DECIMAL(20,10)) AS DOUBLE) AS rw_score
+        FROM rw_terms t JOIN w{_TRIP_EPOCHS} w ON w.d = t.d
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rw_score FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rw_score DESC, neighbor_id ASC) AS rn
+        FROM rw_scored
+    ) WHERE rn <= 5
+    """
+
+
+@register(
+    "ann_topk_reweighted_served",
+    oracle=_reweighted_served_oracle(),
+    doc="The TRAINED model DEPLOYED on the stored-index serving path — "
+    "closing the train->serve loop the contrastive stack opened: the "
+    "triplet-trained diagonal reweighting (train_triplet_reweighter, "
+    "its full 2-epoch run inside this query's hash) rescoring "
+    "candidates that come from the manifest-pruned self-contained IVF "
+    "inverted file (fixed coarse quantizer, 2 probed cells per query, "
+    "partition_filter at the manifest — no corpus scan at query "
+    "time). Scoring is the trainer's own exact-decimal contract "
+    "(round-10 per-dim terms x decimal weights), so serving scores "
+    "replay bit-for-bit against the unrolled-training oracle. Honest "
+    "production note in the scorer's docstring: the quantizer still "
+    "assigns in the UNWEIGHTED space until its own retrain — a recall "
+    "trade, never a score error, on probed candidates.",
+)
+def ann_topk_reweighted_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from ..llm.similarity import (
+        ivf_cell_assignments,
+        ivf_probed_cells,
+        ivf_reweighted_topk_from_inverted_file,
+        train_triplet_reweighter as _train,
+    )
+    from ..sinks.versioned import create_versioned_table, read_versioned_table
+
+    embs = _embs(spark, sf_dir)
+    anchors = embs.where(F.col("vec_id") % 50 == 0)
+    w = _train(
+        embs,
+        anchors,
+        k=_HARDNEG_K,
+        dup_threshold=_HARDNEG_DUP_T,
+        margin=_TRIP_MARGIN,
+        lr=_TRIP_LR,
+        epochs=_TRIP_EPOCHS,
+        dim=_TRIP_DIM,
+    ).localCheckpoint(eager=True)  # dim-sized model
+    queries = embs.where(F.col("vec_id") < 10)
+    cents = _IVF_FIXED_CENTROIDS
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rw_ivf_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    create_versioned_table(
+        ivf_cell_assignments(embs, centroids=cents, carry_vectors=True),
+        f"{root}/cells",
+        ["cid"],
+    )
+    cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
+    inv = read_versioned_table(
+        spark, f"{root}/cells", partition_filter={"cid": cells}
+    )
+    return ivf_reweighted_topk_from_inverted_file(
+        inv, queries, w, centroids=cents, k=5, n_probe=2
+    )
 
 
 def _hardneg_ivf_oracle() -> str:
