@@ -1228,6 +1228,34 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         assert "BroadcastNestedLoopJoin" not in plan
         assert_no_checkpoint_broadcasts(plan, "multimodal_summary")
 
+    def factory_nightly_pins_hold() -> None:
+        # the nightly corpus-factory serve at the audit mult: the
+        # batch's verdict/packing joins ride checkpointed (batch) and
+        # store-derived (fingerprint) sides — both data-sized at a
+        # real night — so the merge pins must hold and no broadcast
+        # may build over a bare checkpoint scan. The 1-row base
+        # crossJoin is the only BroadcastNestedLoopJoin allowed.
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            factory_nightly_batch,
+            factory_store_build,
+        )
+
+        docs_f = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        hist_m = amplify(docs_f.where(F.col("doc_id") % 5 != 0), mult, ["doc_id"])
+        table = factory_store_build(spark, hist_m, f"audit_factory_m{mult}")
+        plan = final_plan(
+            factory_nightly_batch(spark, docs_f.where(F.col("doc_id") % 5 == 0), table)
+        )
+        assert "SortMergeJoin" in plan, "factory verdict joins lost their merge pins"
+        assert "CartesianProduct" not in plan
+        # exactly the 1-row base broadcast may plan as a nested loop
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, (
+            "factory grew an unguarded nested-loop join beyond the 1-row base"
+        )
+        assert_no_checkpoint_broadcasts(plan, "factory_nightly")
+
     def image_served_plan_is_parquet_fed() -> None:
         # the nightly serve at the audit mult: after the batch MERGE,
         # the pair plan must be fed by PARQUET SCANS of the signature
@@ -1451,6 +1479,7 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         "image_incr": incr_pair_filter_inside_generation,
         "image_served": image_served_plan_is_parquet_fed,
         "ivf_served": ivf_served_no_corpus_side,
+        "factory_nightly": factory_nightly_pins_hold,
         # hybrid_rrf LAST (r10 ADVICE): final_plan materializes
         # _bm25_scores' lazy localCheckpoint frames (tf is
         # (doc_id, token)-grained at 64x) three times over — once for
