@@ -96,6 +96,18 @@ def _check_partition_values(parts: list[dict]) -> None:
                 raise VersionedTableError(
                     f"partition value {c}={v!r} is not a JSON-serializable primitive"
                 )
+            # hive layout cannot carry these: Spark writes '' as the
+            # null-sentinel directory (colliding with None — the
+            # manifest would point at a dir that does not exist), and
+            # a literal sentinel string reads back as null. Reject at
+            # write instead of corrupting at read (r11; pre-existing —
+            # the old per-entry reader hit PATH_NOT_FOUND on '').
+            if v == "" or v == "__HIVE_DEFAULT_PARTITION__":
+                raise VersionedTableError(
+                    f"partition value {c}={v!r} cannot round-trip hive "
+                    "layout (conflates with the null sentinel); use None "
+                    "or a non-empty marker"
+                )
 
 
 def _manifest_path(path: str, version: int) -> str:
@@ -777,8 +789,8 @@ def _read_entries(
         return spark.createDataFrame([], schema)
     field_by_name = {f.name: f for f in schema.fields}
     # data files carry the table schema MINUS the partition columns
-    # (written via partitionBy); pin it explicitly so each entry's read
-    # is listing-only — unpinned, spark.read.parquet does a driver-side
+    # (written via partitionBy); pin it explicitly so each scan is
+    # listing-only — unpinned, spark.read.parquet does a driver-side
     # footer read PER ENTRY for schema inference, which turns a
     # 12-entry pruned read into ~30s of planning (r11 finding while
     # timing the BM25 posting reads). Files from before an add-only
@@ -787,8 +799,72 @@ def _read_entries(
     data_schema = StructType(
         [f for f in schema.fields if f.name not in set(partition_by)]
     )
-    parts_df: DataFrame | None = None
-    for e in sorted(entries, key=lambda x: x["dir"]):
+
+    def _attach_literals(piece: DataFrame, part: dict) -> DataFrame:
+        for c in partition_by:
+            piece = piece.withColumn(
+                c, F.lit(part[c]).cast(field_by_name[c].dataType)
+            )
+        return piece
+
+    # Entries from the SAME commit share one hive-layout parent
+    # (data/<commit>/col=v/...), so they can read as ONE scan with the
+    # commit dir as basePath and the USER-SUPPLIED schema typing the
+    # partition columns — no directory-name type inference (the
+    # corruption this module exists to avoid: by-value inference turns
+    # a string partition '01' into the number 1; an explicit schema
+    # parses the directory token AS the recorded type instead). This
+    # collapses read planning from O(entries) to O(commits): a freshly
+    # created 4096-cell inverted file is one commit = one scan, not
+    # 4096 (r11 — per-entry planning was the versioned reader's real
+    # scale ceiling). Per-entry fallback stays for: zone-map file
+    # lists (per-file selection), empty-string partition values (hive
+    # writes '' as the null sentinel — only the manifest literal
+    # preserves it), and pre-evolution commits whose files miss a
+    # DATA column of the current schema (the hive reader needs its
+    # schema's data columns present-or-absent uniformly per scan; the
+    # explicit-schema missing-column-as-null contract covers them on
+    # the single-dir path).
+    def _groupable(e: dict) -> bool:
+        if use_file_lists and e.get("files") is not None:
+            return False
+        # '' writes as the hive null sentinel (only the manifest
+        # literal preserves it); a literal sentinel STRING would read
+        # back as null — both stay on the per-entry literal path
+        return all(
+            v != "" and v != "__HIVE_DEFAULT_PARTITION__"
+            for v in e["partition"].values()
+        )
+
+    by_commit: dict[str, list[dict]] = {}
+    singles: list[dict] = []
+    for e in entries:
+        d = e["dir"].split("/")
+        if _groupable(e) and len(d) >= 2 and d[0] == _DATA_DIR:
+            by_commit.setdefault("/".join(d[:2]), []).append(e)
+        else:
+            singles.append(e)
+
+    pieces: list[DataFrame] = []
+    hive_schema = StructType(
+        list(data_schema.fields)
+        + [field_by_name[c] for c in partition_by]
+    )
+    for commit_base in sorted(by_commit):
+        group = sorted(by_commit[commit_base], key=lambda x: x["dir"])
+        if len(group) == 1:
+            piece = spark.read.schema(data_schema).parquet(
+                f"{path}/{group[0]['dir']}"
+            )
+            pieces.append(_attach_literals(piece, group[0]["partition"]))
+            continue
+        piece = (
+            spark.read.schema(hive_schema)
+            .option("basePath", f"{path}/{commit_base}")
+            .parquet(*[f"{path}/{e['dir']}" for e in group])
+        )
+        pieces.append(piece)
+    for e in sorted(singles, key=lambda x: x["dir"]):
         if use_file_lists and e.get("files") is not None:
             # zone-map skipping selected a subset of the dir's files
             piece = spark.read.schema(data_schema).parquet(
@@ -796,10 +872,10 @@ def _read_entries(
             )
         else:
             piece = spark.read.schema(data_schema).parquet(f"{path}/{e['dir']}")
-        for c in partition_by:
-            piece = piece.withColumn(
-                c, F.lit(e["partition"][c]).cast(field_by_name[c].dataType)
-            )
+        pieces.append(_attach_literals(piece, e["partition"]))
+
+    parts_df: DataFrame | None = None
+    for piece in pieces:
         # schema evolution: files written before a column was added
         # simply lack it — read it as typed nulls (add-only evolution,
         # the same contract parquet mergeSchema provides)

@@ -997,3 +997,54 @@ def test_tag_validation_and_exclusivity(spark, tmp_path):
     create_tag(spark, path, "ok")
     with pytest.raises(VersionedTableError):
         read_versioned_table(spark, path, version=1, tag="ok")  # mutually exclusive
+
+
+def test_grouped_commit_read_preserves_adversarial_partition_values(spark, tmp_path):
+    # r11: entries from one commit read as ONE hive scan with the
+    # user-supplied schema typing the partition columns. The values
+    # this grouping must NOT corrupt: zero-padded strings ('01' — the
+    # by-value inference trap the module documents), booleans, None,
+    # and hive-escaped characters; '' and the literal null sentinel
+    # must fall back to the per-entry literal path and still round-trip.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        create_versioned_table,
+        read_versioned_table,
+    )
+
+    rows = [
+        (1, "01", True, "x"),
+        (2, "1", False, "a b=c/d%2F"),
+        (3, "2", None, None),
+        (6, "01", True, "x"),  # same partition as row 1
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, p string, q boolean, r string"
+    )
+    path = str(tmp_path / "adversarial")
+    create_versioned_table(df, path, ["p", "q", "r"])
+    got = sorted(map(tuple, read_versioned_table(spark, path).collect()))
+    assert got == sorted(rows), f"partition values corrupted: {got}"
+    # the string '01' must come back as the STRING '01', never 1
+    assert ("01" in {r[1] for r in got}) and (1 not in {r[1] for r in got})
+    # pruning still works through the grouped path
+    pruned = read_versioned_table(spark, path, partition_filter={"p": "01"})
+    assert sorted(r["id"] for r in pruned.collect()) == [1, 6]
+    # '' and the literal null sentinel cannot round-trip hive layout
+    # (they conflate with None's sentinel dir): rejected at WRITE —
+    # the old reader hit PATH_NOT_FOUND on them instead
+    import pytest as _pt
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        VersionedTableError,
+    )
+
+    bad = spark.createDataFrame([(7, "", True, "x")], "id bigint, p string, q boolean, r string")
+    with _pt.raises(VersionedTableError, match="null sentinel"):
+        create_versioned_table(bad, str(tmp_path / "bad"), ["p", "q", "r"])
+    # one commit -> the grouped entries should plan as ONE scan: every
+    # input file shares the single commit dir
+    commits = {
+        f.split("/data/")[1].split("/")[0]
+        for f in read_versioned_table(spark, path).inputFiles()
+    }
+    assert len(commits) == 1
