@@ -150,7 +150,12 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "bench_total_wall",
+                # renamed from bench_total_wall in r12 (r11 ADVICE):
+                # the value is a SUM OF PER-QUERY MINIMUMS of two
+                # passes, not the wall time of any actual run — the
+                # name now says so, so a consumer comparing rounds by
+                # metric name alone can't silently mix protocols
+                "metric": "bench_total_best_of_2",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -818,13 +818,16 @@ def _read_entries(
     # created 4096-cell inverted file is one commit = one scan, not
     # 4096 (r11 — per-entry planning was the versioned reader's real
     # scale ceiling). Per-entry fallback stays for: zone-map file
-    # lists (per-file selection), empty-string partition values (hive
-    # writes '' as the null sentinel — only the manifest literal
-    # preserves it), and pre-evolution commits whose files miss a
-    # DATA column of the current schema (the hive reader needs its
-    # schema's data columns present-or-absent uniformly per scan; the
-    # explicit-schema missing-column-as-null contract covers them on
-    # the single-dir path).
+    # lists (per-file selection) and empty-string partition values
+    # (hive writes '' as the null sentinel — only the manifest literal
+    # preserves it). Pre-evolution commits (files missing a DATA
+    # column of the current schema) take the grouped path SAFELY
+    # because grouping is PER COMMIT: every file in one commit was
+    # written by one atomic write against one schema, so the hive
+    # reader's need for per-scan-uniform data columns is guaranteed by
+    # the grouping unit itself, and the explicit schema null-fills the
+    # missing column (r11 ADVICE: an earlier revision of this comment
+    # claimed such commits stay per-entry — they don't need to).
     def _groupable(e: dict) -> bool:
         if use_file_lists and e.get("files") is not None:
             return False

@@ -20,6 +20,18 @@ from pyspark.sql import functions as F
 from ..sinks.writers import overwrite_partitions
 
 
+def _persistent_rdd_ids(spark) -> set[int]:
+    """Ids of the JVM context's currently persisted RDDs — the diff
+    unit :func:`corpus_factory_batch_writer` uses to release exactly
+    the blocks one epoch pinned (localCheckpoint blocks live at RDD
+    level, where ``DataFrame.unpersist`` never reaches)."""
+    ids: set[int] = set()
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        ids.add(it.next().getKey())
+    return ids
+
+
 def partition_overwrite_batch_writer(
     path: str,
     partition_by: Sequence[str],
@@ -380,7 +392,7 @@ def corpus_factory_batch_writer(
     registered query's oracle replays all nights as windowed SQL and
     value-hashes the whole table."""
 
-    def write(batch: DataFrame, epoch_id: int) -> None:
+    def _write_epoch(batch: DataFrame, epoch_id: int) -> None:
         from ..sinks.versioned import (
             create_versioned_table,
             list_versions,
@@ -487,6 +499,29 @@ def corpus_factory_batch_writer(
                 partition_by=["night"],
                 txn=(f"{app_id}-out", epoch_id),
             )
+    def write(batch: DataFrame, epoch_id: int) -> None:
+        # release the micro-batch's checkpointed blocks before the
+        # epoch returns (r11 ADVICE): an always-on deployment runs
+        # thousands of epochs per session, and waiting for the async
+        # ContextCleaner to notice the Python refcounts is exactly the
+        # persistent-block accumulation mode bench.py/scale_probe
+        # sweep between queries (2-3x slowdown / off-heap OOM).
+        # DataFrame.unpersist() can't do it — localCheckpoint blocks
+        # are RDD-level, invisible to the SQL cache manager — so diff
+        # the context's persistent-RDD ids around the epoch body and
+        # drop exactly what this epoch pinned (never a pre-existing
+        # block another live query still needs).
+        spark = batch.sparkSession
+        before = _persistent_rdd_ids(spark)
+        try:
+            _write_epoch(batch, epoch_id)
+        finally:
+            jmap = spark.sparkContext._jsc.getPersistentRDDs()
+            it = jmap.entrySet().iterator()
+            while it.hasNext():
+                e = it.next()
+                if e.getKey() not in before:
+                    e.getValue().unpersist(False)
 
     return write
 
