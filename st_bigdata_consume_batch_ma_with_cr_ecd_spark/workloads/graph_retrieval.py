@@ -2128,42 +2128,31 @@ def _bm25_index_root(spark: SparkSession, docs: DataFrame, name: str) -> str:
     post-merge index equals the full-corpus index and the FULL-corpus
     oracle pins the whole store->merge->serve chain: a merge that
     drops, duplicates, or mis-buckets a posting changes tf/df/dl and
-    flips the hash. The root embeds the pid (r9 ADVICE)."""
-    import os
-    import shutil
-    import tempfile
+    flips the hash. Both tables ride the shared lifecycle module
+    (sinks/indexes.py, r11 verdict ask #6 — same calls, same layout);
+    the root embeds the pid (r9 ADVICE)."""
+    from ..sinks.indexes import IncrementalIndexStore, fresh_index_root
 
-    from ..sinks.versioned import (
-        create_versioned_table,
-        merge_versioned_table,
-        read_versioned_table,
-    )
-
-    root = os.path.join(tempfile.gettempdir(), f"spark_graft_{name}_{os.getpid()}")
-    shutil.rmtree(root, ignore_errors=True)
+    root = fresh_index_root(name)
     hist_docs = docs.where(F.col("doc_id") % 5 != 0)
     batch_docs = docs.where(F.col("doc_id") % 5 == 0)
 
     hist_p = _bm25_postings(hist_docs, seg=0)
-    create_versioned_table(hist_p, f"{root}/postings", ["seg", "tb"])
-    create_versioned_table(
-        _bm25_seg_stats(hist_docs, hist_p), f"{root}/stats", ["sid"]
-    )
+    postings = IncrementalIndexStore(
+        spark, f"{root}/postings", keys=["token", "doc_id"], partition_by=["seg", "tb"]
+    ).build(hist_p)
+    stats = IncrementalIndexStore(
+        spark, f"{root}/stats", keys=["sid"], partition_by=["sid"]
+    ).build(_bm25_seg_stats(hist_docs, hist_p))
 
     # nightly MERGE: tokenize the BATCH only; postings land in the
     # batch's own segment partitions (copy-on-write touches no
     # seg=0 entry — pytest pins the historic manifest byte-identical),
     # stats update by adding the batch's contribution to the stored row
     batch_p = _bm25_postings(batch_docs, seg=1)
-    merge_versioned_table(
-        spark,
-        f"{root}/postings",
-        batch_p,
-        keys=["token", "doc_id"],
-        partition_by=["seg", "tb"],
-    )
+    postings.merge(batch_p)
     new_stats = (
-        read_versioned_table(spark, f"{root}/stats")
+        stats.serve()
         .unionByName(_bm25_seg_stats(batch_docs, batch_p))
         .groupBy("sid")
         .agg(
@@ -2171,9 +2160,7 @@ def _bm25_index_root(spark: SparkSession, docs: DataFrame, name: str) -> str:
             F.sum("total_len").cast("bigint").alias("total_len"),
         )
     )
-    merge_versioned_table(
-        spark, f"{root}/stats", new_stats, keys=["sid"], partition_by=["sid"]
-    )
+    stats.merge(new_stats)
     return root
 
 
@@ -2188,6 +2175,7 @@ def _bm25_scores_served(spark: SparkSession, root: str) -> DataFrame:
     join (dl rides in each posting). Same round-8/DECIMAL/round-4
     determinism contract as _bm25_scores, so the two serve identical
     scores."""
+    from ..sinks.indexes import IncrementalIndexStore
     from ..sinks.versioned import read_versioned_table
 
     queries = spark.createDataFrame(
@@ -2195,9 +2183,9 @@ def _bm25_scores_served(spark: SparkSession, root: str) -> DataFrame:
         "query_id string, token string",
     )
     buckets = sorted({_term_bucket_py(t) for _, terms in _BM25_QUERIES for t in terms})
-    postings = read_versioned_table(
-        spark, f"{root}/postings", partition_filter={"tb": buckets}
-    )
+    postings = IncrementalIndexStore(
+        spark, f"{root}/postings", keys=["token", "doc_id"], partition_by=["seg", "tb"]
+    ).serve({"tb": buckets})
     # the pruned read fans out to dfreq AND scoring; checkpoint so the
     # posting partitions are read once
     p_q = postings.join(
@@ -2384,11 +2372,7 @@ def retrieval_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_probed_cells,
         ivf_topk_from_inverted_file,
     )
-    from ..sinks.versioned import (
-        create_versioned_table,
-        merge_versioned_table,
-        read_versioned_table,
-    )
+    from ..sinks.indexes import IncrementalIndexStore
     from .llm import _IVF_FIXED_CENTROIDS
 
     docs = read_testdata(spark, sf_dir, "documents")
@@ -2415,24 +2399,14 @@ def retrieval_hybrid_rrf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(droot, ignore_errors=True)
     hist = embs.where(F.col("vec_id") % 5 != 0)
     batch = embs.where(F.col("vec_id") % 5 == 0)
-    create_versioned_table(
-        ivf_cell_assignments(hist, centroids=cents, carry_vectors=True),
-        f"{droot}/cells",
-        ["cid"],
-    )
-    merge_versioned_table(
-        spark,
-        f"{droot}/cells",
-        ivf_cell_assignments(batch, centroids=cents, carry_vectors=True),
-        keys=["vec_id"],
-        partition_by=["cid"],
-    )
+    dstore = IncrementalIndexStore(
+        spark, f"{droot}/cells", keys=["vec_id"], partition_by=["cid"]
+    ).build(ivf_cell_assignments(hist, centroids=cents, carry_vectors=True))
+    dstore.merge(ivf_cell_assignments(batch, centroids=cents, carry_vectors=True))
     anchors = spark.createDataFrame(_RRF_ANCHORS, "query_id string, avid bigint")
     qvecs = embs.where(F.col("vec_id").isin([v for _, v in _RRF_ANCHORS]))
     cells = ivf_probed_cells(qvecs, centroids=cents, n_probe=2)
-    inv = read_versioned_table(
-        spark, f"{droot}/cells", partition_filter={"cid": cells}
-    )
+    inv = dstore.serve({"cid": cells})
     dense_pool = ivf_topk_from_inverted_file(
         inv, qvecs, centroids=cents, k=_RRF_POOL, n_probe=2
     )

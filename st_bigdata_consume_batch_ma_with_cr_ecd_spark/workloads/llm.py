@@ -4770,34 +4770,14 @@ def _served_signature_table(spark, name: str, hist_sigs, batch_sigs) -> DataFram
     disjoint doc_id key sets guarantee no historic partition is
     touched), so per-night index maintenance cost tracks the batch.
 
-    The table root embeds the pid (r9 ADVICE: a fixed tmp path lets
-    concurrent sessions rmtree each other's live index mid-query)."""
-    import os
-    import shutil
-    import tempfile
+    Since r12 this is a one-call plug into the SHARED lifecycle module
+    (sinks/indexes.py, r11 verdict ask #6) — same calls, same layout,
+    same plans."""
+    from ..sinks.indexes import served_snapshot
 
-    from ..sinks.versioned import (
-        create_versioned_table,
-        merge_versioned_table,
-        read_versioned_table,
+    return served_snapshot(
+        spark, f"sigs_{name}", hist_sigs, batch_sigs, keys=["doc_id"]
     )
-
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_sigs_{name}_{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    table = f"{root}/signatures"
-    create_versioned_table(
-        hist_sigs.withColumn("ingest_bucket", F.lit(0)), table, ["ingest_bucket"]
-    )
-    merge_versioned_table(
-        spark,
-        table,
-        batch_sigs.withColumn("ingest_bucket", F.lit(1)),
-        keys=["doc_id"],
-        partition_by=["ingest_bucket"],
-    )
-    return read_versioned_table(spark, table)
 
 
 @register(
@@ -5746,7 +5726,7 @@ def ann_topk_reweighted_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_reweighted_topk_from_inverted_file,
         train_triplet_reweighter as _train,
     )
-    from ..sinks.versioned import create_versioned_table, read_versioned_table
+    from ..sinks.indexes import IncrementalIndexStore
 
     embs = _embs(spark, sf_dir)
     anchors = embs.where(F.col("vec_id") % 50 == 0)
@@ -5766,15 +5746,11 @@ def ann_topk_reweighted_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"spark_graft_rw_ivf_{os.getpid()}"
     )
     shutil.rmtree(root, ignore_errors=True)
-    create_versioned_table(
-        ivf_cell_assignments(embs, centroids=cents, carry_vectors=True),
-        f"{root}/cells",
-        ["cid"],
-    )
+    store = IncrementalIndexStore(
+        spark, f"{root}/cells", keys=["vec_id"], partition_by=["cid"]
+    ).build(ivf_cell_assignments(embs, centroids=cents, carry_vectors=True))
     cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
-    inv = read_versioned_table(
-        spark, f"{root}/cells", partition_filter={"cid": cells}
-    )
+    inv = store.serve({"cid": cells})
     return ivf_reweighted_topk_from_inverted_file(
         inv, queries, w, centroids=cents, k=5, n_probe=2
     )
@@ -5867,26 +5843,34 @@ def _ivf_index_tables(spark, centroids, assignments, root: str):
     inverted file IS this partitioning: a query batch that probes few
     cells prunes to those partitions at the manifest). Returns the
     (centroids list, index frame) REad back from storage, so serving
-    provably consumes the stored index, not the in-memory model."""
+    provably consumes the stored index, not the in-memory model.
+
+    Both tables ride the shared lifecycle module (sinks/indexes.py,
+    r11 verdict ask #6); cells keep vec_id merge identity so the
+    incremental twins MERGE nightly batches into the same store."""
     import shutil
 
-    from ..sinks.versioned import create_versioned_table, read_versioned_table
+    from ..sinks.indexes import IncrementalIndexStore
 
     shutil.rmtree(root, ignore_errors=True)
     cent_rows = [
         (cid, pos, float(v)) for cid, c in enumerate(centroids) for pos, v in enumerate(c)
     ]
     cent_df = spark.createDataFrame(cent_rows, "cid int, pos int, m double")
-    create_versioned_table(cent_df, f"{root}/centroids", ["cid"])
-    create_versioned_table(assignments, f"{root}/cells", ["cid"])
+    cent_store = IncrementalIndexStore(
+        spark, f"{root}/centroids", keys=["cid", "pos"], partition_by=["cid"]
+    ).build(cent_df)
+    cell_store = IncrementalIndexStore(
+        spark, f"{root}/cells", keys=["vec_id"], partition_by=["cid"]
+    ).build(assignments)
 
-    stored = read_versioned_table(spark, f"{root}/centroids").collect()
+    stored = cent_store.serve().collect()
     by_cid: dict[int, dict[int, float]] = {}
     for r in stored:
         by_cid.setdefault(r["cid"], {})[r["pos"]] = r["m"]
     dim = len(by_cid[0])
     cents = [[by_cid[c][p] for p in range(dim)] for c in range(len(by_cid))]
-    return cents, read_versioned_table(spark, f"{root}/cells")
+    return cents, cell_store.serve()
 
 
 @register(
@@ -5972,7 +5956,7 @@ def ann_topk_ivf_pruned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk_from_inverted_file,
         train_ivf_centroids,
     )
-    from ..sinks.versioned import read_versioned_table
+    from ..sinks.indexes import IncrementalIndexStore
 
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10)
@@ -5983,9 +5967,9 @@ def ann_topk_ivf_pruned_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     inv_file = ivf_cell_assignments(embs, centroids=trained, carry_vectors=True)
     cents, _ = _ivf_index_tables(spark, trained, inv_file, root)
     cells = ivf_probed_cells(queries, centroids=cents, n_probe=4)
-    inv = read_versioned_table(
-        spark, f"{root}/cells", partition_filter={"cid": cells}
-    )
+    inv = IncrementalIndexStore(
+        spark, f"{root}/cells", keys=["vec_id"], partition_by=["cid"]
+    ).serve({"cid": cells})
     return ivf_topk_from_inverted_file(inv, queries, centroids=cents, k=5, n_probe=4)
 
 
@@ -6019,7 +6003,7 @@ def ann_ivf_index_merge_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_topk_served,
         train_ivf_centroids,
     )
-    from ..sinks.versioned import merge_versioned_table, read_versioned_table
+    from ..sinks.indexes import IncrementalIndexStore
 
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10)
@@ -6033,14 +6017,11 @@ def ann_ivf_index_merge_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, _ = _ivf_index_tables(
         spark, trained, ivf_cell_assignments(hist, centroids=trained), root
     )
-    merge_versioned_table(
-        spark,
-        f"{root}/cells",
-        ivf_cell_assignments(batch, centroids=cents),
-        keys=["vec_id"],
-        partition_by=["cid"],
+    store = IncrementalIndexStore(
+        spark, f"{root}/cells", keys=["vec_id"], partition_by=["cid"]
     )
-    index = read_versioned_table(spark, f"{root}/cells")  # post-merge snapshot
+    store.merge(ivf_cell_assignments(batch, centroids=cents))
+    index = store.serve()  # post-merge snapshot
     return ivf_topk_served(embs, queries, index, centroids=cents, k=5, n_probe=4)
 
 
@@ -6402,7 +6383,7 @@ def ann_topk_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_topk_adc,
         ivf_probed_cells,
     )
-    from ..sinks.versioned import create_versioned_table, read_versioned_table
+    from ..sinks.indexes import IncrementalIndexStore
 
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10)
@@ -6411,15 +6392,11 @@ def ann_topk_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"spark_graft_ivfpq_index_{os.getpid()}"
     )
     shutil.rmtree(root, ignore_errors=True)
-    create_versioned_table(
-        ivf_pq_inverted_file(embs, centroids=cents, codebooks=_PQ_BOOKS),
-        f"{root}/cells",
-        ["cid"],
-    )
+    store = IncrementalIndexStore(
+        spark, f"{root}/cells", keys=["vec_id"], partition_by=["cid"]
+    ).build(ivf_pq_inverted_file(embs, centroids=cents, codebooks=_PQ_BOOKS))
     cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
-    inv = read_versioned_table(
-        spark, f"{root}/cells", partition_filter={"cid": cells}
-    )
+    inv = store.serve({"cid": cells})
     return ivf_pq_topk_adc(
         inv, queries, centroids=cents, codebooks=_PQ_BOOKS, k=5, n_probe=2
     )
@@ -6458,7 +6435,7 @@ def ann_topk_ivfpq_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_packed_topk_adc,
         ivf_probed_cells,
     )
-    from ..sinks.versioned import create_versioned_table, read_versioned_table
+    from ..sinks.indexes import IncrementalIndexStore
 
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10)
@@ -6467,15 +6444,11 @@ def ann_topk_ivfpq_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"spark_graft_ivfpq_packed_{os.getpid()}"
     )
     shutil.rmtree(root, ignore_errors=True)
-    create_versioned_table(
-        ivf_pq_packed_inverted_file(embs, centroids=cents, codebooks=_PQ_BOOKS),
-        f"{root}/cells",
-        ["cid"],
-    )
+    store = IncrementalIndexStore(
+        spark, f"{root}/cells", keys=["vec_id"], partition_by=["cid"]
+    ).build(ivf_pq_packed_inverted_file(embs, centroids=cents, codebooks=_PQ_BOOKS))
     cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
-    inv = read_versioned_table(
-        spark, f"{root}/cells", partition_filter={"cid": cells}
-    )
+    inv = store.serve({"cid": cells})
     return ivf_pq_packed_topk_adc(
         inv, queries, centroids=cents, codebooks=_PQ_BOOKS, k=5, n_probe=2
     )
@@ -6517,11 +6490,7 @@ def ann_ivfpq_index_merge_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_pq_packed_topk_adc,
         ivf_probed_cells,
     )
-    from ..sinks.versioned import (
-        create_versioned_table,
-        merge_versioned_table,
-        read_versioned_table,
-    )
+    from ..sinks.indexes import IncrementalIndexStore
 
     embs = _embs(spark, sf_dir)
     queries = embs.where(F.col("vec_id") < 10)
@@ -6532,22 +6501,14 @@ def ann_ivfpq_index_merge_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), f"spark_graft_ivfpq_incr_{os.getpid()}"
     )
     shutil.rmtree(root, ignore_errors=True)
-    create_versioned_table(
-        ivf_pq_packed_inverted_file(hist, centroids=cents, codebooks=_PQ_BOOKS),
-        f"{root}/cells",
-        ["cid"],
-    )
-    merge_versioned_table(
-        spark,
-        f"{root}/cells",
-        ivf_pq_packed_inverted_file(batch, centroids=cents, codebooks=_PQ_BOOKS),
-        keys=["vec_id"],
-        partition_by=["cid"],
+    store = IncrementalIndexStore(
+        spark, f"{root}/cells", keys=["vec_id"], partition_by=["cid"]
+    ).build(ivf_pq_packed_inverted_file(hist, centroids=cents, codebooks=_PQ_BOOKS))
+    store.merge(
+        ivf_pq_packed_inverted_file(batch, centroids=cents, codebooks=_PQ_BOOKS)
     )
     cells = ivf_probed_cells(queries, centroids=cents, n_probe=2)
-    inv = read_versioned_table(
-        spark, f"{root}/cells", partition_filter={"cid": cells}
-    )
+    inv = store.serve({"cid": cells})
     return ivf_pq_packed_topk_adc(
         inv, queries, centroids=cents, codebooks=_PQ_BOOKS, k=5, n_probe=2
     )

@@ -76,13 +76,28 @@ REGISTRY: dict[str, QuerySpec] = {}
 # rework would have shipped ungated, the r6 complaint all over again.)
 FORCE_RECHECK: dict[str, int] = {
     # (the map records PENDING re-verifications only — entries clear
-    # once a same-or-later driver green covers them, r9 verdict ask #2.)
+    # once a same-or-later driver green covers them, r9 verdict ask #2.
+    # r11's eval_retrieval_ndcg entry cleared: d11-green covers it.)
     #
-    # r11: relevance semantics changed — the anchor document itself no
-    # longer counts as relevant (excluded from nrel AND the judgment;
-    # r10 ADVICE cross-system-bias fix), so the d10 green covers the
-    # OLD definition.
-    "eval_retrieval_ndcg": 11,
+    # r12: the store->merge->serve lifecycles moved onto the shared
+    # sinks/indexes.py module (r11 verdict ask #6). The class methods
+    # call the same versioned-table functions with the same arguments
+    # — plans and store layouts are unchanged, and the full local
+    # harness re-verified every row bit-exact — but the registrations'
+    # physical wiring was touched, so per the physical-rework policy
+    # they re-enter the driver window the round the rework lands.
+    "dedup_image_incremental_served": 12,
+    "dedup_audio_incremental_served": 12,
+    "dedup_minhash_incremental_served": 12,
+    "ann_topk_ivf_stored": 12,
+    "ann_topk_ivf_pruned_serve": 12,
+    "ann_ivf_index_merge_serve": 12,
+    "ann_topk_reweighted_served": 12,
+    "ann_topk_ivfpq_stored": 12,
+    "ann_topk_ivfpq_packed": 12,
+    "ann_ivfpq_index_merge_serve": 12,
+    "retrieval_bm25_served": 12,
+    "retrieval_hybrid_rrf_served": 12,
 }
 
 # Queries pinned into EVERY driver window regardless of rotation age

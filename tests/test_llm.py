@@ -1470,7 +1470,7 @@ def test_served_signature_store_history_zero_io(spark, sf_dir):
     table = os.path.join(
         tempfile.gettempdir(),
         f"spark_graft_sigs_pytest_zero_io_{os.getpid()}",
-        "signatures",
+        "index",  # sinks/indexes.served_snapshot's table name (r12)
     )
     versions = list_versions(spark, table)
     assert len(versions) == 2, "expected exactly create + merge versions"
