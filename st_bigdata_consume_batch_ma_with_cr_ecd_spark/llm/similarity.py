@@ -1463,6 +1463,260 @@ def ivf_pq_packed_topk_adc(
     )
 
 
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    n_subspaces: int = 16,
+    n_codes: int = 16,
+    iters: int = 1,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace k-means PQ codebooks — the trained
+    twin of the seeded :func:`pq_codebooks` literals (a random
+    codebook's reconstruction error is ~4x the vector norm on this
+    corpus; quantization that coarse can serve self-consistent ADC
+    rankings but cannot TRACK a float ranking, which is the whole
+    point of deploying a trained model on the compressed tier).
+
+    Same recipe as :func:`train_ivf_centroids`, run in all subspaces
+    at once: init = the ``n_codes`` corpus rows with smallest
+    ``(md5(id), id)`` (their subvectors seed every subspace's book),
+    each Lloyd iteration assigns via the vectorized L2 encode UDF and
+    recomputes per-(subspace, code, dim) means with DECIMAL sums
+    rounded at 8 (order-independent -> bit-stable); empty codes keep
+    their previous entry. Only ``n_subspaces x n_codes x sub`` floats
+    reach the driver — the model, never the data. Deterministic and
+    SQL-replayable, so oracles unroll it like the IVF trainer's."""
+    e = corpus.where(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), _to_double(F.col(vec_col)).alias("__v")
+    )
+    init = (
+        e.orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(n_codes)
+        .select("__v")
+        .collect()
+    )
+    dim = len(init[0]["__v"])
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces} subspaces")
+    sub = dim // n_subspaces
+    books = [
+        [list(r["__v"])[j * sub : (j + 1) * sub] for r in init]
+        for j in range(n_subspaces)
+    ]
+    for _ in range(max(0, iters)):
+        enc = _pq_encode_udf(books)
+        assigned = e.select(
+            enc(F.col("__v")).alias("__codes"), F.posexplode("__v").alias("pos", "x")
+        )
+        j = (F.col("pos") / sub).cast("int")
+        means = (
+            assigned.select(
+                j.alias("j"),
+                F.element_at("__codes", j + 1).alias("cid"),
+                (F.col("pos") % sub).cast("int").alias("i"),
+                "x",
+            )
+            .groupBy("j", "cid", "i")
+            .agg(
+                F.round(F.avg(F.col("x").cast("decimal(30,12)")), 8)
+                .cast("double")
+                .alias("m")
+            )
+            .collect()
+        )
+        by: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by.setdefault((r["j"], r["cid"]), {})[r["i"]] = r["m"]
+        books = [
+            [
+                [
+                    by.get((jj, c), {}).get(i, books[jj][c][i])
+                    for i in range(sub)
+                ]
+                for c in range(n_codes)
+            ]
+            for jj in range(n_subspaces)
+        ]
+    return books
+
+
+def pq_packed_pair_inverted_file(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """The bit-packed IVFADC index payload for a 16-SUBSPACE codebook
+    set: 16 4-bit codes span 64 bits, and code 15 in the top subspace
+    would set the sign bit of a signed BIGINT (Spark/parquet have no
+    unsigned 64-bit carrier), so the codes split into TWO words —
+    ``packed0`` = subspaces 0-7, ``packed1`` = 8-15. Still flat int64
+    data columns: 24 bytes/vector (id + two words) vs 256 of float32.
+    Returns (id, packed0, packed1, cid)."""
+    if len(codebooks) != 16:
+        raise ValueError(
+            f"packed-pair layout is the 16-subspace carrier, got {len(codebooks)}"
+        )
+    n_codes = len(codebooks[0])
+    inv = ivf_pq_inverted_file(
+        corpus, vec_col, id_col, centroids=centroids, codebooks=codebooks
+    )
+    return inv.select(
+        F.col(id_col),
+        pack_pq_codes(F.slice("codes", 1, 8), n_codes=n_codes).alias("packed0"),
+        pack_pq_codes(F.slice("codes", 9, 8), n_codes=n_codes).alias("packed1"),
+        "cid",
+    )
+
+
+def pq_reweighted_query_tables(
+    queries_n: DataFrame,
+    weights: DataFrame,
+    *,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "u",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query REWEIGHTED ADC lookup tables — the trained diagonal
+    reweighting FOLDED INTO the table entries (r11 verdict ask #2): for
+    query q, subspace j, code cid,
+
+        tval = sum_{d in subspace j} w_d * round(u_q[d] * c_j[cid][d], 10)
+
+    in exact DECIMAL (the trainer's arithmetic contract, see
+    :func:`reweighted_topk`). Because decimal addition regroups freely,
+    summing a candidate's 8 table lookups IS the reweighted similarity
+    of the query against the candidate's PQ reconstruction — serving
+    stays packed-code-sized, the model costs nothing at query time.
+
+    Built DISTRIBUTEDLY (|queries| x subspaces x codes x sub-dim rows,
+    all broadcast-tiny): the round-10 must be Spark's own decimal
+    rounding so the DuckDB replay is bit-identical — driver-side float
+    math would diverge at half-way points. ``queries_n`` carries
+    normalized round-8 vectors (:func:`normalized_embeddings`);
+    ``weights`` is :func:`train_triplet_reweighter`'s (d, w). Returns
+    (query_id, j, cid, tval) with tval exact decimal."""
+    spark = queries_n.sparkSession
+    sub = len(codebooks[0][0])
+    cb_rows = [
+        (j, cid, [float(x) for x in c])
+        for j, book in enumerate(codebooks)
+        for cid, c in enumerate(book)
+    ]
+    cb = spark.createDataFrame(cb_rows, "j int, cid int, c array<double>")
+    q = queries_n.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__uq")
+    )
+    d = (F.col("j") * sub + F.col("i") + 1).cast("int")
+    terms = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id", "j", "cid", "__uq", F.posexplode("c").alias("i", "cv")
+        )
+        .select(
+            "query_id",
+            "j",
+            "cid",
+            d.alias("d"),
+            # |u_q[d]| <= 1 and the seeded codebooks bound |c| < 10, so
+            # the per-term product fits DECIMAL(11,10) exactly — same
+            # narrow-type reasoning as triplet_per_dim_grads
+            F.round(F.element_at("__uq", d) * F.col("cv"), 10)
+            .cast("decimal(11,10)")
+            .alias("t"),
+        )
+    )
+    w = weights.select("d", F.col("w").cast("decimal(12,8)").alias("w"))
+    return (
+        terms.join(F.broadcast(w), "d")
+        .groupBy("query_id", "j", "cid")
+        .agg(F.sum(F.col("w") * F.col("t")).alias("tval"))
+    )
+
+
+def ivf_pq_reweighted_packed_topk_adc(
+    inv: DataFrame,
+    queries_n: DataFrame,
+    weights: DataFrame,
+    *,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "u",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The TRAINED reweighting deployed on the COMPRESSED serving tier
+    (r11 verdict ask #2): candidates come from the probed cells of a
+    bit-packed IVFADC inverted file ``(id, packed, cid)`` (typically a
+    manifest-pruned store read), and each candidate is scored by
+    REWEIGHTED asymmetric similarity — its 8 codes index the query's
+    reweighted lookup tables (:func:`pq_reweighted_query_tables`), so
+    a query reads 16 bytes per candidate and never a float vector; the
+    score equals the exact-decimal reweighted similarity of the query
+    against the candidate's PQ reconstruction (a bounded-distortion
+    stand-in for the float reweighted score — the recall eval
+    quantifies the gap). Like the float tier, the coarse quantizer
+    still assigns in the UNWEIGHTED space until its own retrain — a
+    recall trade on probed candidates, never a score error. ``inv`` is
+    the :func:`pq_packed_pair_inverted_file` layout (16 subspaces,
+    two BIGINT words); code j unpacks from its word with the packed
+    tier's integer-exact div/mod. Returns
+    (query_id, neighbor_id, rw_adc)."""
+    n_codes = len(codebooks[0])
+    tables = pq_reweighted_query_tables(
+        queries_n, weights, codebooks=codebooks, vec_col=vec_col, id_col=id_col
+    )
+    probe_n = _assign_udf(centroids, n_probe)
+    q = queries_n.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(probe_n(F.col(vec_col))).alias("__cell"),
+    )
+    cands = (
+        inv.select(
+            F.col(id_col).alias("neighbor_id"),
+            "packed0",
+            "packed1",
+            F.col("cid").alias("__cell"),
+        )
+        .join(q, "__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+    )
+    # one row per (candidate, subspace): code j unpacks as
+    # (word div n_codes^(j mod 8)) mod n_codes from word j div 8 —
+    # division by a power of two is exact in doubles, truncation
+    # toward zero on both engines
+    jcol = F.explode(F.array(*[F.lit(j) for j in range(len(codebooks))]))
+    word = F.when(F.col("j") < 8, F.col("packed0")).otherwise(F.col("packed1"))
+    code = (
+        (word / F.pow(F.lit(float(n_codes)), F.col("j") % 8)).cast("long") % n_codes
+    ).cast("int")
+    scored = (
+        cands.select("query_id", "neighbor_id", "packed0", "packed1", jcol.alias("j"))
+        .select("query_id", "neighbor_id", "j", code.alias("cid"))
+        .join(F.broadcast(tables), ["query_id", "j", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            # scale-10 re-round before the double cast (the DuckDB
+            # int128 double-rounding pitfall, see reweighted_topk)
+            F.round(F.sum("tval"), 10)
+            .cast("decimal(20,10)")
+            .cast("double")
+            .alias("rw_adc")
+        )
+    )
+    return top_n_per_group(
+        scored,
+        ["query_id"],
+        [F.col("rw_adc").desc(), F.col("neighbor_id").asc()],
+        n=k,
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

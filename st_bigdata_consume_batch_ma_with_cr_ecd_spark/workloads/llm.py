@@ -6581,6 +6581,492 @@ def ann_ivfpq_recall_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the reweighted compressed tier's codebook geometry: 16 subspaces of
+# 4 dims, 16 codes each — 4 bits per subspace, two packed BIGINT words
+# (16 nibbles overflow one signed long). A random codebook's ~4x-norm
+# reconstruction error can serve self-consistent ADC but cannot TRACK
+# a float ranking (measured: overlap@5 vs the float reweighted served
+# ranking 0.5/5 random vs 2.7/5 trained at sf0.01), so this tier
+# trains its books — one deterministic Lloyd step from the md5-sampled
+# init, the train_ivf_centroids recipe per subspace.
+_RW_PQ_NSUB = 16
+_RW_PQ_SUB = 4
+_RW_PQ_CODES = 16
+_RW_PQ_ITERS = 1
+
+
+def _rw_ivfpq_ctes() -> str:
+    """The reweighted-IVFADC replay, appended to _triplet_trainer_ctes
+    (which supplies en — normalized round-8 vectors — and w2, the
+    trained weights): per-subspace codebook TRAINING unrolled (md5
+    init -> one Lloyd step with decimal means, the _ivf_trained_oracle
+    recipe — same mean-parity caveat: the replay divides the exact
+    decimal sum in double, a sub-1e-8 half-way divergence is possible
+    in principle and verified absent on the fixed datasets), PQ codes
+    over the NORMALIZED vectors, two-word bit pack/unpack in BIGINT
+    arithmetic, fixed-centroid cells over u, and the REWEIGHTED
+    per-query lookup tables tval(q,j,cid) = sum_d w_d *
+    round(u_q[d] * c_j[cid][d], 10) in exact DECIMAL — so a
+    candidate's 16 table lookups sum to the exact reweighted
+    similarity against its PQ reconstruction. Fresh CTE names
+    (r/p-prefixed): the trainer block already owns e/en, and
+    _pq_codes_cte's e/cb/codes encode the RAW vectors."""
+    rows = ",\n        ".join(
+        f"({cid}, {[float(x) for x in c]}::DOUBLE[])"
+        for cid, c in enumerate(_IVF_FIXED_CENTROIDS)
+    )
+    s = _RW_PQ_SUB
+    seg = f"eu.u[b.j * {s} + 1 : (b.j + 1) * {s}]"
+    return f"""
+    eu AS (
+        SELECT vec_id, u, sqrt(list_dot_product(u, u)) AS unrm
+        FROM en WHERE u IS NOT NULL
+    ),
+    psub AS (SELECT CAST(unnest(range({_RW_PQ_NSUB})) AS INT) AS j),
+    pdim AS (SELECT CAST(unnest(range(1, {_RW_PQ_SUB} + 1)) AS INT) AS i),
+    pinit AS (
+        SELECT u, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+        FROM eu
+        QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {_RW_PQ_CODES}
+    ),
+    pb0 AS (
+        SELECT s.j, CAST(p.cid AS INT) AS cid,
+               p.u[s.j * {s} + 1 : (s.j + 1) * {s}] AS c
+        FROM pinit p CROSS JOIN psub s
+    ),
+    pa1 AS (
+        SELECT vec_id, j, cid FROM (
+            SELECT eu.vec_id, b.j, b.cid,
+                   row_number() OVER (PARTITION BY eu.vec_id, b.j
+                       ORDER BY list_dot_product({seg}, {seg})
+                                - 2 * list_dot_product({seg}, b.c)
+                                + list_dot_product(b.c, b.c) ASC,
+                                b.cid ASC) AS rn
+            FROM eu CROSS JOIN pb0 b
+        ) WHERE rn = 1
+    ),
+    psums AS (
+        -- u elements are round-8, so the cluster sum is EXACT at
+        -- scale 8; carry its unscaled integer in HUGEINT
+        SELECT a.j, a.cid, pdim.i,
+               CAST(sum(CAST(eu.u[a.j * {s} + pdim.i] AS DECIMAL(20,8))) * 100000000 AS HUGEINT) AS u8,
+               count(*) AS n
+        FROM pa1 a JOIN eu ON eu.vec_id = a.vec_id CROSS JOIN pdim
+        GROUP BY 1, 2, 3
+    ),
+    pm1 AS (
+        -- EXACT replay of Spark's round(avg(decimal), 8) in integer
+        -- arithmetic (unlike the IVF-centroid oracle's double
+        -- division, these means enter SCORES via round(u*c, 10), so
+        -- a sub-1e-8 half-way divergence would flip the value hash —
+        -- it did, once, at sf0.01 before this formula): Spark's
+        -- decimal avg rounds HALF_UP at scale s+4 = 16, then round()
+        -- rounds HALF_UP at 8; both steps are half-away integer
+        -- divisions on the unscaled sum (verified cell-for-cell
+        -- against the Spark trainer at sf0.01: 1024/1024 equal)
+        SELECT j, cid, i,
+               CAST((CASE WHEN u8 >= 0 THEN 1 ELSE -1 END)
+                    * ((2 * ((2 * abs(u8) * 100000000 + n) // (2 * n)) + 100000000)
+                       // 200000000)
+                    AS DOUBLE) / 100000000 AS m
+        FROM psums
+    ),
+    pm1l AS (SELECT j, cid, array_agg(m ORDER BY i) AS c FROM pm1 GROUP BY 1, 2),
+    rcb AS (
+        SELECT b.j, b.cid, coalesce(l.c, b.c) AS c,
+               list_dot_product(coalesce(l.c, b.c), coalesce(l.c, b.c)) AS cnorm
+        FROM pb0 b LEFT JOIN pm1l l ON l.j = b.j AND l.cid = b.cid
+    ),
+    rsubs AS (
+        SELECT eu.vec_id, b.j, b.cid,
+               list_dot_product({seg}, {seg})
+               - 2 * list_dot_product({seg}, b.c)
+               + b.cnorm AS dist
+        FROM eu CROSS JOIN rcb b
+    ),
+    rcodes AS (
+        SELECT vec_id, j, cid AS code FROM (
+            SELECT vec_id, j, cid,
+                   row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, cid ASC) AS rn
+            FROM rsubs
+        ) WHERE rn = 1
+    ),
+    rpacked AS (
+        SELECT vec_id,
+               sum(CASE WHEN j < 8 THEN CAST(code AS BIGINT) << (4 * j) ELSE 0 END) AS packed0,
+               sum(CASE WHEN j >= 8 THEN CAST(code AS BIGINT) << (4 * (j - 8)) ELSE 0 END) AS packed1
+        FROM rcodes GROUP BY vec_id
+    ),
+    runp AS (
+        SELECT p.vec_id, js.j,
+               CAST((CASE WHEN js.j < 8 THEN p.packed0 >> (4 * js.j)
+                          ELSE p.packed1 >> (4 * (js.j - 8)) END) & 15 AS INTEGER) AS code
+        FROM rpacked p
+        CROSS JOIN (SELECT CAST(unnest(range({_RW_PQ_NSUB})) AS INT) AS j) js
+    ),
+    rcent AS (
+        SELECT cid AS ccid, c AS cc, sqrt(list_dot_product(c, c)) AS ccnrm
+        FROM (VALUES {rows}) AS t(cid, c)
+    ),
+    rranked AS (
+        SELECT eu.vec_id, rcent.ccid,
+               row_number() OVER (
+                   PARTITION BY eu.vec_id
+                   ORDER BY list_dot_product(eu.u, rcent.cc)
+                            / (eu.unrm * rcent.ccnrm) DESC,
+                            rcent.ccid ASC) AS rn
+        FROM eu CROSS JOIN rcent
+    ),
+    rcorp AS (SELECT vec_id, ccid FROM rranked WHERE rn = 1),
+    rqc AS (SELECT vec_id, ccid FROM rranked WHERE rn <= 2 AND vec_id < 10),
+    rqterms AS (
+        SELECT eu.vec_id AS query_id, b.j, b.cid,
+               CAST(b.j * {s} + pdim.i AS INT) AS d,
+               CAST(round(eu.u[b.j * {s} + pdim.i] * b.c[pdim.i], 10)
+                    AS DECIMAL(11,10)) AS t
+        FROM eu CROSS JOIN rcb b CROSS JOIN pdim
+        WHERE eu.vec_id < 10
+    ),
+    rqtab AS (
+        SELECT t.query_id, t.j, t.cid, sum(w.w * t.t) AS tval
+        FROM rqterms t JOIN w{_TRIP_EPOCHS} w ON w.d = t.d
+        GROUP BY 1, 2, 3
+    ),
+    rw_adc_scored AS (
+        -- scale-10 re-round before the double cast (the DuckDB
+        -- int128 double-rounding pitfall, see the eval oracle's note)
+        SELECT qc.vec_id AS query_id, cc2.vec_id AS neighbor_id,
+               CAST(CAST(round(sum(qt.tval), 10) AS DECIMAL(20,10)) AS DOUBLE) AS rw_adc
+        FROM rqc qc
+        JOIN rcorp cc2 ON cc2.ccid = qc.ccid AND cc2.vec_id <> qc.vec_id
+        JOIN runp c ON c.vec_id = cc2.vec_id
+        JOIN rqtab qt ON qt.query_id = qc.vec_id AND qt.j = c.j AND qt.cid = c.code
+        GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "ann_topk_reweighted_ivfpq_served",
+    oracle=f"""
+    WITH {_triplet_trainer_ctes()},{_rw_ivfpq_ctes()}
+    SELECT query_id, neighbor_id, rw_adc FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rw_adc DESC, neighbor_id ASC) AS rnk
+        FROM rw_adc_scored
+    ) WHERE rnk <= 5
+    """,
+    doc="The TRAINED reweighter deployed on the COMPRESSED (IVFADC) "
+    "serving tier (r11 verdict ask #2): "
+    "ann_topk_reweighted_served rescores float vectors; a production "
+    "system folds the diagonal reweight s(x,y;w) = sum_d w_d*x_d*y_d "
+    "INTO the per-query ADC lookup tables, so the model costs nothing "
+    "at query time and serving stays packed-code-sized. This query "
+    "runs the whole train->encode->store->prune->serve chain under "
+    "one hash: the 2-epoch triplet trainer learns w; the per-subspace "
+    "PQ codebooks TRAIN deterministically (16 subspaces x 16 codes, "
+    "one Lloyd step from the md5-sampled init — the "
+    "train_ivf_centroids recipe; a random codebook cannot track a "
+    "float ranking, see _RW_PQ_NSUB's note); the corpus's NORMALIZED "
+    "round-8 vectors PQ-encode into the two-word bit-packed inverted "
+    "file (24 bytes/vector) persisted cid-partitioned via the shared "
+    "lifecycle module; serving prunes to the queries' 2 probed cells "
+    "at the MANIFEST and ranks candidates by REWEIGHTED asymmetric "
+    "similarity — 16 lookups into exact-DECIMAL reweighted tables "
+    "(llm/similarity.pq_reweighted_query_tables), integer-exact "
+    "nibble unpack, scale-10 re-round before the double cast. The "
+    "oracle replays BOTH trainings, u-space PQ codes, pack/unpack "
+    "bit arithmetic, cell probing, the reweighted tables, and the "
+    "ranking; eval_reweight_ivfpq_recall quantifies how this ranking "
+    "tracks the float reweighted tier (0.1/5 -> 2.7/5 overlap).",
+)
+def ann_topk_reweighted_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import (
+        ivf_pq_reweighted_packed_topk_adc,
+        ivf_probed_cells,
+        normalized_embeddings,
+        pq_packed_pair_inverted_file,
+        train_pq_codebooks,
+        train_triplet_reweighter as _train,
+    )
+    from ..sinks.indexes import IncrementalIndexStore, fresh_index_root
+
+    embs = _embs(spark, sf_dir)
+    anchors = embs.where(F.col("vec_id") % 50 == 0)
+    w = _train(
+        embs,
+        anchors,
+        k=_HARDNEG_K,
+        dup_threshold=_HARDNEG_DUP_T,
+        margin=_TRIP_MARGIN,
+        lr=_TRIP_LR,
+        epochs=_TRIP_EPOCHS,
+        dim=_TRIP_DIM,
+    ).localCheckpoint(eager=True)  # dim-sized model
+    en = normalized_embeddings(embs)
+    books = train_pq_codebooks(
+        en,
+        vec_col="u",
+        n_subspaces=_RW_PQ_NSUB,
+        n_codes=_RW_PQ_CODES,
+        iters=_RW_PQ_ITERS,
+    )
+    cents = _IVF_FIXED_CENTROIDS
+    store = IncrementalIndexStore(
+        spark,
+        f"{fresh_index_root('rw_ivfpq')}/cells",
+        keys=["vec_id"],
+        partition_by=["cid"],
+    ).build(
+        pq_packed_pair_inverted_file(en, vec_col="u", centroids=cents, codebooks=books)
+    )
+    qn = en.where(F.col("vec_id") < 10)
+    cells = ivf_probed_cells(qn, vec_col="u", centroids=cents, n_probe=2)
+    inv = store.serve({"cid": cells})
+    return ivf_pq_reweighted_packed_topk_adc(
+        inv, qn, w, centroids=cents, codebooks=books, k=5, n_probe=2
+    )
+
+
+@register(
+    "eval_reweight_ivfpq_recall",
+    oracle=f"""
+    WITH {_triplet_trainer_ctes()},{_rw_ivfpq_ctes()},
+    rw_all_terms AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, dd.d,
+               CAST(round(q.u[dd.d] * c.u[dd.d], 10) AS DECIMAL(11,10)) AS t
+        FROM en q JOIN en c ON c.vec_id <> q.vec_id
+        CROSS JOIN dd
+        WHERE q.vec_id < 10
+    ),
+    rw_brute AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY rw DESC, neighbor_id ASC) AS rn
+            FROM (
+                SELECT t.query_id, t.neighbor_id,
+                       CAST(CAST(round(sum(w.w * t.t), 10) AS DECIMAL(20,10)) AS DOUBLE) AS rw
+                FROM rw_all_terms t JOIN w{_TRIP_EPOCHS} w ON w.d = t.d
+                GROUP BY 1, 2
+            )
+        ) WHERE rn <= 5
+    ),
+    rw_float_served AS (
+        -- the float reweighted ranking over the SAME probed cells:
+        -- exact decimal per-dim products of the u vectors, candidates
+        -- from rqc x rcorp — what ann_topk_reweighted_served serves
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY rwf DESC, neighbor_id ASC) AS rn
+            FROM (
+                SELECT qc.vec_id AS query_id, cc2.vec_id AS neighbor_id,
+                       CAST(CAST(round(sum(w.w *
+                           CAST(round(qa.u[dd.d] * qb.u[dd.d], 10) AS DECIMAL(11,10))
+                       ), 10) AS DECIMAL(20,10)) AS DOUBLE) AS rwf
+                FROM rqc qc
+                JOIN rcorp cc2 ON cc2.ccid = qc.ccid AND cc2.vec_id <> qc.vec_id
+                JOIN en qa ON qa.vec_id = qc.vec_id
+                JOIN en qb ON qb.vec_id = cc2.vec_id
+                CROSS JOIN dd
+                JOIN w{_TRIP_EPOCHS} w ON w.d = dd.d
+                GROUP BY 1, 2
+            )
+        ) WHERE rn <= 5
+    ),
+    rqtab1 AS (
+        -- the UNTRAINED tables: w_d = 1 exactly (w0) — what serving
+        -- gave before the model deployed, same machinery
+        SELECT query_id, j, cid,
+               sum(CAST(1 AS DECIMAL(12,8)) * t) AS tval
+        FROM rqterms GROUP BY 1, 2, 3
+    ),
+    before_ranked AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc1 DESC, neighbor_id ASC) AS rn
+            FROM (
+                SELECT qc.vec_id AS query_id, cc2.vec_id AS neighbor_id,
+                       CAST(CAST(round(sum(qt.tval), 10) AS DECIMAL(20,10)) AS DOUBLE) AS adc1
+                FROM rqc qc
+                JOIN rcorp cc2 ON cc2.ccid = qc.ccid AND cc2.vec_id <> qc.vec_id
+                JOIN runp c ON c.vec_id = cc2.vec_id
+                JOIN rqtab1 qt ON qt.query_id = qc.vec_id AND qt.j = c.j AND qt.cid = c.code
+                GROUP BY 1, 2
+            )
+        ) WHERE rn <= 5
+    ),
+    after_ranked AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY rw_adc DESC, neighbor_id ASC) AS rn
+            FROM rw_adc_scored
+        ) WHERE rn <= 5
+    ),
+    sys_ranked AS (
+        SELECT 'adc_unweighted' AS system, query_id, neighbor_id FROM before_ranked
+        UNION ALL
+        SELECT 'adc_reweighted' AS system, query_id, neighbor_id FROM after_ranked
+    )
+    SELECT s.query_id, s.system,
+           CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_match_served,
+           CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_match_brute
+    FROM sys_ranked s
+    LEFT JOIN rw_float_served f
+      ON f.query_id = s.query_id AND f.neighbor_id = s.neighbor_id
+    LEFT JOIN rw_brute b
+      ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
+    GROUP BY 1, 2
+    """,
+    doc="Does the COMPRESSED reweighted tier track the float "
+    "reweighted ranking? (r11 verdict ask #2's required recall row, "
+    "the eval_triplet_reweight_recall precedent at the IVFADC tier): "
+    "per query, two served systems over the SAME stored packed index "
+    "and probed cells — 'adc_unweighted' (the same table serving with "
+    "the UNTRAINED w0 = 1 weights, i.e. what serving gave before the "
+    "model deployed) vs 'adc_reweighted' (the trained tables) — each "
+    "measured by overlap@5 against TWO references: "
+    "n_match_served = the float reweighted ranking over the SAME "
+    "probed candidates (ann_topk_reweighted_served's contract; both "
+    "systems share cell recall, so this column isolates what folding "
+    "the model into the ADC tables buys vs pure quantization "
+    "distortion) and n_match_brute = the float reweighted brute-force "
+    "top-5 (no pruning, no quantization — the absolute ceiling, which "
+    "also exposes the unweighted-quantizer recall trade both tiers' "
+    "docstrings flag: the model reorders geometry the coarse cells "
+    "were never trained for). The oracle replays training, both "
+    "references, both ADC rankings, and the overlap counts under one "
+    "hash.",
+)
+def eval_reweight_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import (
+        _assign_udf,
+        ivf_cell_assignments,
+        ivf_pq_reweighted_packed_topk_adc,
+        ivf_probed_cells,
+        normalized_embeddings,
+        pq_packed_pair_inverted_file,
+        reweighted_topk,
+        train_pq_codebooks,
+        train_triplet_reweighter as _train,
+    )
+    from ..operators.dedup import top_n_per_group
+    from ..sinks.indexes import IncrementalIndexStore, fresh_index_root
+
+    embs = _embs(spark, sf_dir)
+    anchors = embs.where(F.col("vec_id") % 50 == 0)
+    queries = embs.where(F.col("vec_id") < 10)
+    w = _train(
+        embs,
+        anchors,
+        k=_HARDNEG_K,
+        dup_threshold=_HARDNEG_DUP_T,
+        margin=_TRIP_MARGIN,
+        lr=_TRIP_LR,
+        epochs=_TRIP_EPOCHS,
+        dim=_TRIP_DIM,
+    ).localCheckpoint(eager=True)
+    wdec = w.select("d", F.col("w").cast("decimal(12,8)").alias("w"))
+    en = normalized_embeddings(embs)
+    books = train_pq_codebooks(
+        en,
+        vec_col="u",
+        n_subspaces=_RW_PQ_NSUB,
+        n_codes=_RW_PQ_CODES,
+        iters=_RW_PQ_ITERS,
+    )
+    cents = _IVF_FIXED_CENTROIDS
+    store = IncrementalIndexStore(
+        spark,
+        f"{fresh_index_root('rw_ivfpq_eval')}/cells",
+        keys=["vec_id"],
+        partition_by=["cid"],
+    ).build(
+        pq_packed_pair_inverted_file(en, vec_col="u", centroids=cents, codebooks=books)
+    )
+    qn = en.where(F.col("vec_id") < 10).localCheckpoint(
+        eager=True
+    )  # 10 rows, consumed by probe + both serving paths + the truth
+    cells = ivf_probed_cells(qn, vec_col="u", centroids=cents, n_probe=2)
+    inv = store.serve({"cid": cells})
+    # the 'before' system is the SAME serving code under the untrained
+    # w0 = 1 weights — any before/after delta is the model alone
+    w1 = spark.range(1, _TRIP_DIM + 1).select(
+        F.col("id").cast("int").alias("d"), F.lit(1.0).alias("w")
+    )
+    before = ivf_pq_reweighted_packed_topk_adc(
+        inv, qn, w1, centroids=cents, codebooks=books, k=5, n_probe=2
+    ).select("query_id", "neighbor_id", F.lit("adc_unweighted").alias("system"))
+    after = ivf_pq_reweighted_packed_topk_adc(
+        inv, qn, w, centroids=cents, codebooks=books, k=5, n_probe=2
+    ).select("query_id", "neighbor_id", F.lit("adc_reweighted").alias("system"))
+
+    # reference 1: float reweighted over the SAME probed cells — the
+    # exact-decimal scorer on the u representation, candidates from
+    # the (unweighted-space) cell equi-join
+    probe2 = _assign_udf(cents, 2)
+    qcells = qn.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("u").alias("uq"),
+        F.explode(probe2(F.col("u"))).alias("__cell"),
+    )
+    corp = ivf_cell_assignments(
+        en, vec_col="u", centroids=cents, carry_vectors=True
+    ).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("u").alias("uc"), F.col("cid")
+    )
+    z = (
+        corp.join(
+            F.broadcast(qcells),
+            (F.col("cid") == F.col("__cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode(F.arrays_zip("uq", "uc")).alias("pos", "z"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("pos") + 1).cast("int").alias("d"),
+            F.round(F.col("z.uq") * F.col("z.uc"), 10)
+            .cast("decimal(11,10)")
+            .alias("t"),
+        )
+    )
+    float_served = top_n_per_group(
+        z.join(F.broadcast(wdec), "d")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("t")), 10)
+            .cast("decimal(20,10)")
+            .cast("double")
+            .alias("rwf")
+        ),
+        ["query_id"],
+        [F.col("rwf").desc(), F.col("neighbor_id").asc()],
+        n=5,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__f"))
+
+    # reference 2: float reweighted brute force (no pruning)
+    brute = reweighted_topk(embs, queries, w, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__b")
+    )
+    return (
+        before.unionByName(after)
+        .join(F.broadcast(float_served), ["query_id", "neighbor_id"], "left")
+        .join(F.broadcast(brute), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", "system")
+        .agg(
+            F.sum(F.coalesce(F.col("__f"), F.lit(0)))
+            .cast("int")
+            .alias("n_match_served"),
+            F.sum(F.coalesce(F.col("__b"), F.lit(0)))
+            .cast("int")
+            .alias("n_match_brute"),
+        )
+    )
+
+
 @register(
     "stats_approx_sketches",
     oracle=None,  # HLL++ / KLL sketch internals are engine-specific; error bound pytested

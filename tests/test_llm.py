@@ -1860,6 +1860,68 @@ def test_contrastive_triplets_hardest_positive_and_margin(spark):
     assert out[0].margin < 0 < out[1].margin
 
 
+def test_trained_pq_codebooks_and_packed_pair_roundtrip(spark, sf_dir):
+    # the reweighted compressed tier's building blocks (r11 verdict
+    # ask #2): per-subspace k-means codebooks must be deterministic,
+    # correctly shaped, and keep their init entry for empty codes; the
+    # two-word packing must round-trip all 16 nibbles losslessly —
+    # including code 15 in subspace 15, which is exactly the nibble
+    # that would have overflowed a single signed BIGINT
+    import pyspark.sql.functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        ivf_pq_inverted_file,
+        normalized_embeddings,
+        pq_packed_pair_inverted_file,
+        train_pq_codebooks,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        _IVF_FIXED_CENTROIDS,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    en = normalized_embeddings(embs)
+    b1 = train_pq_codebooks(en, vec_col="u", n_subspaces=16, n_codes=16, iters=1)
+    b2 = train_pq_codebooks(en, vec_col="u", n_subspaces=16, n_codes=16, iters=1)
+    assert b1 == b2, "codebook training must be bit-deterministic"
+    assert len(b1) == 16 and all(len(bk) == 16 for bk in b1)
+    assert all(len(c) == 4 for bk in b1 for c in bk)
+    # normalized inputs -> trained entries are means of round-8 u's
+    assert max(abs(v) for bk in b1 for c in bk for v in c) <= 1.0
+
+    cents = _IVF_FIXED_CENTROIDS
+    codes = ivf_pq_inverted_file(
+        en, vec_col="u", id_col="vec_id", centroids=cents, codebooks=b1
+    )
+    packed = pq_packed_pair_inverted_file(
+        en, vec_col="u", id_col="vec_id", centroids=cents, codebooks=b1
+    )
+    unpacked = packed.select(
+        "vec_id",
+        F.concat(
+            *[
+                F.array(((F.col("packed0") / F.lit(16 ** j)).cast("long") % 16).cast("int"))
+                for j in range(8)
+            ],
+            *[
+                F.array(((F.col("packed1") / F.lit(16 ** j)).cast("long") % 16).cast("int"))
+                for j in range(8)
+            ],
+        ).alias("codes"),
+    )
+    diff = (
+        codes.alias("a")
+        .join(unpacked.alias("b"), "vec_id")
+        .where(F.col("a.codes") != F.col("b.codes"))
+        .count()
+    )
+    assert diff == 0, "two-word pack/unpack must be lossless"
+    # the top nibble is exercised somewhere in the corpus (else the
+    # sign-bit regression this layout exists for is untested)
+    top = codes.where(F.element_at("codes", 16) >= 8).count()
+    assert top > 0, "no vector uses a high code in subspace 15 — vacuous"
+
+
 def test_ivfpq_code_table_nightly_maintenance(spark, sf_dir, tmp_path):
     # the operational lifecycle of the continuously merged PQ code
     # table (r10 verdict ask #2): nightly batch merges accumulate
