@@ -1622,9 +1622,10 @@ def pq_reweighted_query_tables(
             "j",
             "cid",
             d.alias("d"),
-            # |u_q[d]| <= 1 and the seeded codebooks bound |c| < 10, so
-            # the per-term product fits DECIMAL(11,10) exactly — same
-            # narrow-type reasoning as triplet_per_dim_grads
+            # |u_q[d]| <= 1 and codebook entries are bounded (trained
+            # books are means of round-8 u's, |c| <= 1; any literal set
+            # must keep |c| < 10), so the per-term product fits
+            # DECIMAL(11,10) exactly — triplet_per_dim_grads' reasoning
             F.round(F.element_at("__uq", d) * F.col("cv"), 10)
             .cast("decimal(11,10)")
             .alias("t"),
