@@ -4868,6 +4868,17 @@ def corpus_audio_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_dedup_pipeline(_docs(spark, sf_dir))
 
 
+# which documents CARRY a payload (the fixture's multimodal-attachment
+# stand-in — on real data these are non-null binary columns): an image
+# iff doc_id % 3 = 0, audio iff doc_id % 4 = 0. Without the subset the
+# fixture's pattern clusters (doc_id % n_patterns) make EVERY batch doc
+# a near-dup of some historic doc and the factory never packs anything
+# — carriers exercise both dup verdicts while non-carrier text owners
+# exercise survivorship and the pack continuation.
+_MM_IMG_CARRIER = "doc_id % 3 = 0"
+_MM_AUD_CARRIER = "doc_id % 4 = 0"
+
+
 def _factory_multimodal_oracle() -> str:
     """The multimodal nightly replay: the _factory_oracle chain (URL
     canon -> per-side mirror dedup -> HTML extraction -> canopy
@@ -4880,8 +4891,14 @@ def _factory_multimodal_oracle() -> str:
     (text-fp owner AND no earlier image near-dup AND no earlier audio
     near-dup), the quality gate, and packing continuing from the
     HISTORIC corpus's multimodal-survivor token total."""
-    img = _img_dhash_ctes(3).replace("FROM documents,", "FROM kept,")
-    aud = _audio_contour_ctes(3).replace("FROM documents,", "FROM kept,")
+    img = _img_dhash_ctes(3).replace(
+        "FROM documents,",
+        f"FROM (SELECT doc_id FROM kept WHERE {_MM_IMG_CARRIER}) kimg,",
+    )
+    aud = _audio_contour_ctes(3).replace(
+        "FROM documents,",
+        f"FROM (SELECT doc_id FROM kept WHERE {_MM_AUD_CARRIER}) kaud,",
+    )
     return rf"""
     WITH urls AS (
         SELECT doc_id, {_SYNTH_URL_DUCK} AS url
@@ -5010,12 +5027,14 @@ def factory_multimodal_store_build(
     prep = web_corpus_prep(hist_docs, fp_prefix_tokens=_FACTORY_FP_TOKENS).select(
         "doc_id", "content_fp", "n_words_main"
     )
-    ids = prep.select("doc_id")
-    img = image_dhash_signatures(ids, n_patterns=n_patterns)
-    aud = audio_contour_signatures(ids, n_patterns=n_patterns).withColumnRenamed(
-        "sig", "asig"
+    img = image_dhash_signatures(
+        prep.where(_MM_IMG_CARRIER).select("doc_id"), n_patterns=n_patterns
     )
-    rows = prep.join(img, "doc_id").join(aud, "doc_id").localCheckpoint(
+    aud = audio_contour_signatures(
+        prep.where(_MM_AUD_CARRIER).select("doc_id"), n_patterns=n_patterns
+    ).withColumnRenamed("sig", "asig")
+    # left joins: non-carrier docs store NULL signatures (no payload)
+    rows = prep.join(img, "doc_id", "left").join(aud, "doc_id", "left").localCheckpoint(
         eager=True
     )  # feeds the store AND the historic pair scans below
     IncrementalIndexStore(
@@ -5026,12 +5045,18 @@ def factory_multimodal_store_build(
     # nights update it by addition — the BM25 stats-table precedent)
     img_dups = _near_dup_later_side(
         hamming_verified_pairs(
-            rows.select("doc_id", "dhash"), "dhash", band_hex_width=4, max_hamming=3
+            rows.where(F.col("dhash").isNotNull()).select("doc_id", "dhash"),
+            "dhash",
+            band_hex_width=4,
+            max_hamming=3,
         )
     )
     aud_dups = _near_dup_later_side(
         hamming_verified_pairs(
-            rows.select("doc_id", "asig"), "asig", band_hex_width=4, max_hamming=3
+            rows.where(F.col("asig").isNotNull()).select("doc_id", "asig"),
+            "asig",
+            band_hex_width=4,
+            max_hamming=3,
         )
     )
     fp_min = (
@@ -5091,15 +5116,16 @@ def factory_multimodal_nightly(
         .select("doc_id", "canon_url", "n_mirrors", "n_words_main", "content_fp")
         .localCheckpoint(eager=True)  # consumed by the merge AND the verdicts
     )
-    ids_b = prep_b.select("doc_id")
-    img_b = image_dhash_signatures(ids_b, n_patterns=n_patterns)
-    aud_b = audio_contour_signatures(ids_b, n_patterns=n_patterns).withColumnRenamed(
-        "sig", "asig"
+    img_b = image_dhash_signatures(
+        prep_b.where(_MM_IMG_CARRIER).select("doc_id"), n_patterns=n_patterns
     )
+    aud_b = audio_contour_signatures(
+        prep_b.where(_MM_AUD_CARRIER).select("doc_id"), n_patterns=n_patterns
+    ).withColumnRenamed("sig", "asig")
     content.merge(
         prep_b.select("doc_id", "content_fp", "n_words_main")
-        .join(img_b, "doc_id")
-        .join(aud_b, "doc_id")
+        .join(img_b, "doc_id", "left")
+        .join(aud_b, "doc_id", "left")
         .withColumn("ingest_bucket", F.lit(1))
     )
     snap = content.serve()
@@ -5112,7 +5138,7 @@ def factory_multimodal_nightly(
     )
     img_dups = _near_dup_later_side(
         hamming_verified_pairs(
-            snap.select("doc_id", "dhash"),
+            snap.where(F.col("dhash").isNotNull()).select("doc_id", "dhash"),
             "dhash",
             band_hex_width=4,
             max_hamming=3,
@@ -5121,7 +5147,7 @@ def factory_multimodal_nightly(
     )
     aud_dups = _near_dup_later_side(
         hamming_verified_pairs(
-            snap.select("doc_id", "asig"),
+            snap.where(F.col("asig").isNotNull()).select("doc_id", "asig"),
             "asig",
             band_hex_width=4,
             max_hamming=3,
@@ -5200,8 +5226,11 @@ def factory_multimodal_nightly(
     "canopy dedup; a real training-data team's nightly job dedups "
     "images and audio alongside text under the same arrival-order "
     "ownership): web prep per ingest side -> batch-only DECODE (image "
-    "dHash + audio energy-contour signatures for tonight's kept docs "
-    "only; historic signatures are a parquet read from the unified "
+    "dHash + audio energy-contour signatures for tonight's kept "
+    "PAYLOAD CARRIERS only — an image iff doc_id % 3 = 0, audio iff "
+    "% 4 = 0, the fixture's attachment stand-in; non-carriers store "
+    "NULL signatures and can only be text-deduped. Historic "
+    "signatures are a parquet read from the unified "
     "multimodal content store) -> one atomic ingest-bucket MERGE of "
     "(fp, n_words, dhash, asig) -> verdicts from the post-merge "
     "snapshot: text ownership by arrival-order fingerprint "
