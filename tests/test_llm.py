@@ -1969,6 +1969,70 @@ def test_trained_pq_codebooks_and_packed_pair_roundtrip(spark, sf_dir):
     assert top > 0, "no vector uses a high code in subspace 15 — vacuous"
 
 
+def test_multimodal_content_store_nightly_maintenance(spark, sf_dir):
+    # the multimodal factory's content store under the same
+    # OPTIMIZE/VACUUM lifecycle the signature/PQ/BM25 stores are
+    # pinned to: three nightly merges accumulate versions; OPTIMIZE
+    # must be layout-only (identical nightly verdicts served before
+    # and after) and VACUUM must reclaim superseded commits while the
+    # latest snapshot keeps serving. Exercised THROUGH the shared
+    # lifecycle module (sinks/indexes.py) — the maintenance story the
+    # r12 extraction claims is one module for every index family.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.indexes import (
+        IncrementalIndexStore,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        list_versions,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        factory_multimodal_nightly,
+        factory_multimodal_store_build,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    root = factory_multimodal_store_build(
+        spark, docs.where("doc_id % 5 > 1"), "pytest_factory_mm_maint"
+    )
+    content = IncrementalIndexStore(
+        spark, f"{root}/content", keys=["doc_id"], partition_by=["ingest_bucket"]
+    )
+    # two earlier "nights" accumulate versions before tonight's run
+    for night_slice in ("doc_id % 5 = 1",):
+        factory_multimodal_nightly(spark, docs.where(night_slice), root).collect()
+    want = sorted(
+        map(
+            tuple,
+            factory_multimodal_nightly(
+                spark, docs.where("doc_id % 5 = 0"), root
+            ).collect(),
+        )
+    )
+    assert len(list_versions(spark, content.path)) >= 3
+    content.optimize()
+    stats = IncrementalIndexStore(
+        spark, f"{root}/stats", keys=["sid"], partition_by=["sid"]
+    )
+    content.vacuum(keep_last=1, min_age_seconds=0)
+    stats.vacuum(keep_last=1, min_age_seconds=0)
+    # the maintained store serves the identical post-merge snapshot:
+    # replaying tonight from it gives bit-identical verdict rows except
+    # the pack placement, whose base has legitimately advanced (each
+    # nightly run adds its survivors to the stats row — the
+    # continuation contract the stats-advance test pins exactly).
+    got = sorted(
+        map(
+            tuple,
+            factory_multimodal_nightly(
+                spark, docs.where("doc_id % 5 = 0"), root
+            ).collect(),
+        )
+    )
+    assert want and len(got) == len(want)
+    # columns: ..., is_survivor, start_offset, pack_id — the last two
+    # are base-shifted; everything else must be bit-identical
+    assert [g[:-2] for g in got] == [w[:-2] for w in want]
+
+
 def test_ivfpq_code_table_nightly_maintenance(spark, sf_dir, tmp_path):
     # the operational lifecycle of the continuously merged PQ code
     # table (r10 verdict ask #2): nightly batch merges accumulate
