@@ -20,16 +20,42 @@ from pyspark.sql import functions as F
 from ..sinks.writers import overwrite_partitions
 
 
-def _persistent_rdd_ids(spark) -> set[int]:
+def persistent_rdd_ids(spark) -> set[int]:
     """Ids of the JVM context's currently persisted RDDs — the diff
-    unit :func:`corpus_factory_batch_writer` uses to release exactly
-    the blocks one epoch pinned (localCheckpoint blocks live at RDD
-    level, where ``DataFrame.unpersist`` never reaches)."""
+    unit :func:`release_new_persistent_rdds` uses to release exactly
+    the blocks one code region pinned (localCheckpoint blocks live at
+    RDD level, where ``DataFrame.unpersist`` never reaches)."""
     ids: set[int] = set()
     it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
     while it.hasNext():
         ids.add(it.next().getKey())
     return ids
+
+
+def release_new_persistent_rdds(spark, before: set[int]) -> int:
+    """Unpersist every RDD the context pinned since ``before`` (a
+    :func:`persistent_rdd_ids` snapshot) — the only way to release
+    ``localCheckpoint`` blocks promptly, since they live below the SQL
+    cache manager where ``DataFrame.unpersist`` is a no-op.
+
+    ASSUMPTION (r12 ADVICE): the snapshot-diff attributes every block
+    persisted during the region to the region — a query or stream
+    running CONCURRENTLY in the same SparkSession would have its own
+    fresh localCheckpoint blocks (truncated lineage, unrecomputable)
+    unpersisted out from under it. All callers here run one driver
+    workload at a time (gate queries, the bench, the scale probe, one
+    stream per session), which is the deployment this engine's
+    single-session tools guarantee; a multi-tenant session must scope
+    the region to its own RDD ids instead of a context-wide diff.
+    Returns the number of RDDs released."""
+    released = 0
+    it = spark.sparkContext._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e.getKey() not in before:
+            e.getValue().unpersist(False)
+            released += 1
+    return released
 
 
 def partition_overwrite_batch_writer(
@@ -509,19 +535,19 @@ def corpus_factory_batch_writer(
         # DataFrame.unpersist() can't do it — localCheckpoint blocks
         # are RDD-level, invisible to the SQL cache manager — so diff
         # the context's persistent-RDD ids around the epoch body and
-        # drop exactly what this epoch pinned (never a pre-existing
-        # block another live query still needs).
+        # drop what this epoch pinned. Pre-existing blocks another
+        # live query holds are safe (they're in `before`); blocks
+        # persisted CONCURRENTLY during the epoch body are not — see
+        # release_new_persistent_rdds' single-workload assumption
+        # (one stream per session, which run_corpus_factory_stream's
+        # availableNow drain and the exactly-once txn key both already
+        # presume).
         spark = batch.sparkSession
-        before = _persistent_rdd_ids(spark)
+        before = persistent_rdd_ids(spark)
         try:
             _write_epoch(batch, epoch_id)
         finally:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            it = jmap.entrySet().iterator()
-            while it.hasNext():
-                e = it.next()
-                if e.getKey() not in before:
-                    e.getValue().unpersist(False)
+            release_new_persistent_rdds(spark, before)
 
     return write
 

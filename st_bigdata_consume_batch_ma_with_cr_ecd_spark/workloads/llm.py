@@ -5022,8 +5022,13 @@ def factory_multimodal_store_build(
     a historic pair recompute. Returns the table root. The scale probe
     builds this once, untimed, per historic-corpus size."""
     from ..sinks.indexes import IncrementalIndexStore, fresh_index_root
+    from ..streaming.sinks import persistent_rdd_ids, release_new_persistent_rdds
 
     root = fresh_index_root(name)
+    # snapshot persisted-RDD ids: the localCheckpoint below pins
+    # RDD-level blocks DataFrame.unpersist can't release (r12 ADVICE —
+    # the corpus_factory_batch_writer lesson applied to this build)
+    rdds_before = persistent_rdd_ids(spark)
     prep = web_corpus_prep(hist_docs, fp_prefix_tokens=_FACTORY_FP_TOKENS).select(
         "doc_id", "content_fp", "n_words_main"
     )
@@ -5083,7 +5088,10 @@ def factory_multimodal_store_build(
     IncrementalIndexStore(
         spark, f"{root}/stats", keys=["sid"], partition_by=["sid"]
     ).build(base)
-    rows.unpersist(blocking=False)
+    # both stores are durably written; release the checkpoint blocks
+    # the build pinned (RDD-id diff — rows.unpersist() would be a
+    # no-op on localCheckpoint blocks)
+    release_new_persistent_rdds(spark, rdds_before)
     return root
 
 
@@ -5419,26 +5427,19 @@ def multimodal_dedup_summary(docs: DataFrame, *, n_patterns: int = 37) -> DataFr
     "exactly, which is what the shared oracle verifies.",
 )
 def corpus_multimodal_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import Window
 
     from ..operators.graph import assign_cluster_ids
-    from ..sinks.versioned import (
-        create_versioned_table,
-        merge_versioned_table,
-        read_versioned_table,
-    )
+    from ..sinks.indexes import IncrementalIndexStore, fresh_index_root
 
     docs = _docs(spark, sf_dir)
     hist_docs = docs.where(F.col("doc_id") % 5 != 0)
     batch_docs = docs.where(F.col("doc_id") % 5 == 0)
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_mm_incr_{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    # the last inline copy of the store->merge->serve wiring, rewired
+    # onto the shared lifecycle module in r13 (r12 verdict ask #2; the
+    # r12 extraction's declared deferral): same versioned-table calls
+    # with the same arguments, so layouts and values are unchanged
+    root = fresh_index_root("mm_incr")
 
     def modal_incremental(name: str, sig_fn, sig_col: str) -> DataFrame:
         # LAST NIGHT: historic signatures + historic-only cluster
@@ -5455,29 +5456,23 @@ def corpus_multimodal_incremental_summary(spark: SparkSession, sf_dir: str) -> D
             "doc_b",
             pairs_distinct=True,
         )
-        sig_table = f"{root}/{name}/signatures"
-        create_versioned_table(
-            hist_sigs.withColumn("ingest_bucket", F.lit(0)),
-            sig_table,
-            ["ingest_bucket"],
-        )
-        cl_table = f"{root}/{name}/clusters"
-        create_versioned_table(
-            hist_assign.withColumn("ingest_bucket", F.lit(0)),
-            cl_table,
-            ["ingest_bucket"],
-        )
+        sig_store = IncrementalIndexStore(
+            spark,
+            f"{root}/{name}/signatures",
+            keys=["doc_id"],
+            partition_by=["ingest_bucket"],
+        ).build(hist_sigs.withColumn("ingest_bucket", F.lit(0)))
+        cl_store = IncrementalIndexStore(
+            spark,
+            f"{root}/{name}/clusters",
+            keys=["doc_id"],
+            partition_by=["ingest_bucket"],
+        ).build(hist_assign.withColumn("ingest_bucket", F.lit(0)))
         # TONIGHT: batch payloads decode; MERGE batch signatures;
         # batch-restricted pairs over the snapshot; historic components
         # replay as star edges from the stored assignment
-        merge_versioned_table(
-            spark,
-            sig_table,
-            sig_fn(batch_docs).withColumn("ingest_bucket", F.lit(1)),
-            keys=["doc_id"],
-            partition_by=["ingest_bucket"],
-        )
-        sigs = read_versioned_table(spark, sig_table)
+        sig_store.merge(sig_fn(batch_docs).withColumn("ingest_bucket", F.lit(1)))
+        sigs = sig_store.serve()
         batch_pairs = hamming_verified_pairs(
             sigs.select("doc_id", sig_col),
             sig_col,
@@ -5485,7 +5480,7 @@ def corpus_multimodal_incremental_summary(spark: SparkSession, sf_dir: str) -> D
             max_hamming=3,
             pair_filter_sql=_INCR_BATCH_SQL,
         )
-        stored = read_versioned_table(spark, cl_table)
+        stored = cl_store.serve()
         star = stored.where(F.col("doc_id") != F.col("cluster_id")).select(
             F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("doc_b")
         )
@@ -5507,26 +5502,28 @@ def corpus_multimodal_incremental_summary(spark: SparkSession, sf_dir: str) -> D
         )
 
     # text: the fingerprint IS the signature — store historic fps,
-    # merge batch fps, window over the snapshot
+    # merge batch fps, window over the snapshot (the ingest-bucket
+    # lifecycle in one shared-module call)
     fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-    t_table = f"{root}/text/fingerprints"
-    create_versioned_table(
-        hist_docs.select("doc_id", fp.alias("fp")).withColumn(
-            "ingest_bucket", F.lit(0)
-        ),
-        t_table,
-        ["ingest_bucket"],
+    fps = (
+        IncrementalIndexStore(
+            spark,
+            f"{root}/text/fingerprints",
+            keys=["doc_id"],
+            partition_by=["ingest_bucket"],
+        )
+        .build(
+            hist_docs.select("doc_id", fp.alias("fp")).withColumn(
+                "ingest_bucket", F.lit(0)
+            )
+        )
+        .merge(
+            batch_docs.select("doc_id", fp.alias("fp")).withColumn(
+                "ingest_bucket", F.lit(1)
+            )
+        )
+        .serve()
     )
-    merge_versioned_table(
-        spark,
-        t_table,
-        batch_docs.select("doc_id", fp.alias("fp")).withColumn(
-            "ingest_bucket", F.lit(1)
-        ),
-        keys=["doc_id"],
-        partition_by=["ingest_bucket"],
-    )
-    fps = read_versioned_table(spark, t_table)
     w = Window.partitionBy("fp")
     txt = fps.select(
         "doc_id",
@@ -7136,6 +7133,138 @@ def _rw_ivfpq_ctes() -> str:
     )"""
 
 
+# the retrained coarse quantizer (r12 verdict ask #4): 8 cells, one
+# exact-decimal Lloyd step in the w-metric the trained scorer induces,
+# from the md5-sampled corpus init — the last untrained stage in the
+# reweighted retrieval stack
+_RW_IVF_RETRAIN_K = 8
+
+
+def _rw_retrain_ctes() -> str:
+    """The reweighted coarse-quantizer RETRAIN replay (r12 verdict ask
+    #4), appended after _rw_ivfpq_ctes (which supplies eu, runp,
+    rqtab) and _triplet_trainer_ctes (dd, w{epochs}): md5-sampled init
+    from corpus u rows (data rows — exact, no normalization division
+    anywhere), corpus assignment by the exact-decimal w^2-METRIC
+    affinity a(x, c) = sum_d round(w_d^2, 8) * (2*round(x_d*c_d, 10)
+    - round(c_d*c_d, 10)) — ranks like -d_{w^2}(x, c), the
+    Cauchy-Schwarz-optimal clustering for the INDEFINITE trained w
+    (see w2_cell_scores) — query probing by the SERVING score against
+    the cell means (the asymmetric MIPS rule; order-independent
+    decimals, so unlike the unweighted trainer's numpy-vs-SQL double
+    parity there is NO float-argmax caveat), per-(cell, dim) means via the pm1
+    HUGEINT replay of Spark's round(avg(DECIMAL(30,12)), 8), then
+    retrained-cell corpus assignment + 2-cell query probing by the
+    SAME metric and the ADC serve over those cells (t-prefixed
+    names)."""
+    k = _RW_IVF_RETRAIN_K
+    return f"""
+    tinit AS (
+        SELECT u, row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS ccid
+        FROM eu
+        QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {k}
+    ),
+    tc0 AS (SELECT CAST(ccid AS INT) AS ccid, u AS cc FROM tinit),
+    tw2 AS (
+        -- the w^2 metric weights, round-8 (w is indefinite; w^2
+        -- minimizes the Cauchy-Schwarz per-cell score-error bound —
+        -- see w2_cell_scores)
+        SELECT d, CAST(round(w * w, 8) AS DECIMAL(12,8)) AS w2
+        FROM w{_TRIP_EPOCHS}
+    ),
+    tws AS (
+        -- w^2-metric affinity a(x,c) = sum_d w2_d*(2*round(x*c,10) -
+        -- round(c*c,10)): ranks like -d_w2(x,c) (the ||x|| term is
+        -- per-x constant), exact decimal
+        SELECT eu.vec_id, c0.ccid,
+               sum(w.w2 * (2 * CAST(round(eu.u[dd.d] * c0.cc[dd.d], 10) AS DECIMAL(11,10))
+                           - CAST(round(c0.cc[dd.d] * c0.cc[dd.d], 10) AS DECIMAL(11,10)))) AS s
+        FROM eu CROSS JOIN tc0 c0 CROSS JOIN dd
+        JOIN tw2 w ON w.d = dd.d
+        GROUP BY 1, 2
+    ),
+    ta1 AS (
+        SELECT vec_id, ccid FROM (
+            SELECT vec_id, ccid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, ccid ASC) AS rn
+            FROM tws
+        ) WHERE rn = 1
+    ),
+    tsums AS (
+        -- u elements are round-8: the cluster sum is exact at scale 8,
+        -- carried as its unscaled integer in HUGEINT
+        SELECT a.ccid, dd.d,
+               CAST(sum(CAST(eu.u[dd.d] AS DECIMAL(20,8))) * 100000000 AS HUGEINT) AS u8,
+               count(*) AS n
+        FROM ta1 a JOIN eu ON eu.vec_id = a.vec_id CROSS JOIN dd
+        GROUP BY 1, 2
+    ),
+    tm AS (
+        -- EXACT replay of Spark's round(avg(decimal(30,12)), 8): avg
+        -- rounds HALF_UP at scale 16, round() HALF_UP at 8 — both
+        -- half-away integer divisions on the unscaled sum (the pm1
+        -- formula; these means enter SCORES via round(u*c, 10), so
+        -- double division would risk a hash flip)
+        SELECT ccid, d,
+               CAST((CASE WHEN u8 >= 0 THEN 1 ELSE -1 END)
+                    * ((2 * ((2 * abs(u8) * 100000000 + n) // (2 * n)) + 100000000)
+                       // 200000000)
+                    AS DOUBLE) / 100000000 AS m
+        FROM tsums
+    ),
+    tml AS (SELECT ccid, array_agg(m ORDER BY d) AS c FROM tm GROUP BY 1),
+    tcent AS (
+        -- empty cells keep their init entry (the trainer contract)
+        SELECT c0.ccid, coalesce(l.c, c0.cc) AS cc
+        FROM tc0 c0 LEFT JOIN tml l ON l.ccid = c0.ccid
+    ),
+    tws2 AS (
+        -- corpus assignment vs the RETRAINED centroids, same w^2 rule
+        SELECT eu.vec_id, tc.ccid,
+               sum(w.w2 * (2 * CAST(round(eu.u[dd.d] * tc.cc[dd.d], 10) AS DECIMAL(11,10))
+                           - CAST(round(tc.cc[dd.d] * tc.cc[dd.d], 10) AS DECIMAL(11,10)))) AS s
+        FROM eu CROSS JOIN tcent tc CROSS JOIN dd
+        JOIN tw2 w ON w.d = dd.d
+        GROUP BY 1, 2
+    ),
+    tcorp AS (
+        SELECT vec_id, ccid FROM (
+            SELECT vec_id, ccid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, ccid ASC) AS rn
+            FROM tws2
+        ) WHERE rn = 1
+    ),
+    tqs AS (
+        -- query probing is ASYMMETRIC: the SERVING score against the
+        -- cell means (probe where the score says the partners are —
+        -- under an indefinite w that is NOT where the query clusters)
+        SELECT eu.vec_id, tc.ccid,
+               sum(w.w * CAST(round(eu.u[dd.d] * tc.cc[dd.d], 10) AS DECIMAL(11,10))) AS s
+        FROM eu CROSS JOIN tcent tc CROSS JOIN dd
+        JOIN w{_TRIP_EPOCHS} w ON w.d = dd.d
+        WHERE eu.vec_id < 10
+        GROUP BY 1, 2
+    ),
+    tqc AS (
+        SELECT vec_id, ccid FROM (
+            SELECT vec_id, ccid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY s DESC, ccid ASC) AS rn
+            FROM tqs
+        ) WHERE rn <= 2
+    ),
+    trw_adc_scored AS (
+        -- same packed codes (runp) and reweighted tables (rqtab) as
+        -- the unretrained tier — only the candidate cells change
+        SELECT qc.vec_id AS query_id, cc2.vec_id AS neighbor_id,
+               CAST(CAST(round(sum(qt.tval), 10) AS DECIMAL(20,10)) AS DOUBLE) AS rw_adc
+        FROM tqc qc
+        JOIN tcorp cc2 ON cc2.ccid = qc.ccid AND cc2.vec_id <> qc.vec_id
+        JOIN runp c ON c.vec_id = cc2.vec_id
+        JOIN rqtab qt ON qt.query_id = qc.vec_id AND qt.j = c.j AND qt.cid = c.code
+        GROUP BY 1, 2
+    )"""
+
+
 @register(
     "ann_topk_reweighted_ivfpq_served",
     oracle=f"""
@@ -7221,7 +7350,7 @@ def ann_topk_reweighted_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFr
 @register(
     "eval_reweight_ivfpq_recall",
     oracle=f"""
-    WITH {_triplet_trainer_ctes()},{_rw_ivfpq_ctes()},
+    WITH {_triplet_trainer_ctes()},{_rw_ivfpq_ctes()},{_rw_retrain_ctes()},
     rw_all_terms AS (
         SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, dd.d,
                CAST(round(q.u[dd.d] * c.u[dd.d], 10) AS DECIMAL(11,10)) AS t
@@ -7292,50 +7421,96 @@ def ann_topk_reweighted_ivfpq_served(spark: SparkSession, sf_dir: str) -> DataFr
             FROM rw_adc_scored
         ) WHERE rn <= 5
     ),
+    tafter_ranked AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY rw_adc DESC, neighbor_id ASC) AS rn
+            FROM trw_adc_scored
+        ) WHERE rn <= 5
+    ),
+    trw_float_served AS (
+        -- the float reweighted ranking over the RETRAINED probed
+        -- cells — the retrained system's own served-reference, so its
+        -- n_match_served isolates quantization+model tracking under
+        -- ITS cell recall exactly like the default systems' column
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY rwf DESC, neighbor_id ASC) AS rn
+            FROM (
+                SELECT qc.vec_id AS query_id, cc2.vec_id AS neighbor_id,
+                       CAST(CAST(round(sum(w.w *
+                           CAST(round(qa.u[dd.d] * qb.u[dd.d], 10) AS DECIMAL(11,10))
+                       ), 10) AS DECIMAL(20,10)) AS DOUBLE) AS rwf
+                FROM tqc qc
+                JOIN tcorp cc2 ON cc2.ccid = qc.ccid AND cc2.vec_id <> qc.vec_id
+                JOIN en qa ON qa.vec_id = qc.vec_id
+                JOIN en qb ON qb.vec_id = cc2.vec_id
+                CROSS JOIN dd
+                JOIN w{_TRIP_EPOCHS} w ON w.d = dd.d
+                GROUP BY 1, 2
+            )
+        ) WHERE rn <= 5
+    ),
     sys_ranked AS (
         SELECT 'adc_unweighted' AS system, query_id, neighbor_id FROM before_ranked
         UNION ALL
         SELECT 'adc_reweighted' AS system, query_id, neighbor_id FROM after_ranked
+        UNION ALL
+        SELECT 'adc_reweighted_retrained' AS system, query_id, neighbor_id FROM tafter_ranked
+    ),
+    fref AS (
+        SELECT 'adc_unweighted' AS system, query_id, neighbor_id FROM rw_float_served
+        UNION ALL
+        SELECT 'adc_reweighted' AS system, query_id, neighbor_id FROM rw_float_served
+        UNION ALL
+        SELECT 'adc_reweighted_retrained' AS system, query_id, neighbor_id FROM trw_float_served
     )
     SELECT s.query_id, s.system,
            CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_match_served,
            CAST(sum(CASE WHEN b.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_match_brute
     FROM sys_ranked s
-    LEFT JOIN rw_float_served f
-      ON f.query_id = s.query_id AND f.neighbor_id = s.neighbor_id
+    LEFT JOIN fref f
+      ON f.system = s.system AND f.query_id = s.query_id AND f.neighbor_id = s.neighbor_id
     LEFT JOIN rw_brute b
       ON b.query_id = s.query_id AND b.neighbor_id = s.neighbor_id
     GROUP BY 1, 2
     """,
     doc="Does the COMPRESSED reweighted tier track the float "
     "reweighted ranking? (r11 verdict ask #2's required recall row, "
-    "the eval_triplet_reweight_recall precedent at the IVFADC tier): "
-    "per query, two served systems over the SAME stored packed index "
-    "and probed cells — 'adc_unweighted' (the same table serving with "
+    "the eval_triplet_reweight_recall precedent at the IVFADC tier; "
+    "extended in r13 with the RETRAINED-quantizer system per r12 "
+    "verdict ask #4): per query, THREE served systems over the SAME "
+    "stored packed codes — 'adc_unweighted' (the table serving with "
     "the UNTRAINED w0 = 1 weights, i.e. what serving gave before the "
-    "model deployed) vs 'adc_reweighted' (the trained tables) — each "
-    "measured by overlap@5 against TWO references: "
-    "n_match_served = the float reweighted ranking over the SAME "
-    "probed candidates (ann_topk_reweighted_served's contract; both "
-    "systems share cell recall, so this column isolates what folding "
-    "the model into the ADC tables buys vs pure quantization "
-    "distortion) and n_match_brute = the float reweighted brute-force "
-    "top-5 (no pruning, no quantization — the absolute ceiling, which "
-    "also exposes the unweighted-quantizer recall trade both tiers' "
-    "docstrings flag: the model reorders geometry the coarse cells "
-    "were never trained for). The oracle replays training, both "
-    "references, both ADC rankings, and the overlap counts under one "
-    "hash.",
+    "model deployed), 'adc_reweighted' (the trained tables, cells "
+    "still assigned in the unweighted space), and "
+    "'adc_reweighted_retrained' (the trained tables over cells "
+    "REASSIGNED by the quantizer retrained in the w^2 metric — one "
+    "exact-decimal Lloyd step from the md5-sampled init — with "
+    "queries probing by the serving score against the cell means, "
+    "the asymmetric rule an indefinite w requires) — each measured "
+    "by overlap@5 against TWO "
+    "references: n_match_served = the float reweighted ranking over "
+    "that system's OWN probed candidates (shares its cell recall, so "
+    "the column isolates quantization+model tracking) and "
+    "n_match_brute = the float reweighted brute-force top-5 (no "
+    "pruning, no quantization — the absolute ceiling, where the "
+    "retrain's improved cell recall shows up directly). The oracle "
+    "replays both trainings, the retrain, all three references, all "
+    "three ADC rankings, and the overlap counts under one hash.",
 )
 def eval_reweight_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.similarity import (
         _assign_udf,
+        assign_w2_cells,
         ivf_cell_assignments,
         ivf_pq_reweighted_packed_topk_adc,
         ivf_probed_cells,
         normalized_embeddings,
         pq_packed_pair_inverted_file,
+        probe_reweighted_cells,
         reweighted_topk,
+        train_ivf_centroids_reweighted,
         train_pq_codebooks,
         train_triplet_reweighter as _train,
     )
@@ -7438,13 +7613,89 @@ def eval_reweight_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
     ).select("query_id", "neighbor_id", F.lit(1).alias("__f"))
 
+    # the RETRAINED arm (r12 verdict ask #4): the SAME stored packed
+    # codes, cells re-assigned under the quantizer retrained with the
+    # exact-decimal Lloyd step in the serving metric, queries probing
+    # their 2 best retrained cells by the same metric — any delta vs
+    # 'adc_reweighted' is the quantizer retrain alone
+    cents_rt = train_ivf_centroids_reweighted(
+        en, w, n_centroids=_RW_IVF_RETRAIN_K, iters=1
+    )
+    cid_rt = assign_w2_cells(en, w, centroids=cents_rt)
+    inv_rt = store.serve().drop("cid").join(cid_rt, "vec_id")
+    qcells_rt = probe_reweighted_cells(
+        qn, w, centroids=cents_rt, n_probe=2
+    ).localCheckpoint(eager=True)  # 20 rows: probing + float reference
+    retrained = ivf_pq_reweighted_packed_topk_adc(
+        inv_rt,
+        qn,
+        w,
+        centroids=cents_rt,
+        codebooks=books,
+        k=5,
+        n_probe=2,
+        query_cells=qcells_rt.select(
+            F.col("vec_id").alias("query_id"), F.col("cid").alias("__cell")
+        ),
+    ).select("query_id", "neighbor_id", F.lit("adc_reweighted_retrained").alias("system"))
+
+    # reference 1b: float reweighted over the RETRAINED probed cells —
+    # each system's n_match_served reference shares ITS cell recall,
+    # so the column isolates quantization+model tracking per system
+    corp_rt = en.join(cid_rt, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("u").alias("uc"), F.col("cid")
+    )
+    qcells_rt_u = qn.join(qcells_rt, "vec_id").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("u").alias("uq"),
+        F.col("cid").alias("__cell"),
+    )
+    z_rt = (
+        corp_rt.join(
+            F.broadcast(qcells_rt_u),
+            (F.col("cid") == F.col("__cell"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.posexplode(F.arrays_zip("uq", "uc")).alias("pos", "z"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("pos") + 1).cast("int").alias("d"),
+            F.round(F.col("z.uq") * F.col("z.uc"), 10)
+            .cast("decimal(11,10)")
+            .alias("t"),
+        )
+    )
+    float_served_rt = top_n_per_group(
+        z_rt.join(F.broadcast(wdec), "d")
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(F.sum(F.col("w") * F.col("t")), 10)
+            .cast("decimal(20,10)")
+            .cast("double")
+            .alias("rwf")
+        ),
+        ["query_id"],
+        [F.col("rwf").desc(), F.col("neighbor_id").asc()],
+        n=5,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__f"))
+
     # reference 2: float reweighted brute force (no pruning)
     brute = reweighted_topk(embs, queries, w, k=5).select(
         "query_id", "neighbor_id", F.lit(1).alias("__b")
     )
+    res_default = before.unionByName(after).join(
+        F.broadcast(float_served), ["query_id", "neighbor_id"], "left"
+    )
+    res_rt = retrained.join(
+        F.broadcast(float_served_rt), ["query_id", "neighbor_id"], "left"
+    )
     return (
-        before.unionByName(after)
-        .join(F.broadcast(float_served), ["query_id", "neighbor_id"], "left")
+        res_default.unionByName(res_rt)
         .join(F.broadcast(brute), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id", "system")
         .agg(
@@ -7455,6 +7706,168 @@ def eval_reweight_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("n_match_brute"),
         )
+    )
+
+
+@register(
+    "train_ivf_centroids_reweighted",
+    oracle=f"""
+    WITH {_triplet_trainer_ctes()},{_rw_ivfpq_ctes()},{_rw_retrain_ctes()}
+    SELECT tc.ccid AS cid, dd.d, tc.cc[dd.d] AS m
+    FROM tcent tc CROSS JOIN dd
+    """,
+    doc="Retrain the IVF coarse quantizer UNDER the learned diagonal "
+    "reweighting (r12 verdict ask #4 — the one remaining untrained "
+    "stage in the reweighted retrieval stack: both reweighted serving "
+    "tiers probed cells assigned in the unweighted space, a recall "
+    "trade their docstrings flag). One exact-decimal Lloyd step in "
+    "the w^2-METRIC — assignment by minimal sum_d w_d^2 (x_d-c_d)^2 "
+    "via the expansion a(x, c) = sum_d round(w_d^2, 8) * "
+    "(2*round(x_d*c_d, 10) - round(c_d*c_d, 10)), no sqrt, no "
+    "division. w^2, not w: the trained w is INDEFINITE on this corpus "
+    "(spans [-1.89, 1.09]), so d_w is no metric; the inverted file "
+    "needs cells whose members all score alike against any query, "
+    "and |s(q,x)-s(q,cbar)| <= ||q|| * sqrt(sum w_d^2 (x-cbar)_d^2) "
+    "by Cauchy-Schwarz — w^2 clustering minimizes exactly that bound "
+    "(measured cell recall at sf0.01: 32/50 vs 13/50 unweighted-gauss "
+    "vs 5/50 for the naive symmetric design, llm/similarity."
+    "w2_cell_scores): "
+    "init = the 8 corpus u rows with smallest (md5(id), id) (data "
+    "rows — exact, so unlike the "
+    "unweighted trainer there is NO float-argmax parity caveat "
+    "anywhere); assignment = exact-decimal argmax with cid "
+    "tie-break; means = round(avg(DECIMAL(30,12)), 8) per (cell, "
+    "dim), which the oracle replays in HUGEINT half-away integer "
+    "division (the PQ-codebook pm1 formula — these means enter "
+    "downstream SCORES via round(u*c, 10)); empty cells keep their "
+    "init entry. Output = the retrained centroid table (cid, d, m), "
+    "k x dim = 512 rows — the model, never the data. "
+    "ann_topk_reweighted_ivfpq_retrained serves from these cells; "
+    "eval_reweight_ivfpq_recall quantifies the recall they buy.",
+)
+def train_ivf_centroids_reweighted_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import (
+        normalized_embeddings,
+        reweighted_lloyd_step_rows,
+        train_triplet_reweighter as _train,
+    )
+
+    embs = _embs(spark, sf_dir)
+    anchors = embs.where(F.col("vec_id") % 50 == 0)
+    w = _train(
+        embs,
+        anchors,
+        k=_HARDNEG_K,
+        dup_threshold=_HARDNEG_DUP_T,
+        margin=_TRIP_MARGIN,
+        lr=_TRIP_LR,
+        epochs=_TRIP_EPOCHS,
+        dim=_TRIP_DIM,
+    ).localCheckpoint(eager=True)  # dim-sized model
+    en = normalized_embeddings(embs)
+    init = (
+        en.where(F.col("u").isNotNull())
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(_RW_IVF_RETRAIN_K)
+        .select("u")
+        .collect()
+    )  # k data rows — the md5-sampled init, model-sized
+    cents0 = [list(r["u"]) for r in init]
+    return reweighted_lloyd_step_rows(en, w, centroids=cents0, vec_col="u")
+
+
+@register(
+    "ann_topk_reweighted_ivfpq_retrained",
+    oracle=f"""
+    WITH {_triplet_trainer_ctes()},{_rw_ivfpq_ctes()},{_rw_retrain_ctes()}
+    SELECT query_id, neighbor_id, rw_adc FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rw_adc DESC, neighbor_id ASC) AS rnk
+        FROM trw_adc_scored
+    ) WHERE rnk <= 5
+    """,
+    doc="The reweighted-IVFADC tier served from RETRAINED coarse "
+    "cells (r12 verdict ask #4's serving row): every stage of the "
+    "retrieval stack is now trained under the same model — the "
+    "triplet reweighter learns w, the per-subspace PQ codebooks train "
+    "on the corpus, the coarse quantizer retrains under s(x, c; w) "
+    "(train_ivf_centroids_reweighted), the packed two-word inverted "
+    "file persists partitioned by the RETRAINED cid via the shared "
+    "lifecycle module (corpus side: w^2-metric nearest cell — the "
+    "Cauchy-Schwarz-optimal clustering for an indefinite w, see "
+    "llm/similarity.w2_cell_scores), queries probe their 2 best cells "
+    "by the SERVING score against the cell means (the asymmetric "
+    "MIPS probing rule, llm/similarity.probe_reweighted_cells), "
+    "serving prunes to those cells at the MANIFEST and "
+    "ranks by the reweighted ADC tables. The oracle replays both "
+    "trainings, the retrain, packed codes, cell assignment/probing, "
+    "and the ranking under one hash.",
+)
+def ann_topk_reweighted_ivfpq_retrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llm.similarity import (
+        assign_w2_cells,
+        ivf_pq_reweighted_packed_topk_adc,
+        normalized_embeddings,
+        pq_packed_pair_inverted_file,
+        probe_reweighted_cells,
+        train_ivf_centroids_reweighted,
+        train_pq_codebooks,
+        train_triplet_reweighter as _train,
+    )
+    from ..sinks.indexes import IncrementalIndexStore, fresh_index_root
+
+    embs = _embs(spark, sf_dir)
+    anchors = embs.where(F.col("vec_id") % 50 == 0)
+    w = _train(
+        embs,
+        anchors,
+        k=_HARDNEG_K,
+        dup_threshold=_HARDNEG_DUP_T,
+        margin=_TRIP_MARGIN,
+        lr=_TRIP_LR,
+        epochs=_TRIP_EPOCHS,
+        dim=_TRIP_DIM,
+    ).localCheckpoint(eager=True)  # dim-sized model
+    en = normalized_embeddings(embs)
+    books = train_pq_codebooks(
+        en,
+        vec_col="u",
+        n_subspaces=_RW_PQ_NSUB,
+        n_codes=_RW_PQ_CODES,
+        iters=_RW_PQ_ITERS,
+    )
+    cents_rt = train_ivf_centroids_reweighted(
+        en, w, n_centroids=_RW_IVF_RETRAIN_K, iters=1
+    )
+    # packed codes are cell-independent; the dropped unweighted cid is
+    # pruned by Catalyst before the encode UDF's cid branch runs
+    packed = pq_packed_pair_inverted_file(
+        en, vec_col="u", centroids=_IVF_FIXED_CENTROIDS, codebooks=books
+    ).drop("cid")
+    cid_rt = assign_w2_cells(en, w, centroids=cents_rt)
+    store = IncrementalIndexStore(
+        spark,
+        f"{fresh_index_root('rw_ivfpq_rt')}/cells",
+        keys=["vec_id"],
+        partition_by=["cid"],
+    ).build(packed.join(cid_rt, "vec_id"))
+    qn = en.where(F.col("vec_id") < 10).localCheckpoint(eager=True)
+    qcells = probe_reweighted_cells(
+        qn, w, centroids=cents_rt, n_probe=2
+    ).localCheckpoint(eager=True)  # 20 rows: pruning list + probe input
+    cells = sorted(int(r["cid"]) for r in qcells.select("cid").distinct().collect())
+    inv = store.serve({"cid": cells})
+    return ivf_pq_reweighted_packed_topk_adc(
+        inv,
+        qn,
+        w,
+        centroids=cents_rt,
+        codebooks=books,
+        k=5,
+        n_probe=2,
+        query_cells=qcells.select(
+            F.col("vec_id").alias("query_id"), F.col("cid").alias("__cell")
+        ),
     )
 
 

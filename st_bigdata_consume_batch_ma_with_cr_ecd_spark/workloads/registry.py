@@ -98,6 +98,22 @@ FORCE_RECHECK: dict[str, int] = {
     "ann_ivfpq_index_merge_serve": 12,
     "retrieval_bm25_served": 12,
     "retrieval_hybrid_rrf_served": 12,
+    #
+    # r13: corpus_multimodal_incremental_summary's three inline
+    # store->merge->serve copies moved onto sinks/indexes.py (r12
+    # verdict ask #2; same versioned-table calls, same layouts), and
+    # eval_reweight_ivfpq_recall gained the retrained-quantizer system
+    # rows (r12 verdict ask #4) — both physical reworks re-enter the
+    # driver window. Window arithmetic (r12 verdict ask #3): 1 pinned
+    # + 2 new registrations + these 2 = 5 front-runners, leaving the
+    # 50-slot window exactly the 45 d7-cohort rows — nothing older
+    # than d8 survives r13, and the text factory's store wiring
+    # (the OTHER lifecycle rework, factory_store_build /
+    # factory_nightly_batch) is consciously deferred to r14 because
+    # its FORCE_RECHECK would displace a d7 row past the rotation
+    # deadline (declared in SCALE.md, the r12-prescribed pattern).
+    "corpus_multimodal_incremental_summary": 13,
+    "eval_reweight_ivfpq_recall": 13,
 }
 
 # Queries pinned into EVERY driver window regardless of rotation age

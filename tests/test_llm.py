@@ -2117,3 +2117,89 @@ def test_ivfpq_code_table_nightly_maintenance(spark, sf_dir, tmp_path):
     removed = vacuum_versioned_table(spark, table, keep_last=1, min_age_seconds=0)
     assert removed, "vacuum reclaimed nothing"
     assert served_topk() == before, "vacuum broke the latest version"
+
+
+def test_reweighted_quantizer_retrain_contract(spark, sf_dir):
+    # the retrained coarse quantizer (r12 verdict ask #4): the Lloyd
+    # step under the serving metric must be bit-deterministic (exact
+    # decimal assignment + decimal means — no float-argmax caveat),
+    # keep its init entry for never-assigned cells (duplicate-centroid
+    # construction: the higher cid loses every tie so no vector can
+    # reach it), and produce means bounded by the normalized inputs
+    import pyspark.sql.functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        normalized_embeddings,
+        reweighted_lloyd_step_rows,
+        train_ivf_centroids_reweighted,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    en = normalized_embeddings(embs)
+    w = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("d"),
+        # a non-uniform weighting so the metric differs from plain dot
+        (F.lit(1.0) + (F.col("id") % 3).cast("double") / 10).alias("w"),
+    )
+    c1 = train_ivf_centroids_reweighted(en, w, n_centroids=4, iters=1)
+    c2 = train_ivf_centroids_reweighted(en, w, n_centroids=4, iters=1)
+    assert c1 == c2, "reweighted retrain must be bit-deterministic"
+    assert len(c1) == 4 and all(len(c) == 64 for c in c1)
+    # means of round-8 unit vectors stay inside the unit box
+    assert max(abs(v) for c in c1 for v in c) <= 1.0
+
+    # empty-cell retention: duplicate the first centroid — exact-equal
+    # scores tie-break to the LOWER cid, so cid=1 gets no vectors and
+    # must keep its init entry verbatim
+    seed = [c1[0], list(c1[0]), c1[1]]
+    rows = reweighted_lloyd_step_rows(en, w, centroids=seed, vec_col="u").collect()
+    by = {(r["cid"], r["d"]): r["m"] for r in rows}
+    kept = [by[(1, d + 1)] for d in range(64)]
+    assert kept == list(c1[0]), "empty cell must keep its init entry"
+    # cid 0 and cid 2 both received vectors and moved off their seeds
+    assert [by[(0, d + 1)] for d in range(64)] != list(c1[0])
+
+
+def test_reweighted_packed_adc_query_cells_override(spark, sf_dir):
+    # the query_cells override (the retrained tier's probing hook)
+    # must be pure plumbing: feeding the DEFAULT unweighted probe's
+    # cells through it reproduces the default path bit-for-bit
+    import pyspark.sql.functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+        _assign_udf,
+        ivf_pq_reweighted_packed_topk_adc,
+        normalized_embeddings,
+        pq_packed_pair_inverted_file,
+        train_pq_codebooks,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        _IVF_FIXED_CENTROIDS,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    en = normalized_embeddings(embs)
+    w = spark.range(1, 65).select(
+        F.col("id").cast("int").alias("d"), F.lit(1.0).alias("w")
+    )
+    books = train_pq_codebooks(en, vec_col="u", n_subspaces=16, n_codes=16, iters=1)
+    cents = _IVF_FIXED_CENTROIDS
+    inv = pq_packed_pair_inverted_file(
+        en, vec_col="u", centroids=cents, codebooks=books
+    ).localCheckpoint(eager=True)
+    qn = en.where(F.col("vec_id") < 6)
+    default = ivf_pq_reweighted_packed_topk_adc(
+        inv, qn, w, centroids=cents, codebooks=books, k=5, n_probe=2
+    )
+    probe2 = _assign_udf(cents, 2)
+    cells = qn.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(probe2(F.col("u"))).alias("__cell"),
+    )
+    overridden = ivf_pq_reweighted_packed_topk_adc(
+        inv, qn, w, centroids=cents, codebooks=books, k=5, n_probe=2,
+        query_cells=cells,
+    )
+    assert sorted(map(tuple, default.collect())) == sorted(
+        map(tuple, overridden.collect())
+    )

@@ -1843,7 +1843,243 @@ def plan_audits(spark: SparkSession, sf_dir: str, mult: int) -> dict[str, object
         # hybrid_served after hybrid_rrf for the same reason: its index
         # builds materialize the BM25 tf checkpoints at the audit mult
         "hybrid_served": hybrid_served_reads_only_pruned_indexes,
+        # the shared-lifecycle multi-night segment contract (r12
+        # verdict ask #1): 4 sequential nightly merges on the BM25
+        # posting store, then OPTIMIZE must be layout-only (served
+        # scores bit-identical), collapse the pruned serve to one file
+        # per live (seg, tb) dir, and keep the 1-row stats table equal
+        # to a full recompute. Runs on the BASE corpus by design — the
+        # contract is about segment COUNT, not corpus size (the mult
+        # sweeps above own that axis).
+        "segment_accum": lambda: segment_accumulation(
+            spark, sf_dir, n_nights=4, verbose=False
+        ),
     }
+
+
+def segment_accumulation(
+    spark: SparkSession, sf_dir: str, n_nights: int = 8, *, verbose: bool = True
+) -> list[dict]:
+    """The multi-night segment-accumulation probe (r12 verdict ask #1,
+    the generalized r11 ask #7): every index family consumes the shared
+    sinks/indexes.py lifecycle, so ONE experiment on the
+    highest-segment-rate family — the BM25 posting store, whose nightly
+    merge adds a whole new (seg, tb=0..7) partition family — certifies
+    nightly operation for BM25, IVF, IVFADC, and the signature stores
+    at once. The existing maintenance pytests cover ONE
+    create+merge+OPTIMIZE+VACUUM cycle; this runs ``n_nights``
+    SEQUENTIAL nightly merges, recording serve time and opened-file
+    count after each, then OPTIMIZEs and asserts the three contracts:
+
+    (a) served scores bit-identical before/after OPTIMIZE (compaction
+        is layout-only);
+    (b) the pruned serve's opened-file count collapses to O(live
+        pruned partition dirs) — exactly one file per (seg, tb) dir
+        the query's term buckets select;
+    (c) the 1-row stats table stays consistent under compaction: the
+        stored (n_docs, total_len) equals a full recompute from the
+        corpus + the post-OPTIMIZE posting snapshot.
+
+    Nights are disjoint ``doc_id % (n_nights+1)`` slices (historic =
+    the last residue), so after night N the store holds the full
+    corpus and the recompute in (c) has a closed form. Returns the
+    per-segment-count rows for SCALE.md's table."""
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.indexes import (
+        IncrementalIndexStore,
+        fresh_index_root,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        read_versioned_table,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
+        _BM25_QUERIES,
+        _bm25_postings,
+        _bm25_scores_served,
+        _bm25_seg_stats,
+        _term_bucket_py,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    mod = n_nights + 1
+    hist = docs.where(F.col("doc_id") % mod == n_nights)
+    root = fresh_index_root("probe_seg_accum")
+    postings = IncrementalIndexStore(
+        spark, f"{root}/postings", keys=["token", "doc_id"], partition_by=["seg", "tb"]
+    )
+    hist_p = _bm25_postings(hist, seg=0)
+    postings.build(hist_p)
+    stats = IncrementalIndexStore(
+        spark, f"{root}/stats", keys=["sid"], partition_by=["sid"]
+    ).build(_bm25_seg_stats(hist, hist_p))
+    buckets = sorted({_term_bucket_py(t) for _, ts in _BM25_QUERIES for t in ts})
+
+    def timed_serve() -> float:
+        _drop_persistent_blocks(spark)  # _bm25_scores_served checkpoints p_q
+        t0 = time.time()
+        _bm25_scores_served(spark, root).write.format("noop").mode("overwrite").save()
+        dt = time.time() - t0
+        _drop_persistent_blocks(spark)
+        return dt
+
+    def opened_files() -> int:
+        return len(postings.serve({"tb": buckets}).inputFiles())
+
+    rows: list[dict] = [
+        {"segments": 1, "serve_s": round(timed_serve(), 2), "files": opened_files()}
+    ]
+    if verbose:
+        print(f"segment-accum: segments=1 serve={rows[0]['serve_s']}s files={rows[0]['files']}")
+    for night in range(n_nights):
+        batch = docs.where(F.col("doc_id") % mod == night)
+        bp = _bm25_postings(batch, seg=night + 1)
+        postings.merge(bp)
+        stats.merge(
+            stats.serve()
+            .unionByName(_bm25_seg_stats(batch, bp))
+            .groupBy("sid")
+            .agg(
+                F.sum("n_docs").cast("bigint").alias("n_docs"),
+                F.sum("total_len").cast("bigint").alias("total_len"),
+            )
+        )
+        row = {
+            "segments": night + 2,
+            "serve_s": round(timed_serve(), 2),
+            "files": opened_files(),
+        }
+        rows.append(row)
+        if verbose:
+            print(
+                f"segment-accum: segments={row['segments']} "
+                f"serve={row['serve_s']}s files={row['files']}"
+            )
+
+    # --- OPTIMIZE and the three contracts
+    served_before = sorted(
+        map(tuple, _bm25_scores_served(spark, root).collect())
+    )
+    compacted = postings.optimize()
+    stats.optimize()
+    post = {
+        "segments": n_nights + 1,
+        "serve_s": round(timed_serve(), 2),
+        "files": opened_files(),
+        "optimized": True,
+        "compacted_dirs": len(compacted),
+    }
+    rows.append(post)
+    served_after = sorted(map(tuple, _bm25_scores_served(spark, root).collect()))
+    # (a) layout-only
+    assert served_after == served_before, (
+        "OPTIMIZE changed served BM25 scores — compaction must be layout-only"
+    )
+    # (b) one file per live pruned (seg, tb) dir
+    pruned = postings.serve({"tb": buckets})
+    live_dirs = pruned.select("seg", "tb").distinct().count()
+    assert post["files"] == live_dirs, (
+        f"post-OPTIMIZE pruned serve opened {post['files']} files for "
+        f"{live_dirs} live pruned dirs — expected exactly one per dir"
+    )
+    # (c) stats row == full recompute over the now-complete corpus
+    st = read_versioned_table(spark, f"{root}/stats").collect()[0]
+    n_docs_true = docs.count()
+    total_len_true = (
+        read_versioned_table(spark, f"{root}/postings")
+        .agg(F.coalesce(F.sum("tf"), F.lit(0)).cast("bigint").alias("t"))
+        .collect()[0]["t"]
+    )
+    assert (st["n_docs"], st["total_len"]) == (n_docs_true, total_len_true), (
+        f"stats row {(st['n_docs'], st['total_len'])} != recompute "
+        f"{(n_docs_true, total_len_true)} after {n_nights} merges + OPTIMIZE"
+    )
+    if verbose:
+        print(
+            f"segment-accum: post-OPTIMIZE serve={post['serve_s']}s "
+            f"files={post['files']} (= {live_dirs} live pruned dirs, "
+            f"{post['compacted_dirs']} dirs compacted); served bit-identical; "
+            f"stats row == recompute ({n_docs_true} docs, {total_len_true} tokens)"
+        )
+    return rows
+
+
+def multimodal_nights(
+    spark: SparkSession, sf_dir: str, n_nights: int = 4, mult: int = 1
+) -> list[dict]:
+    """The multimodal factory's N-night continuation probe (r12 verdict
+    ask #7): the pack-continuation pytest covers 2 nights at sf0.01 and
+    the r12 probe 1 night at 4 mults; this runs ``n_nights`` SEQUENTIAL
+    nights against one (optionally amplified) historic store and
+    asserts the exactly-once continuation contract at probe tier:
+
+    - survivor offsets are GLOBALLY contiguous: ordered by (night,
+      doc_id), each night's first survivor starts exactly where the
+      previous night ended, all the way back to the historic base;
+    - the stats row advances after each night by EXACTLY that night's
+      survivors' token total (tomorrow's base is tonight's end).
+
+    Night batches are the base fixture's ``doc_id % 5 = 0`` arrivals
+    split into ``n_nights`` disjoint quarters by ``doc_id % (5 *
+    n_nights)`` — every batch doc keeps residue 0 mod 5, so the
+    factory's hardcoded batch-membership predicates (the pair
+    restriction and the later-side rule) stay exact for every night.
+    Amplification shifts doc_id by 1e9 (≡ 0 mod 20), so the historic
+    slice keeps its residues too."""
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.indexes import (
+        IncrementalIndexStore,
+    )
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        factory_multimodal_nightly,
+        factory_multimodal_store_build,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    hist = amplify(docs.where(F.col("doc_id") % 5 != 0), mult, ["doc_id"])
+    root = factory_multimodal_store_build(spark, hist, f"probe_mm_nights_m{mult}")
+    stats = IncrementalIndexStore(
+        spark, f"{root}/stats", keys=["sid"], partition_by=["sid"]
+    )
+    base = stats.serve().collect()[0]["base_tokens"]
+    expect_off = base
+    rows: list[dict] = []
+    for night in range(n_nights):
+        batch = docs.where(F.col("doc_id") % (5 * n_nights) == 5 * night)
+        t0 = time.time()
+        out = factory_multimodal_nightly(spark, batch, root).collect()
+        dt = time.time() - t0
+        _drop_persistent_blocks(spark)
+        surv = sorted(
+            (r for r in out if r["is_survivor"]), key=lambda r: r["doc_id"]
+        )
+        assert surv, f"night {night}: no survivors — vacuous slice"
+        # offsets: one global prefix sum continuing across nights
+        for r in surv:
+            assert r["start_offset"] == expect_off, (
+                f"night {night} doc {r['doc_id']}: offset {r['start_offset']} "
+                f"!= expected {expect_off} — continuation broken"
+            )
+            expect_off += r["n_words_main"]
+        # stats: advanced by exactly this night's survivor total
+        after = stats.serve().collect()[0]["base_tokens"]
+        assert after == expect_off, (
+            f"night {night}: stats row {after} != survivors' end {expect_off}"
+        )
+        rows.append(
+            {
+                "night": night + 1,
+                "nightly_s": round(dt, 2),
+                "survivors": len(surv),
+                "base_after": int(after),
+            }
+        )
+        print(
+            f"mm-nights m{mult}: night={night + 1} {dt:.2f}s "
+            f"survivors={len(surv)} base_after={after}"
+        )
+    print(
+        f"mm-nights m{mult}: {n_nights} nights contiguous from base {base} "
+        f"to {expect_off}; stats advanced exactly per night"
+    )
+    return rows
 
 
 def _drop_persistent_blocks(spark) -> None:
@@ -1885,6 +2121,26 @@ def main() -> int:
         "largest mult (a fresh JVM per audit sweep keeps 64x heap "
         "headroom honest)",
     )
+    ap.add_argument(
+        "--segments",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run ONLY the multi-night segment-accumulation probe: N "
+        "sequential nightly BM25 merges with serve time + opened-file "
+        "count per segment count, then OPTIMIZE + the three lifecycle "
+        "assertions (r12 verdict ask #1)",
+    )
+    ap.add_argument(
+        "--mm-nights",
+        type=int,
+        default=0,
+        metavar="N",
+        help="run ONLY the multimodal factory's N-night continuation "
+        "probe: sequential nights against one historic store, asserting "
+        "globally contiguous offsets and exact stats advances (r12 "
+        "verdict ask #7); --mults' LAST value is the historic mult",
+    )
     args = ap.parse_args()
     mults = [int(m) for m in args.mults.split(",")]
     only = {n for n in args.only.split(",") if n}
@@ -1893,6 +2149,13 @@ def main() -> int:
 
     cpus = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark()
+
+    if args.segments:
+        segment_accumulation(spark, args.sf, n_nights=args.segments)
+        return 0
+    if args.mm_nights:
+        multimodal_nights(spark, args.sf, n_nights=args.mm_nights, mult=mults[-1])
+        return 0
 
     # Per-probe shuffle sizing at big mults. The sort-heavy corpus
     # probes need partitions scaled with the data (32 partitions that
