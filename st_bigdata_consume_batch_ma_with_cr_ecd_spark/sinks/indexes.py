@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .versioned import (
+    coalesce_versioned_partitions,
     compact_versioned_table,
     create_versioned_table,
     merge_versioned_table,
@@ -134,6 +135,18 @@ class IncrementalIndexStore:
         """VACUUM: reclaim superseded manifests/commit dirs beyond the
         retention window; the live snapshot is untouched."""
         return vacuum_versioned_table(self.spark, self.path, **kwargs)
+
+    def coalesce_history(self, col: str, into) -> list[dict]:
+        """Fold accumulated ingest segments into the base segment.
+        OPTIMIZE bounds files per dir; THIS bounds the dir count under
+        perpetual nightly merges that append a fresh ``col`` value per
+        night. ``col`` must be ingest provenance serving never reads —
+        every other column is carried bit-identically, so served
+        results that ignore ``col`` are unchanged (probe-asserted).
+        Nightly merges continue on top with fresh ``col`` values."""
+        return coalesce_versioned_partitions(
+            self.spark, self.path, col=col, into=into
+        )
 
 
 def served_snapshot(

@@ -1241,6 +1241,105 @@ def compact_versioned_table(
     raise VersionedTableError(f"compaction failed after {max_retries} attempts: {last_err}")
 
 
+def coalesce_versioned_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    col: str,
+    into,
+    max_retries: int = 3,
+) -> list[dict]:
+    """COALESCE HISTORY: fold every partition whose ``col`` value
+    differs from ``into`` under ``col = into``, published as one new
+    version; returns the absorbed partition-value dicts (empty =
+    nothing to fold, no version written).
+
+    OPTIMIZE bounds the FILE count per partition dir; nothing bounds
+    the DIR count when the nightly merge appends a fresh partition
+    value per night (the Lucene segment model the BM25 posting store
+    uses: every night is a new ``seg``, so a year of operation is
+    365 × term-bucket dirs and a pruned serve opens O(nights) files —
+    the r13 segment-accumulation probe measures exactly this growth).
+    Coalescing is the segment-merge half of that model: the
+    accumulated segments rewrite into the base segment, dir count
+    returns to O(residual partition values), and nightly merges
+    continue on top with fresh ``col`` values.
+
+    ``col`` must be an INGEST-PROVENANCE partition column: its value
+    records WHEN a row arrived, never WHAT the row means, and serving
+    must not read it (BM25 scoring sums tf across all segments; the
+    coalesce probe asserts served scores bit-identical). Every other
+    column is carried bit-identically. Upsert keys stay unique
+    because merge keys are table-global row identity — a key lives in
+    exactly one partition before and after the fold.
+
+    Like compaction, this is just another commit: read only the
+    folding partitions, rewrite them clustered one-file-per-dir, and
+    swap the manifest atomically. Time travel still serves the
+    pre-coalesce segment layout; vacuum reclaims it later; a
+    concurrent merge losing the race retries against the new
+    manifest.
+    """
+    last_err = ""
+    for _ in range(max_retries):
+        v = latest_version(spark, path)
+        m = _read_manifest(spark, path, v)
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        part_cols = list(m["partition_by"])
+        if col not in part_cols:
+            raise VersionedTableError(
+                f"coalesce column {col!r} is not a partition column {part_cols}"
+            )
+        residual_cols = [c for c in part_cols if c != col]
+        victims = [e for e in m["entries"] if e["partition"][col] != into]
+        if not victims:
+            return []
+        # fold the existing `into` dirs that share a residual value with
+        # a victim into the same rewrite, so each residual dir comes out
+        # as ONE fresh file instead of old-file + folded-file
+        touched = {
+            tuple(e["partition"][c] for c in residual_cols) for e in victims
+        }
+        absorbers = [
+            e
+            for e in m["entries"]
+            if e["partition"][col] == into
+            and tuple(e["partition"][c] for c in residual_cols) in touched
+        ]
+        rewrite = victims + absorbers
+        slice_df = _read_entries(spark, path, rewrite, schema, part_cols)
+        into_typed = F.lit(into).cast(
+            next(f.dataType for f in schema.fields if f.name == col)
+        )
+        # one residual partition value per task -> exactly one file per
+        # post-fold dir (all rows of a value hash to one task)
+        clustered = slice_df.withColumn(col, into_typed).repartition(
+            max(len(touched), 1), *part_cols
+        )
+        _, new_entries = _commit_data(
+            clustered.localCheckpoint(eager=True),
+            path,
+            part_cols,
+            list(m.get("bloom_cols", [])),
+        )
+        keep = [e for e in m["entries"] if e not in rewrite]
+        candidate = {
+            "version": v + 1,
+            "ts": time.time(),
+            "schema": m["schema"],
+            "partition_by": part_cols,
+            "entries": keep + new_entries,
+            "txns": dict(m.get("txns", {})),
+            "bloom_cols": list(m.get("bloom_cols", [])),
+        }
+        if _write_manifest(spark, path, candidate):
+            return [e["partition"] for e in victims]
+        last_err = f"lost commit race for version {v + 1}"
+    raise VersionedTableError(
+        f"coalesce failed after {max_retries} attempts: {last_err}"
+    )
+
+
 def table_history(spark: SparkSession, path: str) -> list[dict]:
     """Version lineage: (version, commit wall-clock, partition count)."""
     out = []

@@ -89,3 +89,73 @@ def test_fresh_index_root_is_pid_scoped_and_clean(spark):
     (open(os.path.join(root, "stale"), "w")).close()
     assert fresh_index_root("pytest_root") == root
     assert not os.path.exists(root), "fresh_index_root must pre-clean"
+
+
+def _seg_rows(spark, ids, seg):
+    return spark.createDataFrame(
+        [(i, seg, i % 3, i * 10) for i in ids],
+        "key bigint, seg int, tb int, val bigint",
+    )
+
+
+def test_coalesce_history_folds_segments(spark, tmp_path):
+    """coalesce_history: the fourth lifecycle verb. OPTIMIZE bounds
+    files per dir; this bounds the DIR count under perpetual nightly
+    segment appends — fold N accumulated seg partitions into the base,
+    values (minus the provenance col) bit-identical, dirs back to
+    O(residual partition values), and the store keeps merging."""
+    store = IncrementalIndexStore(
+        spark, str(tmp_path / "segidx"), keys=["key"], partition_by=["seg", "tb"]
+    )
+    store.build(_seg_rows(spark, range(0, 9), seg=0))
+    for night in range(1, 4):  # three nightly segments on top
+        store.merge(_seg_rows(spark, range(9 * night, 9 * night + 9), seg=night))
+    before = rows_set(store.serve().select("key", "tb", "val"))
+    m = _read_manifest(spark, store.path, list_versions(spark, store.path)[-1])
+    assert len(m["entries"]) == 12  # 4 segs x 3 buckets
+
+    folded = store.coalesce_history("seg", 0)
+    assert len(folded) == 9, "three seg=1..3 x 3 buckets should fold"
+    # provenance-blind content is bit-identical
+    assert rows_set(store.serve().select("key", "tb", "val")) == before
+    # dir count collapses to the residual partition values...
+    m2 = _read_manifest(spark, store.path, list_versions(spark, store.path)[-1])
+    assert len(m2["entries"]) == 3
+    assert all(e["partition"]["seg"] == 0 for e in m2["entries"])
+    # ...and every dir is ONE fresh file (absorbers folded in, not
+    # left stacked beside the rewrite)
+    pruned = store.serve({"tb": [0, 1, 2]})
+    assert len(pruned.inputFiles()) == 3
+    # a pruned serve on the residual col still works
+    assert rows_set(store.serve({"tb": [1]}).select("key")) == {
+        (k,) for k in range(36) if k % 3 == 1
+    }
+
+    # the store keeps operating: a fresh segment merges on top
+    store.merge(_seg_rows(spark, range(36, 45), seg=1))
+    assert store.serve().count() == 45
+    m3 = _read_manifest(spark, store.path, list_versions(spark, store.path)[-1])
+    assert len(m3["entries"]) == 6  # 3 folded + 3 new seg=1 dirs
+    # ...and a second fold absorbs it back into the base
+    assert len(store.coalesce_history("seg", 0)) == 3
+    assert store.serve().count() == 45
+
+    # idempotent: nothing left to fold -> no version written
+    v = list_versions(spark, store.path)[-1]
+    assert store.coalesce_history("seg", 0) == []
+    assert list_versions(spark, store.path)[-1] == v
+
+
+def test_coalesce_history_rejects_non_partition_column(spark, tmp_path):
+    import pytest
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+        VersionedTableError,
+    )
+
+    store = IncrementalIndexStore(
+        spark, str(tmp_path / "badidx"), keys=["key"], partition_by=["seg", "tb"]
+    )
+    store.build(_seg_rows(spark, range(0, 6), seg=0))
+    with pytest.raises(VersionedTableError, match="not a partition column"):
+        store.coalesce_history("val", 0)

@@ -1880,6 +1880,25 @@ def segment_accumulation(
         stored (n_docs, total_len) equals a full recompute from the
         corpus + the post-OPTIMIZE posting snapshot.
 
+    The run itself shows WHY a fourth lifecycle verb exists: each
+    nightly merge writes exactly one file per touched (seg, tb) dir,
+    so OPTIMIZE (files-per-dir compaction) finds nothing to do while
+    the opened-file count still grows O(nights) — a year of nightly
+    segments is 365 × term-bucket dirs per pruned serve. So after the
+    OPTIMIZE contracts, the probe runs ``coalesce_history("seg", 0)``
+    — the Lucene-model segment merge — and asserts
+
+    (d) served scores bit-identical across the fold (seg is ingest
+        provenance; scoring sums tf over all segments);
+    (e) the pruned serve collapses to exactly one file per term
+        bucket — the dir count is back to O(residual partitions),
+        independent of how many nights accumulated;
+    (f) the store keeps operating: one MORE nightly merge (shifted-id
+        replicas of the night-0 docs — genuinely new keys) lands on
+        the folded base and the served scores equal the in-memory
+        ``_bm25_scores`` over the grown corpus — ground truth, not
+        store-vs-store.
+
     Nights are disjoint ``doc_id % (n_nights+1)`` slices (historic =
     the last residue), so after night N the store holds the full
     corpus and the recompute in (c) has a closed form. Returns the
@@ -1894,6 +1913,7 @@ def segment_accumulation(
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.graph_retrieval import (
         _BM25_QUERIES,
         _bm25_postings,
+        _bm25_scores,
         _bm25_scores_served,
         _bm25_seg_stats,
         _term_bucket_py,
@@ -1998,6 +2018,78 @@ def segment_accumulation(
             f"files={post['files']} (= {live_dirs} live pruned dirs, "
             f"{post['compacted_dirs']} dirs compacted); served bit-identical; "
             f"stats row == recompute ({n_docs_true} docs, {total_len_true} tokens)"
+        )
+
+    # --- COALESCE HISTORY and contracts (d)/(e)/(f): OPTIMIZE had
+    # nothing to compact (each nightly merge writes one file per
+    # touched dir) yet opened files grew O(nights) — the dir count is
+    # what needs bounding, and that is the fourth lifecycle verb
+    folded = postings.coalesce_history("seg", 0)
+    served_folded = sorted(map(tuple, _bm25_scores_served(spark, root).collect()))
+    # (d) the fold is provenance-only: served scores bit-identical
+    assert served_folded == served_after, (
+        "coalesce_history changed served BM25 scores — seg must be "
+        "ingest provenance scoring never reads"
+    )
+    # (e) dir count back to O(residual partitions): one file per bucket
+    fold_row = {
+        "segments": 1,
+        "serve_s": round(timed_serve(), 2),
+        "files": opened_files(),
+        "coalesced": True,
+        "folded_dirs": len(folded),
+    }
+    rows.append(fold_row)
+    assert fold_row["files"] == len(buckets), (
+        f"post-coalesce pruned serve opened {fold_row['files']} files for "
+        f"{len(buckets)} query term buckets — expected one per bucket"
+    )
+    # (f) the store keeps operating: one MORE night lands on the folded
+    # base (shifted-id replicas of the night-0 docs = genuinely new
+    # keys) and the served scores equal the in-memory scorer over the
+    # grown corpus — ground truth, not store-vs-store
+    batch_next = docs.where(F.col("doc_id") % mod == 0).withColumn(
+        "doc_id", (F.col("doc_id") + F.lit(10**9)).cast("bigint")
+    )
+    bp_next = _bm25_postings(batch_next, seg=1)
+    postings.merge(bp_next)
+    stats.merge(
+        stats.serve()
+        .unionByName(_bm25_seg_stats(batch_next, bp_next))
+        .groupBy("sid")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("total_len").cast("bigint").alias("total_len"),
+        )
+    )
+    served_grown = sorted(map(tuple, _bm25_scores_served(spark, root).collect()))
+    truth = sorted(
+        map(
+            tuple,
+            _bm25_scores(spark, sf_dir, docs=docs.unionByName(batch_next))
+            .collect(),
+        )
+    )
+    assert served_grown == truth, (
+        "post-coalesce nightly merge serves scores != in-memory BM25 "
+        "over the grown corpus — the folded store must keep operating"
+    )
+    rows.append(
+        {
+            "segments": 2,
+            "serve_s": round(timed_serve(), 2),
+            "files": opened_files(),
+            "post_coalesce_merge": True,
+        }
+    )
+    if verbose:
+        print(
+            f"segment-accum: coalesce folded {len(folded)} dirs -> serve="
+            f"{fold_row['serve_s']}s files={fold_row['files']} "
+            f"(= {len(buckets)} buckets); served bit-identical across the "
+            f"fold; next nightly merge on the folded base matches the "
+            f"in-memory scorer over the grown corpus "
+            f"(serve={rows[-1]['serve_s']}s files={rows[-1]['files']})"
         )
     return rows
 
