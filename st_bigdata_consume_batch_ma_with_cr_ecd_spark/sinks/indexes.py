@@ -20,8 +20,12 @@ incremental window, main.py:203-217, generalized to index maintenance):
 4. **manifest-pruned serve** — queries read the post-merge snapshot
    with ``partition_filter`` so only the partitions the query batch
    touches (probed cells, query-term buckets, ...) are ever opened;
-5. **maintenance** — OPTIMIZE (compaction, optionally Z-ordered) and
-   VACUUM (manifest/commit retention) run on the same table without
+5. **maintenance** — OPTIMIZE (files-per-dir compaction, optionally
+   Z-ordered), COALESCE HISTORY (fold accumulated ingest segments
+   into the base partition — OPTIMIZE bounds files per dir, this
+   bounds the DIR count under perpetual nightly appends; r13, from
+   the segment-accumulation probe's finding), and VACUUM
+   (manifest/commit retention) run on the same table without
    changing served results.
 
 r11 verdict ask #6: five bespoke copies of this skeleton had grown in

@@ -2110,12 +2110,22 @@ def multimodal_nights(
       survivors' token total (tomorrow's base is tonight's end).
 
     Night batches are the base fixture's ``doc_id % 5 = 0`` arrivals
-    split into ``n_nights`` disjoint quarters by ``doc_id % (5 *
-    n_nights)`` — every batch doc keeps residue 0 mod 5, so the
-    factory's hardcoded batch-membership predicates (the pair
-    restriction and the later-side rule) stay exact for every night.
-    Amplification shifts doc_id by 1e9 (≡ 0 mod 20), so the historic
-    slice keeps its residues too."""
+    split into ``n_nights`` ID-ORDERED CONTIGUOUS slices (ntile over
+    doc_id), for two reasons. (1) Semantics: a production ingest
+    assigns monotonically increasing ids, so id order IS arrival
+    order — under contiguous slices the factory's hardcoded
+    batch-membership rules (the ``x%5=0 OR y%5=0`` pair restriction,
+    the larger-id later-side rule, min-id fp ownership) resolve every
+    cross-NIGHT conflict to the earlier night, exactly the
+    arrival-order contract; a residue split (``doc_id % (5*n)``)
+    would let an earlier night's doc carry a LARGER id than a later
+    near-dup and mis-attribute the duplicate verdict. (2) Mixture: a
+    ``% 20`` residue split correlates with the ``% 3`` / ``% 4``
+    payload-carrier predicates — night 0 would be 100% audio
+    carriers (mass near-dup kill, zero survivors) and nights 1-3
+    would carry none, which is how the first version of this probe
+    failed. Amplification shifts doc_id by 1e9 (≡ 0 mod 20), so the
+    historic slice keeps its residues."""
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.indexes import (
         IncrementalIndexStore,
     )
@@ -2133,8 +2143,13 @@ def multimodal_nights(
     base = stats.serve().collect()[0]["base_tokens"]
     expect_off = base
     rows: list[dict] = []
+    from pyspark.sql import Window
+
+    arrivals = docs.where(F.col("doc_id") % 5 == 0).withColumn(
+        "__night", F.ntile(n_nights).over(Window.orderBy("doc_id")) - 1
+    )
     for night in range(n_nights):
-        batch = docs.where(F.col("doc_id") % (5 * n_nights) == 5 * night)
+        batch = arrivals.where(F.col("__night") == night).drop("__night")
         t0 = time.time()
         out = factory_multimodal_nightly(spark, batch, root).collect()
         dt = time.time() - t0
