@@ -159,3 +159,76 @@ def test_coalesce_history_rejects_non_partition_column(spark, tmp_path):
     store.build(_seg_rows(spark, range(0, 6), seg=0))
     with pytest.raises(VersionedTableError, match="not a partition column"):
         store.coalesce_history("val", 0)
+
+
+def test_coalesce_history_retries_after_losing_commit_race(
+    spark, tmp_path, monkeypatch
+):
+    """Coalesce is 'just another commit', so it must survive losing the
+    manifest CAS to a concurrent writer: re-read the new latest,
+    recompute the victim set, and land the fold on top — not fail, and
+    not fold against the pre-race snapshot."""
+    import json
+    import time
+
+    from pathlib import Path
+
+    import st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned as V
+
+    store = IncrementalIndexStore(
+        spark, str(tmp_path / "raceidx"), keys=["key"], partition_by=["seg", "tb"]
+    )
+    store.build(_seg_rows(spark, range(0, 9), seg=0))
+    store.merge(_seg_rows(spark, range(9, 18), seg=1))
+    before = rows_set(store.serve().select("key", "tb", "val"))
+
+    real = V._write_manifest
+    calls = {"n": 0}
+
+    def flaky(spark_, path, candidate):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # a concurrent no-op commit claims the contested version
+            # number first, then this writer's CAS reports the loss —
+            # the retry must fold against the PLANTED version
+            cur = V._read_manifest(spark_, path, candidate["version"] - 1)
+            competing = dict(cur, version=candidate["version"], ts=time.time())
+            Path(V._manifest_path(path, candidate["version"])).write_text(
+                json.dumps(competing)
+            )
+            return False
+        return real(spark_, path, candidate)
+
+    monkeypatch.setattr(V, "_write_manifest", flaky)
+    folded = store.coalesce_history("seg", 0)
+    assert calls["n"] >= 2, "coalesce never retried the lost CAS"
+    assert len(folded) == 3  # seg=1 x 3 buckets, recomputed post-race
+    assert rows_set(store.serve().select("key", "tb", "val")) == before
+    m = _read_manifest(spark, store.path, list_versions(spark, store.path)[-1])
+    assert len(m["entries"]) == 3
+    assert all(e["partition"]["seg"] == 0 for e in m["entries"])
+
+
+def test_coalesce_then_remerge_keeps_key_identity(spark, tmp_path):
+    """Upsert keys are table-global row identity: after a fold, tonight
+    re-sending a folded key under a NEW segment must replace the base
+    copy (merge rewrites the old partition too), never duplicate it —
+    and vacuum after the fold keeps the live snapshot intact."""
+    store = IncrementalIndexStore(
+        spark, str(tmp_path / "remergeidx"), keys=["key"], partition_by=["seg", "tb"]
+    )
+    store.build(_seg_rows(spark, range(0, 6), seg=0))
+    store.merge(_seg_rows(spark, range(6, 12), seg=1))
+    store.coalesce_history("seg", 0)
+    store.merge(
+        spark.createDataFrame(
+            [(3, 2, 0, 999)], "key bigint, seg int, tb int, val bigint"
+        )
+    )
+    assert rows_set(store.serve().where("key = 3").select("key", "seg", "val")) == {
+        (3, 2, 999)
+    }
+    assert store.serve().count() == 12
+    before = rows_set(store.serve().select("key", "tb", "val"))
+    store.vacuum(keep_last=1, min_age_seconds=0)
+    assert rows_set(store.serve().select("key", "tb", "val")) == before

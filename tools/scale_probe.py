@@ -1066,6 +1066,146 @@ def probes(
                 n_probe=2,
             ).write.format("noop").mode("overwrite").save()
 
+    # --- reweighted-IVFADC served from RETRAINED coarse cells -------
+    # The r13 tier (ann_topk_reweighted_ivfpq_retrained) partitions
+    # the packed store by cells CLUSTERED UNDER w^2 instead of the
+    # unweighted gauss centroids. The scale question this probe
+    # answers is occupancy SKEW: a w^2 retrain is free to collapse
+    # most of the corpus into few cells, and a skewed store erodes
+    # manifest pruning's payoff (probing 2 of 8 cells only drops
+    # ~3/4 of the packed bytes if cells stay balanced). So the build
+    # step PRINTS the stored per-cell occupancy histogram at every
+    # mult, and the timed serve is the same shape as rw_ivfpq_served:
+    # per-query reweighted tables + manifest-pruned packed read +
+    # nibble unpack + table join + top-k, probing by the asymmetric
+    # serving-score rule. Model, codebooks AND retrained centroids
+    # all train on the BASE corpus (yesterday's artifacts,
+    # corpus-size-independent); the index encodes the amplified
+    # corpus with them.
+    rw_rt_served_compute = None
+    if want("rw_ivfpq_rt_served"):
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.similarity import (
+            assign_w2_cells,
+            ivf_pq_reweighted_packed_topk_adc as _rt_adc,
+            normalized_embeddings as _rt_norm,
+            pq_packed_pair_inverted_file as _rt_pack,
+            probe_reweighted_cells,
+            train_ivf_centroids_reweighted,
+            train_pq_codebooks as _rt_books,
+            train_triplet_reweighter as _rt_train,
+        )
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.indexes import (
+            IncrementalIndexStore as _RtStore,
+            fresh_index_root as _rt_root,
+        )
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.sinks.versioned import (
+            read_versioned_table as _rt_read,
+        )
+        from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+            _HARDNEG_DUP_T,
+            _HARDNEG_K,
+            _IVF_FIXED_CENTROIDS,
+            _RW_IVF_RETRAIN_K,
+            _RW_PQ_CODES,
+            _RW_PQ_ITERS,
+            _RW_PQ_NSUB,
+            _TRIP_DIM,
+            _TRIP_EPOCHS,
+            _TRIP_LR,
+            _TRIP_MARGIN,
+        )
+
+        embs_rt = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if sf_dir + "/embs" not in _BASE_COUNTS:
+            _BASE_COUNTS[sf_dir + "/embs"] = (embs_rt.count(), 0)
+        n_embs_rt = _BASE_COUNTS[sf_dir + "/embs"][0]
+        rt_key = (sf_dir, mult, "rw_ivfpq_rt")
+        if rt_key not in _IVF_STORES:
+            w = _rt_train(
+                embs_rt,
+                embs_rt.where(F.col("vec_id") % 50 == 0),
+                k=_HARDNEG_K,
+                dup_threshold=_HARDNEG_DUP_T,
+                margin=_TRIP_MARGIN,
+                lr=_TRIP_LR,
+                epochs=_TRIP_EPOCHS,
+                dim=_TRIP_DIM,
+            ).localCheckpoint(eager=True)
+            en_b = _rt_norm(embs_rt)
+            books = _rt_books(
+                en_b,
+                vec_col="u",
+                n_subspaces=_RW_PQ_NSUB,
+                n_codes=_RW_PQ_CODES,
+                iters=_RW_PQ_ITERS,
+            )
+            cents_rt = train_ivf_centroids_reweighted(
+                en_b, w, n_centroids=_RW_IVF_RETRAIN_K, iters=1
+            )
+            en_m = _rt_norm(amplify(embs_rt, mult, ["vec_id"]))
+            packed = _rt_pack(
+                en_m,
+                vec_col="u",
+                centroids=_IVF_FIXED_CENTROIDS,
+                codebooks=books,
+            ).drop("cid")
+            cid_rt = assign_w2_cells(en_m, w, centroids=cents_rt)
+            root = _rt_root(f"probe_rw_ivfpq_rt_m{mult}")
+            store = _RtStore(
+                spark, f"{root}/cells", keys=["vec_id"], partition_by=["cid"]
+            ).build(packed.join(cid_rt, "vec_id"))
+            occ = {
+                int(r["cid"]): int(r["n"])
+                for r in store.serve()
+                .groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            qn = en_m.where(F.col("vec_id") < 3).localCheckpoint(eager=True)
+            qcells = probe_reweighted_cells(
+                qn, w, centroids=cents_rt, n_probe=2
+            ).localCheckpoint(eager=True)
+            cells = sorted(
+                int(r["cid"]) for r in qcells.select("cid").distinct().collect()
+            )
+            full_f = len(_rt_read(spark, f"{root}/cells").inputFiles())
+            pruned_f = len(
+                _rt_read(
+                    spark, f"{root}/cells", partition_filter={"cid": cells}
+                ).inputFiles()
+            )
+            tot = sum(occ.values())
+            probed_rows = sum(occ.get(c, 0) for c in cells)
+            print(
+                f"rw_ivfpq_rt_served mult={mult}: retrained-cell occupancy "
+                f"{[occ.get(c, 0) for c in range(_RW_IVF_RETRAIN_K)]} "
+                f"(probing {len(cells)}/{_RW_IVF_RETRAIN_K} cells = "
+                f"{probed_rows}/{tot} rows), index files "
+                f"{full_f} -> {pruned_f} after manifest pruning"
+            )
+            _IVF_STORES[rt_key] = (root, books, w, qn, cells, cents_rt, qcells)
+        rt_root, rt_books_v, rt_w, rt_qn, rt_cells, rt_cents, rt_qcells = (
+            _IVF_STORES[rt_key]
+        )
+
+        def rw_rt_served_compute() -> None:
+            inv = _rt_read(
+                spark, f"{rt_root}/cells", partition_filter={"cid": rt_cells}
+            )
+            _rt_adc(
+                inv,
+                rt_qn,
+                rt_w,
+                centroids=rt_cents,
+                codebooks=rt_books_v,
+                k=5,
+                n_probe=2,
+                query_cells=rt_qcells.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("cid").alias("__cell"),
+                ),
+            ).write.format("noop").mode("overwrite").save()
+
     served = {}
     if factory_mm_compute is not None:
         served["factory_multimodal"] = (factory_mm_compute, n_docs * mult)
@@ -1073,6 +1213,8 @@ def probes(
         served["hybrid_served"] = (hybrid_served_compute, (n_docs + n_embs_h) * mult)
     if rw_ivfpq_served_compute is not None:
         served["rw_ivfpq_served"] = (rw_ivfpq_served_compute, n_embs_w * mult)
+    if rw_rt_served_compute is not None:
+        served["rw_ivfpq_rt_served"] = (rw_rt_served_compute, n_embs_rt * mult)
     if bm25_served_compute is not None:
         served["bm25_served"] = (bm25_served_compute, n_docs * mult)
     if factory_nightly_compute is not None:
