@@ -7645,7 +7645,13 @@ def eval_reweight_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corp_rt = en.join(cid_rt, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), F.col("u").alias("uc"), F.col("cid")
     )
-    qcells_rt_u = qn.join(qcells_rt, "vec_id").select(
+    # broadcast by INTENT, not estimate: both sides are query-batch
+    # checkpoints (10 x 20 rows, bounded by construction), but an
+    # unhinted join here broadcasts off the checkpoint's inherited
+    # estimate — the one hazard-sweep flag of r13; the hint records
+    # that the build side is the query batch, which stays driver-sized
+    # at any corpus scale
+    qcells_rt_u = F.broadcast(qn).join(qcells_rt, "vec_id").select(
         F.col("vec_id").alias("query_id"),
         F.col("u").alias("uq"),
         F.col("cid").alias("__cell"),
