@@ -439,6 +439,7 @@ def _bucket_pairs(
     pair_filter_sql: str | None = None,
     flag_col: str | None = None,
     distinct_pairs: bool = True,
+    dedup_docs: bool = False,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs, doc_a < doc_b, from a (doc, key...)
     bucket table: group by key -> sorted doc list -> emit the upper
@@ -447,6 +448,13 @@ def _bucket_pairs(
     upstream pipeline (signatures!) twice and shuffles both copies.
     ``max_bucket_size`` drops degenerate hot buckets (a B-doc bucket
     emits B(B-1)/2 pairs) — the corpus-scale skew guard.
+
+    ``dedup_docs=True`` collects a SET per bucket instead of a list —
+    for callers whose (doc, key) rows may repeat: it folds the
+    caller's would-be upstream ``.distinct()`` into the one groupBy
+    exchange this operator already pays (``sort_array(collect_set)``
+    equals ``distinct`` -> ``sort_array(collect_list)`` row for row),
+    removing a full shuffle of the bucket table.
 
     ``pair_filter_sql``: optional SQL boolean over ``x`` (smaller id)
     and ``y`` (larger id) applied INSIDE pair generation, before any
@@ -492,7 +500,8 @@ def _bucket_pairs(
             F.explode(F.flatten(pair_structs)).alias("p")
         ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         return pairs.distinct() if distinct_pairs else pairs
-    grouped = buckets.groupBy(*key_cols).agg(F.sort_array(F.collect_list("doc")).alias("__docs"))
+    collected = F.collect_set("doc") if dedup_docs else F.collect_list("doc")
+    grouped = buckets.groupBy(*key_cols).agg(F.sort_array(collected).alias("__docs"))
     if max_bucket_size is not None:
         grouped = grouped.where(F.size("__docs") <= max_bucket_size)
     inner = "slice(__docs, i + 2, size(__docs))"

@@ -368,15 +368,30 @@ def audio_energy_windows(
                     continue
                 _, frames = decode_wav(b)
                 s = frames[:, 0].astype(np.int64)
-                neg = s < 0
-                for w0 in range(0, s.shape[0], window):
-                    seg = s[w0 : w0 + window]
-                    segneg = neg[w0 : w0 + window]
-                    rows["doc_id"].append(int(d))
-                    rows["window_idx"].append(w0 // window)
-                    rows["n"].append(int(seg.shape[0]))
-                    rows["sum_abs"].append(int(np.abs(seg).sum()))
-                    rows["zero_crossings"].append(int((segneg[1:] != segneg[:-1]).sum()))
+                n = s.shape[0]
+                if n == 0:
+                    continue
+                # vectorized per-window aggregation (one reshape-sum per
+                # clip instead of a Python loop per window): pad |s| and
+                # the adjacent-sign-flip indicator to whole windows with
+                # zeros — zeros change neither the L1 sum nor the flip
+                # count — after first zeroing the flips that straddle a
+                # window boundary (they belong to neither window)
+                nw = -(-n // window)
+                sa = np.zeros(nw * window, dtype=np.int64)
+                sa[:n] = np.abs(s)
+                fl = np.zeros(nw * window, dtype=np.int64)
+                if n > 1:
+                    neg = s < 0
+                    fl[: n - 1] = neg[1:] != neg[:-1]
+                    fl[window - 1 :: window] = 0  # boundary pairs
+                ns = np.full(nw, window, dtype=np.int64)
+                ns[-1] = n - (nw - 1) * window
+                rows["doc_id"].extend([int(d)] * nw)
+                rows["window_idx"].extend(range(nw))
+                rows["n"].extend(ns.tolist())
+                rows["sum_abs"].extend(sa.reshape(nw, window).sum(axis=1).tolist())
+                rows["zero_crossings"].extend(fl.reshape(nw, window).sum(axis=1).tolist())
             yield pd.DataFrame(rows).astype(dtypes)
 
     return df.select(id_col, payload_col).mapInPandas(op, AUDIO_WINDOW_SCHEMA)

@@ -122,6 +122,19 @@ def fuzzy_self_pairs(
     exploded = strings.select(
         "s", F.explode(deletion_neighborhood(F.col("s"), max_distance)).alias("v")
     )
+    if max_variant_freq is None:
+        # The variant is only a MATCH key — it is never read back — so
+        # shuffle an 8-byte xxhash64 of it instead of the variant string
+        # (guide-§2.3 "shuffle keys, not payloads": at k=2 the explode
+        # emits ~L^2/2 variants per string and the variant bytes dominate
+        # the exchange). A hash collision can only MERGE two buckets,
+        # which adds candidate pairs the levenshtein verify then kills —
+        # completeness (equal variants hash equal) and the verified
+        # result are unchanged, unconditionally. Only safe UNCAPPED:
+        # with max_variant_freq a merged bucket could spuriously exceed
+        # the cap and drop true pairs, so capped callers keep the exact
+        # string key.
+        exploded = exploded.select("s", F.xxhash64("v").alias("v"))
     grouped = exploded.groupBy("v").agg(F.sort_array(F.collect_set("s")).alias("__ss"))
     grouped = grouped.where(F.size("__ss") >= 2)
     if max_variant_freq is not None:
@@ -141,9 +154,12 @@ def fuzzy_self_pairs(
     # multiset — measured 365.1s vs this shape's 336.5s at the 16x
     # probe point, so the pair-distinct is NOT the k=2 bottleneck; the
     # cost lives in the variant-explode shuffle upstream. Kept as is.)
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    # banded verify (Spark 3.5+ threshold form): O(k*L) cells instead of
+    # the full O(L^2) DP, returns -1 past the threshold and the exact
+    # distance within it — same rows, same dist values
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_distance)
     return cands.select("name_a", "name_b", dist.alias("dist")).where(
-        F.col("dist") <= max_distance
+        F.col("dist") >= 0
     )
 
 
@@ -174,21 +190,29 @@ def fuzzy_join(
     # evaluations feeding the join, corrupting the (__lid, __rid)
     # dedup (r4 advice). Materializing the stamped frame makes every
     # downstream read see one fixed assignment.
+    # the exploded variant is only an equi-join key (never read back), so
+    # hash it to 8 bytes before the exchange — a collision merely adds a
+    # candidate row the levenshtein filter kills (no cap here, so the
+    # result is exact unconditionally; see fuzzy_self_pairs)
     lv = (
         left.withColumn("__lid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
         .select(
             "*",
-            F.explode(deletion_neighborhood(F.col(left_col), max_distance)).alias("__v"),
+            F.explode(deletion_neighborhood(F.col(left_col), max_distance)).alias("__vs"),
         )
+        .withColumn("__v", F.xxhash64("__vs"))
+        .drop("__vs")
     )
     rv = (
         right.withColumn("__rid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
         .select(
             "*",
-            F.explode(deletion_neighborhood(F.col(right_col), max_distance)).alias("__v"),
+            F.explode(deletion_neighborhood(F.col(right_col), max_distance)).alias("__vs"),
         )
+        .withColumn("__v", F.xxhash64("__vs"))
+        .drop("__vs")
     )
     l, r = lv.alias("l"), rv.alias("r")
     joined = l.join(r, F.col("l.__v") == F.col("r.__v")).drop("__v")
@@ -199,11 +223,12 @@ def fuzzy_join(
         out = f"{c}_right" if c in left_cols else c
         proj.append(F.col(f"r.{c}").alias(out))
     rc = f"{right_col}_right" if right_col in left_cols else right_col
-    dist = F.levenshtein(F.col(left_col), F.col(rc))
+    # banded threshold verify — exact distance within max_distance, -1 past it
+    dist = F.levenshtein(F.col(left_col), F.col(rc), max_distance)
     return (
         joined.select(*proj)
         .dropDuplicates(["__lid", "__rid"])
         .drop("__lid", "__rid")
         .withColumn("dist", dist)
-        .where(F.col("dist") <= max_distance)
+        .where(F.col("dist") >= 0)
     )

@@ -649,10 +649,20 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # nodes carry a has_out flag from birth: the per-iteration dangling
+    # mass is then a FILTERED 1-row aggregate over the rank vector
+    # itself instead of a ranks-x-outdeg left join — two exchanges and
+    # a sort per iteration removed, identical decimal arithmetic
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            outdeg.select(F.col("src").alias("node"), F.lit(True).alias("has_out")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out"))
         .localCheckpoint(eager=True)
     )
     edges_out = (
@@ -675,8 +685,7 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("in_mass")
         )
         dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
-            .where(F.col("outdeg").isNull())
+            ranks.where(~F.col("has_out"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dm"))
         )
         new_rank = F.round(
@@ -689,9 +698,10 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).cast(_PR_DEC)
         ranks = (
-            nodes.join(in_mass, "node", "left")
+            ranks.select("node", "has_out")
+            .join(in_mass, "node", "left")
             .crossJoin(F.broadcast(dangling))
-            .select("node", new_rank.alias("rank"))
+            .select("node", "has_out", new_rank.alias("rank"))
             .localCheckpoint(eager=True)
         )
 
@@ -849,12 +859,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import _bucket_pairs
     from ..operators.graph import oriented_triangle_count
 
-    li = (
-        read_testdata(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
-        .distinct()
+    # dedup_docs folds the old `.distinct()` on (o, part) into the
+    # groupBy(o) exchange _bucket_pairs pays anyway (collect_set) —
+    # one full shuffle of the lineitem projection removed, same edges
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc")
     )
-    edges = _bucket_pairs(li, "o").select(
+    edges = _bucket_pairs(li, "o", dedup_docs=True).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     return oriented_triangle_count(edges)
@@ -924,12 +935,11 @@ def graph_triangle_count_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import _bucket_pairs
     from ..operators.graph import oriented_triangle_count
 
-    li = (
-        read_testdata(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
-        .distinct()
+    # same distinct-into-collect_set fold as graph_triangle_count
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc")
     )
-    edges = _bucket_pairs(li, "o").select(
+    edges = _bucket_pairs(li, "o", dedup_docs=True).select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     )
     # exact-integer threshold compare (h * den < 2^32 * num), never a
@@ -1331,27 +1341,36 @@ _CF_TOPK = 3
 def recsys_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_testdata(spark, sf_dir, "orders")
     lineitem = read_testdata(spark, sf_dir, "lineitem")
-    from ..llm.dedup import _bucket_pairs
 
-    # cp feeds the size profile AND the capped-universe join — one
-    # orders-lineitem join, materialized once (the multi-consumer rule)
-    cp = (
+    # ONE post-join exchange instead of three: the (customer, part)
+    # dedup, the basket-size profile, and the hot-user cap all fold
+    # into a single groupBy(c).collect_set — sort_array(collect_set)
+    # equals the old distinct -> collect_list row for row, sizes
+    # become size(__ps), and the cap becomes a filter on the grouped
+    # row instead of an aggregate + join back. (The r13 before-plan
+    # shows the old chain: Exchange(c,p) for the distinct, Exchange(c)
+    # for sizes, join, Exchange(c) for the pair groupBy.)
+    baskets = (
         orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-        .localCheckpoint(eager=False)  # lazy: plan inspection stays job-free
+        .groupBy("c")
+        .agg(F.sort_array(F.collect_set("p")).alias("__ps"))
+        .where(F.size("__ps") <= _CF_BASKET_CAP)
+        .localCheckpoint(eager=False)  # feeds ci AND the pair counts
     )
     # c_i on the same capped universe as the pair counts
-    sizes = cp.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
-    keep = cp.join(sizes.where(F.col("n") <= _CF_BASKET_CAP), "c").select(
-        "c", "p"
-    ).localCheckpoint(eager=False)
-    ci = keep.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    ci = baskets.select(F.explode("__ps").alias("p")).groupBy("p").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    pair_structs = F.expr(
+        "transform(__ps, (x, i) ->"
+        " transform(slice(__ps, i + 2, size(__ps)),"
+        " y -> struct(x AS pa, y AS pb)))"
+    )
     pairs = (
-        _bucket_pairs(
-            keep.select("c", F.col("p").alias("doc")), "c", distinct_pairs=False
-        )
-        .groupBy(F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb"))
+        baskets.select(F.explode(F.flatten(pair_structs)).alias("pp"))
+        .select(F.col("pp.pa").alias("pa"), F.col("pp.pb").alias("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("cij"))
         .where(F.col("cij") >= _CF_MIN_SUPPORT)
     )

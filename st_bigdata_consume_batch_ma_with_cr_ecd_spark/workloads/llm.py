@@ -3980,7 +3980,9 @@ def multimodal_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    from ..operators.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(_docs(spark, sf_dir).select("doc_id"))
     with_bmp = docs.mapInPandas(gen, "doc_id long, payload binary")
     return extract_image_features(with_bmp, fake_decode=False)
 
@@ -4053,7 +4055,9 @@ def multimodal_wav_energy_windows(spark: SparkSession, sf_dir: str) -> DataFrame
                 payloads.append(encode_wav(s, 16000))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    from ..operators.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(_docs(spark, sf_dir).select("doc_id"))
     wavs = docs.mapInPandas(gen, "doc_id long, payload binary")
     return audio_energy_windows(wavs, window=64)
 
@@ -4130,6 +4134,22 @@ def image_dhash_signatures(
         def _h(key: str, mod: int) -> int:
             return int(_hl.md5(key.encode("utf-8")).hexdigest()[:8], 16) % mod
 
+        # only n_patterns (37) distinct base grids exist across the whole
+        # corpus — memoize them per task (and, via module-level cache +
+        # worker reuse, across tasks) instead of recomputing 72 md5s per
+        # document; the per-doc noise grid stays per-doc by definition
+        base_cache: dict[int, np.ndarray] = {}
+
+        def _base(g: int) -> np.ndarray:
+            got = base_cache.get(g)
+            if got is None:
+                got = np.array(
+                    [[_h(f"{g}:{r}:{c}", 250) for c in range(9)] for r in range(8)],
+                    dtype=np.int16,
+                )
+                base_cache[g] = got
+            return got
+
         up = 2 * payload_scale
         for pdf in batches:
             ids = pdf["doc_id"]
@@ -4137,13 +4157,11 @@ def image_dhash_signatures(
             for d in ids:
                 d = int(d)
                 g = d % n_patterns
-                v = np.array(
-                    [
-                        [_h(f"{g}:{r}:{c}", 250) + _h(f"{d}:{r}:{c}", 5) for c in range(9)]
-                        for r in range(8)
-                    ],
-                    dtype=np.uint8,
+                noise = np.array(
+                    [[_h(f"{d}:{r}:{c}", 5) for c in range(9)] for r in range(8)],
+                    dtype=np.int16,
                 )
+                v = (_base(g) + noise).astype(np.uint8)
                 # block upsample: the dhash kernel's 9x8 nearest-
                 # neighbor grid samples back exactly the formula values
                 big = np.repeat(np.repeat(v, up, axis=0), up, axis=1)
@@ -4151,8 +4169,18 @@ def image_dhash_signatures(
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     from ..llm.multimodal import dhash_images
+    from ..operators.partitioning import ensure_min_partitions
 
-    imgs = docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    # fan out BEFORE the Python boundary: the raw documents table is a
+    # single parquet row group, so without this the synth+decode chain
+    # (the expensive per-row stage) runs in ONE task; repartitioning the
+    # 8-byte id rows is the cheapest possible shuffle, and the guard is
+    # a no-op whenever the caller's frame already has >= cores
+    # partitions (the factory's checkpointed batches, real multi-split
+    # inputs at scale).
+    imgs = ensure_min_partitions(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
     return dhash_images(imgs)
 
 
@@ -4541,20 +4569,35 @@ def _audio_fixture_wavs(docs: DataFrame, n_patterns: int = 37) -> DataFrame:
         def _h(key: str, mod: int) -> int:
             return int(_hl.md5(key.encode("utf-8")).hexdigest()[:8], 16) % mod
 
+        # n_patterns (37) distinct base contours — memoize per task
+        # rather than recomputing 65 md5s per document
+        base_cache: dict[int, np.ndarray] = {}
+
+        def _base(g: int) -> np.ndarray:
+            got = base_cache.get(g)
+            if got is None:
+                got = np.array([_h(f"{g}:{w}", 250) for w in range(65)], dtype=np.int16)
+                base_cache[g] = got
+            return got
+
         for pdf in batches:
             ids = pdf["doc_id"]
             payloads = []
             for d in ids:
                 d = int(d)
                 g = d % n_patterns
-                v = np.array(
-                    [_h(f"{g}:{w}", 250) + _h(f"{d}:{w}", 5) for w in range(65)],
-                    dtype=np.int16,
-                )
+                noise = np.array([_h(f"{d}:{w}", 5) for w in range(65)], dtype=np.int16)
+                v = _base(g) + noise
                 payloads.append(encode_wav(np.repeat(v, 16), 16000))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(gen, "doc_id long, payload binary")
+    from ..operators.partitioning import ensure_min_partitions
+
+    # same single-row-group fan-out as image_dhash_signatures: shuffle
+    # the id-only rows so WAV synth + decode use every core
+    return ensure_min_partitions(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id long, payload binary"
+    )
 
 
 def audio_contour_signatures(docs: DataFrame, *, n_patterns: int = 37) -> DataFrame:

@@ -1661,6 +1661,33 @@ def test_flagged_pair_generation_equals_id_predicate(spark, sf_dir):
         )
 
 
+def test_bucket_pairs_dedup_docs_equals_upstream_distinct(spark):
+    # r13 optimization: dedup_docs=True folds a caller's would-be
+    # upstream .distinct() into the groupBy exchange (collect_set) —
+    # must emit exactly the pairs of distinct -> default path, for both
+    # the distinct-pairs and the counting (multiset) consumers
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import _bucket_pairs
+
+    rows = [
+        ("b1", 1), ("b1", 2), ("b1", 2), ("b1", 3),  # dup (b1, 2)
+        ("b2", 2), ("b2", 3), ("b2", 3),             # dup (b2, 3)
+        ("b3", 5), ("b3", 5),                        # singleton after dedup
+    ]
+    df = spark.createDataFrame(rows, "k string, doc long")
+    for distinct_pairs in (True, False):
+        want = sorted(
+            map(tuple, _bucket_pairs(
+                df.distinct(), "k", distinct_pairs=distinct_pairs
+            ).collect())
+        )
+        got = sorted(
+            map(tuple, _bucket_pairs(
+                df, "k", distinct_pairs=distinct_pairs, dedup_docs=True
+            ).collect())
+        )
+        assert got == want and got, distinct_pairs
+
+
 def test_streaming_dedup_split_invariant_and_equals_batch(spark, sf_dir, tmp_path):
     # the continuous-dedup invariant: for ANY micro-batch split, the
     # drained pairs table equals the full-corpus batch recompute (every

@@ -764,10 +764,17 @@ def test_web_corpus_prep_dedup_has_group_limit_and_no_unsafe_joins(spark, sf_dir
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_audio_energy_windows_has_no_shuffle(spark, sf_dir):
+def test_audio_energy_windows_shuffles_ids_only(spark, sf_dir):
     # synth -> encode -> decode -> window features is two chained
-    # mapInPandas passes over the same rows: any Exchange means the
-    # per-clip pipeline started shuffling payload bytes
+    # mapInPandas passes over the same rows. The ONLY exchange allowed
+    # is the id-only fan-out below both passes (r13:
+    # operators/partitioning.ensure_min_partitions — the single-row-
+    # group test tables otherwise serialize the whole Python chain on
+    # one core): round-robin over doc_id rows, planned before any
+    # payload byte exists. A hash exchange, or a second exchange,
+    # would mean the per-clip pipeline started shuffling payload bytes.
     plan = plan_of(spark, sf_dir, "multimodal_wav_energy_windows")
     assert "MapInPandas" in plan
-    assert "Exchange" not in plan
+    # formatted explain renders the one physical node twice
+    assert plan.count("Exchange") == 2
+    assert "RoundRobinPartitioning" in plan
