@@ -121,8 +121,15 @@ def _pair_overlap_counts(
     numerators and denominators agree). Jaccard, containment, and
     overlap coefficients are all pure projections of these three
     counts."""
+    from ..operators.partitioning import pinned_group_repartition
+
     sh = _doc_shingles(df, text_col, id_col, k).select(F.col(id_col).alias("doc"), "shingle")
-    buckets = sh.groupBy("shingle").agg(F.sort_array(F.collect_list("doc")).alias("__docs"))
+    # pinned width for the same reason as _bucket_pairs: the quadratic
+    # pair explode below otherwise runs at AQE's grouped-bytes
+    # coalesced width (1-2 partitions on small bucket tables)
+    buckets = pinned_group_repartition(sh, "shingle").groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc")).alias("__docs")
+    )
     if max_shingle_freq is not None:
         buckets = buckets.where(F.size("__docs") <= max_shingle_freq)
     if materialize:
@@ -477,6 +484,14 @@ def _bucket_pairs(
     of deduplicating across buckets — for counting consumers
     (co-occurrence strength, triangle support) where the multiplicity
     IS the signal."""
+    from ..operators.partitioning import pinned_group_repartition
+
+    # pin the grouping exchange's width: AQE sizes it by the grouped
+    # BYTES, which underestimates the quadratic pair explode running on
+    # top by B(B-1)/2 per bucket — unpinned, the explode serialized on
+    # 1-2 of 32 cores for every small-bucket-table consumer (r13; the
+    # repartition is REUSED by the groupBy, so no extra shuffle)
+    buckets = pinned_group_repartition(buckets, *key_cols)
     if flag_col is not None:
         if pair_filter_sql is not None:
             raise ValueError("pass pair_filter_sql OR flag_col, not both")

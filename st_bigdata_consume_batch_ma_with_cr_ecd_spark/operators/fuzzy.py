@@ -135,6 +135,14 @@ def fuzzy_self_pairs(
         # the cap and drop true pairs, so capped callers keep the exact
         # string key.
         exploded = exploded.select("s", F.xxhash64("v").alias("v"))
+    # pin the variant-bucket exchange's width (same rationale as
+    # llm/dedup._bucket_pairs): AQE coalesces it by the grouped BYTES
+    # and the upper-triangle pair explode then runs on 1-2 cores —
+    # measured 18.0 -> 12.7 s on the k=2 query once pinned; the
+    # repartition is reused by the groupBy, so no extra shuffle
+    from ..operators.partitioning import pinned_group_repartition
+
+    exploded = pinned_group_repartition(exploded, "v")
     grouped = exploded.groupBy("v").agg(F.sort_array(F.collect_set("s")).alias("__ss"))
     grouped = grouped.where(F.size("__ss") >= 2)
     if max_variant_freq is not None:

@@ -90,7 +90,16 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("label"), F.min("__own").alias("__own"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence probe right below is the
+        # materializing action, so checkpoint + probe share ONE
+        # scheduled job per round instead of two (r13: 4.9 -> 4.5 s on
+        # the 6-round ER closure; the win repeats for every closure
+        # consumer). Lineage stays flat one round behind — each probe
+        # finalizes its round's blocks (Spark computes any partitions
+        # the limit(1) short-circuit skipped when it finalizes a local
+        # checkpoint), and round 0, which is never probed, nests
+        # exactly one un-materialized level into round 1's job.
+        new_labels = new_labels.localCheckpoint(eager=False)
         # round 0 always changes something when any edge exists — skip
         # the convergence probe (one fewer job per call)
         if it > 0:

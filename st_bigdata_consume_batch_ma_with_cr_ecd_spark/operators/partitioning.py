@@ -21,6 +21,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def pinned_group_repartition(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition on the grouping keys with an EXPLICIT partition
+    count, for a ``groupBy(*key_cols)`` whose output feeds a row-
+    multiplying stage (pair-explode generators).
+
+    Why: AQE sizes post-shuffle partitions by the bytes of the GROUPED
+    rows, which for pair generators is tiny next to the exploded output
+    (a B-doc bucket emits B(B-1)/2 pairs) — so it coalesces the
+    exchange to one or two partitions and the quadratic explode runs
+    serially (measured: the recsys basket explode on 2 of 32 cores,
+    10.7 -> 2.0 s once pinned). An explicit ``repartition(n, keys)`` is
+    never coalesced by AQE, and the following ``groupBy`` on the same
+    keys REUSES the exchange (hash partitioning on the grouping keys
+    satisfies the aggregate's distribution), so this adds NO extra
+    shuffle — it only pins the width of the one the aggregate pays
+    anyway.
+
+    ``n`` = max(defaultParallelism, spark.sql.shuffle.partitions): the
+    session's scale knob, so production clusters keep their configured
+    width and local mode keeps core-count parallelism. The trade: tiny
+    inputs lose AQE's task-count reduction on this one exchange —
+    pennies next to a serialized quadratic explode.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    try:
+        n = max(n, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    except (TypeError, ValueError):
+        pass
+    return df.repartition(n, *key_cols)
+
+
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition ``df`` round-robin to ``n`` partitions iff it
     currently has fewer; no-op (and no job) otherwise.

@@ -1350,9 +1350,19 @@ def recsys_item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame
     # row instead of an aggregate + join back. (The r13 before-plan
     # shows the old chain: Exchange(c,p) for the distinct, Exchange(c)
     # for sizes, join, Exchange(c) for the pair groupBy.)
+    from ..operators.partitioning import pinned_group_repartition
+
+    # the pinned repartition (reused by the groupBy — no extra
+    # exchange) keeps the basket explode below at full width: AQE
+    # otherwise coalesces this exchange to the grouped BYTES (~2
+    # partitions at sf0.1) and the quadratic pair explode serializes
+    # (measured 10.7 -> 2.0 s for the pair stage once pinned)
     baskets = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        pinned_group_repartition(
+            orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+            .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")),
+            "c",
+        )
         .groupBy("c")
         .agg(F.sort_array(F.collect_set("p")).alias("__ps"))
         .where(F.size("__ps") <= _CF_BASKET_CAP)
