@@ -447,6 +447,7 @@ def _bucket_pairs(
     flag_col: str | None = None,
     distinct_pairs: bool = True,
     dedup_docs: bool = False,
+    payload_col: str | None = None,
 ) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs, doc_a < doc_b, from a (doc, key...)
     bucket table: group by key -> sorted doc list -> emit the upper
@@ -483,7 +484,19 @@ def _bucket_pairs(
     ``distinct_pairs=False`` keeps one row per (bucket, pair) instead
     of deduplicating across buckets — for counting consumers
     (co-occurrence strength, triangle support) where the multiplicity
-    IS the signal."""
+    IS the signal.
+
+    ``payload_col``: name of a per-doc column on ``buckets`` to CARRY
+    THROUGH pair generation — output gains ``payload_a`` / ``payload_b``
+    (r13 §2.4: a verify stage that needs each side's signature can then
+    filter pairs in the explode's own stage instead of paying two
+    sort-merge joins of the pair table back against the signature
+    frame; see ``hamming_verified_pairs``). The payload must be
+    FUNCTIONAL on doc (one value per doc) — grouping collects
+    struct(doc, payload) and sorts by the struct, which orders by doc
+    exactly as the bare path because doc is unique per bucket. Only the
+    plain branch supports it (no ``flag_col``/``pair_filter_sql``,
+    whose SQL hooks are written against bare-id lambda variables)."""
     from ..operators.partitioning import pinned_group_repartition
 
     # pin the grouping exchange's width: AQE sizes it by the grouped
@@ -514,6 +527,26 @@ def _bucket_pairs(
         pairs = grouped.select(
             F.explode(F.flatten(pair_structs)).alias("p")
         ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        return pairs.distinct() if distinct_pairs else pairs
+    if payload_col is not None:
+        if pair_filter_sql is not None:
+            raise ValueError("payload_col does not compose with pair_filter_sql")
+        item = F.struct(F.col("doc").alias("d"), F.col(payload_col).alias("p"))
+        collected = F.collect_set(item) if dedup_docs else F.collect_list(item)
+        grouped = buckets.groupBy(*key_cols).agg(
+            F.sort_array(collected).alias("__ds")
+        )
+        if max_bucket_size is not None:
+            grouped = grouped.where(F.size("__ds") <= max_bucket_size)
+        pair_structs = F.expr(
+            "transform(__ds, (x, i) ->"
+            " transform(slice(__ds, i + 2, size(__ds)),"
+            " y -> struct(x.d AS doc_a, y.d AS doc_b,"
+            " x.p AS payload_a, y.p AS payload_b)))"
+        )
+        pairs = grouped.select(
+            F.explode(F.flatten(pair_structs)).alias("p")
+        ).select("p.doc_a", "p.doc_b", "p.payload_a", "p.payload_b")
         return pairs.distinct() if distinct_pairs else pairs
     collected = F.collect_set("doc") if dedup_docs else F.collect_list("doc")
     grouped = buckets.groupBy(*key_cols).agg(F.sort_array(collected).alias("__docs"))
@@ -798,6 +831,7 @@ def simhash_candidate_pairs(
     band_hex_width: int = 4,
     max_bucket_size: int | None = None,
     pair_filter_sql: str | None = None,
+    carry_sig: bool = False,
 ) -> DataFrame:
     """Near-dup candidates: docs sharing any aligned block of the
     SimHash (``band_hex_width`` hex chars) — the standard hamming-LSH
@@ -811,7 +845,15 @@ def simhash_candidate_pairs(
     restricts pairs INSIDE grouped-bucket pair generation — the
     incremental-dedup hook shared with ``lsh_candidate_pairs``:
     rejected pairs are never emitted or shuffled (see
-    ``_bucket_pairs``)."""
+    ``_bucket_pairs``).
+
+    ``carry_sig=True`` carries each side's full signature through pair
+    generation (columns ``sig_a``/``sig_b``, one row per (block, pair)
+    — NOT distinct'ed): the exact-verify consumer then computes its
+    distance in the explode's own stage and distincts the (smaller)
+    verified set, instead of distinct-then-two-sort-merge-joins back
+    against the signature frame (r13 §2.4). Mutually exclusive with
+    ``pair_filter_sql`` (its SQL hook is written against bare ids)."""
     hex_chars = bits // 4
     if bits % 4 or hex_chars % band_hex_width:
         raise ValueError(
@@ -834,6 +876,24 @@ def simhash_candidate_pairs(
             )
         ).cast("array<string>"),
     ).otherwise(blocks)
+    if carry_sig:
+        if pair_filter_sql is not None:
+            raise ValueError("carry_sig does not compose with pair_filter_sql")
+        b = sigs.select(
+            F.col(id_col).alias("doc"), "simhash", F.explode(guard).alias("block")
+        )
+        return _bucket_pairs(
+            b,
+            "block",
+            max_bucket_size=max_bucket_size,
+            payload_col="simhash",
+            distinct_pairs=False,
+        ).select(
+            "doc_a",
+            "doc_b",
+            F.col("payload_a").alias("sig_a"),
+            F.col("payload_b").alias("sig_b"),
+        )
     b = sigs.select(F.col(id_col).alias("doc"), F.explode(guard).alias("block"))
     return _bucket_pairs(
         b, "block", max_bucket_size=max_bucket_size, pair_filter_sql=pair_filter_sql

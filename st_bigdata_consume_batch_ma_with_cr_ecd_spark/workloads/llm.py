@@ -4256,6 +4256,36 @@ def hamming_verified_pairs(
             f"hamming {max_hamming} not pigeonhole-complete at "
             f"{64 // (4 * band_hex_width)} blocks"
         )
+
+    def _half_ham(a, b, start):
+        xa = F.conv(F.substring(a, start, 8), 16, 10).cast("long")
+        xb = F.conv(F.substring(b, start, 8), 16, 10).cast("long")
+        return F.bit_count(xa.bitwiseXOR(xb))
+
+    if pair_filter_sql is None:
+        # CARRY path (r13, guide §2.4): each side's 16-hex signature
+        # rides through pair generation, so the exact verify runs in
+        # the explode's own stage and the distinct dedups the (smaller)
+        # VERIFIED set — replacing the old distinct-then-two-sort-merge-
+        # joins shape (4 exchanges + 2 sorts on the pair table -> 2
+        # exchanges). Equivalence: hamming is functional on the pair,
+        # so distinct(doc_a, doc_b, hamming) of the filtered multiset
+        # = filter of the old distinct(doc_a, doc_b) + join + compute.
+        cands = simhash_candidate_pairs(
+            sigs.select("doc_id", F.col(sig_col).alias("simhash")),
+            bits=64,
+            band_hex_width=band_hex_width,
+            carry_sig=True,
+        )
+        hamming = (
+            _half_ham(F.col("sig_a"), F.col("sig_b"), 1)
+            + _half_ham(F.col("sig_a"), F.col("sig_b"), 9)
+        ).cast("int")
+        return (
+            cands.select("doc_a", "doc_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct()
+        )
     cands = simhash_candidate_pairs(
         sigs.select("doc_id", F.col(sig_col).alias("simhash")),
         bits=64,
@@ -4264,12 +4294,6 @@ def hamming_verified_pairs(
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col(sig_col).alias("__ha"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col(sig_col).alias("__hb"))
-
-    def _half_ham(a, b, start):
-        xa = F.conv(F.substring(a, start, 8), 16, 10).cast("long")
-        xb = F.conv(F.substring(b, start, 8), 16, 10).cast("long")
-        return F.bit_count(xa.bitwiseXOR(xb))
-
     hamming = (
         _half_ham(F.col("__ha"), F.col("__hb"), 1)
         + _half_ham(F.col("__ha"), F.col("__hb"), 9)

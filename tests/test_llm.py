@@ -1688,6 +1688,37 @@ def test_bucket_pairs_dedup_docs_equals_upstream_distinct(spark):
         assert got == want and got, distinct_pairs
 
 
+def test_hamming_carry_path_equals_join_path(spark, sf_dir):
+    # r13 optimization: when no pair filter is passed,
+    # hamming_verified_pairs carries each side's signature through pair
+    # generation and verifies in the explode's stage (no join-back).
+    # A trivially-true pair filter forces the legacy distinct -> two
+    # sort-merge-joins path over the SAME sigs — both shapes must emit
+    # identical (doc_a, doc_b, hamming) sets, for both block widths.
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
+        _docs,
+        hamming_verified_pairs,
+        image_dhash_signatures,
+    )
+
+    sigs = image_dhash_signatures(
+        _docs(spark, sf_dir).where("doc_id < 400")
+    ).localCheckpoint(eager=True)
+    for bw, mh in ((2, 7), (4, 3)):
+        carry = sorted(
+            map(tuple, hamming_verified_pairs(
+                sigs, "dhash", band_hex_width=bw, max_hamming=mh
+            ).collect())
+        )
+        joined = sorted(
+            map(tuple, hamming_verified_pairs(
+                sigs, "dhash", band_hex_width=bw, max_hamming=mh,
+                pair_filter_sql="x >= 0 OR y >= 0",
+            ).collect())
+        )
+        assert carry == joined and carry, (bw, mh)
+
+
 def test_streaming_dedup_split_invariant_and_equals_batch(spark, sf_dir, tmp_path):
     # the continuous-dedup invariant: for ANY micro-batch split, the
     # drained pairs table equals the full-corpus batch recompute (every
