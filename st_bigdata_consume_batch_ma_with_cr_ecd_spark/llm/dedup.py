@@ -413,29 +413,30 @@ def minhash_verified_pairs(
     sigs = minhash_signatures(
         df, text_col, id_col, k_shingle=k_shingle, num_hashes=num_hashes
     ).localCheckpoint(eager=True)
+    # CARRY path (r13, guide §2.4): the signatures ride through pair
+    # generation (struct(doc, signature) per bucket), so the agreement
+    # score computes in the explode's own stage and the distinct dedups
+    # the VERIFIED set — replacing distinct-then-two-sort-merge-joins
+    # back against the signature checkpoint. n_agree/est_jaccard are
+    # functional on the pair, so distinct over the four output columns
+    # equals the old shape row for row.
     pairs = lsh_candidate_pairs(
         sigs,
         id_col,
         bands=bands,
         rows_per_band=rows_per_band,
         max_bucket_size=max_bucket_size,
+        carry_sig=True,
     )
-    # merge pins: the signature checkpoint is doc-sized with no shuffle
-    # stage under its bare scan — a broadcast off the inherited
-    # estimate is never demoted (AQE re-plans are cost-gated, so even
-    # a measurable build keeps its static broadcast; SCALE.md round 6)
-    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("signature").alias("__sa"))
-    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("signature").alias("__sb"))
-    n_agree = F.expr("size(filter(zip_with(__sa, __sb, (x, y) -> x = y), v -> v))")
+    n_agree = F.expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))")
     return (
-        pairs.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
-        .withColumn("n_agree", n_agree.cast("int"))
+        pairs.withColumn("n_agree", n_agree.cast("int"))
         .withColumn(
             "est_jaccard", F.round(F.col("n_agree") / F.lit(num_hashes), 4)
         )
         .where(F.col("est_jaccard") >= min_agreement)
         .select("doc_a", "doc_b", "n_agree", "est_jaccard")
+        .distinct()
     )
 
 
@@ -575,6 +576,7 @@ def lsh_candidate_pairs(
     max_bucket_size: int | None = None,
     pair_filter_sql: str | None = None,
     flag_col: str | None = None,
+    carry_sig: bool = False,
 ) -> DataFrame:
     """Banded LSH over MinHash signatures -> distinct candidate pairs
     (doc_a < doc_b). The bucket key is (band index, band hash): docs only
@@ -589,7 +591,15 @@ def lsh_candidate_pairs(
     restricts pairs inside generation — see ``_bucket_pairs``;
     ``flag_col`` names a boolean batch-membership column on
     ``signatures`` for DATA-defined batches (stream micro-batches) —
-    only pairs touching a flagged row emit."""
+    only pairs touching a flagged row emit.
+
+    ``carry_sig=True`` carries each side's full MinHash signature array
+    through pair generation (columns ``sig_a``/``sig_b``, one row per
+    (band-bucket, pair) — NOT distinct'ed), so a verification consumer
+    scores agreement in the explode's stage instead of joining the pair
+    table back against the signature frame twice (r13 §2.4; see
+    ``_bucket_pairs(payload_col=...)``). Mutually exclusive with
+    ``pair_filter_sql``/``flag_col`` (bare-id SQL hooks)."""
     band_hashes = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]))
@@ -613,6 +623,29 @@ def lsh_candidate_pairs(
             )
         ).cast("array<string>"),
     ).otherwise(band_hashes)
+    if carry_sig:
+        if pair_filter_sql is not None or flag_col is not None:
+            raise ValueError(
+                "carry_sig does not compose with pair_filter_sql/flag_col"
+            )
+        buckets = signatures.select(
+            F.col(id_col).alias("doc"),
+            "signature",
+            F.posexplode(guarded).alias("band", "bucket"),
+        )
+        return _bucket_pairs(
+            buckets,
+            "band",
+            "bucket",
+            max_bucket_size=max_bucket_size,
+            payload_col="signature",
+            distinct_pairs=False,
+        ).select(
+            "doc_a",
+            "doc_b",
+            F.col("payload_a").alias("sig_a"),
+            F.col("payload_b").alias("sig_b"),
+        )
     extra = [F.col(flag_col)] if flag_col is not None else []
     buckets = signatures.select(
         F.col(id_col).alias("doc"),

@@ -646,13 +646,19 @@ def test_pair_verify_joins_are_merge_pinned(spark, sf_dir):
     mod = _load_explain_audit()
     for name in (
         "dedup_jaccard_prefix_filter",
-        "dedup_minhash_verified",
         "dedup_ngram_containment",
         "dedup_ngram_jaccard",
     ):
         plan = plan_of(spark, sf_dir, name)
         assert mod.checkpoint_broadcast_flags(plan) == [], name
         assert "SortMergeJoin" in plan, name
+    # dedup_minhash_verified no longer HAS a verify join to pin: the
+    # r13 carry path ships the signatures through pair generation and
+    # scores agreement in the explode's stage — the hazard is removed,
+    # not merely pinned. Assert the join-free shape stays join-free.
+    plan = plan_of(spark, sf_dir, "dedup_minhash_verified")
+    assert mod.checkpoint_broadcast_flags(plan) == []
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
 def test_aqe_broadcast_demotion_is_cost_gated(spark):
