@@ -1677,13 +1677,18 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpointed for iterative consumers."""
     from ..llm.dedup import _bucket_pairs
 
-    li = (
-        read_testdata(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc"))
-        .distinct()
+    # dedup_docs folds the old `.distinct()` on (o, part) into the
+    # groupBy(o) exchange _bucket_pairs pays anyway (collect_set per
+    # order = distinct within the order, and the order IS the bucket
+    # key) — one full shuffle of the lineitem projection removed for
+    # every iterative consumer (LPA, k-core, BFS); same edges, same
+    # shared-order multiplicities (r13, same fold as graph_triangle_count)
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("doc")
     )
     und = (
-        _bucket_pairs(li, "o", distinct_pairs=False)  # multiplicity = shared orders
+        # multiplicity = shared orders
+        _bucket_pairs(li, "o", distinct_pairs=False, dedup_docs=True)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= _KCORE_MIN_SHARED)
