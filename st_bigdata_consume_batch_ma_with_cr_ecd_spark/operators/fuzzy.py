@@ -118,7 +118,20 @@ def fuzzy_self_pairs(
     (hottest bucket is far below 256)."""
     if max_distance not in (1, 2):
         raise ValueError("fuzzy_self_pairs supports max_distance in {1, 2}")
-    strings = df.select(F.col(col).alias("s")).where(F.col("s").isNotNull()).distinct()
+    from ..operators.partitioning import pinned_group_repartition
+
+    # pin the dedup exchange's width so the deletion-neighborhood
+    # explode below — the O(L^k)-per-string CPU stage — fans across the
+    # session's full width: AQE sizes the distinct's output by the
+    # BYTES of the deduped names (tiny), coalesces it to 1-2
+    # partitions, and the entire neighborhood construction then ran on
+    # 1-2 of 32 cores (stage probe: explode+hash 10.8 s of the k=2
+    # row's ~15 s). The explicit repartition on the name key is reused
+    # by the distinct's aggregate (same distribution), so this adds NO
+    # shuffle — it only pins the width of the one distinct pays anyway.
+    strings = pinned_group_repartition(
+        df.select(F.col(col).alias("s")).where(F.col("s").isNotNull()), "s"
+    ).distinct()
     exploded = strings.select(
         "s", F.explode(deletion_neighborhood(F.col("s"), max_distance)).alias("v")
     )
@@ -155,19 +168,23 @@ def fuzzy_self_pairs(
     cands = (
         grouped.select(F.explode(F.flatten(pair_structs)).alias("p"))
         .select(F.col("p.name_a").alias("name_a"), F.col("p.name_b").alias("name_b"))
-        .distinct()
     )
-    # (r10 A/B, closing the r9 ask #4 investigation: verify-BEFORE-
-    # distinct — shuffling only true pairs instead of the candidate
-    # multiset — measured 365.1s vs this shape's 336.5s at the 16x
-    # probe point, so the pair-distinct is NOT the k=2 bottleneck; the
-    # cost lives in the variant-explode shuffle upstream. Kept as is.)
-    # banded verify (Spark 3.5+ threshold form): O(k*L) cells instead of
-    # the full O(L^2) DP, returns -1 past the threshold and the exact
-    # distance within it — same rows, same dist values
+    # verify BEFORE the pair-distinct: the banded levenshtein (below)
+    # runs in the explode's own stage, so the distinct exchange carries
+    # only TRUE pairs instead of the candidate multiset. The r10 A/B
+    # measured this ordering 365.1s vs 336.5s at the 16x probe point
+    # and kept distinct-first — but that was with the full O(L^2) DP
+    # verify; the r13 banded form (O(k*L) cells, threshold
+    # `levenshtein(a, b, k)`) is ~5x cheaper per candidate, which
+    # flips the trade (re-A/B'd this round, see OPTIMIZATION_r13.md).
+    # Equivalence: dist is FUNCTIONAL on the pair, so
+    # distinct(name_a, name_b, dist) of the filtered multiset equals
+    # the old filter-after-distinct row for row.
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_distance)
-    return cands.select("name_a", "name_b", dist.alias("dist")).where(
-        F.col("dist") >= 0
+    return (
+        cands.select("name_a", "name_b", dist.alias("dist"))
+        .where(F.col("dist") >= 0)
+        .distinct()
     )
 
 
