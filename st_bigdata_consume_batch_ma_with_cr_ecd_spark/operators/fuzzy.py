@@ -160,18 +160,24 @@ def fuzzy_self_pairs(
     grouped = grouped.where(F.size("__ss") >= 2)
     if max_variant_freq is not None:
         grouped = grouped.where(F.size("__ss") <= max_variant_freq)
+    # the banded verify is computed INSIDE the pair struct: phrasing it
+    # as select-then-filter lets Catalyst push the filter through the
+    # projection and re-derive the predicate in terms of the struct —
+    # evaluating levenshtein TWICE per candidate (observed in the plan:
+    # a Filter node and a Project node each carrying the call, and
+    # whole-stage codegen does not CSE across them). Built in the
+    # transform, the Generate computes dist once and the filter/project
+    # are plain field extractions.
     pair_structs = F.expr(
         "transform(__ss, (x, i) ->"
         " transform(slice(__ss, i + 2, size(__ss)),"
-        " y -> struct(x AS name_a, y AS name_b)))"
+        f" y -> struct(x AS name_a, y AS name_b,"
+        f" levenshtein(x, y, {int(max_distance)}) AS dist)))"
     )
-    cands = (
-        grouped.select(F.explode(F.flatten(pair_structs)).alias("p"))
-        .select(F.col("p.name_a").alias("name_a"), F.col("p.name_b").alias("name_b"))
-    )
-    # verify BEFORE the pair-distinct: the banded levenshtein (below)
-    # runs in the explode's own stage, so the distinct exchange carries
-    # only TRUE pairs instead of the candidate multiset. The r10 A/B
+    cands = grouped.select(F.explode(F.flatten(pair_structs)).alias("p"))
+    # verify BEFORE the pair-distinct: the banded levenshtein runs in
+    # the explode's own stage, so the distinct exchange carries only
+    # TRUE pairs instead of the candidate multiset. The r10 A/B
     # measured this ordering 365.1s vs 336.5s at the 16x probe point
     # and kept distinct-first — but that was with the full O(L^2) DP
     # verify; the r13 banded form (O(k*L) cells, threshold
@@ -180,10 +186,13 @@ def fuzzy_self_pairs(
     # Equivalence: dist is FUNCTIONAL on the pair, so
     # distinct(name_a, name_b, dist) of the filtered multiset equals
     # the old filter-after-distinct row for row.
-    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_distance)
     return (
-        cands.select("name_a", "name_b", dist.alias("dist"))
-        .where(F.col("dist") >= 0)
+        cands.where(F.col("p.dist") >= 0)
+        .select(
+            F.col("p.name_a").alias("name_a"),
+            F.col("p.name_b").alias("name_b"),
+            F.col("p.dist").alias("dist"),
+        )
         .distinct()
     )
 
