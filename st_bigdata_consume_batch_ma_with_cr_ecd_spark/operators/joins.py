@@ -21,6 +21,31 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def summarize_for_join(
+    detail: DataFrame, keys: Sequence[str], aggs: Mapping[str, Column]
+) -> DataFrame:
+    """The group-by half of :func:`join_preaggregated`, exposed so a
+    caller joining the SAME summary onto several facts (the 4-slice
+    consume-batch loop) can build it once and share/materialize it
+    instead of re-aggregating the detail table per fact (§2.4)."""
+    return detail.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
+
+
+def join_summary(
+    fact: DataFrame,
+    summary: DataFrame,
+    keys: Sequence[str],
+    *,
+    fill: Mapping[str, object] | None = None,
+) -> DataFrame:
+    """The join half of :func:`join_preaggregated`: left-join an
+    already-aggregated summary and apply the COALESCE defaults."""
+    out = fact.join(summary, list(keys), "left")
+    for name, default in (fill or {}).items():
+        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
+    return out
+
+
 def join_preaggregated(
     fact: DataFrame,
     detail: DataFrame,
@@ -36,11 +61,7 @@ def join_preaggregated(
     the right shape at 100 TB. ``fill`` maps agg column -> default for
     unmatched fact rows (the reference's ``COALESCE(x, 0)``).
     """
-    summary = detail.groupBy(*keys).agg(*[c.alias(n) for n, c in aggs.items()])
-    out = fact.join(summary, list(keys), "left")
-    for name, default in (fill or {}).items():
-        out = out.withColumn(name, F.coalesce(F.col(name), F.lit(default)))
-    return out
+    return join_summary(fact, summarize_for_join(detail, keys, aggs), keys, fill=fill)
 
 
 def not_in_anti_join(

@@ -636,3 +636,34 @@ def test_e2e_slices_reuse_cached_merge(spark):
         assert "UnionExec" not in plan.split("InMemoryTableScan")[0]
     finally:
         merged.unpersist()
+
+
+def test_enrich_prepared_dims_equals_inline(spark, fixture_tables):
+    """r13 §2.4: the 4-slice loop shares ONE set of slice-independent
+    enrichment inputs (prepare_enrich_dims) instead of re-deriving the
+    visibility filter / fraud argmax / counter summaries per slice.
+    The prepared path — including the materialized (localCheckpoint)
+    form run_slices_concurrent uses — must be row-identical to the
+    inline default for every slice."""
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.pipelines.consume_batch import (
+        prepare_enrich_dims,
+    )
+
+    _, t = fixture_tables
+    merged = merge_delete(filter_changelog(t["changelog"]), DATES.first_day_past)
+    dims = prepare_enrich_dims(
+        t["visibility"], t["fraud"], t["contacts"], t["visits"], DATES
+    )
+    ckpt = {k: v.localCheckpoint(eager=True) for k, v in dims.items()}
+    canon = lambda df: sorted(map(str, (tuple(r) for r in df.collect())))  # noqa: E731
+    for spec in DEFAULT_SLICES:
+        first = basedata_first(merged, t["texts"], spec.geoid, spec.distribution_type)
+        inline = basedata_enrich(
+            first, t["visibility"], t["fraud"], t["contacts"], t["visits"], DATES
+        )
+        prepared = basedata_enrich(
+            first, t["visibility"], t["fraud"], t["contacts"], t["visits"], DATES,
+            dims=ckpt,
+        )
+        assert prepared.columns == inline.columns
+        assert canon(prepared) == canon(inline)
