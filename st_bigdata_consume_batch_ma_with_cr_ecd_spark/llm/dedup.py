@@ -440,6 +440,18 @@ def minhash_verified_pairs(
     )
 
 
+def _rewrite_pair_filter(sql: str) -> str:
+    """Rewrite a ``pair_filter_sql`` hook (written against the bare
+    lambda ids ``x``/``y`` per the documented contract) onto the
+    payload branch's (d, p) struct variables: ``x`` -> ``x.d``,
+    ``y`` -> ``y.d``. Word-boundary substitution, so column or function
+    names merely containing the letters are untouched; ``x`` runs
+    first and produces ``x.d``, which the ``y`` pass cannot match."""
+    import re
+
+    return re.sub(r"\by\b", "y.d", re.sub(r"\bx\b", "x.d", sql))
+
+
 def _bucket_pairs(
     buckets: DataFrame,
     *key_cols: str,
@@ -495,9 +507,11 @@ def _bucket_pairs(
     frame; see ``hamming_verified_pairs``). The payload must be
     FUNCTIONAL on doc (one value per doc) — grouping collects
     struct(doc, payload) and sorts by the struct, which orders by doc
-    exactly as the bare path because doc is unique per bucket. Only the
-    plain branch supports it (no ``flag_col``/``pair_filter_sql``,
-    whose SQL hooks are written against bare-id lambda variables)."""
+    exactly as the bare path because doc is unique per bucket.
+    Composes with ``pair_filter_sql`` (the bare-id references are
+    rewritten onto the struct's doc field, so the same hook text works
+    on both branches — r13: this is what lets the INCREMENTAL dedup
+    servers use the join-free verify too); not with ``flag_col``."""
     from ..operators.partitioning import pinned_group_repartition
 
     # pin the grouping exchange's width: AQE sizes it by the grouped
@@ -530,8 +544,6 @@ def _bucket_pairs(
         ).select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         return pairs.distinct() if distinct_pairs else pairs
     if payload_col is not None:
-        if pair_filter_sql is not None:
-            raise ValueError("payload_col does not compose with pair_filter_sql")
         item = F.struct(F.col("doc").alias("d"), F.col(payload_col).alias("p"))
         collected = F.collect_set(item) if dedup_docs else F.collect_list(item)
         grouped = buckets.groupBy(*key_cols).agg(
@@ -539,9 +551,17 @@ def _bucket_pairs(
         )
         if max_bucket_size is not None:
             grouped = grouped.where(F.size("__ds") <= max_bucket_size)
+        inner = "slice(__ds, i + 2, size(__ds))"
+        if pair_filter_sql is not None:
+            # the hook contract says x/y are the BARE doc ids; on this
+            # branch the lambda variables are (d, p) structs, so the
+            # bare references are rewritten onto the doc field — same
+            # filter, applied at the same point (inside generation,
+            # before any pair materializes)
+            inner = f"filter({inner}, y -> ({_rewrite_pair_filter(pair_filter_sql)}))"
         pair_structs = F.expr(
             "transform(__ds, (x, i) ->"
-            " transform(slice(__ds, i + 2, size(__ds)),"
+            f" transform({inner},"
             " y -> struct(x.d AS doc_a, y.d AS doc_b,"
             " x.p AS payload_a, y.p AS payload_b)))"
         )
@@ -598,8 +618,9 @@ def lsh_candidate_pairs(
     (band-bucket, pair) — NOT distinct'ed), so a verification consumer
     scores agreement in the explode's stage instead of joining the pair
     table back against the signature frame twice (r13 §2.4; see
-    ``_bucket_pairs(payload_col=...)``). Mutually exclusive with
-    ``pair_filter_sql``/``flag_col`` (bare-id SQL hooks)."""
+    ``_bucket_pairs(payload_col=...)``). Composes with
+    ``pair_filter_sql`` (rewritten onto the carried struct's doc
+    field); not with ``flag_col``."""
     band_hashes = F.array(
         *[
             F.md5(F.concat_ws("|", *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]))
@@ -624,10 +645,8 @@ def lsh_candidate_pairs(
         ).cast("array<string>"),
     ).otherwise(band_hashes)
     if carry_sig:
-        if pair_filter_sql is not None or flag_col is not None:
-            raise ValueError(
-                "carry_sig does not compose with pair_filter_sql/flag_col"
-            )
+        if flag_col is not None:
+            raise ValueError("carry_sig does not compose with flag_col")
         buckets = signatures.select(
             F.col(id_col).alias("doc"),
             "signature",
@@ -639,6 +658,7 @@ def lsh_candidate_pairs(
             "bucket",
             max_bucket_size=max_bucket_size,
             payload_col="signature",
+            pair_filter_sql=pair_filter_sql,
             distinct_pairs=False,
         ).select(
             "doc_a",
@@ -885,8 +905,9 @@ def simhash_candidate_pairs(
     — NOT distinct'ed): the exact-verify consumer then computes its
     distance in the explode's own stage and distincts the (smaller)
     verified set, instead of distinct-then-two-sort-merge-joins back
-    against the signature frame (r13 §2.4). Mutually exclusive with
-    ``pair_filter_sql`` (its SQL hook is written against bare ids)."""
+    against the signature frame (r13 §2.4). Composes with
+    ``pair_filter_sql`` (the bare-id hook is rewritten onto the carried
+    struct's doc field inside ``_bucket_pairs``)."""
     hex_chars = bits // 4
     if bits % 4 or hex_chars % band_hex_width:
         raise ValueError(
@@ -910,8 +931,6 @@ def simhash_candidate_pairs(
         ).cast("array<string>"),
     ).otherwise(blocks)
     if carry_sig:
-        if pair_filter_sql is not None:
-            raise ValueError("carry_sig does not compose with pair_filter_sql")
         b = sigs.select(
             F.col(id_col).alias("doc"), "simhash", F.explode(guard).alias("block")
         )
@@ -920,6 +939,7 @@ def simhash_candidate_pairs(
             "block",
             max_bucket_size=max_bucket_size,
             payload_col="simhash",
+            pair_filter_sql=pair_filter_sql,
             distinct_pairs=False,
         ).select(
             "doc_a",

@@ -4226,6 +4226,7 @@ def hamming_verified_pairs(
     band_hex_width: int,
     max_hamming: int,
     pair_filter_sql: str | None = None,
+    join_back_verify: bool = False,
 ) -> DataFrame:
     """The shared LSH -> exact-verify tail over any (doc_id, <sig_col>)
     64-bit hex signature frame — image dHash and audio energy-contour
@@ -4248,7 +4249,13 @@ def hamming_verified_pairs(
     generation — the incremental-dedup hook (r8 verdict ask #5),
     identical to the MinHash path's: pairs the filter rejects are
     never emitted, shuffled, or verify-joined, so per-batch dedup cost
-    tracks the batch, not the corpus."""
+    tracks the batch, not the corpus.
+
+    ``join_back_verify=True`` forces the legacy shape (distinct the
+    candidate ids, then two sort-merge joins back against the
+    signature frame to fetch each side) — kept ONLY as the equivalence
+    baseline the carry-path pytest compares against; every production
+    caller takes the default carry path."""
     from ..llm.dedup import simhash_candidate_pairs
 
     if 64 // (4 * band_hex_width) < max_hamming + 1:
@@ -4262,7 +4269,7 @@ def hamming_verified_pairs(
         xb = F.conv(F.substring(b, start, 8), 16, 10).cast("long")
         return F.bit_count(xa.bitwiseXOR(xb))
 
-    if pair_filter_sql is None:
+    if not join_back_verify:
         # CARRY path (r13, guide §2.4): each side's 16-hex signature
         # rides through pair generation, so the exact verify runs in
         # the explode's own stage and the distinct dedups the (smaller)
@@ -4271,10 +4278,13 @@ def hamming_verified_pairs(
         # exchanges). Equivalence: hamming is functional on the pair,
         # so distinct(doc_a, doc_b, hamming) of the filtered multiset
         # = filter of the old distinct(doc_a, doc_b) + join + compute.
+        # The incremental hook composes since r13: the bare-id filter
+        # is rewritten onto the carried struct inside _bucket_pairs.
         cands = simhash_candidate_pairs(
             sigs.select("doc_id", F.col(sig_col).alias("simhash")),
             bits=64,
             band_hex_width=band_hex_width,
+            pair_filter_sql=pair_filter_sql,
             carry_sig=True,
         )
         hamming = (

@@ -1689,11 +1689,13 @@ def test_bucket_pairs_dedup_docs_equals_upstream_distinct(spark):
 
 
 def test_hamming_carry_path_equals_join_path(spark, sf_dir):
-    # r13 optimization: when no pair filter is passed,
-    # hamming_verified_pairs carries each side's signature through pair
-    # generation and verifies in the explode's stage (no join-back).
-    # A trivially-true pair filter forces the legacy distinct -> two
-    # sort-merge-joins path over the SAME sigs — both shapes must emit
+    # r13 optimization: hamming_verified_pairs carries each side's
+    # signature through pair generation and verifies in the explode's
+    # stage (no join-back) — on BOTH the unfiltered and the
+    # incremental (pair_filter_sql) paths, the latter via the bare-id
+    # -> struct-field rewrite inside _bucket_pairs. join_back_verify
+    # forces the legacy distinct -> two sort-merge-joins shape over
+    # the SAME sigs as the equivalence baseline; all shapes must emit
     # identical (doc_a, doc_b, hamming) sets, for both block widths.
     from st_bigdata_consume_batch_ma_with_cr_ecd_spark.workloads.llm import (
         _docs,
@@ -1704,19 +1706,21 @@ def test_hamming_carry_path_equals_join_path(spark, sf_dir):
     sigs = image_dhash_signatures(
         _docs(spark, sf_dir).where("doc_id < 400")
     ).localCheckpoint(eager=True)
-    for bw, mh in ((2, 7), (4, 3)):
-        carry = sorted(
-            map(tuple, hamming_verified_pairs(
-                sigs, "dhash", band_hex_width=bw, max_hamming=mh
-            ).collect())
-        )
-        joined = sorted(
-            map(tuple, hamming_verified_pairs(
-                sigs, "dhash", band_hex_width=bw, max_hamming=mh,
-                pair_filter_sql="x >= 0 OR y >= 0",
-            ).collect())
-        )
-        assert carry == joined and carry, (bw, mh)
+    for flt in (None, "x % 5 = 0 OR y % 5 = 0"):
+        for bw, mh in ((2, 7), (4, 3)):
+            carry = sorted(
+                map(tuple, hamming_verified_pairs(
+                    sigs, "dhash", band_hex_width=bw, max_hamming=mh,
+                    pair_filter_sql=flt,
+                ).collect())
+            )
+            joined = sorted(
+                map(tuple, hamming_verified_pairs(
+                    sigs, "dhash", band_hex_width=bw, max_hamming=mh,
+                    pair_filter_sql=flt, join_back_verify=True,
+                ).collect())
+            )
+            assert carry == joined and carry, (flt, bw, mh)
 
 
 def test_streaming_dedup_split_invariant_and_equals_batch(spark, sf_dir, tmp_path):
