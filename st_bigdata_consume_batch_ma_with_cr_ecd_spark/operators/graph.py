@@ -270,6 +270,26 @@ def assign_cluster_ids(
     ).drop("label")
 
 
+def cluster_sizes(
+    assigned: DataFrame, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Attach each row's cluster multiplicity as ``cluster_size`` with
+    ONE exchange: ``count(*)`` over a cluster-partitioned window. The
+    previous idiom at every call site — ``groupBy(cluster).count()``
+    then join back onto ``assigned`` — pays two assigned-sized
+    exchanges plus a sort-merge join for the same rows (r13 §2.4);
+    the window count over the full partition frame equals the joined
+    group count row for row, and a hot cluster lands on one task under
+    either shape (identical skew profile). No ``orderBy`` on purpose:
+    the frame is the whole partition, so the window needs only the
+    partitioning, not a sort order."""
+    from pyspark.sql.window import Window
+
+    return assigned.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy(cluster_col))
+    )
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,

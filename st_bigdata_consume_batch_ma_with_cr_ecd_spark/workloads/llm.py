@@ -358,7 +358,7 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def corpus_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llm.dedup import minhash_verified_pairs
-    from ..operators.graph import assign_cluster_ids
+    from ..operators.graph import assign_cluster_ids, cluster_sizes
 
     docs = _docs(spark, sf_dir)
     pairs = minhash_verified_pairs(
@@ -373,10 +373,8 @@ def corpus_near_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = assign_cluster_ids(
         docs.select("doc_id"), pairs, "doc_id", "doc_a", "doc_b", pairs_distinct=True
     )
-    sizes = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return assigned.join(sizes, "cluster_id").select(
+    # ONE exchange instead of groupBy-sizes + join-back (r13 §2.4)
+    return cluster_sizes(assigned).select(
         "doc_id",
         "cluster_id",
         "cluster_size",
@@ -4397,7 +4395,7 @@ def image_dedup_pipeline(
     keys saturate). Callers that genuinely need the looser <= 7
     threshold on a BOUNDED corpus pass (band_hex_width=2,
     max_hamming=7) explicitly and own that quadratic trade."""
-    from ..operators.graph import assign_cluster_ids
+    from ..operators.graph import assign_cluster_ids, cluster_sizes
 
     pairs = image_dhash_verified_pairs(
         docs,
@@ -4409,10 +4407,8 @@ def image_dedup_pipeline(
     assigned = assign_cluster_ids(
         ids, pairs, "doc_id", "doc_a", "doc_b", pairs_distinct=True
     )
-    sizes = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return assigned.join(sizes, "cluster_id").select(
+    # ONE exchange instead of groupBy-sizes + join-back (r13 §2.4)
+    return cluster_sizes(assigned).select(
         "doc_id",
         "cluster_id",
         "cluster_size",
@@ -4657,7 +4653,7 @@ def audio_dedup_pipeline(
     contour pairs -> connected components -> min-id survivor + cluster
     size — the same composition contract as the image and text
     pipelines (doc_id, cluster_id, cluster_size, is_survivor)."""
-    from ..operators.graph import assign_cluster_ids
+    from ..operators.graph import assign_cluster_ids, cluster_sizes
 
     pairs = audio_contour_verified_pairs(
         docs,
@@ -4669,10 +4665,8 @@ def audio_dedup_pipeline(
     assigned = assign_cluster_ids(
         ids, pairs, "doc_id", "doc_a", "doc_b", pairs_distinct=True
     )
-    sizes = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("cluster_size")
-    )
-    return assigned.join(sizes, "cluster_id").select(
+    # ONE exchange instead of groupBy-sizes + join-back (r13 §2.4)
+    return cluster_sizes(assigned).select(
         "doc_id",
         "cluster_id",
         "cluster_size",
@@ -5506,7 +5500,7 @@ def multimodal_dedup_summary(docs: DataFrame, *, n_patterns: int = 37) -> DataFr
 def corpus_multimodal_incremental_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.graph import assign_cluster_ids
+    from ..operators.graph import assign_cluster_ids, cluster_sizes
     from ..sinks.indexes import IncrementalIndexStore, fresh_index_root
 
     docs = _docs(spark, sf_dir)
@@ -5569,13 +5563,11 @@ def corpus_multimodal_incremental_summary(spark: SparkSession, sf_dir: str) -> D
             "doc_b",
             pairs_distinct=True,
         )
-        sizes = assigned.groupBy("cluster_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("cluster_size")
-        )
-        return assigned.join(sizes, "cluster_id").select(
+        # ONE exchange instead of groupBy-sizes + join-back (r13 §2.4)
+        return cluster_sizes(assigned).select(
             "doc_id",
             F.col("cluster_id").alias(f"{name}_cluster"),
-            F.col("cluster_size").alias(f"{name}_dups"),
+            F.col("cluster_size").cast("bigint").alias(f"{name}_dups"),
         )
 
     # text: the fingerprint IS the signature — store historic fps,
