@@ -5100,8 +5100,17 @@ def factory_multimodal_store_build(
     # RDD-level blocks DataFrame.unpersist can't release (r12 ADVICE —
     # the corpus_factory_batch_writer lesson applied to this build)
     rdds_before = persistent_rdd_ids(spark)
-    prep = web_corpus_prep(hist_docs, fp_prefix_tokens=_FACTORY_FP_TOKENS).select(
-        "doc_id", "content_fp", "n_words_main"
+    # checkpoint: prep feeds THREE consumers (the image chain, the
+    # audio chain, and the store rows join) — web_corpus_prep's mirror
+    # dedup shuffles are NOT prunable by the doc_id-only projections
+    # (they decide which rows survive), so without this the whole prep
+    # pipeline ran three times (r13 §2.4; the nightly's prep_b already
+    # checkpointed for the same reason). Blocks released with the rest
+    # of the build via the rdds_before diff above.
+    prep = (
+        web_corpus_prep(hist_docs, fp_prefix_tokens=_FACTORY_FP_TOKENS)
+        .select("doc_id", "content_fp", "n_words_main")
+        .localCheckpoint(eager=True)
     )
     img = image_dhash_signatures(
         prep.where(_MM_IMG_CARRIER).select("doc_id"), n_patterns=n_patterns
