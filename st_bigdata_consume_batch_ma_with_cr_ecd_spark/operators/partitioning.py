@@ -44,13 +44,54 @@ def pinned_group_repartition(df: DataFrame, *key_cols: str) -> DataFrame:
     inputs lose AQE's task-count reduction on this one exchange —
     pennies next to a serialized quadratic explode.
     """
+    return df.repartition(session_width(df), *key_cols)
+
+
+def session_width(df: DataFrame) -> int:
+    """The session's scale knob: max(defaultParallelism,
+    spark.sql.shuffle.partitions) — production clusters keep their
+    configured width, local mode keeps core count. Never a constant."""
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     try:
         n = max(n, int(spark.conf.get("spark.sql.shuffle.partitions")))
     except (TypeError, ValueError):
         pass
-    return df.repartition(n, *key_cols)
+    return n
+
+
+def stage_bucketed_by_key(
+    df: DataFrame, key: str, path: str, name: str, n_buckets: int | None = None
+) -> DataFrame:
+    """Persist ``df`` as a parquet staging table BUCKETED and SORTED by
+    ``key`` and return the catalog read-back (§6 / §2.4 "bucketed
+    tables persist a partitioning across jobs"): every later
+    equi-join or aggregation on ``key`` against the returned frame
+    skips the exchange — the scan itself reports
+    ``HashPartitioning(key, n_buckets)`` — and, because the pre-write
+    ``repartition(n, key)`` puts each bucket's rows in exactly ONE
+    task (Spark's bucket id and repartition both hash with pmod of
+    the same murmur3), the table lands one file per bucket, which is
+    the condition under which the scan also reports its SORT order
+    (session.py's bucketedTableScan.outputOrdering conf) and the
+    per-join Sort vanishes too.
+
+    Use when one derivation feeds REPEATED joins on the same key
+    (consume-batch's per-slice texts join, PageRank's per-iteration
+    contribution join): the one staging write replaces N exchanges +
+    N sorts of the staged side. ``n_buckets`` defaults to the
+    session-width scale knob."""
+    nb = n_buckets or session_width(df)
+    (
+        df.repartition(nb, key)
+        .write.format("parquet")
+        .bucketBy(nb, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return df.sparkSession.table(name)
 
 
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:

@@ -626,6 +626,7 @@ def run_slices_concurrent(
     slices=DEFAULT_SLICES,
     json_clock: str | None = None,
     count_rows: bool = False,
+    dims: dict[str, DataFrame] | None = None,
 ) -> tuple[list[DataFrame], dict[str, int] | None]:
     """The shared slice orchestration both the CLI job driver and the
     e2e workload run (previously two hand-copied loops — r3 review):
@@ -635,8 +636,22 @@ def run_slices_concurrent(
     (Spark schedules jobs from multiple threads onto one session;
     measured ~1.9x over the reference's serial loop at sf0.1).
 
+    ``dims`` (optional) supplies ALREADY-MATERIALIZED slice-independent
+    enrichment inputs (the :func:`prepare_enrich_dims` frames, each
+    eagerly checkpointed) — callers that can overlap that
+    materialization with other prep jobs (§2.6; the e2e workload
+    overlaps it with the stage-0 staging write) pass them in; the
+    default path builds and checkpoints them here. Either way the
+    caller owns the blocks' lifecycle — see the Returns note.
+
     Returns the cached slice frames (callers union + parquet-sink them
     and must unpersist) and, with ``count_rows``, per-slice row counts.
+    Block-release obligation (r13 ADVICE): the dim checkpoints are
+    RDD-level blocks ``DataFrame.unpersist`` cannot release — after the
+    returned slices are unpersisted, callers in long-lived drivers
+    should release them via the ``persistent_rdd_ids`` /
+    ``release_new_persistent_rdds`` diff (streaming/sinks.py pattern);
+    the bench's between-pass persistent-block drop is that hygiene.
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -647,21 +662,24 @@ def run_slices_concurrent(
     # four slice chains are separate concurrent Spark jobs, so without
     # this each chain re-runs the visibility filter, the fraud argmax
     # and both counter group-bys — 4x the slice-independent shuffles —
-    # and would race each other into a cold cache (§2.4). All four
-    # frames are key-count-sized (one row per classifiedId /
-    # globalObjectKey), never change-log-sized, so materializing them
-    # is safe at any scale. Their blocks are process-persistent until
+    # and would race each other into a cold cache (§2.4). The fraud/
+    # contacts/visits summaries are key-count-sized (one row per
+    # classifiedId / globalObjectKey); `active` is the raw filtered
+    # visibility projection (multiplicity-preserving BY DESIGN, so it
+    # can repeat a classifiedId) — filtered-visibility-sized, still
+    # never change-log-sized. Their blocks are process-persistent until
     # the caller's block hygiene runs (bench drops persistent blocks
     # between passes); they must NOT be released while the returned
     # cached slices could still recompute (checkpoint-truncated
     # lineage).
-    dims = {
-        k: v.localCheckpoint(eager=True)
-        for k, v in prepare_enrich_dims(
-            tables["visibility"], tables["fraud"], tables["contacts"],
-            tables["visits"], dates,
-        ).items()
-    }
+    if dims is None:
+        dims = {
+            k: v.localCheckpoint(eager=True)
+            for k, v in prepare_enrich_dims(
+                tables["visibility"], tables["fraud"], tables["contacts"],
+                tables["visits"], dates,
+            ).items()
+        }
 
     def build_and_sink(spec):
         first = basedata_first(merged, tables["texts"], spec.geoid, spec.distribution_type)

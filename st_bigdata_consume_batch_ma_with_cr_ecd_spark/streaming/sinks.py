@@ -419,12 +419,8 @@ def corpus_factory_batch_writer(
     value-hashes the whole table."""
 
     def _write_epoch(batch: DataFrame, epoch_id: int) -> None:
-        from ..sinks.versioned import (
-            create_versioned_table,
-            list_versions,
-            merge_versioned_table,
-            read_versioned_table,
-        )
+        from ..sinks.indexes import IncrementalIndexStore
+        from ..sinks.versioned import list_versions
         from ..workloads.llm import (
             _FACTORY_FP_TOKENS,
             _FACTORY_MIN_WORDS,
@@ -436,6 +432,18 @@ def corpus_factory_batch_writer(
         spark = batch.sparkSession
         if batch.isEmpty():
             return
+        # store plumbing on sinks.indexes since r14 (the r12-declared
+        # lifecycle consolidation): build/merge/serve call the same
+        # versioned-table functions with the same arguments the inline
+        # wiring did — epoch 0 is the historic build, later epochs
+        # merge with the exactly-once txn key. Pure plumbing; layouts,
+        # versions and hashes are unchanged.
+        state_store = IncrementalIndexStore(
+            spark, state_table, keys=["doc_id"], partition_by=["ingest_bucket"]
+        )
+        out_store = IncrementalIndexStore(
+            spark, out_table, keys=["doc_id"], partition_by=["night"]
+        )
         prep_b = (
             web_corpus_prep(batch, fp_prefix_tokens=_FACTORY_FP_TOKENS)
             .select("doc_id", "canon_url", "n_mirrors", "n_words_main", "content_fp")
@@ -445,17 +453,10 @@ def corpus_factory_batch_writer(
             "ingest_bucket", F.lit(int(epoch_id)).cast("bigint")
         )
         if not list_versions(spark, state_table):
-            create_versioned_table(state_b, state_table, ["ingest_bucket"])
+            state_store.build(state_b)
         else:
-            merge_versioned_table(
-                spark,
-                state_table,
-                state_b,
-                keys=["doc_id"],
-                partition_by=["ingest_bucket"],
-                txn=(f"{app_id}-state", epoch_id),
-            )
-        store = read_versioned_table(spark, state_table)
+            state_store.merge(state_b, txn=(f"{app_id}-state", epoch_id))
+        store = state_store.serve()
         fp_owner = (
             store.groupBy("content_fp")
             .agg(F.min(F.struct("ingest_bucket", "doc_id")).alias("o"))
@@ -476,7 +477,7 @@ def corpus_factory_batch_writer(
         )
         if list_versions(spark, out_table):
             base = (
-                read_versioned_table(spark, out_table)
+                out_store.serve()
                 .where(
                     (F.col("night") < F.lit(int(epoch_id))) & F.col("is_survivor")
                 )
@@ -515,16 +516,9 @@ def corpus_factory_batch_writer(
             )
         )
         if not list_versions(spark, out_table):
-            create_versioned_table(out, out_table, ["night"])
+            out_store.build(out)
         else:
-            merge_versioned_table(
-                spark,
-                out_table,
-                out,
-                keys=["doc_id"],
-                partition_by=["night"],
-                txn=(f"{app_id}-out", epoch_id),
-            )
+            out_store.merge(out, txn=(f"{app_id}-out", epoch_id))
     def write(batch: DataFrame, epoch_id: int) -> None:
         # release the micro-batch's checkpointed blocks before the
         # epoch returns (r11 ADVICE): an always-on deployment runs

@@ -500,6 +500,29 @@ def _e2e_oracle() -> str:
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def _stage_bucketed_texts(
+    spark: SparkSession, texts: DataFrame, path: str, name: str
+) -> DataFrame:
+    """Stage the texts enrichment table BUCKETED (and sorted) by the
+    join key, so every slice chain's texts join reuses the persisted
+    layout instead of exchanging the events-sized projection (§6 /
+    §2.4 "bucketed tables persist a partitioning across jobs"; the r13
+    verdict's top ask). At sf0.1 the planner broadcasts the tiny texts
+    side, so the local win is modest — the point is the scale shape:
+    past the broadcast threshold each slice's sort-merge join would
+    shuffle AND sort the full texts projection per slice (4x at 100
+    TB); against the bucketed table the texts side needs neither
+    (plans/r14/consume_texts_join_{before,after}.txt, captured with
+    the broadcast threshold off to show the at-scale shape).
+
+    Bucket count = the session-width scale knob; one file per bucket
+    (see ``operators.partitioning.stage_bucketed_by_key``), so the
+    read side skips the per-join sort too."""
+    from ..operators.partitioning import stage_bucketed_by_key
+
+    return stage_bucketed_by_key(texts, "id", path, name)
+
+
 def _consume_e2e(spark: SparkSession, sf_dir: str, *, stage0_mode: str) -> DataFrame:
     """The full job once: derived inputs, stage-0 merge shared by all 4
     slice chains (staged to parquet OR cached, per ``stage0_mode``),
@@ -510,8 +533,18 @@ def _consume_e2e(spark: SparkSession, sf_dir: str, *, stage0_mode: str) -> DataF
     serializing; the reference main.py:300-368 runs the loop serially;
     measured ~1.9x end-to-end at sf0.1/local[32]),
     dynamic-partition-overwrite parquet for the union, result read back
-    FROM THE PARQUET SINK."""
+    FROM THE PARQUET SINK.
+
+    r14: the three PREP jobs — the stage-0 materialization, the
+    bucketed texts staging write, and the four enrichment-dim
+    checkpoints — are mutually independent, so they run concurrently
+    from the same driver pool (§2.6 "overlap independent jobs")
+    instead of serially; phase profile at sf0.1 measured them 3.2 s +
+    ~1 s + 1.5 s back-to-back, most of which now overlaps."""
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..pipelines.consume_batch import prepare_enrich_dims
 
     t = derive_consume_inputs(spark, sf_dir)
     # ONE stable output tree per process and mode, replaced on each
@@ -524,23 +557,47 @@ def _consume_e2e(spark: SparkSession, sf_dir: str, *, stage0_mode: str) -> DataF
     os.makedirs(out_root, exist_ok=True)
 
     merged = merge_delete(filter_changelog(t["changelog"]), _DATES.first_day_past)
-    if stage0_mode == "staged":
-        # stage-0 staged to parquet (consume_batch's default tier since
-        # r9): one write pass replaces the cache materialization, and
-        # the slice chains get a columnar scan with pruning instead of
-        # InMemoryTableScan rows
-        staging = f"{out_root}/stage0"
-        merged.write.mode("overwrite").parquet(staging)
-        merged = spark.read.parquet(staging)
-    else:
+
+    def _stage0() -> DataFrame:
+        if stage0_mode == "staged":
+            # stage-0 staged to parquet (consume_batch's default tier
+            # since r9): one write pass replaces the cache
+            # materialization, and the slice chains get a columnar scan
+            # with pruning instead of InMemoryTableScan rows
+            staging = f"{out_root}/stage0"
+            merged.write.mode("overwrite").parquet(staging)
+            return spark.read.parquet(staging)
         # materialize the shared stage-0 merge FIRST (count() scans the
         # InMemoryRelation, which caches whole rows) so the concurrent
         # slice chains never race the cold cache
-        merged = merged.cache()
-        merged.count()
+        m = merged.cache()
+        m.count()
+        return m
+
+    def _texts() -> DataFrame:
+        return _stage_bucketed_texts(
+            spark,
+            t["texts"],
+            f"{out_root}/texts_bucketed",
+            f"spark_graft_e2e_texts_{stage0_mode}",
+        )
+
+    raw_dims = prepare_enrich_dims(
+        t["visibility"], t["fraud"], t["contacts"], t["visits"], _DATES
+    )
+    with ThreadPoolExecutor(max_workers=2 + len(raw_dims)) as pool:
+        f_stage0 = pool.submit(_stage0)
+        f_texts = pool.submit(_texts)
+        f_dims = {
+            k: pool.submit(lambda v=v: v.localCheckpoint(eager=True))
+            for k, v in raw_dims.items()
+        }
+        merged = f_stage0.result()
+        t = {**t, "texts": f_texts.result()}
+        dims = {k: f.result() for k, f in f_dims.items()}
 
     parts, _ = run_slices_concurrent(
-        t, merged, _DATES, out_root, json_clock="2024-01-30 00:00:00"
+        t, merged, _DATES, out_root, json_clock="2024-01-30 00:00:00", dims=dims
     )
 
     union = union_slices(parts, "ALL")

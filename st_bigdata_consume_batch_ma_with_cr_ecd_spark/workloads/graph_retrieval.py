@@ -665,9 +665,23 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out"))
         .localCheckpoint(eager=True)
     )
-    edges_out = (
-        edges.join(outdeg, "src").localCheckpoint(eager=True)
-    )  # (src, dst, outdeg), reused every iteration
+    # (src, dst, outdeg), joined against the rank vector EVERY
+    # iteration — staged as a bucketed-by-src table instead of a
+    # checkpoint (r14, §6/§2.4): an RDD checkpoint has unknown
+    # partitioning, so each of the 5 contribution joins re-exchanged
+    # and re-sorted the full edge list; the bucketed scan reports
+    # HashPartitioning(src) + sort order, so per iteration only the
+    # (node-count-sized) rank vector shuffles. The rank-vector
+    # broadcast alternative stays rejected — corpus-sized at 100 TB.
+    from ..operators.partitioning import stage_bucketed_by_key
+    from ..sinks.indexes import fresh_index_root
+
+    edges_out = stage_bucketed_by_key(
+        edges.join(outdeg, "src"),
+        "src",
+        f"{fresh_index_root('pagerank_edges')}/edges",
+        "spark_graft_pagerank_edges",
+    )
     n = nodes.count()  # scalar model value, O(1) to the driver
 
     ranks = nodes.withColumn(

@@ -3668,24 +3668,25 @@ def factory_store_build(spark: SparkSession, hist_docs: DataFrame, name: str) ->
     per historic survivor, in the versioned store's ingest bucket 0.
     Returns the table path. The scale probe builds this once, untimed,
     per historic-corpus size; the gate query builds it in-query
-    because a driver gate query is self-contained."""
-    import os
-    import shutil
-    import tempfile
+    because a driver gate query is self-contained.
 
-    from ..sinks.versioned import create_versioned_table
+    r14 (the r12-declared lifecycle consolidation, deferred from r13
+    for window-arithmetic reasons — registry.py FORCE_RECHECK): the
+    inline tmp-root recipe + create_versioned_table wiring moved onto
+    ``sinks.indexes`` like every other served store. Pure plumbing:
+    ``fresh_index_root`` builds the identical pid-scoped root,
+    ``IncrementalIndexStore.build`` calls the same
+    ``create_versioned_table`` with the same arguments — plans, store
+    layout, and hashes are unchanged."""
+    from ..sinks.indexes import IncrementalIndexStore, fresh_index_root
 
     prep = web_corpus_prep(hist_docs, fp_prefix_tokens=_FACTORY_FP_TOKENS).select(
         "doc_id", "content_fp", "n_words_main"
     )
-    root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_{name}_{os.getpid()}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
-    table = f"{root}/content_state"
-    create_versioned_table(
-        prep.withColumn("ingest_bucket", F.lit(0)), table, ["ingest_bucket"]
-    )
+    table = f"{fresh_index_root(name)}/content_state"
+    IncrementalIndexStore(
+        spark, table, keys=["doc_id"], partition_by=["ingest_bucket"]
+    ).build(prep.withColumn("ingest_bucket", F.lit(0)))
     return table
 
 
@@ -3697,25 +3698,28 @@ def factory_nightly_batch(
     one atomic ingest-bucket version, and compute dedup verdicts +
     pack placement entirely from the post-merge SNAPSHOT — the
     historic corpus is never re-prepped, only its stored state is
-    read."""
+    read. Store plumbing rides ``sinks.indexes`` since r14 (see
+    :func:`factory_store_build`) — same merge/read calls, same
+    arguments."""
     from ..operators.rowids import running_total
-    from ..sinks.versioned import merge_versioned_table, read_versioned_table
+    from ..sinks.indexes import IncrementalIndexStore
 
     prep_b = (
         web_corpus_prep(batch_docs, fp_prefix_tokens=_FACTORY_FP_TOKENS)
         .select("doc_id", "canon_url", "n_mirrors", "n_words_main", "content_fp")
         .localCheckpoint(eager=True)  # consumed by the merge AND the verdicts
     )
-    merge_versioned_table(
-        spark,
-        table,
-        prep_b.select("doc_id", "content_fp", "n_words_main").withColumn(
-            "ingest_bucket", F.lit(1)
-        ),
-        keys=["doc_id"],
-        partition_by=["ingest_bucket"],
+    store = (
+        IncrementalIndexStore(
+            spark, table, keys=["doc_id"], partition_by=["ingest_bucket"]
+        )
+        .merge(
+            prep_b.select("doc_id", "content_fp", "n_words_main").withColumn(
+                "ingest_bucket", F.lit(1)
+            )
+        )
+        .serve()
     )
-    store = read_versioned_table(spark, table)
 
     # ownership = ARRIVAL-ORDER precedence (earlier ingest bucket wins
     # — content the historic corpus already packed owns its

@@ -114,6 +114,33 @@ FORCE_RECHECK: dict[str, int] = {
     # deadline (declared in SCALE.md, the r12-prescribed pattern).
     "corpus_multimodal_incremental_summary": 13,
     "eval_reweight_ivfpq_recall": 13,
+    #
+    # r14 (optimization round 2): physical reworks that claim identical
+    # outputs re-enter the window per the policy above.
+    # - the text factory's store wiring moved onto sinks/indexes.py
+    #   (the r12-declared lifecycle consolidation deferred from r13 —
+    #   same versioned-table calls, same layouts; both consumers):
+    "pipeline_corpus_factory_nightly": 14,
+    "streaming_corpus_factory": 14,
+    # - the ngram overlap-counts family dropped the r13 exchange-width
+    #   pin on its materialize path (the r13 verdict's one real
+    #   regression; unpinned A/B 4.41->3.07 s / 3.00->2.50 s):
+    "dedup_ngram_jaccard": 14,
+    "dedup_ngram_jaccard_pruned": 14,
+    "dedup_ngram_containment": 14,
+    # - consume-batch e2e: texts staged as a bucketed table + the
+    #   independent prep jobs (stage-0 write, texts write, dim
+    #   checkpoints) overlapped (§2.6); the staged flagship is
+    #   ALWAYS_CHECK, its cached twin re-enters here:
+    "pipeline_consume_batch_e2e_cached": 14,
+    # - PageRank's edge list staged as a bucketed table so the
+    #   per-iteration contribution join stops exchanging the edges:
+    "graph_pagerank_fixed": 14,
+    #
+    # Window arithmetic (the r12-prescribed pattern): 1 pinned
+    # (pipeline_consume_batch_e2e) + 7 FORCE_RECHECK rows above = 8
+    # front slots, leaving 42 of the 50 for the stalest rotation
+    # cohort — no new registrations this round (optimization only).
 }
 
 # Queries pinned into EVERY driver window regardless of rotation age
