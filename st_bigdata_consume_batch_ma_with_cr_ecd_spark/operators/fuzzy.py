@@ -168,6 +168,12 @@ def fuzzy_self_pairs(
     # whole-stage codegen does not CSE across them). Built in the
     # transform, the Generate computes dist once and the filter/project
     # are plain field extractions.
+    # (r14 probe, rejected: moving the dist >= 0 verify INSIDE the
+    # lambda — filter(transform(...), p -> p.dist >= 0) before the
+    # flatten — measured flat-to-worse (A/B x3: 7.85-8.72 s vs
+    # 8.57-9.18 s). Whole-stage codegen already fuses Generate with
+    # the downstream Filter, so false candidates never materialize as
+    # rows; the in-lambda filter only adds array allocations.)
     pair_structs = F.expr(
         "transform(__ss, (x, i) ->"
         " transform(slice(__ss, i + 2, size(__ss)),"

@@ -2423,6 +2423,13 @@ def main() -> int:
         # 16x->64x ratio falls 4.58x -> 4.02x), 168.1s at 512 (the r6
         # over-scaling caution reproduces here too).
         "recsys_cooccur": lambda mult: max(cpus, cpus * mult // 16),
+        # the triangle wedge join sorts edge-sized tables per partition;
+        # at 16x with 32 partitions the sort is heap/spill-bound
+        # (GCLocker alloc warnings; r14 A/B at 16x/c32: 121.5 s at 32
+        # partitions vs 76.6 s at 128) — same pressure profile as
+        # recsys_cooccur's note above
+        "triangle_count": lambda mult: max(cpus, cpus * mult // 16),
+        "triangle_count_approx": lambda mult: max(cpus, cpus * mult // 16),
     }
 
     def shuffle_for(name: str, mult: int) -> int:
