@@ -784,3 +784,54 @@ def test_audio_energy_windows_shuffles_ids_only(spark, sf_dir):
     # formatted explain renders the one physical node twice
     assert plan.count("Exchange") == 2
     assert "RoundRobinPartitioning" in plan
+
+
+def test_bucketed_staging_table_joins_without_exchange_or_sort(spark, tmp_path):
+    # r14: stage_bucketed_by_key writes sorted one-file-per-bucket
+    # tables so REPEATED joins on the key (consume-batch texts,
+    # PageRank edges) never exchange or sort the staged side again.
+    # Contract checked here with the broadcast threshold off (the
+    # at-scale shape): the staged side of the SMJ must carry neither
+    # an Exchange nor a Sort, and the layout must be one file per
+    # bucket (the condition Spark's bucketsContainSingleFile guard
+    # needs to honor the sortBy metadata).
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.operators.partitioning import (
+        stage_bucketed_by_key,
+    )
+
+    n = 8
+    staged = stage_bucketed_by_key(
+        spark.range(5000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ),
+        "k",
+        str(tmp_path / "staged"),
+        "test_bucketed_staging_tbl",
+        n_buckets=n,
+    )
+    files = glob.glob(str(tmp_path / "staged" / "part-*.parquet"))
+    assert len(files) == n  # one file per bucket — parallel write held
+
+    other = spark.range(500).select(F.col("id").alias("k"), F.lit(1).alias("j"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = other.join(staged, "k")._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    # exactly ONE exchange+sort pair (the probe side); the staged side
+    # reads bucketed and pre-sorted (each physical node prints twice)
+    assert plan.count("Exchange") == 2, plan
+    import re
+
+    assert len(re.findall(r"^\(\d+\) Sort$", plan, flags=re.MULTILINE)) == 1, plan
+    assert "Bucketed: true" in plan
