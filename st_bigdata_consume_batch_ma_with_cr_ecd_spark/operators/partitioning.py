@@ -77,9 +77,17 @@ def stage_bucketed_by_key(
     per-join Sort vanishes too.
 
     Use when one derivation feeds REPEATED joins on the same key
-    (consume-batch's per-slice texts join, PageRank's per-iteration
-    contribution join): the one staging write replaces N exchanges +
-    N sorts of the staged side. ``n_buckets`` defaults to the
+    ACROSS separate jobs or sessions (consume-batch's per-slice texts
+    join): the one staging write replaces N exchanges + N sorts of the
+    staged side. For iterative reuse WITHIN one job where the frame
+    fits the block cache, prefer ``repartition(key) +
+    sortWithinPartitions(key) + cache()`` instead — a cache (unlike a
+    localCheckpoint) forwards its child plan's partitioning/ordering
+    once materialized, giving the same exchange-free joins without the
+    table write + per-iteration parquet re-scan (measured on PageRank:
+    the table form cost more in re-scan I/O than the removed exchange
+    at sf0.1; the cache form keeps the plan win at parity cost —
+    workloads/graph_retrieval.py). ``n_buckets`` defaults to the
     session-width scale knob."""
     nb = n_buckets or session_width(df)
     (

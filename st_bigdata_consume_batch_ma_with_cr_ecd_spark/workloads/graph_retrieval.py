@@ -666,21 +666,28 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     # (src, dst, outdeg), joined against the rank vector EVERY
-    # iteration — staged as a bucketed-by-src table instead of a
-    # checkpoint (r14, §6/§2.4): an RDD checkpoint has unknown
-    # partitioning, so each of the 5 contribution joins re-exchanged
-    # and re-sorted the full edge list; the bucketed scan reports
-    # HashPartitioning(src) + sort order, so per iteration only the
-    # (node-count-sized) rank vector shuffles. The rank-vector
-    # broadcast alternative stays rejected — corpus-sized at 100 TB.
-    from ..operators.partitioning import stage_bucketed_by_key
-    from ..sinks.indexes import fresh_index_root
+    # iteration — cached PARTITIONED AND SORTED on the join key (r14,
+    # §2.4): an RDD checkpoint has unknown partitioning, so r13's
+    # shape re-exchanged and re-sorted the full edge list in each of
+    # the 5 contribution joins. A cache, unlike a checkpoint, REPORTS
+    # its child plan's partitioning and ordering (InMemoryRelation
+    # forwards outputPartitioning/outputOrdering), so the join sees
+    # HashPartitioning(src) + sorted-by-src and per iteration only the
+    # node-count-sized rank vector moves. A bucketed staging TABLE was
+    # built and measured first (plans/r14/pagerank_iteration_join_*):
+    # same plan shape, but the per-iteration parquet re-scan + catalog
+    # overhead cost MORE than the removed exchange at sf0.1 (bench
+    # 8.5 s vs 5.6 s) — the cache keeps the layout win without the
+    # I/O. The rank-vector broadcast alternative stays rejected —
+    # corpus-sized at 100 TB; the merge pin keeps the estimate-driven
+    # broadcast of the (equally corpus-sized) edge list out too.
+    from ..operators.partitioning import session_width
 
-    edges_out = stage_bucketed_by_key(
-        edges.join(outdeg, "src"),
-        "src",
-        f"{fresh_index_root('pagerank_edges')}/edges",
-        "spark_graft_pagerank_edges",
+    edges_out = (
+        edges.join(outdeg, "src")
+        .repartition(session_width(edges), "src")
+        .sortWithinPartitions("src")
+        .cache()
     )
     n = nodes.count()  # scalar model value, O(1) to the driver
 
@@ -689,7 +696,17 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     for _ in range(_PR_ITERS):
-        contrib = edges_out.join(ranks, edges_out["src"] == ranks["node"]).select(
+        # merge pin on the contribution join: the edge table is
+        # CORPUS-sized, so an estimate-driven broadcast is the r5
+        # hazard class at 100 TB — and at sf0.1 it is also simply
+        # slower (the parquet estimate is small enough to broadcast,
+        # so every iteration re-scanned + re-built the hash relation:
+        # bench 8.5 s vs 6.1 s pinned). Under the pin the bucketed
+        # scan IS the join layout: edge side no exchange, no sort —
+        # only the node-sized rank vector moves per iteration.
+        contrib = edges_out.hint("merge").join(
+            ranks, edges_out["src"] == ranks["node"]
+        ).select(
             F.col("dst"),
             F.round(F.col("rank").cast("double") / F.col("outdeg"), 12)
             .cast(_PR_DEC)

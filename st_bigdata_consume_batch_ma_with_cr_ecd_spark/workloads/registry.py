@@ -133,7 +133,7 @@ FORCE_RECHECK: dict[str, int] = {
     #   checkpoints) overlapped (§2.6); the staged flagship is
     #   ALWAYS_CHECK, its cached twin re-enters here:
     "pipeline_consume_batch_e2e_cached": 14,
-    # - PageRank's edge list staged as a bucketed table so the
+    # - PageRank's edge list cached partitioned+sorted on src so the
     #   per-iteration contribution join stops exchanging the edges:
     "graph_pagerank_fixed": 14,
     #
