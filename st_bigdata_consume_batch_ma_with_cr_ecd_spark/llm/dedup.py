@@ -463,9 +463,29 @@ def _rewrite_pair_filter(sql: str) -> str:
     payload branch's (d, p) struct variables: ``x`` -> ``x.d``,
     ``y`` -> ``y.d``. Word-boundary substitution, so column or function
     names merely containing the letters are untouched; ``x`` runs
-    first and produces ``x.d``, which the ``y`` pass cannot match."""
+    first and produces ``x.d``, which the ``y`` pass cannot match.
+
+    The rewrite is TEXTUAL, so hooks outside the bare lowercase-id
+    contract are rejected up front (r13 ADVICE): a quoted span could
+    contain a standalone ``x``/``y`` the regex would corrupt
+    (``"x IN ('x')"`` -> ``'x.d'``), and Spark's case-insensitive
+    lambda resolution would bind an uppercase ``X``/``Y`` to the whole
+    struct on this branch but to the bare id on the join-back branch —
+    both would silently diverge between the two physically-equivalent
+    paths, so they fail loudly instead."""
     import re
 
+    if re.search(r"['\"]", sql):
+        raise ValueError(
+            "pair_filter_sql must not contain string literals: the "
+            "carry-path rewrite is textual and would corrupt a quoted "
+            f"x/y — got {sql!r}"
+        )
+    if re.search(r"\b[XY]\b", sql):
+        raise ValueError(
+            "pair_filter_sql must reference the pair ids as lowercase "
+            f"bare x/y — got {sql!r}"
+        )
     return re.sub(r"\by\b", "y.d", re.sub(r"\bx\b", "x.d", sql))
 
 
@@ -499,7 +519,11 @@ def _bucket_pairs(
     pair row materializes — the incremental-dedup hook: restrict to
     pairs touching the new batch and per-batch dedup cost tracks the
     batch, not the corpus (pairs the filter rejects are never emitted,
-    shuffled, or distinct'ed).
+    shuffled, or distinct'ed). The ids must appear as bare LOWERCASE
+    ``x``/``y`` and the hook must not contain string literals — the
+    payload branch rewrites the hook textually onto its struct
+    variables and rejects hooks outside that contract
+    (:func:`_rewrite_pair_filter`).
 
     ``flag_col``: name of a BOOLEAN column on ``buckets`` marking rows
     of the ARRIVING BATCH — the data-defined-batch generalization of

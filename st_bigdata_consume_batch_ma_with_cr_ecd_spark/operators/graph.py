@@ -282,7 +282,15 @@ def cluster_sizes(
     group count row for row, and a hot cluster lands on one task under
     either shape (identical skew profile). No ``orderBy`` on purpose:
     the frame is the whole partition, so the window needs only the
-    partitioning, not a sort order."""
+    partitioning, not a sort order.
+
+    NULL-key semantics differ from the join idiom this replaced (r13
+    ADVICE): the old inner join DROPPED rows with a NULL cluster key
+    (NULL never equi-joins), while the window KEEPS them and counts
+    the NULL partition. Every current caller coalesces the cluster id
+    to the row id before calling (``assign_cluster_ids``), so no NULLs
+    reach this today — new callers porting off the join idiom must
+    filter NULL keys first if they relied on the implicit drop."""
     from pyspark.sql.window import Window
 
     return assigned.withColumn(

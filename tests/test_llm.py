@@ -2265,3 +2265,27 @@ def test_reweighted_packed_adc_query_cells_override(spark, sf_dir):
     assert sorted(map(tuple, default.collect())) == sorted(
         map(tuple, overridden.collect())
     )
+
+
+def test_rewrite_pair_filter_rejects_out_of_contract_hooks():
+    # the carry-path hook rewrite is textual (r13 ADVICE): quoted
+    # spans and uppercase bare X/Y would silently diverge between the
+    # carry and join-back branches, so they must fail loudly; the
+    # documented lowercase-bare-id form must rewrite onto the struct
+    # doc fields exactly once per id.
+    import pytest as _pytest
+
+    from st_bigdata_consume_batch_ma_with_cr_ecd_spark.llm.dedup import (
+        _rewrite_pair_filter,
+    )
+
+    assert (
+        _rewrite_pair_filter("x % 5 = 0 OR y % 5 = 0")
+        == "x.d % 5 = 0 OR y.d % 5 = 0"
+    )
+    # names merely containing the letters stay untouched
+    assert _rewrite_pair_filter("max(x, y) < xy") == "max(x.d, y.d) < xy"
+    with _pytest.raises(ValueError, match="string literals"):
+        _rewrite_pair_filter("x IN ('x')")
+    with _pytest.raises(ValueError, match="lowercase"):
+        _rewrite_pair_filter("X % 5 = 0")
